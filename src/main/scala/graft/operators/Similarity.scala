@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) probe set
+  * broadcast against the corpus — one scan, no shuffle of the corpus.
+  * Scale path: random-hyperplane LSH bucketing so candidate
+  * generation is an equi-join on the code; at 100 TB the corpus is
+  * scanned once, bucketed, and only intra-bucket pairs are scored.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: broadcast `probes` (must be small)
+    * against `corpus`; deterministic ties (score desc, id asc). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("p_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed ANN: corpus and probes coded with `nBits` random
+    * hyperplanes; candidates = same code (equi-join), ranked by exact
+    * cosine within bucket. Recall < 1 by construction — the 100 TB
+    * trade: no cross join ever materializes. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
+              nBits: Int = 6, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def coded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits).as("code"))
+    val c = coded(corpus, "neighbor_id", "c_vec")
+    val p = coded(probes, "probe_id", "p_vec")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(p, Seq("code")).filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("p_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

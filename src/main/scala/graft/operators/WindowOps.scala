@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators: best-per-key dedup, lag deltas,
+  * gap-based sessionization.
+  *
+  * reference analogs: proteofav/structures.py:399
+  * (_remove_multiple_altlocs — keep the max-occupancy alternate
+  * location per atom), variants.py:394 (sequence index maps —
+  * sequential neighbour comparison), sifts.py:64 (region
+  * segmentation — contiguous run grouping).
+  */
+object WindowOps {
+
+  /** Keep the single best row per key group: order by `ordering`,
+    * take row 1. One shuffle; at 100 TB prefer this over
+    * dropDuplicates because the ordering makes the survivor
+    * deterministic. reference: proteofav/structures.py:399. */
+  def keepBestPerKey(df: DataFrame, keys: Seq[String],
+                     ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-key previous-row delta on a monotonic bigint column (e.g.
+    * epoch micros). reference: proteofav/variants.py:394. */
+  def lagDelta(df: DataFrame, keys: Seq[String], orderCol: Column,
+               valueCol: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.withColumn(as, valueCol - lag(valueCol, 1).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event exceeds `gapMicros`. Two stacked windows
+    * (lag → conditional cumulative sum), one shuffle total since both
+    * share the same partitioning. reference: proteofav/sifts.py:64
+    * (contiguous region segmentation). */
+  def sessionize(df: DataFrame, keys: Seq[String], tsMicros: Column,
+                 gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsMicros)
+    val newSession = when(
+      tsMicros - lag(tsMicros, 1).over(w) > gapMicros || lag(tsMicros, 1).over(w).isNull, 1
+    ).otherwise(0)
+    df.withColumn("__ts_us", tsMicros)
+      .withColumn("session_idx",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Text-format readers re-expressing ProteoFAV's parsers Spark-first:
+  * the files are read distributed via `spark.read.text` and parsed
+  * with codegen'd column expressions (substring / regex / split) —
+  * never a driver-side line loop.
+  */
+object TextSources {
+
+  /** Column spec for fixed-width records: (name, 1-based start
+    * offset, length, target type). */
+  final case class FixedWidthField(name: String, start: Int, len: Int,
+                                   dataType: String = "string")
+
+  /** Fixed-width text reader — the PDB/DSSP record shape.
+    * reference: proteofav/structures.py:118 (parse_pdb_atoms),
+    * dssp.py:31 (parse_dssp_residues: fixed column offsets). */
+  def fixedWidth(spark: SparkSession, path: String,
+                 fields: Seq[FixedWidthField],
+                 lineFilter: Option[Column] = None,
+                 skipLines: Int = 0): DataFrame = {
+    var df = spark.read.text(path)
+    if (skipLines > 0) {
+      // monotonically-increasing row id is per-partition; a header
+      // skip must be a filter on content at scale. Offset applies to
+      // single-file local reads only.
+      df = df.withColumn("__idx", monotonically_increasing_id())
+        .filter(col("__idx") >= skipLines).drop("__idx")
+    }
+    val parsed = lineFilter.map(df.filter).getOrElse(df)
+    parsed.select(fields.map { f =>
+      trim(substring(col("value"), f.start, f.len)).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Whitespace-tokenized record reader — the mmCIF `loop_` body
+    * shape: each matching line is split on runs of whitespace into
+    * named columns. reference: proteofav/structures.py:57
+    * (parse_mmcif_atoms: lines starting with ATOM/HETATM split on
+    * whitespace). */
+  def tokenRecords(spark: SparkSession, path: String, colNames: Seq[String],
+                   linePrefix: Option[String] = None): DataFrame = {
+    val df = spark.read.text(path)
+    val kept = linePrefix.map(p => df.filter(col("value").startsWith(p)))
+      .getOrElse(df)
+    val toks = split(trim(col("value")), "\\s+")
+    kept.select(colNames.zipWithIndex.map { case (n, i) =>
+      toks.getItem(i).as(n)
+    }: _*)
+  }
+
+  /** GFF-style reader: 9 tab-separated columns, `#` comment lines
+    * dropped, attribute column exploded into a map.
+    * reference: proteofav/annotation.py:35 (parse_gff_features). */
+  def gff(spark: SparkSession, path: String): DataFrame = {
+    val names = Seq("seqid", "source", "type", "start", "end",
+      "score", "strand", "phase", "attributes")
+    val df = spark.read.text(path).filter(!col("value").startsWith("#"))
+    val toks = split(col("value"), "\t")
+    df.select(names.zipWithIndex.map { case (n, i) =>
+      toks.getItem(i).as(n)
+    }: _*)
+      .withColumn("start", col("start").cast("long"))
+      .withColumn("end", col("end").cast("long"))
+      .withColumn("attr_map",
+        str_to_map(col("attributes"), ";", "="))
+  }
+}
