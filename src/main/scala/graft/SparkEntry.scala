@@ -1,13 +1,500 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.functions._
+import graft.multimodal.Multimodal
+import graft.sinks.TextRender
+import graft.sources.{Msa, TextSources}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Driver contract — one `queries` entry per SURVEY.md §2 row, with
+  * DuckDB-runnable `oracleSql` for every SQL-expressible row.
+  *
+  * Determinism rules (SURVEY §5): money doubles accumulate as
+  * decimals; averages are decimal-sum / count (identical IEEE
+  * division in both engines); int-like derived outputs are cast to
+  * bigint to match DuckDB's BIGINT; timestamps surface as epoch
+  * micros; top-k ties break on id.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    sources.Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregations.pricingSummary(
+      T(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'")))
+
+  // ---- shared query fragments -------------------------------------------
+
+  private val q1Filter = "l_shipdate <= timestamp'1998-09-02 00:00:00'"
+
+  private def roundtripDir(name: String) = s"/tmp/graft_roundtrip/$name"
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. core relational ---------------------------------------------
+    "q_filter_eq" -> ((s, d) =>
+      RowOps.rowSelector(T(s, d, "lineitem"), "l_returnflag", Seq("R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice")),
+    "q_filter_in" -> ((s, d) =>
+      RowOps.rowSelector(T(s, d, "orders"), "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")),
+    "q_filter_not" -> ((s, d) =>
+      RowOps.rowSelector(T(s, d, "customer"), "c_mktsegment",
+          Seq("BUILDING", "MACHINERY"), reverse = true)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")),
+    "q_project_exclude" -> ((s, d) =>
+      RowOps.excludeColumns(T(s, d, "part"), Seq("p_retailprice", "p_type"))),
+    "q_cast_types" -> ((s, d) =>
+      RowOps.constrainColumnTypes(
+        T(s, d, "supplier").withColumn("s_acctbal",
+          when(col("s_acctbal") < 0, lit(null)).otherwise(col("s_acctbal"))),
+        casts = Map("s_suppkey" -> org.apache.spark.sql.types.DoubleType,
+          "s_nationkey" -> LongType),
+        fills = Map("s_acctbal" -> 0.0))),
+    "q_explode_split" -> ((s, d) =>
+      RowOps.splitUpByKey(
+        T(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", "-", "element")),
+    "q_collapse_group" -> ((s, d) =>
+      RowOps.mergeDownByKey(
+        T(s, d, "orders").select("o_orderstatus", "o_orderpriority"),
+        Seq("o_orderstatus"))),
+    "q_derive_concat_key" -> ((s, d) =>
+      RowOps.deriveConcatKey(
+        T(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber"), "res_full")),
+    "q_recode_class" -> ((s, d) =>
+      RowOps.recodeByThresholds(
+        T(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity", "qty_class", Seq(10.0, 25.0),
+        Seq("low", "mid", "high"))),
+    // ---- B. aggregation -------------------------------------------------
+    "q1_pricing_summary" -> ((s, d) =>
+      Aggregations.pricingSummary(T(s, d, "lineitem").filter(expr(q1Filter)))),
+    "q_centroid" -> ((s, d) =>
+      Aggregations.centroid(T(s, d, "lineitem"), Seq("l_suppkey"),
+        Seq("l_quantity", "l_extendedprice"))),
+    "q_agg_first" -> ((s, d) =>
+      Aggregations.firstPerGroup(
+        T(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))),
+    "q_seq_concat" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(Aggregations.orderedConcat("l_linenumber", "l_returnflag")
+          .as("seq"))),
+    "q_having_complete" -> ((s, d) =>
+      Aggregations.completeGroups(T(s, d, "lineitem"), Seq("l_orderkey"),
+        col("n_members") >= 5)),
+    "q_annotation_collapse" -> ((s, d) =>
+      RowOps.mergeDownByKey(
+        T(s, d, "documents").select("lang", "source"), Seq("lang"))),
+    // ---- C. joins / merges ----------------------------------------------
+    "q_join_left_composite" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val grp = li.groupBy("l_orderkey", "l_returnflag")
+        .agg(Aggregations.decSum(col("l_quantity")).as("grp_qty"))
+        .withColumnRenamed("l_orderkey", "g_orderkey")
+        .withColumnRenamed("l_returnflag", "g_returnflag")
+      Joins.leftMerge(
+          li.select("l_orderkey", "l_linenumber", "l_returnflag"), grp,
+          Seq("l_orderkey" -> "g_orderkey", "l_returnflag" -> "g_returnflag"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "grp_qty")
+    }),
+    "q_join_broadcast_dims" -> ((s, d) => {
+      val cn = Joins.broadcastDim(T(s, d, "customer"), T(s, d, "nation"),
+        "c_nationkey", "n_nationkey")
+      Joins.broadcastDim(cn, T(s, d, "region"), "n_regionkey", "r_regionkey")
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          Aggregations.decSum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+    "q_multiway_merge" -> ((s, d) =>
+      Joins.chainMerge(T(s, d, "lineitem"), Seq(
+          (T(s, d, "orders"), Seq("l_orderkey" -> "o_orderkey")),
+          (T(s, d, "customer"), Seq("o_custkey" -> "c_custkey")),
+          (T(s, d, "nation"), Seq("c_nationkey" -> "n_nationkey")),
+          (T(s, d, "region"), Seq("n_regionkey" -> "r_regionkey"))))
+        .groupBy("n_name")
+        .agg(Aggregations.decSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))),
+    "q_union_dedup" -> ((s, d) =>
+      Joins.unionDedup(
+        T(s, d, "lineitem").filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey").as("key")),
+        T(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("key")))),
+    "q_semi_anti" -> ((s, d) => {
+      val cust = T(s, d, "customer").select("c_custkey", "c_name")
+      val ords = T(s, d, "orders").select("o_custkey")
+      val semi = Joins.semiJoin(cust, ords, Seq("c_custkey" -> "o_custkey"))
+        .withColumn("kind", lit("semi"))
+      val anti = Joins.antiJoin(cust, ords, Seq("c_custkey" -> "o_custkey"))
+        .withColumn("kind", lit("anti"))
+      semi.unionByName(anti).select("kind", "c_custkey", "c_name")
+    }),
+    // ---- D. window / dedup / order --------------------------------------
+    "q_dedup_keep_best" -> ((s, d) =>
+      WindowOps.keepBestPerKey(
+        T(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_orderkey"),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc))),
+    "q_window_lag" -> ((s, d) =>
+      WindowOps.lagDelta(
+        T(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")),
+        col("ts_us"), "delta_us")),
+    "q_sessionize" -> ((s, d) =>
+      WindowOps.sessionize(T(s, d, "events"), Seq("user_id"),
+          unix_micros(col("ts")), 1800L * 1000000L)
+        .groupBy("user_id")
+        .agg(max(col("session_idx")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))),
+    "q_range_join_contacts" -> ((s, d) =>
+      RangeJoin.contacts3D(
+        T(s, d, "lineitem").select(
+          col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_quantity").as("x"),
+          (col("l_extendedprice") / 100).as("y"),
+          (col("l_discount") * 100).as("z")),
+        "l_suppkey", "id", "x", "y", "z", 2.0)),
+    // ---- E. time / streaming --------------------------------------------
+    "q_window_agg_time" -> ((s, d) =>
+      TimeOps.tumblingAgg(T(s, d, "events"), "ts", Seq("event_type"),
+        "value", 900L * 1000000L)),
+    "q_stream_window" -> ((s, d) => EventStreams.windowedCounts(s, d)),
+    // ---- F. dedup -------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), Seq("source"), 0.9)),
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
+        numHashes = 16, bands = 4, shingleN = 1)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(T(s, d, "documents"))),
+    "q_dedup_embed_cos" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(T(s, d, "embeddings"), 0.35)),
+    // ---- G. similarity search -------------------------------------------
+    "q_ann_brute_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64)
+    }),
+    "q_vec_norms" -> ((s, d) =>
+      T(s, d, "embeddings").select(col("vec_id"), col("label"),
+        VectorFunctions.norm(col("embedding")).as("l2"),
+        VectorFunctions.normSq(col("embedding")).as("sq"))),
+    // ---- H. text analysis -----------------------------------------------
+    "q_tokcount" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextFunctions.bpeishCount(col("text")).cast("long").as("n_bpe"))),
+    "q_quality_score" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+    "q_langid" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+    "q_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp"))),
+    // ---- I. multimodal --------------------------------------------------
+    "q_binary_meta" -> ((s, d) =>
+      Multimodal.asMedia(T(s, d, "documents").select("doc_id", "text"),
+          "text", "text/plain")
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.sha").as("sha"))),
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(T(s, d, "documents").select("doc_id", "text"),
+          "text", "text/plain"))
+        .select(col("doc_id"), col("feat_len").cast("long").as("feat_len"),
+          col("feat_checksum"))),
+    // ---- K. nested / json -----------------------------------------------
+    "q_json_flatten" -> ((s, d) =>
+      NestedOps.flattenJson(
+        T(s, d, "events").select("event_id", "event_type", "props"),
+        "props", StructType(Seq(StructField("k", LongType))))
+        .select("event_id", "event_type", "k")),
+    "q_nested_flatten" -> ((s, d) =>
+      NestedOps.flattenStructs(
+        T(s, d, "lineitem").select(col("l_orderkey"),
+          struct(col("l_partkey"), col("l_suppkey")).as("ps"),
+          struct(col("l_quantity"),
+            struct(col("l_extendedprice"), col("l_discount")).as("price"))
+            .as("m")))),
+    // ---- J. sources / sinks (roundtrips through /tmp) -------------------
+    "q_fixedwidth_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("fixedwidth")
+      TextRender.writeText(
+        TextRender.fixedWidthLines(
+          T(s, d, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Seq((col("l_orderkey"), 12, true), (col("l_linenumber"), 4, true),
+            (col("l_returnflag"), 2, false), (col("l_quantity"), 10, true))),
+        out)
+      TextSources.fixedWidth(s, out, Seq(
+        TextSources.FixedWidthField("l_orderkey", 1, 12, "bigint"),
+        TextSources.FixedWidthField("l_linenumber", 13, 4, "int"),
+        TextSources.FixedWidthField("l_returnflag", 17, 2, "string"),
+        TextSources.FixedWidthField("l_quantity", 19, 10, "double")))
+    }),
+    "q_tokenrecords_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("tokenrecords")
+      TextRender.writeText(
+        T(s, d, "lineitem").select(concat_ws(" ", lit("ATOM"),
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity")).as("value")),
+        out)
+      TextSources.tokenRecords(s, out,
+          Seq("rec", "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Some("ATOM"))
+        .select(col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("int"), col("l_returnflag"),
+          col("l_quantity").cast("double"))
+    }),
+    "q_gff_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("gff")
+      TextRender.writeText(
+        T(s, d, "part").select(concat_ws("\t", col("p_brand"), lit("graft"),
+          col("p_type"), col("p_partkey"),
+          (col("p_partkey") + col("p_size")).cast("long"), lit("."), lit("+"),
+          lit("."),
+          concat(lit("id="), col("p_partkey"), lit(";size="), col("p_size")))
+          .as("value")),
+        out)
+      TextSources.gff(s, out)
+        .select(col("seqid"), col("source"), col("type"), col("start"),
+          col("end"), col("attr_map")("id").cast("long").as("id_attr"),
+          col("attr_map")("size").cast("long").as("size_attr"))
+    }),
+    "q_fasta_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("fasta")
+      TextRender.writeText(
+        T(s, d, "documents").select(concat(
+          lit(">doc_"), col("doc_id"), lit("/1-"),
+          length(regexp_replace(col("text"), " ", "")), lit("\n"),
+          regexp_replace(col("text"), " ", "")).as("value")),
+        out)
+      Msa.parseDescription(Msa.fasta(s, out))
+        .select(col("acc"), col("seq_start"), col("seq_end"),
+          length(col("sequence")).cast("long").as("seq_len"))
+    }))
+
+  /** DuckDB oracle SQL per SQL-expressible query (driver runs these
+    * on the same parquet tables and hash-compares). Omitted keys get
+    * the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "q_filter_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+    "q_filter_not" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')""".stripMargin,
+    "q_project_exclude" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part",
+    "q_cast_types" ->
+      """SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey, s_name,
+        |CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |COALESCE(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, 0.0) AS s_acctbal
+        |FROM supplier""".stripMargin,
+    "q_explode_split" ->
+      """SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS element
+        |FROM orders""".stripMargin,
+    "q_collapse_group" ->
+      """SELECT o_orderstatus, string_agg(o_orderpriority, ';' ORDER BY o_orderpriority) AS o_orderpriority
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_derive_concat_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS res_full
+        |FROM lineitem""".stripMargin,
+    "q_recode_class" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_class
+        |FROM lineitem""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_centroid" ->
+      """SELECT l_suppkey,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS l_quantity_centroid,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS l_extendedprice_centroid,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_agg_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        |FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_seq_concat" ->
+      """SELECT l_orderkey, string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS seq
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_having_complete" ->
+      """SELECT l_orderkey, COUNT(*) AS n_members FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) >= 5""".stripMargin,
+    "q_annotation_collapse" ->
+      """SELECT lang, string_agg(source, ';' ORDER BY source) AS source
+        |FROM (SELECT DISTINCT lang, source FROM documents)
+        |GROUP BY lang""".stripMargin,
+    "q_join_left_composite" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.grp_qty
+        |FROM lineitem l LEFT JOIN (
+        |SELECT l_orderkey, l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS grp_qty
+        |FROM lineitem GROUP BY 1, 2) g
+        |ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag""".stripMargin,
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_multiway_merge" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT l_orderkey AS key FROM lineitem WHERE l_returnflag = 'A'
+        |UNION
+        |SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'semi' AS kind, c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'anti' AS kind, c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_dedup_keep_best" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
+        |FROM events""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |  THEN 1 ELSE 0 END AS flag FROM e),
+        |s AS (SELECT user_id,
+        |SUM(flag) OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |FROM f)
+        |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "q_range_join_contacts" ->
+      """WITH pts AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
+        |l_quantity AS x, l_extendedprice / 100 AS y, l_discount * 100 AS z
+        |FROM lineitem)
+        |SELECT a.l_suppkey, a.id AS a_id, b.id AS b_id,
+        |(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist2
+        |FROM pts a JOIN pts b ON a.l_suppkey = b.l_suppkey AND a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= 4.0""".stripMargin,
+    "q_window_agg_time" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_window" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+        |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9""".stripMargin,
+    "q_vec_norms" ->
+      """SELECT vec_id, label,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,
+        |list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+        |FROM embeddings""".stripMargin,
+    "q_tokcount" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |(CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+        |+ (CAST(len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> list_contains(['the','a','an','of','and','in','to','is','for','on'], t))) AS DOUBLE)
+        |   / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)) * 0.3
+        |+ least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+        |FROM documents""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS sha
+        |FROM documents""".stripMargin,
+    "q_json_flatten" ->
+      """SELECT event_id, event_type,
+        |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q_nested_flatten" ->
+      """SELECT l_orderkey, l_partkey AS ps_l_partkey, l_suppkey AS ps_l_suppkey,
+        |l_quantity AS m_l_quantity, l_extendedprice AS m_price_l_extendedprice,
+        |l_discount AS m_price_l_discount
+        |FROM lineitem""".stripMargin,
+    "q_fixedwidth_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
+    "q_tokenrecords_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
+    "q_gff_roundtrip" ->
+      """SELECT p_brand AS seqid, 'graft' AS source, p_type AS type,
+        |CAST(p_partkey AS BIGINT) AS start, CAST(p_partkey + p_size AS BIGINT) AS "end",
+        |CAST(p_partkey AS BIGINT) AS id_attr, CAST(p_size AS BIGINT) AS size_attr
+        |FROM part""".stripMargin,
+    "q_fasta_roundtrip" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
+        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
+        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
+        |FROM documents""".stripMargin)
 }

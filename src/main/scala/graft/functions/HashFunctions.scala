@@ -29,19 +29,25 @@ object HashFunctions {
     }: _*)
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes, computed as 64 codegen'd conditional sums inside one
-    * aggregate fold (no explode, no shuffle). */
+    * hashes. Single pass: hash each token ONCE (`transform`), then
+    * one `aggregate` fold carrying a 64-counter array (indexed
+    * `transform` accumulates every bit per step); the finish lambda
+    * assembles the majority bits into one long. O(64·n) adds but only
+    * O(n) hash evaluations — vs 64 separate folds re-hashing every
+    * token per bit. No explode, no shuffle. */
   def simhash(toks: Column): Column = {
-    // fold: acc = array(64 counters) + final assembly
-    // counters: count of tokens with bit b set; n = size(toks)
-    val n = size(toks)
-    val bitCols = (0 until 64).map { b =>
-      val cnt = aggregate(toks, lit(0L),
-        (acc, t) => acc + shiftrightunsigned(xxhash64(t), b).bitwiseAND(1L))
-      // majority → bit set
-      when(cnt * 2 >= n.cast("long"), lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(toks).cast("long")
+    aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => transform(acc,
+        (c, i) => c + call_function("shiftrightunsigned", h, i).bitwiseAND(1L)),
+      counters => aggregate(
+        zip_with(counters, sequence(lit(0), lit(63)),
+          (cnt, b) => when(cnt * 2 >= n,
+            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, bit) => acc.bitwiseOR(bit)))
   }
 
   /** Split a 64-bit code into `bands` equal bit-slices for hamming

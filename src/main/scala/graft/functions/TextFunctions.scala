@@ -34,7 +34,7 @@ object TextFunctions {
       .otherwise(
         transform(
           sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, n), sep)))
+          i => array_join(slice(toks, i, lit(n)), sep)))
 
   /** Ratio of characters matching `charClass` (e.g. "[A-Za-z]"). */
   def charClassRatio(text: Column, charClass: String): Column =
@@ -53,12 +53,14 @@ object TextFunctions {
   }
 
   /** Composite document quality score in [0, 1]:
-    * alpha-char ratio, stopword presence, and a length prior. */
+    * alpha-char ratio, stopword presence, and a length prior.
+    * No rounding — the raw IEEE combination is deterministic on any
+    * engine given the same inputs; round at presentation time. */
   def qualityScore(text: Column): Column = {
     val alpha = charClassRatio(text, "[A-Za-z ]")
     val stop = stopwordRatio(text)
     val lenPrior = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    round(alpha * 0.5 + stop * 0.3 + lenPrior * 0.2, 6)
+    alpha * 0.5 + stop * 0.3 + lenPrior * 0.2
   }
 
   /** Tiny per-language marker-token profiles for heuristic

@@ -54,7 +54,7 @@ object Multimodal {
     * rolling byte checksum. */
   def extractFeatures(df: DataFrame): DataFrame = {
     val out = StructType(df.schema.fields ++ Seq(
-      StructField("feat_len", IntegerType, nullable = false),
+      StructField("feat_len", LongType, nullable = false),
       StructField("feat_checksum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(out)
@@ -66,7 +66,7 @@ object Multimodal {
         var cs = 0L
         var i = 0
         while (i < bytes.length) { cs = cs * 31 + (bytes(i) & 0xff); i += 1 }
-        Row.fromSeq(r.toSeq ++ Seq(bytes.length, cs))
+        Row.fromSeq(r.toSeq ++ Seq[Any](bytes.length.toLong, cs))
       }
     }(enc)
   }

@@ -20,24 +20,55 @@ import org.apache.spark.sql.types.DecimalType
 object Aggregations {
 
   /** Exact, order-independent sum of a double column: accumulate in
-    * decimal, surface as double. */
+    * decimal, surface as double. Scale 2 suits money; pass a higher
+    * scale (>= 6) for full-precision measures like coordinates. */
   def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
-  /** Exact mean derived as decimal-sum / count (never avg over raw
-    * doubles — partial-aggregation order would change the bits). */
+  /** Exact mean derived as decimal-sum / count-of-non-null (matches
+    * pandas/DuckDB avg null semantics; never avg over raw doubles —
+    * partial-aggregation order would change the bits). */
   def decAvg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(28, scale))).cast("double") / count(lit(1))
+    sum(c.cast(DecimalType(28, scale))).cast("double") / count(c)
 
   /** Centroid aggregation: per-group exact mean of the given measure
-    * columns + group size. reference: proteofav/structures.py:483
-    * (residues_aggregation, agg_method='centroid' — mean of
-    * Cartesian_x/y/z per residue). */
+    * columns + group size. Default scale 6 preserves coordinate
+    * precision (the reference takes full-precision means of
+    * Cartesian x/y/z). reference: proteofav/structures.py:483
+    * (residues_aggregation, agg_method='centroid'). */
   def centroid(df: DataFrame, groupKeys: Seq[String],
-               measures: Seq[String]): DataFrame = {
-    val aggs = measures.map(m => decAvg(col(m)).as(s"${m}_centroid")) :+
+               measures: Seq[String], scale: Int = 6): DataFrame = {
+    val aggs = measures.map(m => decAvg(col(m), scale).as(s"${m}_centroid")) :+
       count(lit(1)).as("n")
     df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Flagship pricing-summary aggregation (TPC-H Q1 shape): per
+    * (returnflag, linestatus) decimal-exact sums, derived averages,
+    * and row counts over lineitem. Single hash aggregation with
+    * map-side partial combine — the canonical 100 TB groupBy: no
+    * sort, shuffle carries only |groups| × partial states.
+    * reference analog: proteofav/structures.py:483
+    * (residues_aggregation 'mean' over grouped measures). */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    // Tight decimal widths so the 3-factor product stays inside both
+    // Spark's and DuckDB's 38-digit cap with identical exact math.
+    val one = lit(1).cast(DecimalType(6, 4))
+    val disc = col("l_extendedprice").cast(DecimalType(12, 4)) *
+      (one - col("l_discount").cast(DecimalType(6, 4)))
+    val charge = disc * (one + col("l_tax").cast(DecimalType(6, 4)))
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (decSum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+        (decSum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
+        (decSum(col("l_discount"), 4) / count(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Keep the first row of each group under an explicit ordering —
@@ -51,11 +82,11 @@ object Aggregations {
   }
 
   /** Per-group ordered concatenation of a value column (residue →
-    * sequence string). collect_list of (order, value) structs sorted
-    * post-hoc, so it is a plain hash aggregation — no sort shuffle.
-    * reference: proteofav/structures.py:689 (get_sequence). */
-  def orderedConcat(df: DataFrame, groupKeys: Seq[String],
-                    orderCol: String, valueCol: String,
+    * sequence string): an aggregate Column for use inside
+    * `groupBy(...).agg(...)`. collect_list of (order, value) structs
+    * sorted post-hoc, so it is a plain hash aggregation — no sort
+    * shuffle. reference: proteofav/structures.py:689 (get_sequence). */
+  def orderedConcat(orderCol: String, valueCol: String,
                     sep: String = ""): Column =
     array_join(
       transform(

@@ -23,33 +23,55 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Inverted-index token-set Jaccard similarity join within blocking
-    * keys: explode distinct tokens, self-join on (blocking, token),
-    * count co-occurrences, derive |A∪B| = |A|+|B|−|A∩B|. The classic
-    * scalable set-similarity join (no pairwise array ops, no cross
-    * join); blocking keys bound the candidate space. */
+  /** Prefix-filtered token-set Jaccard similarity join within
+    * blocking keys (the PPJoin candidate bound).
+    *
+    * Tokens are globally ordered by document frequency (rarest
+    * first); each doc indexes only its first ⌊|set|−⌈τ·|set|⌉⌋+1
+    * tokens. Any pair with J ≥ τ shares its globally-smallest common
+    * token inside BOTH prefixes (pigeonhole), so recall is exact —
+    * but a ubiquitous token ("the", df≈n) no longer produces an O(n²)
+    * candidate blowup because it sits at the END of the df order and
+    * rarely lands in a prefix. Candidates are deduped to (a,b) id
+    * pairs, then each side's full token set is fetched ONCE for the
+    * exact-jaccard verify (array_intersect) — the arrays never ride
+    * through the candidate join itself. */
   def ngramJaccardPairs(docs: DataFrame, blockingKeys: Seq[String],
                         threshold: Double, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val base = docs.select(
       (col(idCol).as("id") +: blockingKeys.map(col)) :+
         TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
-    val sizes = base.select(col("id"), size(col("toks")).as("sz"))
     val tok = base.select(
       (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
-    val a = tok.toDF(tok.columns.map(c => s"a_$c"): _*)
-    val b = tok.toDF(tok.columns.map(c => s"b_$c"): _*)
+    // global df order: (df asc, tok asc) — broadcast-joined back
+    val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(broadcast(df_), "tok")
+      .withColumn("__ord", struct(col("df"), col("tok")))
+    // keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__ord"))
+    val prefix = ranked
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
+    val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
+    val b = prefix.toDF(prefix.columns.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
       (col("a_tok") === col("b_tok")) :+ (col("a_id") < col("b_id")))
       .reduce(_ && _)
-    val inter = a.join(b, joinCond)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
+    val cands = a.join(b, joinCond)
+      .select(col("a_id"), col("b_id")).distinct()
+    // fetch full token arrays once per side, verify exact jaccard
+    val sets = base.select(col("id"), col("toks"))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -83,22 +105,27 @@ object Dedup {
   }
 
   /** Verified MinHash near-dup pairs: LSH candidates → exact shingle
-    * Jaccard filter. */
+    * Jaccard filter. The band-key join carries ONLY (id, bandkey);
+    * candidate pairs are deduped on (a_id, b_id) first and each
+    * side's shingle array is fetched once afterwards — the arrays
+    * never ride through the candidate join or the distinct. */
   def minhashPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
                    bands: Int = 4, shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
-    val sigs = base.select(col("id"), col("sh"),
-      HashFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(HashFunctions.bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
-    banded.alias("x").join(banded.alias("y"),
+    val banded = base.select(col("id"),
+      explode(HashFunctions.bandKeys(
+        HashFunctions.minhashSignature(col("sh"), numHashes),
+        bands, numHashes / bands)).as("bk"))
+    val cands = banded.alias("x").join(banded.alias("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.sh").as("a_sh"), col("y.sh").as("b_sh"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+    cands
+      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))))

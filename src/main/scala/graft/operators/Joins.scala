@@ -40,4 +40,23 @@ object Joins {
     * variants merge. reference: proteofav/mergers.py:193. */
   def unionDedup(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).distinct()
+
+  /** Keep left rows whose key appears in `ids` (semi) — membership
+    * lookup without duplicating left rows. At scale Spark plans this
+    * as a broadcast/shuffled semi join: only the key column of the
+    * right side ever moves. reference: proteofav/variants.py:196
+    * (id cross-mapping membership). */
+  def semiJoin(left: DataFrame, ids: DataFrame,
+               keys: Seq[(String, String)]): DataFrame = {
+    val cond = keys.map { case (l, r) => left(l) === ids(r) }.reduce(_ && _)
+    left.join(ids, cond, "left_semi")
+  }
+
+  /** Keep left rows whose key does NOT appear in `ids` (anti).
+    * reference: proteofav/variants.py:196 (unmapped-id detection). */
+  def antiJoin(left: DataFrame, ids: DataFrame,
+               keys: Seq[(String, String)]): DataFrame = {
+    val cond = keys.map { case (l, r) => left(l) === ids(r) }.reduce(_ && _)
+    left.join(ids, cond, "left_anti")
+  }
 }

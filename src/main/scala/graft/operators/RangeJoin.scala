@@ -17,6 +17,47 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** 3-D euclidean contact self-join: pairs (a, b) with the same
+    * partition key, euclidean distance <= eps, and a.id < b.id —
+    * the `_add_mmcif_contacts` semantics (structures.py:366,382)
+    * without the single-node cKDTree. Each row is hashed to its
+    * (⌊x/eps⌋, ⌊y/eps⌋, ⌊z/eps⌋) cell; side A replicates into the 27
+    * neighbouring cells (any pair within eps differs by <= 1 cell on
+    * every axis, so it is found exactly once at B's exact cell);
+    * candidates come from a plain equi-join on (pk, cell) and the
+    * exact distance predicate prunes them. Shuffle volume is 27×|A
+    * projected to id+coords| — linear, never quadratic. Output:
+    * pk, a_id, b_id, dist2 (squared distance, exact IEEE double). */
+  def contacts3D(df: DataFrame, partitionKey: String, idCol: String,
+                 xCol: String, yCol: String, zCol: String,
+                 eps: Double): DataFrame = {
+    def cell(c: Column) = floor(c / eps).cast("long")
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+        lit(dz.toLong).as("dz"))
+    val a = df.select(col(partitionKey).as("pk"), col(idCol).as("a_id"),
+        col(xCol).as("ax"), col(yCol).as("ay"), col(zCol).as("az"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("pk"), col("a_id"), col("ax"), col("ay"), col("az"),
+        struct((cell(col("ax")) + col("o.dx")).as("cx"),
+          (cell(col("ay")) + col("o.dy")).as("cy"),
+          (cell(col("az")) + col("o.dz")).as("cz")).as("cell"))
+    val b = df.select(col(partitionKey).as("pk2"), col(idCol).as("b_id"),
+      col(xCol).as("bx"), col(yCol).as("by"), col(zCol).as("bz"),
+      struct(cell(col(xCol)).as("cx"), cell(col(yCol)).as("cy"),
+        cell(col(zCol)).as("cz")).as("cell2"))
+    val dx = col("ax") - col("bx")
+    val dy = col("ay") - col("by")
+    val dz = col("az") - col("bz")
+    val dist2 = dx * dx + dy * dy + dz * dz
+    a.join(b, col("cell") === col("cell2") && col("pk") === col("pk2") &&
+        col("a_id") < col("b_id"))
+      .withColumn("dist2", dist2)
+      .filter(col("dist2") <= eps * eps)
+      .select(col("pk").as(partitionKey), col("a_id"), col("b_id"),
+        col("dist2"))
+  }
+
   /** Pairs (a, b) with a.partition == b.partition, |a.v − b.v| <= eps
     * and a.id < b.id. Output columns: partition key, a_id, b_id,
     * a_v, b_v. */

@@ -53,6 +53,44 @@ object RowOps {
         explode(filter(split(col(key), sep), e => e =!= lit(""))))
       .drop(key)
 
+  /** Derive a concatenated composite key column from existing
+    * columns — the "res_full" identifier pattern (entity id built by
+    * concatenating sub-keys). Stays a codegen'd `concat`, so
+    * Catalyst can still prune the source columns if the key is all
+    * that survives. reference: proteofav/structures.py:320
+    * (_add_mmcif_res_full: label_seq_id + label_asym_id concat). */
+  def deriveConcatKey(df: DataFrame, parts: Seq[String], as: String,
+                      sep: String = "_"): DataFrame =
+    df.withColumn(as,
+      concat_ws(sep, parts.map(p => col(p).cast("string")): _*))
+
+  /** Recode a numeric column into ordered class labels by threshold
+    * boundaries: value < bounds(i) → labels(i), else labels.last.
+    * A pure `when` chain (codegen'd, null-safe: null stays null).
+    * reference: proteofav/dssp.py:289 (RSA class: <0.25 core /
+    * <0.75 part / else surface) and dssp.py:215 (reduced SS). */
+  def recodeByThresholds(df: DataFrame, srcCol: String, as: String,
+                         bounds: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(labels.size == bounds.size + 1, "need |bounds|+1 labels")
+    val base: Column = when(col(srcCol).isNull, lit(null).cast("string"))
+    val chain = bounds.zip(labels).foldLeft(base) { case (acc, (b, l)) =>
+      acc.when(col(srcCol) < b, l)
+    }
+    df.withColumn(as, chain.otherwise(labels.last))
+  }
+
+  /** Recode discrete values through an explicit mapping, with a
+    * default for unmapped values — the reduced-secondary-structure
+    * pattern. reference: proteofav/dssp.py:215. */
+  def recodeByMap(df: DataFrame, srcCol: String, as: String,
+                  mapping: Map[String, String], default: String): DataFrame = {
+    val base: Column = when(lit(false), lit(null).cast("string"))
+    val chain = mapping.foldLeft(base) { case (acc, (k, v)) =>
+      acc.when(col(srcCol) === k, v)
+    }
+    df.withColumn(as, chain.otherwise(default))
+  }
+
   /** Collapse to one row per `groupKeys`: every other column becomes
     * the sorted-unique values joined by `sep` — single shuffle, no
     * driver-side loops. reference: proteofav/utils.py:250

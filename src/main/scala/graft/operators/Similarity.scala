@@ -16,21 +16,40 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Brute-force cosine top-k: broadcast `probes` (must be small)
-    * against `corpus`; deterministic ties (score desc, id asc). */
+    * against `corpus`, then a per-probe top-k AGGREGATION — partial
+    * top-k lists merge map-side, so the shuffle carries only
+    * |probes| × k rows and there is no global sort of the scored
+    * probe×corpus set (a window row_number here would shuffle and
+    * sort the whole cross product — the 100 TB killer).
+    * Deterministic ties: score desc, then neighbor id asc. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("p_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("p_vec"), col("c_vec")).as("cos"))
+    topKPerGroup(scored, "probe_id", k)
   }
+
+  /** Per-group top-k as an aggregation: collect (score, -id) structs,
+    * sort descending, slice k — struct comparison gives score-desc /
+    * id-asc tie-breaks. collect_list is bounded per group by the
+    * upstream candidate generation (LSH bucket / broadcast probe
+    * block), and partial aggregation keeps the shuffle at
+    * |groups| × candidates-within-group, never a global sort. */
+  private[graft] def topKPerGroup(scored: DataFrame, groupCol: String,
+                                  k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col("cos").as("cos"), (-col("neighbor_id")).as("nid"))))),
+        1, k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        (-col("col.nid")).as("neighbor_id"),
+        round(col("col.cos"), 6).as("cos"))
 
   /** LSH-bucketed ANN: corpus and probes coded with `nBits` random
     * hyperplanes; candidates = same code (equi-join), ranked by exact

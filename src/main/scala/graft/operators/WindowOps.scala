@@ -27,10 +27,11 @@ object WindowOps {
   }
 
   /** Per-key previous-row delta on a monotonic bigint column (e.g.
-    * epoch micros). reference: proteofav/variants.py:394. */
-  def lagDelta(df: DataFrame, keys: Seq[String], orderCol: Column,
+    * epoch micros). Pass a tie-breaking ordering (e.g. ts, id) so the
+    * previous row is deterministic. reference: proteofav/variants.py:394. */
+  def lagDelta(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
                valueCol: Column, as: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn(as, valueCol - lag(valueCol, 1).over(w))
   }
 

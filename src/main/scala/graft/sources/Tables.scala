@@ -15,7 +15,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNanoTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet TIMESTAMP(NANOS) columns arrive as LongType nanos when
+    * `spark.sql.legacy.parquet.nanosAsLong` is set (Spark has no
+    * native nanos type). Normalize to a microsecond TimestampType —
+    * `ns div 1000` floor-truncation, the same conversion DuckDB
+    * applies reading the same file, so oracle comparisons agree. */
+  def normalizeNanoTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema.fields.filter(f =>
+      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          timestamp_micros(call_function("div", col(f.name), lit(1000L))))
+      }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

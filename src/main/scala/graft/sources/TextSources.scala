@@ -25,10 +25,16 @@ object TextSources {
                  skipLines: Int = 0): DataFrame = {
     var df = spark.read.text(path)
     if (skipLines > 0) {
-      // monotonically-increasing row id is per-partition; a header
-      // skip must be a filter on content at scale. Offset applies to
-      // single-file local reads only.
-      df = df.withColumn("__idx", monotonically_increasing_id())
+      // A global line number needs zipWithIndex (one extra job to
+      // count per-partition sizes) — monotonically_increasing_id is
+      // NOT a line number on multi-partition input. At 100 TB prefer
+      // a content lineFilter; the positional skip is for headers.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) }
+      val schema = StructType(Seq(StructField("value", org.apache.spark.sql.types.StringType),
+        StructField("__idx", LongType)))
+      df = spark.createDataFrame(rdd, schema)
         .filter(col("__idx") >= skipLines).drop("__idx")
     }
     val parsed = lineFilter.map(df.filter).getOrElse(df)
@@ -67,6 +73,6 @@ object TextSources {
       .withColumn("start", col("start").cast("long"))
       .withColumn("end", col("end").cast("long"))
       .withColumn("attr_map",
-        str_to_map(col("attributes"), ";", "="))
+        str_to_map(col("attributes"), lit(";"), lit("=")))
   }
 }

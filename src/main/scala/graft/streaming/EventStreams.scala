@@ -7,21 +7,32 @@ import org.apache.spark.sql.streaming.Trigger
 /** Structured Streaming over the events table.
   *
   * The same tumbling-window aggregation as the batch path, expressed
-  * as a stream: file source → watermark → windowed agg → memory sink,
-  * driven to completion with availableNow (batch-equivalent result,
-  * streaming execution). On a cluster this runs continuously with the
-  * same plan; state is bounded by the watermark.
+  * as a stream: file source → watermark → windowed agg → sink, driven
+  * to completion with availableNow (batch-equivalent result,
+  * streaming execution).
+  *
+  * NOTE on output mode: this verification harness uses
+  * `complete` + memory sink so the FULL window set is returned and
+  * comparable to the batch oracle — in complete mode the watermark
+  * does NOT evict state, so state grows with distinct windows. The
+  * production 100 TB path is `append` (or `update`) to a real sink —
+  * there the watermark bounds state, at the cost of withholding
+  * windows newer than (max ts − watermark) at stream end.
   */
 object EventStreams {
 
   /** Windowed count+sum per event_type over a parquet events path,
     * executed as a streaming query and returned as the final batch
     * result. Output: window_start_us, event_type, n, sum_value. */
-  def windowedCounts(spark: SparkSession, eventsPath: String,
+  def windowedCounts(spark: SparkSession, eventsDir: String,
+                     fileGlob: String = "events.parquet",
                      windowDur: String = "15 minutes",
                      queryName: String = "graft_stream_window"): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowDur), col("event_type"))
@@ -30,6 +41,7 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
+    spark.catalog.dropTempView(queryName) // rerun-safe
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
