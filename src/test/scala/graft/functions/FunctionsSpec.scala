@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("tokens / tokenCount / bpeishCount") {
+    val df = Seq("hello  world", "a b2c, d!").toDF("t")
+    assert(df.select(TextFunctions.tokenCount(col("t")).as("n"))
+      .as[Int].collect().toSeq == Seq(2, 3))
+    // "a b2c, d!" → a, b, 2, c, ',', d, '!' = 7
+    assert(df.select(TextFunctions.bpeishCount(col("t")).as("n"))
+      .as[Int].collect().toSeq == Seq(2, 7))
+  }
+
+  test("shingles slides a window; short arrays give empty") {
+    val df = Seq("a b c d", "a").toDF("t")
+    val out = df.select(TextFunctions.shingles(
+      TextFunctions.tokens(col("t")), 3).as("sh")).as[Seq[String]]
+    assert(out.collect().toSeq == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("qualityScore in [0,1] and length-monotone prior") {
+    val df = Seq("the cat sat on the mat", "zz9!@#").toDF("t")
+    val q = df.select(TextFunctions.qualityScore(col("t")).as("q"))
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("langId picks marker language deterministically") {
+    val df = Seq("the fast cat and the slow dog is here").toDF("t")
+    assert(df.select(TextFunctions.langId(col("t")).as("l"))
+      .as[String].head() == "en")
+  }
+
+  test("rollingFingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("t")
+    val fp = df.select(TextFunctions.rollingFingerprint(col("t")).as("f"))
+      .as[Long].collect().toSeq
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+  }
+
+  test("minhashSignature: subset property on identical sets") {
+    val df = Seq(Seq("aa", "bb", "cc"), Seq("aa", "bb", "cc")).toDF("sh")
+    val sigs = df.select(HashFunctions.minhashSignature(col("sh"), 8).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1) && sigs(0).size == 8)
+  }
+
+  test("hammingBands: pigeonhole shares a band within distance bands-1") {
+    val a = 0x0123456789abcdefL
+    val b = a ^ 0x1L // hamming 1
+    val df = Seq(a, b).toDF("code")
+    val bands = df.select(HashFunctions.hammingBands(col("code"), 4).as("bk"))
+      .as[Seq[(Int, Long)]].collect()
+    assert(bands(0).zip(bands(1)).count { case (x, y) => x == y } >= 3)
+  }
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.norm(col("a")).as("n"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c")).head()
+    assert(row.getAs[Double]("d") == 24.0)
+    assert(row.getAs[Double]("n") == 5.0)
+    assert(math.abs(row.getAs[Double]("c") - 0.96) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].head() == 0.0)
+  }
+
+  test("hyperplaneCode deterministic and within nBits range") {
+    val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(-0.5f)).toDF("v")
+    val codes = df.select(
+      VectorFunctions.hyperplaneCode(col("v"), 8, 6).as("c"))
+      .as[Long].collect().toSeq
+    assert(codes.forall(c => c >= 0 && c < 64))
+    assert(codes(0) == (~codes(1) & 63)) // antipodal vectors flip every bit
+  }
+}

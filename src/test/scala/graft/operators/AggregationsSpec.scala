@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggregationsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("decAvg ignores nulls (pandas/DuckDB semantics)") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(3.0)), ("g", None))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(Aggregations.decAvg(col("v")).as("a"))
+    assert(out.select("a").as[Double].head() == 2.0) // not 4/3
+  }
+
+  test("centroid keeps coordinate precision at scale 6") {
+    val df = Seq(("r1", 1.000001, 2.0), ("r1", 1.000003, 4.0))
+      .toDF("res", "x", "y")
+    val out = Aggregations.centroid(df, Seq("res"), Seq("x", "y"))
+    val row = out.head()
+    assert(math.abs(row.getAs[Double]("x_centroid") - 1.000002) < 1e-9)
+    assert(row.getAs[Double]("y_centroid") == 3.0)
+    assert(row.getAs[Long]("n") == 2L)
+  }
+
+  test("firstPerGroup deterministic under ordering") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "c")).toDF("g", "o", "v")
+    val out = Aggregations.firstPerGroup(df, Seq("g"), Seq(col("o")))
+    assert(out.filter(col("g") === 1).select("v").as[String].head() == "a")
+  }
+
+  test("orderedConcat concatenates in order-col order") {
+    val df = Seq((1, 3, "C"), (1, 1, "A"), (1, 2, "B")).toDF("g", "o", "v")
+    val out = df.groupBy("g").agg(Aggregations.orderedConcat("o", "v").as("s"))
+    assert(out.select("s").as[String].head() == "ABC")
+  }
+
+  test("completeGroups filters on group predicate") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("g", "v")
+    val out = Aggregations.completeGroups(df, Seq("g"), col("n_members") >= 2)
+    assert(out.select("g").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("pricingSummary decimal-exact sums") {
+    val df = Seq(
+      ("A", "F", 10.0, 100.0, 0.10, 0.05),
+      ("A", "F", 20.0, 200.0, 0.20, 0.00)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val r = Aggregations.pricingSummary(df).head()
+    assert(r.getAs[Double]("sum_qty") == 30.0)
+    assert(r.getAs[Double]("sum_base_price") == 300.0)
+    // 100*0.9 + 200*0.8 = 250; charge = 90*1.05 + 160*1.0 = 254.5
+    assert(r.getAs[Double]("sum_disc_price") == 250.0)
+    assert(r.getAs[Double]("sum_charge") == 254.5)
+    assert(r.getAs[Double]("avg_qty") == 15.0)
+    assert(r.getAs[Long]("count_order") == 2L)
+  }
+}

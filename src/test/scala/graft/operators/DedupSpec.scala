@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup
+    (3L, "the quick brown fox jumps over a lazy dog", "s1"),   // near dup
+    (4L, "completely different text about spark engines", "s1"),
+    (5L, "another unrelated document entirely here now", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs)
+    assert(out.count() == 4)
+    assert(out.filter(col("n_copies") === 2)
+      .select("keeper_doc_id").as[Long].head() == 1L)
+  }
+
+  test("ngramJaccardPairs finds near-dups, prefix filter preserves recall") {
+    val out = Dedup.ngramJaccardPairs(docs, Seq("source"), threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force token-set jaccard >= 0.5 within source:
+    // (1,2)=1.0, (1,3)&(2,3): sets {the,quick,brown,fox,jumps,over,lazy,dog}
+    // vs +{a}: inter 8, union 9 → 0.889
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhashPairs finds identical docs (jaccard 1.0)") {
+    val out = Dedup.minhashPairs(docs, threshold = 0.99, shingleN = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val out = Dedup.simhashPairs(docs, maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("simhashProfile deterministic across runs") {
+    val a = Dedup.simhashProfile(docs).orderBy("doc_id")
+      .select("simhash").as[Long].collect().toSeq
+    val b = Dedup.simhashProfile(docs).orderBy("doc_id")
+      .select("simhash").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("embeddingCosinePairs finds blocked near-dups") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // same dir, other block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingCosinePairs(embs, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def left = Seq((1, "x", 10), (2, "y", 20), (3, "x", 30))
+    .toDF("id", "kk", "v")
+  private def right = Seq((1, "x", "r1"), (3, "x", "r3"), (9, "z", "r9"))
+    .toDF("rid", "rk", "tag")
+
+  test("leftMerge keeps unmatched left rows") {
+    val out = Joins.leftMerge(left, right,
+      Seq("id" -> "rid", "kk" -> "rk"))
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 2).select("tag").head().isNullAt(0))
+    assert(out.filter(col("id") === 1).select("tag").as[String].head() == "r1")
+  }
+
+  test("chainMerge folds pairwise merges") {
+    val dim = Seq(("x", "X!"), ("y", "Y!")).toDF("dk", "dv")
+    val out = Joins.chainMerge(left, Seq(
+      (right, Seq("id" -> "rid", "kk" -> "rk")),
+      (dim, Seq("kk" -> "dk"))))
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 2).select("dv").as[String].head() == "Y!")
+  }
+
+  test("broadcastDim inner join on dim key") {
+    val out = Joins.broadcastDim(left, right.withColumnRenamed("rid", "did"),
+      "id", "did")
+    assert(out.count() == 2)
+  }
+
+  test("unionDedup") {
+    val a = Seq(1, 2).toDF("k")
+    val b = Seq(2, 3).toDF("k")
+    assert(Joins.unionDedup(a, b).count() == 3)
+  }
+
+  test("semiJoin / antiJoin membership") {
+    val ids = Seq(1, 3).toDF("mid")
+    val semi = Joins.semiJoin(left, ids, Seq("id" -> "mid"))
+    val anti = Joins.antiJoin(left, ids, Seq("id" -> "mid"))
+    assert(semi.select("id").as[Int].collect().toSet == Set(1, 3))
+    assert(anti.select("id").as[Int].collect().toSet == Set(2))
+    assert(semi.columns.toSeq == left.columns.toSeq) // no right columns
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+class MiscOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("flattenJson parses fields against schema") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, "not json")).toDF("id", "js")
+    val out = NestedOps.flattenJson(df, "js",
+      StructType(Seq(StructField("k", LongType))))
+    val rows = out.orderBy("id").select("k").as[Option[Long]].collect().toSeq
+    assert(rows == Seq(Some(42L), None))
+  }
+
+  test("flattenStructs flattens recursively with path names") {
+    val df = Seq((1, 2, 3, 4)).toDF("a", "b", "c", "d")
+      .select(col("a"), struct(col("b"),
+        struct(col("c"), col("d")).as("in")).as("s"))
+    val out = NestedOps.flattenStructs(df)
+    assert(out.columns.toSeq == Seq("a", "s_b", "s_in_c", "s_in_d"))
+    assert(out.as[(Int, Int, Int, Int)].head() == ((1, 2, 3, 4)))
+  }
+
+  test("windowStartUs integer bucket math") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:20:00"))
+      .toDF("ts")
+    val us = df.select(TimeOps.windowStartUs(col("ts"), 900L * 1000000L)
+      .as("w")).as[Long].head()
+    // 00:20 floors to 00:15 bucket
+    assert(us == java.sql.Timestamp.valueOf("2024-01-01 00:15:00")
+      .getTime * 1000)
+  }
+
+  test("tumblingAgg counts and decimal-sums per window+key") {
+    val df = Seq(
+      ("2024-01-01 00:01:00", "a", 1.5),
+      ("2024-01-01 00:14:59", "a", 2.5),
+      ("2024-01-01 00:15:00", "a", 4.0)
+    ).toDF("s", "k", "v").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeOps.tumblingAgg(df, "ts", Seq("k"), "v", 900L * 1000000L)
+    val rows = out.orderBy("window_start_us")
+      .select("n", "sum_value").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((2L, 4.0), (1L, 4.0)))
+  }
+
+  test("asMedia + extractFeatures batch plumbing") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "text", "text/plain"))
+    val rows = out.orderBy("doc_id")
+      .select("feat_len", "feat_checksum").as[(Long, Long)].collect().toSeq
+    assert(rows(0)._1 == 3L && rows(1)._1 == 0L)
+    // checksum of "abc" utf8: ((97*31)+98)*31+99
+    assert(rows(0)._2 == ((97L * 31 + 98) * 31 + 99))
+    // metadata struct carries byte count + sha
+    val meta = Multimodal.asMedia(df, "text", "text/plain")
+      .select(col("media_meta.n_bytes")).as[Long].collect().toSeq
+    assert(meta == Seq(3L, 0L))
+  }
+}

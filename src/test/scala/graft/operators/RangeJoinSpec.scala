@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("selfRangeJoin finds 1-D pairs within eps, once each") {
+    val df = Seq(("p", 1L, 0.0), ("p", 2L, 0.5), ("p", 3L, 2.0), ("q", 4L, 0.6))
+      .toDF("pk", "id", "v")
+    val out = RangeJoin.selfRangeJoin(df, "pk", "id", "v", eps = 1.0)
+    val pairs = out.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // |0-2|=2 > 1; cross-partition excluded
+  }
+
+  test("contacts3D matches brute force exactly") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 120).map { i =>
+      ("blk", i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10,
+        rnd.nextDouble() * 10)
+    }
+    val df = pts.toDF("pk", "id", "x", "y", "z")
+    val eps = 1.5
+    val got = RangeJoin.contacts3D(df, "pk", "id", "x", "y", "z", eps)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- pts; b <- pts
+      if a._2 < b._2
+      d2 = (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4) +
+        (a._5 - b._5) * (a._5 - b._5)
+      if d2 <= eps * eps
+    } yield (a._2, b._2)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+class RowOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def df = Seq(
+    ("A", 1, "x;y;z", 10.0),
+    ("B", 2, "y;", 20.0),
+    ("A", 3, "", 30.0)
+  ).toDF("k", "id", "tags", "v")
+
+  test("rowSelector eq / in / not") {
+    assert(RowOps.rowSelector(df, "k", Seq("A")).count() == 2)
+    assert(RowOps.rowSelector(df, "k", Seq("A", "B")).count() == 3)
+    assert(RowOps.rowSelector(df, "k", Seq("A"), reverse = true)
+      .select("k").as[String].collect().toSet == Set("B"))
+  }
+
+  test("excludeColumns drops present, ignores absent") {
+    val out = RowOps.excludeColumns(df, Seq("tags", "nope"))
+    assert(out.columns.toSeq == Seq("k", "id", "v"))
+  }
+
+  test("constrainColumnTypes casts and fills nulls") {
+    val withNull = df.withColumn("v",
+      when(col("id") === 2, lit(null)).otherwise(col("v")))
+    val out = RowOps.constrainColumnTypes(withNull,
+      casts = Map("id" -> LongType), fills = Map("v" -> 0.0))
+    assert(out.schema("id").dataType == LongType)
+    assert(out.filter(col("id") === 2).select("v").as[Double].head() == 0.0)
+  }
+
+  test("splitUpByKey explodes non-empty elements") {
+    val out = RowOps.splitUpByKey(df.select("id", "tags"), "tags")
+    assert(out.filter(col("id") === 1).count() == 3)
+    assert(out.filter(col("id") === 2).count() == 1) // trailing empty dropped
+    assert(out.filter(col("id") === 3).count() == 0) // all-empty row gone
+  }
+
+  test("mergeDownByKey collapses to sorted-unique concat") {
+    val out = RowOps.mergeDownByKey(
+      Seq(("A", "z"), ("A", "x"), ("A", "z"), ("B", "y")).toDF("k", "t"),
+      Seq("k"))
+    val a = out.filter(col("k") === "A").select("t").as[String].head()
+    assert(a == "x;z")
+  }
+
+  test("deriveConcatKey builds composite key") {
+    val out = RowOps.deriveConcatKey(df, Seq("k", "id"), "ck")
+    assert(out.filter(col("id") === 1).select("ck").as[String].head() == "A_1")
+  }
+
+  test("recodeByThresholds classes + null passthrough") {
+    val src = Seq(Some(5.0), Some(15.0), Some(40.0), None).toDF("v")
+    val out = RowOps.recodeByThresholds(src, "v", "c",
+      Seq(10.0, 25.0), Seq("low", "mid", "high"))
+    assert(out.select("c").as[Option[String]].collect().toSeq ==
+      Seq(Some("low"), Some("mid"), Some("high"), None))
+  }
+
+  test("recodeByMap with default") {
+    val out = RowOps.recodeByMap(Seq("H", "G", "E").toDF("ss"), "ss", "r",
+      Map("H" -> "Helix", "G" -> "Helix"), "Other")
+    assert(out.select("r").as[String].collect().toSeq ==
+      Seq("Helix", "Helix", "Other"))
+  }
+}

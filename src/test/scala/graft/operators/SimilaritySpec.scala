@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f)),
+    (5L, Array(0.8f, 0.2f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc, ties by id") {
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 5L, 3L))
+    assert(out.map(_._1) == Seq(1, 2, 3))
+  }
+
+  test("bruteForceTopK caps at k and excludes self") {
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    val out = Similarity.bruteForceTopK(corpus, probes, k = 2)
+    assert(out.count() == 4)
+    assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("lshTopK returns only same-bucket candidates ranked by cosine") {
+    val out = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 1L),
+      k = 3, dim = 2, nBits = 2)
+    // sanity: no self pairs, ranks contiguous from 1
+    assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    val ranks = out.orderBy("rank").select("rank").as[Int].collect().toSeq
+    assert(ranks == (1 to ranks.size))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_src_test")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("fixedWidth parses offsets and types; skipLines drops header") {
+    val path = writeTmp("fw.txt",
+      "HEADER LINE\n  12   3R       4.5\n  34   1A      10.0\n")
+    val out = TextSources.fixedWidth(spark, path, Seq(
+      TextSources.FixedWidthField("id", 1, 4, "int"),
+      TextSources.FixedWidthField("n", 5, 4, "int"),
+      TextSources.FixedWidthField("flag", 9, 1, "string"),
+      TextSources.FixedWidthField("v", 10, 10, "double")),
+      skipLines = 1)
+    val rows = out.orderBy("id").as[(Int, Int, String, Double)].collect().toSeq
+    assert(rows == Seq((12, 3, "R", 4.5), (34, 1, "A", 10.0)))
+  }
+
+  test("tokenRecords splits prefixed lines on whitespace") {
+    val path = writeTmp("tok.txt",
+      "ATOM 1 N ALA\nHETATM 9 O HOH\nATOM 2  CA  GLY\n")
+    val out = TextSources.tokenRecords(spark, path,
+      Seq("rec", "serial", "name", "res"), Some("ATOM"))
+    val rows = out.orderBy("serial").select("serial", "name", "res")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(("1", "N", "ALA"), ("2", "CA", "GLY")))
+  }
+
+  test("gff parses 9 columns + attribute map, drops comments") {
+    val path = writeTmp("x.gff",
+      "# comment\nchr1\tsrc\tgene\t100\t200\t.\t+\t.\tid=g1;name=foo\n")
+    val out = TextSources.gff(spark, path)
+    val r = out.head()
+    assert(r.getAs[String]("seqid") == "chr1")
+    assert(r.getAs[Long]("start") == 100L)
+    assert(r.getAs[Map[String, String]]("attr_map") ==
+      Map("id" -> "g1", "name" -> "foo"))
+  }
+
+  test("fasta: distributed record split + multiline sequence concat") {
+    val path = writeTmp("a.fasta",
+      ">seq1/5-10 some description\nABCDE\nFGHIJ\n>seq2\nKLMNO\n")
+    val out = Msa.fasta(spark, path)
+    val rows = out.orderBy("seq_id")
+      .select("seq_id", "description", "sequence")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(("seq1/5-10", "some description", "ABCDEFGHIJ"),
+      ("seq2", "", "KLMNO")))
+  }
+
+  test("parseDescription extracts accession and range") {
+    val df = Seq("UniRef90_P12345/57-316").toDF("seq_id")
+    val r = Msa.parseDescription(df).head()
+    assert(r.getAs[String]("acc") == "UniRef90_P12345")
+    assert(r.getAs[Long]("seq_start") == 57L)
+    assert(r.getAs[Long]("seq_end") == 316L)
+  }
+
+  test("TextRender roundtrip through fixedWidth") {
+    val df = Seq((7L, "R", 2.5), (42L, "A", 10.0)).toDF("id", "f", "v")
+    val dir = Files.createTempDirectory("graft_render").toString + "/out"
+    graft.sinks.TextRender.writeText(
+      graft.sinks.TextRender.fixedWidthLines(df, Seq(
+        (col("id"), 6, true), (col("f"), 2, false), (col("v"), 8, true))),
+      dir)
+    val back = TextSources.fixedWidth(spark, dir, Seq(
+      TextSources.FixedWidthField("id", 1, 6, "bigint"),
+      TextSources.FixedWidthField("f", 7, 2, "string"),
+      TextSources.FixedWidthField("v", 9, 8, "double")))
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((7L, "R", 2.5), (42L, "A", 10.0)))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TimeOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class EventStreamsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("streaming windowedCounts equals the batch tumbling agg") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:05:00", "click", 2.0),
+      ("2024-01-01 00:20:00", "view", 3.5)
+    ).toDF("s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val streamed = EventStreams.windowedCounts(spark, s"$dir/events.parquet",
+      fileGlob = "*.parquet", queryName = "graft_test_stream")
+      .orderBy("window_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = TimeOps.tumblingAgg(
+      spark.read.parquet(s"$dir/events.parquet"), "ts", Seq("event_type"),
+      "value", 900L * 1000000L)
+      .select(col("window_start_us"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("window_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+  }
+}
