@@ -181,9 +181,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), Seq("source"), 0.9)),
+    // 32 hashes × 2 bands of 16: this corpus's tiny vocabulary makes
+    // 1-gram jaccard between RANDOM docs ~0.6, so short bands (4
+    // rows) degenerate into near-all-pairs candidates; 16-row bands
+    // keep collision probability j^16 — negligible at j=0.6, high
+    // only for true near-dups.
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
-        numHashes = 16, bands = 4, shingleN = 1)),
+        numHashes = 32, bands = 2, shingleN = 1)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(T(s, d, "documents"))),
     "q_dedup_embed_cos" -> ((s, d) =>
       Dedup.embeddingCosinePairs(T(s, d, "embeddings"), 0.35)),

@@ -104,26 +104,45 @@ object Dedup {
         col("sig")(2).as("mh2"), col("sig")(3).as("mh3"))
   }
 
-  /** Verified MinHash near-dup pairs: LSH candidates → exact shingle
-    * Jaccard filter. The band-key join carries ONLY (id, bandkey);
-    * candidate pairs are deduped on (a_id, b_id) first and each
-    * side's shingle array is fetched once afterwards — the arrays
-    * never ride through the candidate join or the distinct. */
+  /** Verified MinHash near-dup pairs, staged for 100 TB:
+    *
+    *  1. band-key equi-join carries ONLY (id, bandkey) — no arrays;
+    *  2. candidate (a_id, b_id) pairs deduped BEFORE anything heavy;
+    *  3. cheap signature-agreement prefilter: join each side's
+    *     numHashes-long signature (16 longs, not the shingle set) and
+    *     require matching fraction >= threshold − slack. E[match
+    *     fraction] = true jaccard, so this discards the flood of
+    *     low-similarity candidates a dense corpus produces for the
+    *     cost of an int compare — the expensive exact verify below
+    *     never sees them (slack 0.15 keeps estimator-variance recall
+    *     loss well under LSH's own miss rate);
+    *  4. exact shingle-Jaccard verify only on survivors, fetching
+    *     each side's shingle array once. */
   def minhashPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
                    bands: Int = 4, shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
-    val banded = base.select(col("id"),
-      explode(HashFunctions.bandKeys(
-        HashFunctions.minhashSignature(col("sh"), numHashes),
-        bands, numHashes / bands)).as("bk"))
+    val sigs = base.select(col("id"),
+      HashFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(HashFunctions.bandKeys(col("sig"), bands,
+        numHashes / bands)).as("bk"))
     val cands = banded.alias("x").join(banded.alias("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    cands
+    val minAgree = math.max(0, math.ceil((threshold - 0.15) * numHashes)).toInt
+    val agree = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m))
+    val prefiltered = cands
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .filter(agree >= minAgree)
+      .select(col("a_id"), col("b_id"))
+    prefiltered
       .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
@@ -170,11 +189,16 @@ object Dedup {
                            blockCol: String = "label",
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
+    // Precompute each row's norm ONCE before the join — the naive
+    // cosine-per-pair recomputes both norms for every candidate pair
+    // (O(pairs·dim) extra fold work at 100 TB).
     val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("vec"))
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
     v.alias("x").join(v.alias("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("cos", VectorFunctions.cosine(col("x.vec"), col("y.vec")))
+      .withColumn("denom", col("x.nrm") * col("y.nrm"))
+      .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(col("x.vec"), col("y.vec")) / col("denom")))
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         round(col("cos"), 6).as("cos"))

@@ -17,44 +17,70 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** 3-D euclidean contact self-join: pairs (a, b) with the same
-    * partition key, euclidean distance <= eps, and a.id < b.id —
-    * the `_add_mmcif_contacts` semantics (structures.py:366,382)
-    * without the single-node cKDTree. Each row is hashed to its
-    * (⌊x/eps⌋, ⌊y/eps⌋, ⌊z/eps⌋) cell; side A replicates into the 27
-    * neighbouring cells (any pair within eps differs by <= 1 cell on
-    * every axis, so it is found exactly once at B's exact cell);
-    * candidates come from a plain equi-join on (pk, cell) and the
-    * exact distance predicate prunes them. Shuffle volume is 27×|A
-    * projected to id+coords| — linear, never quadratic. Output:
-    * pk, a_id, b_id, dist2 (squared distance, exact IEEE double). */
+  /** 3-D euclidean contact self-join: unordered pairs with the same
+    * partition key and euclidean distance <= eps — the
+    * `_add_mmcif_contacts` semantics (structures.py:366,382) without
+    * the single-node cKDTree.
+    *
+    * Each row hashes to its (⌊x/eps⌋, ⌊y/eps⌋, ⌊z/eps⌋) cell. Side A
+    * replicates into only the HALF-neighbourhood: its own cell plus
+    * the 13 lexicographically-positive offsets (not all 27). A
+    * qualifying pair in different cells differs by <= 1 per axis, so
+    * exactly one of the two directions is a positive offset — found
+    * once, no dedup needed; same-cell pairs are ordered by id. This
+    * halves both the replication shuffle and the candidate count vs
+    * the naive 27-cell scheme. Output ids are (least, greatest) so
+    * the result is the canonical unordered pair set. Shuffle volume:
+    * 14×|projected rows| — linear, never quadratic. Output: pk,
+    * a_id, b_id, dist2 (squared distance, exact IEEE double). */
   def contacts3D(df: DataFrame, partitionKey: String, idCol: String,
                  xCol: String, yCol: String, zCol: String,
                  eps: Double): DataFrame = {
     def cell(c: Column) = floor(c / eps).cast("long")
-    val offsets = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
-        lit(dz.toLong).as("dz"))
+    // own cell + the 13 offsets that are lexicographically > (0,0,0)
+    val halfOffsets = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield (dx, dy, dz)).filter { case (dx, dy, dz) =>
+        (dx, dy, dz) == ((0, 0, 0)) ||
+          dx > 0 || (dx == 0 && dy > 0) || (dx == 0 && dy == 0 && dz > 0)
+      }
+    val offsets = halfOffsets.map { case (dx, dy, dz) =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+        lit(dz.toLong).as("dz"),
+        lit(dx == 0 && dy == 0 && dz == 0).as("own"))
+    }
     val a = df.select(col(partitionKey).as("pk"), col(idCol).as("a_id"),
         col(xCol).as("ax"), col(yCol).as("ay"), col(zCol).as("az"),
         explode(array(offsets: _*)).as("o"))
       .select(col("pk"), col("a_id"), col("ax"), col("ay"), col("az"),
+        col("o.own").as("own"),
         struct((cell(col("ax")) + col("o.dx")).as("cx"),
           (cell(col("ay")) + col("o.dy")).as("cy"),
           (cell(col("az")) + col("o.dz")).as("cz")).as("cell"))
+    // SHUFFLE_HASH hint: Catalyst's size estimate of the exploded side
+    // is 14× too low and it happily BROADCASTS millions of replica
+    // rows. Neither side of a contacts self-join is broadcastable at
+    // scale — force the shuffled hash join on (pk, cell) that a
+    // cluster needs (each grid cell lands on one task; build side is
+    // the unreplicated exact-cell rows).
     val b = df.select(col(partitionKey).as("pk2"), col(idCol).as("b_id"),
       col(xCol).as("bx"), col(yCol).as("by"), col(zCol).as("bz"),
       struct(cell(col(xCol)).as("cx"), cell(col(yCol)).as("cy"),
         cell(col(zCol)).as("cz")).as("cell2"))
+      .hint("shuffle_hash")
     val dx = col("ax") - col("bx")
     val dy = col("ay") - col("by")
     val dz = col("az") - col("bz")
     val dist2 = dx * dx + dy * dy + dz * dz
     a.join(b, col("cell") === col("cell2") && col("pk") === col("pk2") &&
-        col("a_id") < col("b_id"))
+        // same cell: order by id; positive-offset cell: take all (the
+        // reverse direction is never generated)
+        (!col("own") || col("a_id") < col("b_id")) &&
+        col("a_id") =!= col("b_id"))
       .withColumn("dist2", dist2)
       .filter(col("dist2") <= eps * eps)
-      .select(col("pk").as(partitionKey), col("a_id"), col("b_id"),
+      .select(col("pk").as(partitionKey),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
         col("dist2"))
   }
 

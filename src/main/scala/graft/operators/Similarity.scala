@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over an embedding column.
@@ -25,11 +24,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // norms precomputed once per side — not once per scored pair
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
+      VectorFunctions.norm(col(vecCol)).as("p_nrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), VectorFunctions.norm(col(vecCol)).as("c_nrm"))
+    val denom = col("p_nrm") * col("c_nrm")
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("p_vec"), col("c_vec")).as("cos"))
+        when(denom === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
+          .as("cos"))
     topKPerGroup(scored, "probe_id", k)
   }
 
@@ -58,18 +63,19 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
               nBits: Int = 6, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    def coded(df: DataFrame, id: String, vec: String) =
+    def coded(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.norm(col(vecCol)).as(nrm),
         VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits).as("code"))
-    val c = coded(corpus, "neighbor_id", "c_vec")
-    val p = coded(probes, "probe_id", "p_vec")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(p, Seq("code")).filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("p_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    val c = coded(corpus, "neighbor_id", "c_vec", "c_nrm")
+    val p = coded(probes, "probe_id", "p_vec", "p_nrm")
+    val denom = col("p_nrm") * col("c_nrm")
+    val scored = c.join(p, Seq("code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
+          .as("cos"))
+    topKPerGroup(scored, "probe_id", k)
   }
 }
