@@ -38,23 +38,21 @@ object Similarity {
     topKPerGroup(scored, "probe_id", k)
   }
 
-  /** Per-group top-k as an aggregation: collect (score, -id) structs,
-    * sort descending, slice k — struct comparison gives score-desc /
-    * id-asc tie-breaks. collect_list is bounded per group by the
-    * upstream candidate generation (LSH bucket / broadcast probe
-    * block), and partial aggregation keeps the shuffle at
-    * |groups| × candidates-within-group, never a global sort. */
+  /** Per-group top-k via the custom [[graft.expressions.BoundedTopK]]
+    * aggregate: partial state is a k-capped heap, so map-side combine
+    * emits <= k entries per group per task and the shuffle carries
+    * |groups| × k × |tasks| worst-case — never the full scored
+    * candidate set, and no global sort anywhere. */
   private[graft] def topKPerGroup(scored: DataFrame, groupCol: String,
                                   k: Int): DataFrame =
     scored
       .groupBy(col(groupCol))
-      .agg(slice(reverse(array_sort(collect_list(
-        struct(col("cos").as("cos"), (-col("neighbor_id")).as("nid"))))),
-        1, k).as("top"))
+      .agg(graft.expressions.BoundedTopK.boundedTopK(
+        col("cos"), col("neighbor_id"), k).as("top"))
       .select(col(groupCol), posexplode(col("top")))
       .select(col(groupCol), (col("pos") + 1).as("rank"),
-        (-col("col.nid")).as("neighbor_id"),
-        round(col("col.cos"), 6).as("cos"))
+        col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("cos"))
 
   /** LSH-bucketed ANN: corpus and probes coded with `nBits` random
     * hyperplanes; candidates = same code (equi-join), ranked by exact
