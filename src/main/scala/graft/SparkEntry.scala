@@ -177,6 +177,14 @@ object SparkEntry {
       TimeOps.tumblingAgg(T(s, d, "events"), "ts", Seq("event_type"),
         "value", 900L * 1000000L)),
     "q_stream_window" -> ((s, d) => EventStreams.windowedCounts(s, d)),
+    // per-user session stats via flatMapGroupsWithState — the single
+    // availableNow batch emits every session (open ones unclosed), so
+    // the aggregate matches the batch sessionize oracle exactly
+    "q_stateful_sessions" -> ((s, d) =>
+      streaming.StatefulSessions.sessionize(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum("n_events").cast("long").as("n_events"))),
     // ---- F. dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
@@ -200,6 +208,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64)
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        nCells = 8, nProbe = 3)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),
@@ -289,6 +302,25 @@ object SparkEntry {
         .select(col("seqid"), col("source"), col("type"), col("start"),
           col("end"), col("attr_map")("id").cast("long").as("id_attr"),
           col("attr_map")("size").cast("long").as("size_attr"))
+    }),
+    "q_xml_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("xml")
+      // a well-formed XML document needs one root element per file:
+      // render rows as <rec/> lines between <parts>...</parts>
+      val recs = T(s, d, "part").select(lit(1).as("k"),
+        concat(lit("  <rec id=\""), col("p_partkey"),
+          lit("\" brand=\""), col("p_brand"), lit("\" size=\""),
+          col("p_size"), lit("\"/>")).as("value"))
+      val wrapped = Seq((0, "<parts>")).toDF("k", "value")
+        .unionByName(recs)
+        .unionByName(Seq((2, "</parts>")).toDF("k", "value"))
+        .coalesce(1).sortWithinPartitions("k")
+      TextRender.writeText(wrapped.select("value"), out)
+      sources.Xml.read(s, out, rowTag = "rec")
+        .select(col("_id").cast("long").as("id"),
+          col("_brand").cast("string").as("brand"),
+          col("_size").cast("long").as("size"))
     }),
     "q_fasta_roundtrip" -> ((s, d) => {
       val out = roundtripDir("fasta")
@@ -442,6 +474,20 @@ object SparkEntry {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |  THEN 1 ELSE 0 END AS flag FROM e),
+        |s AS (SELECT user_id,
+        |SUM(flag) OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |FROM f)
+        |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS brand,
+        |CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.expressions.BoundedTopK
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the classic
+  * coarse-quantize-then-probe ANN, Spark-first.
+  *
+  * Train: seed `nCells` centroids from a deterministic hash-sample of
+  * the corpus, refine with `lloydIters` distributed Lloyd steps
+  * (assign = argmin over the broadcast centroid array, update =
+  * per-cell decimal-exact mean). Only the C × dim centroid matrix
+  * ever reaches the driver — assignment and refinement are full
+  * DataFrame aggregations.
+  *
+  * Search: assign corpus rows to their nearest cell (equi-joinable
+  * inverted file); each probe scans its `nProbe` nearest cells only.
+  * Candidate generation is an equi-join on cell id; scoring is exact
+  * cosine; ranking is the k-capped [[BoundedTopK]] aggregate. At
+  * 100 TB the corpus-side work is one scan + one shuffle on cell id,
+  * and recall/cost is tuned by (nCells, nProbe) — never a cross join.
+  */
+object Ivf {
+
+  /** argmin over the broadcast centroid literal: returns the 0-based
+    * index of the nearest centroid (squared-L2). */
+  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = typedlit(c)
+      struct(
+        aggregate(zip_with(vec, cLit,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
+  /** Train centroids: deterministic hash-seeded sample + Lloyd
+    * refinement. Returns nCells × dim (some cells may repeat if the
+    * corpus is tiny). */
+  def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    // seed: the nCells rows with smallest xxhash64(id) — deterministic,
+    // uniformly spread, one small collect
+    var centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol), dvec.as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nCells)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to lloydIters) {
+      // per-(cell, dim) mean via posexplode — partial-aggregation
+      // state stays O(cells × dim) regardless of corpus size (a
+      // collect_list-of-vectors-per-cell buffer would not)
+      val assigned = corpus.select(dvec.as("v"),
+        nearestCell(dvec, centroids).as("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(Aggregations.decAvg(col("col"), scale = 9).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: probe each query's nProbe nearest cells, exact cosine
+    * within them, k-capped top-k aggregation. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, lloydIters, idCol, vecCol)
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    // inverted file: corpus rows keyed by their single nearest cell
+    val c = corpus.select(col(idCol).as("neighbor_id"), dvec.as("c_vec"),
+      VectorFunctions.norm(col(vecCol)).as("c_nrm"),
+      nearestCell(dvec, centroids).as("cell"))
+    // probes replicate to their nProbe nearest cells
+    val cellsRanked = {
+      val scored = centroids.zipWithIndex.map { case (cn, i) =>
+        struct(
+          aggregate(zip_with(dvec, typedlit(cn),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v).as("d2"),
+          lit(i).as("cell"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nProbe)
+    }
+    val p = probes.select(col(idCol).as("probe_id"), dvec.as("p_vec"),
+        VectorFunctions.norm(col(vecCol)).as("p_nrm"),
+        explode(cellsRanked.getField("cell")).as("cell"))
+    val denom = col("p_nrm") * col("c_nrm")
+    val scored = c.join(p, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
+          .as("cos"))
+    scored.groupBy(col("probe_id"))
+      .agg(BoundedTopK.boundedTopK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def corpus = {
+    val rnd = new scala.util.Random(3)
+    // two well-separated clusters around (±5, 0...)
+    (1 to 60).map { i =>
+      val c = if (i % 2 == 0) 5.0f else -5.0f
+      (i.toLong, Array(c + rnd.nextFloat() * 0.1f, rnd.nextFloat(),
+        rnd.nextFloat(), rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("trainCentroids returns nCells x dim and separates clusters") {
+    val cents = Ivf.trainCentroids(corpus, nCells = 2, lloydIters = 2)
+    assert(cents.size == 2 && cents.forall(_.size == 4))
+    val xs = cents.map(_.head).sorted
+    assert(xs.head < -3 && xs.last > 3) // one centroid per cluster
+  }
+
+  test("ivfTopK with full probing matches brute force") {
+    val probes = corpus.filter(col("vec_id") <= 4)
+    val ivf = Ivf.ivfTopK(corpus, probes, k = 3, nCells = 2, nProbe = 2)
+      .orderBy("probe_id", "rank")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .orderBy("probe_id", "rank")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(ivf == brute) // nProbe == nCells → exhaustive → identical
+  }
+
+  test("ivfTopK with nProbe=1 stays within the probe's own cluster") {
+    val probes = corpus.filter(col("vec_id") === 2) // +5 cluster
+    val out = Ivf.ivfTopK(corpus, probes, k = 5, nCells = 2, nProbe = 1)
+    val neigh = out.select("neighbor_id").as[Long].collect().toSet
+    assert(neigh.nonEmpty && neigh.forall(_ % 2 == 0)) // even ids = +5 cluster
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class FormatsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_fmt")
+    Files.writeString(dir.resolve(name), content)
+    dir.resolve(name).toString
+  }
+
+  test("pdbAtoms parses ATOM/HETATM fixed columns") {
+    // classic PDB ATOM layout (spaces exact)
+    val pdb =
+      "HEADER    TEST\n" +
+      "ATOM      1  N   ALA A   1      11.104   6.134  -6.504  1.00  0.00           N\n" +
+      "HETATM    2  O   HOH A   2       1.000   2.000   3.000  0.50 10.00           O\n" +
+      "END\n"
+    val out = StructureFormats.pdbAtoms(spark, writeTmp("t.pdb", pdb))
+    val rows = out.orderBy("id")
+      .select("group_PDB", "id", "auth_atom_id", "auth_comp_id",
+        "auth_asym_id", "auth_seq_id", "Cartn_x", "occupancy")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "ATOM" && rows(0).getInt(1) == 1)
+    assert(rows(0).getString(2) == "N" && rows(0).getString(3) == "ALA")
+    assert(rows(0).getString(4) == "A" && rows(0).getInt(5) == 1)
+    assert(rows(0).getDouble(6) == 11.104 && rows(0).getDouble(7) == 1.0)
+    assert(rows(1).getString(0) == "HETATM" && rows(1).getDouble(7) == 0.5)
+    val atomsOnly = StructureFormats.pdbAtoms(spark, writeTmp("t2.pdb", pdb),
+      includeHetatm = false)
+    assert(atomsOnly.count() == 1)
+  }
+
+  test("dsspResidues keeps numbered residue rows, drops breaks") {
+    val pad = " " * 80
+    val dssp =
+      "==== Secondary Structure Definition ====\n" +
+      "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC\n" +
+      "    1    1 A M  H          0   0  160" + pad + "\n" +
+      "    2        !              0   0    0" + pad + "\n" +
+      "    3    2 A A  E          0   0   82" + pad + "\n"
+    val out = StructureFormats.dsspResidues(spark, writeTmp("t.dssp", dssp))
+    val rows = out.orderBy("LINE").select("LINE", "AA", "SS", "ACC").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "M"
+      && rows(0).getString(2) == "H" && rows(0).getDouble(3) == 160.0)
+    assert(rows(1).getInt(0) == 3 && rows(1).getString(1) == "A")
+  }
+
+  test("mmcifAtoms parses token records with typed coords") {
+    val cif =
+      "data_test\nloop_\n_atom_site.group_PDB\n_atom_site.id\n" +
+      "ATOM 1 N N . ALA A 1 1 ? 11.104 6.134 -6.504 1.00 0.00 ? 1 ALA A N 1\n" +
+      "HETATM 2 O O . HOH B 2 2 ? 1.0 2.0 3.0 0.50 10.0 ? 2 HOH B O 1\n"
+    val out = StructureFormats.mmcifAtoms(spark, writeTmp("t.cif", cif))
+    val rows = out.orderBy("id")
+      .select("group_PDB", "id", "label_comp_id", "Cartn_x", "occupancy")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "ATOM" && rows(0).getInt(1) == 1)
+    assert(rows(0).getString(2) == "ALA" && rows(0).getDouble(3) == 11.104)
+    assert(rows(1).getDouble(4) == 0.5)
+  }
+
+  test("Xml.read + explodeNested: one row per nested element") {
+    val xml =
+      "<sifts><entity id=\"A\" type=\"protein\">" +
+      "<residue nr=\"1\" name=\"ALA\"/><residue nr=\"2\" name=\"GLY\"/>" +
+      "</entity><entity id=\"B\" type=\"dna\">" +
+      "<residue nr=\"7\" name=\"DT\"/></entity></sifts>"
+    val df = Xml.read(spark, writeTmp("t.xml", xml), rowTag = "entity")
+    val out = Xml.explodeNested(df)
+    assert(out.count() == 3)
+    assert(out.columns.toSet ==
+      Set("_id", "_type", "residue__nr", "residue__name"))
+    val b = out.filter($"_id" === "B").head()
+    assert(b.getAs[Long]("residue__nr") == 7L)
+    assert(b.getAs[String]("residue__name") == "DT")
+  }
+}
