@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution is
+  * power-law (hot entities, hot tokens — routine at 100 TB where one
+  * key can hold 1000× the median and pin a single reducer).
+  *
+  * Salted join: the skewed (large, many-rows-per-key) side gets a
+  * random-but-deterministic salt in [0, buckets); the small side
+  * replicates `buckets`× with every salt value. The join key becomes
+  * (key, salt), spreading each hot key over `buckets` reducers.
+  * Complements AQE's skew-join splitting (which handles partition-
+  * level skew post-shuffle; salting also fixes single-KEY hotspots
+  * AQE cannot split).
+  */
+object Skew {
+
+  /** Deterministic per-row salt derived from the whole row's hash —
+    * stable across retries (no rand(), which breaks task replay). */
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).cast("int")
+
+  /** Inner/left equi-join with a salted key: `big` is salted, `small`
+    * is replicated buckets×. Result equals the unsalted join. */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 keys: Seq[(String, String)], buckets: Int,
+                 how: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val b = big.withColumn("__salt", salt(big, buckets))
+    val s = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    val cond = (keys.map { case (l, r) => b(l) === s(r) } :+
+      (b("__salt") === s("__salt"))).reduce(_ && _)
+    b.join(s, cond, how).drop("__salt")
+  }
+
+  /** Per-key frequency profile — pick the keys worth salting
+    * (everything above `minCount`). One pass, map-side combined. */
+  def hotKeys(df: DataFrame, keys: Seq[String], minCount: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+}

@@ -1,0 +1,28 @@
+package graft.plans
+
+import graft.expressions.BoundedTopK
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Spark session extension: registers graft's custom expressions so
+  * plain `spark.sql` users can call them.
+  *
+  * Usage: `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions()(_))`.
+  *
+  *   SELECT probe_id, bounded_top_k(cos, neighbor_id, 5) FROM scored
+  *   GROUP BY probe_id
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, Literal(k: Int, _)) => BoundedTopK(score, id, k)
+        case _ => throw new IllegalArgumentException(
+          "bounded_top_k(score double, id bigint, k int-literal)")
+      }))
+  }
+}

@@ -29,4 +29,26 @@ object TextRender {
   /** Write the rendered lines as distributed text files. */
   def writeText(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)
+
+  /** Render a StructureFormats.PdbAtomFields-shaped frame to PDB
+    * ATOM/HETATM record lines (the write_pdb_from_table analog,
+    * proteofav/structures.py:541) — all formatting is codegen'd
+    * format_string/pad expressions on executors. */
+  def pdbLines(df: DataFrame): DataFrame =
+    df.select(concat(
+      padded(col("group_PDB"), 6),
+      rightAligned(col("id"), 5), lit(" "),
+      padded(col("auth_atom_id"), 4),
+      padded(col("label_alt_id"), 1),
+      padded(col("auth_comp_id"), 3), lit(" "),
+      padded(col("auth_asym_id"), 1),
+      rightAligned(col("auth_seq_id"), 4),
+      padded(col("pdbx_PDB_ins_code"), 1), lit("   "),
+      format_string("%8.3f", col("Cartn_x")),
+      format_string("%8.3f", col("Cartn_y")),
+      format_string("%8.3f", col("Cartn_z")),
+      format_string("%6.2f", col("occupancy")),
+      format_string("%6.2f", col("B_iso_or_equiv")),
+      lit(" " * 10),
+      rightAligned(col("type_symbol"), 2)).as("value"))
 }

@@ -66,6 +66,29 @@ class FormatsSpec extends SparkSpec {
     assert(rows(1).getDouble(4) == 0.5)
   }
 
+  test("pdbLines render → pdbAtoms parse roundtrip") {
+    val df = Seq(
+      ("ATOM", 1, "N", "", "ALA", "A", 1, "", 11.104, 6.134, -6.504,
+        1.0, 0.0, "N"),
+      ("HETATM", 2, "O", "B", "HOH", "C", 42, "", -1.5, 0.25, 3.75,
+        0.5, 10.25, "O"))
+      .toDF("group_PDB", "id", "auth_atom_id", "label_alt_id",
+        "auth_comp_id", "auth_asym_id", "auth_seq_id",
+        "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z",
+        "occupancy", "B_iso_or_equiv", "type_symbol")
+    val dir = Files.createTempDirectory("graft_pdb").toString + "/out"
+    graft.sinks.TextRender.writeText(graft.sinks.TextRender.pdbLines(df), dir)
+    val back = StructureFormats.pdbAtoms(spark, dir).orderBy("id")
+      .select("group_PDB", "id", "auth_comp_id", "auth_asym_id",
+        "auth_seq_id", "Cartn_x", "Cartn_z", "occupancy", "type_symbol")
+      .collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "ATOM" && back(0).getDouble(5) == 11.104)
+    assert(back(1).getString(0) == "HETATM" && back(1).getInt(4) == 42)
+    assert(back(1).getDouble(6) == 3.75 && back(1).getDouble(7) == 0.5)
+    assert(back(1).getString(8) == "O")
+  }
+
   test("Xml.read + explodeNested: one row per nested element") {
     val xml =
       "<sifts><entity id=\"A\" type=\"protein\">" +
