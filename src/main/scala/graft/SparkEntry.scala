@@ -225,7 +225,8 @@ object SparkEntry {
         TextFunctions.bpeishCount(col("text")).cast("long").as("n_bpe"))),
     "q_quality_score" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.dupTokenRatio(col("text")).as("dup_tok_ratio"))),
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
@@ -518,7 +519,9 @@ object SparkEntry {
         |(CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
         |+ (CAST(len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> list_contains(['the','a','an','of','and','in','to','is','for','on'], t))) AS DOUBLE)
         |   / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)) * 0.3
-        |+ least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+        |+ least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality,
+        |1.0 - CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+        |  / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS dup_tok_ratio
         |FROM documents""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

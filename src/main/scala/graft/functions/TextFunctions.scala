@@ -52,6 +52,22 @@ object TextFunctions {
       greatest(size(toks), lit(1))
   }
 
+  /** Duplicate-line ratio: 1 − |distinct lines| / |lines| — the
+    * boilerplate/repetition signal in corpus quality scoring. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => l =!= lit(""))
+    lit(1.0) - size(array_distinct(lines)).cast("double") /
+      greatest(size(lines), lit(1))
+  }
+
+  /** Duplicate-token ratio: 1 − |distinct tokens| / |tokens| —
+    * repetition at token granularity (catches single-line spam). */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
   /** Composite document quality score in [0, 1]:
     * alpha-char ratio, stopword presence, and a length prior.
     * No rounding — the raw IEEE combination is deterministic on any
