@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table utilities: pre-shuffle once at write time so
+  * repeated fact-fact joins and aggregations on the bucket key run
+  * with ZERO exchanges — the standard 100 TB pattern for a fact
+  * table that is joined on the same key by many downstream queries
+  * (lineitem ⋈ orders on orderkey, atoms ⋈ residues on entity key).
+  *
+  * Spark persists bucket metadata in the catalog; a join of two
+  * tables bucketed by the same key into the same bucket count
+  * produces a SortMergeJoin with no ShuffleExchange on either side.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (+ sorted within buckets) managed
+    * table. Sorting by the key makes the downstream sort-merge join
+    * skip its sort too. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans with
+    * no shuffle on either side (assert via hasShuffle in tests). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, keys: Seq[(String, String)],
+                   how: String = "inner"): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    val cond = keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    l.join(r, cond, how)
+  }
+
+  /** True if the executed plan contains any shuffle exchange —
+    * the thing bucketing exists to eliminate. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -51,4 +51,41 @@ object EventStreams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** The production 100 TB sink path: the same windowed aggregation in
+    * APPEND mode to parquet files with a checkpoint — here the
+    * watermark genuinely evicts state (a window's row is emitted,
+    * and its state dropped, once the watermark passes its end), so
+    * state stays bounded on an unbounded stream. Finite caveat: at
+    * stream end, windows newer than (max ts − watermark) remain
+    * unemitted; that is correct streaming semantics, not data loss —
+    * they flush when later data (or a final batch) advances the
+    * watermark. */
+  def windowedCountsToFiles(spark: SparkSession, eventsDir: String,
+                            outDir: String, checkpointDir: String,
+                            fileGlob: String = "events.parquet",
+                            windowDur: String = "15 minutes",
+                            watermark: String = "1 hour"): Unit = {
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).as("sum_dec"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

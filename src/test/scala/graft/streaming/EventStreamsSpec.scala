@@ -32,4 +32,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.size == 2)
   }
+
+  test("append-mode file sink emits watermark-passed windows only") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    // two windows 3 hours apart; 1h watermark ends at 02:00, so the
+    // 00:00-block windows are closed and emitted, the 03:00 one is
+    // withheld (correct append semantics on a finite run)
+    Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:05:00", "click", 2.0),
+      ("2024-01-01 03:00:00", "view", 3.5)
+    ).toDF("s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    EventStreams.windowedCountsToFiles(spark, s"$dir/events.parquet",
+      s"$dir/out", s"$dir/ckpt", fileGlob = "*.parquet")
+    val out = spark.read.parquet(s"$dir/out")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("click", 2L, 3.0)))
+  }
 }
