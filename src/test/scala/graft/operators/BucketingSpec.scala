@@ -7,6 +7,8 @@ class BucketingSpec extends SparkSpec {
   import sqlImplicits._
 
   test("same-key bucketed join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_fact_b")
+    spark.sql("DROP TABLE IF EXISTS graft_dim_b")
     val fact = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "fv")
     val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "dv")
     Bucketing.writeBucketed(fact, "graft_fact_b", Seq("k"), 4)
