@@ -233,6 +233,16 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.rollingFingerprint(col("text")).as("fp"))),
+    "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    "q_length_profile" -> ((s, d) =>
+      Corpus.lengthProfile(T(s, d, "documents"), Seq("lang", "source"))),
+    "q_vec_quantize" -> ((s, d) => {
+      val q = VectorFunctions.quantizeInt8(col("embedding"), lit(1.0))
+      T(s, d, "embeddings").select(col("vec_id"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).cast("int").as("q_min"),
+        array_max(q).cast("int").as("q_max"))
+    }),
     // ---- I. multimodal --------------------------------------------------
     "q_binary_meta" -> ((s, d) =>
       Multimodal.asMedia(T(s, d, "documents").select("doc_id", "text"),
@@ -278,9 +288,10 @@ object SparkEntry {
     "q_tokenrecords_roundtrip" -> ((s, d) => {
       val out = roundtripDir("tokenrecords")
       TextRender.writeText(
-        T(s, d, "lineitem").select(concat_ws(" ", lit("ATOM"),
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_quantity")).as("value")),
+        TextRender.tokenLines(
+          T(s, d, "lineitem").withColumn("rec", lit("ATOM")),
+          Seq("rec", "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity")),
         out)
       TextSources.tokenRecords(s, out,
           Seq("rec", "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
@@ -523,6 +534,31 @@ object SparkEntry {
         |1.0 - CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
         |  / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS dup_tok_ratio
         |FROM documents""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, lang, list_sort([
+        |  {'h': len(list_filter(toks, x -> list_contains(['the','and','of','is','fast','slow'], x))), 'l': 'en'},
+        |  {'h': len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))), 'l': 'es'},
+        |  {'h': len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))), 'l': 'de'},
+        |  {'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
+        |  {'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
+        |], 'DESC')[1].l AS lang_pred FROM t""".stripMargin,
+    "q_vocab_df" ->
+      """SELECT tok, COUNT(*) AS df FROM (
+        |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents) GROUP BY tok""".stripMargin,
+    "q_length_profile" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+        |CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE) / COUNT(*) AS mean_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q_vec_quantize" ->
+      """SELECT vec_id,
+        |CAST(list_sum(list_transform(embedding, x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / 1.0 + 0.5) AS INT))))) AS BIGINT) AS q_sum,
+        |CAST(list_min(list_transform(embedding, x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / 1.0 + 0.5) AS INT))))) AS INT) AS q_min,
+        |CAST(list_max(list_transform(embedding, x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / 1.0 + 0.5) AS INT))))) AS INT) AS q_max
+        |FROM embeddings""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

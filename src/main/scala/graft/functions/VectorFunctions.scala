@@ -31,6 +31,24 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** L2-normalize to a unit vector (zero vectors pass through as
+    * zeros) — the standard pre-step before cosine/IP ANN indexing. */
+  def l2normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: round-half-up of x·127/maxAbs,
+    * clamped to [-127, 127]. Uses floor(v + 0.5) — identical
+    * round-half-toward-+inf on every engine (`round()` differs
+    * between engines on .5 ties). The training-data shrink step for
+    * embedding storage: 4x smaller, error <= maxAbs/254. */
+  def quantizeInt8(a: Column, maxAbs: Column): Column =
+    transform(a, x =>
+      greatest(lit(-127), least(lit(127),
+        floor(x.cast("double") * 127.0 / maxAbs + 0.5).cast("int"))))
+
   /** Random-hyperplane LSH code: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hash-derived, no
     * RNG state — reproducible across executors). */

@@ -30,6 +30,15 @@ object TextRender {
   def writeText(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)
 
+  /** Render token-record lines (mmCIF atom_site loop body shape):
+    * columns joined by single spaces, in the given order — the
+    * write_mmcif_from_table analog (proteofav/structures.py:515).
+    * Null-safe: nulls render as the mmCIF placeholder '?'. */
+  def tokenLines(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(concat_ws(" ",
+      cols.map(c => coalesce(col(c).cast("string"), lit("?"))): _*)
+      .as("value"))
+
   /** Render a StructureFormats.PdbAtomFields-shaped frame to PDB
     * ATOM/HETATM record lines (the write_pdb_from_table analog,
     * proteofav/structures.py:541) — all formatting is codegen'd

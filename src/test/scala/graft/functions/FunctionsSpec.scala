@@ -76,6 +76,27 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].head() == 0.0)
   }
 
+  test("l2normalize yields unit norm; zero vector unchanged") {
+    val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("v")
+    val out = df.select(VectorFunctions.norm(
+      VectorFunctions.l2normalize(col("v"))).as("n")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12 && out(1) == 0.0)
+  }
+
+  test("quantizeInt8 rounds half-up and clamps") {
+    val df = Seq(Array(1.0f, -1.0f, 0.5f, 2.0f, 0.0f)).toDF("v")
+    val out = df.select(VectorFunctions.quantizeInt8(col("v"), lit(1.0))
+      .as("q")).as[Seq[Int]].head()
+    assert(out == Seq(127, -127, 64, 127, 0)) // 0.5*127+0.5=64.0 → 64; 2.0 clamps
+  }
+
+  test("dupTokenRatio flags repetition") {
+    val df = Seq("a a a a", "a b c d").toDF("t")
+    val out = df.select(TextFunctions.dupTokenRatio(col("t")).as("r"))
+      .as[Double].collect()
+    assert(out(0) == 0.75 && out(1) == 0.0)
+  }
+
   test("hyperplaneCode deterministic and within nBits range") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(-0.5f)).toDF("v")
     val codes = df.select(

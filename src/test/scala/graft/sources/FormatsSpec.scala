@@ -89,6 +89,25 @@ class FormatsSpec extends SparkSpec {
     assert(back(1).getString(8) == "O")
   }
 
+  test("tokenLines render → mmcifAtoms parse roundtrip with ? nulls") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("ATOM", 1, "N", "N", null.asInstanceOf[String], "ALA", "A", "1", 1,
+        null.asInstanceOf[String], 11.104, 6.134, -6.504, 1.0, 0.0,
+        "?", 1, "ALA", "A", "N", "1"))
+      .toDF(StructureFormats.MmcifAtomCols: _*)
+    val dir = Files.createTempDirectory("graft_cif").toString + "/out"
+    graft.sinks.TextRender.writeText(
+      graft.sinks.TextRender.tokenLines(df, StructureFormats.MmcifAtomCols),
+      dir)
+    val back = StructureFormats.mmcifAtoms(spark, dir)
+    val r = back.head()
+    assert(back.count() == 1)
+    assert(r.getAs[String]("label_alt_id") == "?") // null → placeholder
+    assert(r.getAs[Double]("Cartn_x") == 11.104)
+    assert(r.getAs[Int]("auth_seq_id") == 1)
+  }
+
   test("Xml.read + explodeNested: one row per nested element") {
     val xml =
       "<sifts><entity id=\"A\" type=\"protein\">" +
