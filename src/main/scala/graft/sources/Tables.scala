@@ -32,6 +32,23 @@ object Tables {
       }
   }
 
+  /** Typed loaders — `Dataset[T]` with case-class encoders for
+    * pipelines that want compile-time column safety. */
+  object typed {
+    import graft.model._
+    import org.apache.spark.sql.Dataset
+    def lineitem(s: SparkSession, d: String): Dataset[Lineitem] =
+      { import s.implicits._; load(s, d, "lineitem").as[Lineitem] }
+    def orders(s: SparkSession, d: String): Dataset[Order] =
+      { import s.implicits._; load(s, d, "orders").as[Order] }
+    def events(s: SparkSession, d: String): Dataset[Event] =
+      { import s.implicits._; load(s, d, "events").as[Event] }
+    def documents(s: SparkSession, d: String): Dataset[Document] =
+      { import s.implicits._; load(s, d, "documents").as[Document] }
+    def embeddings(s: SparkSession, d: String): Dataset[Embedding] =
+      { import s.implicits._; load(s, d, "embeddings").as[Embedding] }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
