@@ -12,6 +12,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM once before timing: JIT + whole-stage-codegen
+    // compilation paths (scan, hash agg, shuffle, sort-merge join)
+    // otherwise land on whichever queries happen to run first. This
+    // warms no query-specific data — each timed query still scans
+    // parquet cold.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(1000000).select(col("id"),
+        (col("id") % 97).as("k"), (col("id") % 7).cast("string").as("s"))
+      w.groupBy("k").agg(sum("id"), countDistinct("s")).count()
+      w.as("a").join(w.as("b"), "k").filter(col("a.id") < 10).count()
+    }
     // A failed query records -1 (NOT a fake timing) and is listed in
     // "failed" — a broken query must never look fast.
     val results = SparkEntry.queries.map { case (name, fn) =>
