@@ -172,6 +172,36 @@ object SparkEntry {
           (col("l_extendedprice") / 100).as("y"),
           (col("l_discount") * 100).as("z")),
         "l_suppkey", "id", "x", "y", "z", 2.0)),
+    // exact linear-interpolation percentiles (sort-based; for the
+    // 100 TB path see q_sketch_profile's approx variants)
+    "q_quantiles" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+    // sketch profile: t-digest percentiles + HLL++ distinct counts —
+    // fixed-size mergeable state, the only viable shapes at 100 TB;
+    // approximate by design → rows-only check
+    "q_sketch_profile" -> ((s, d) =>
+      T(s, d, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.99), 1000)")
+            .as("value_p50_p99"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("approx_users"),
+          col("value_p50_p99")(0).as("p50"),
+          col("value_p50_p99")(1).as("p99"), col("n"))),
+    "q_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
+          col("event_id").as("err_id"), col("value").as("err_value"))
+      AsOfJoin.asOf(clicks, errors, "user_id", "e_user", "ts_us", "e_ts",
+        Seq("err_id", "err_value"))
+    }),
     // ---- E. time / streaming --------------------------------------------
     "q_window_agg_time" -> ((s, d) =>
       TimeOps.tumblingAgg(T(s, d, "events"), "ts", Seq("event_type"),
@@ -476,6 +506,17 @@ object SparkEntry {
         |(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist2
         |FROM pts a JOIN pts b ON a.l_suppkey = b.l_suppkey AND a.id < b.id
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= 4.0""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        |quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |errors AS (SELECT user_id AS e_user, ts_us AS e_ts, event_id AS err_id, value AS err_value FROM ev WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts_us, e.err_id, e.err_value
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |ON c.user_id = e.e_user AND c.ts_us >= e.e_ts""".stripMargin,
     "q_window_agg_time" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
         |event_type, COUNT(*) AS n,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the LATEST right
+  * row with the same key and right.ts <= left.ts. Spark has no
+  * native operator for this (the prompt-book example of a gap in the
+  * built-ins); the naive theta join `l.ts >= r.ts` explodes to a
+  * cross product per key.
+  *
+  * Spark-first formulation: UNION both sides tagged, one window over
+  * (key ORDER BY ts, side) carrying `last(right payload, ignoreNulls)`
+  * up to the current row, keep left rows. ONE shuffle on the key —
+  * the same cost as a plain equi-join — and no range explosion; at
+  * 100 TB this is the only shape that survives (a per-key sort the
+  * engine was going to do anyway).
+  *
+  * Ties (left.ts == right.ts): the right row sorts BEFORE the left
+  * row (side tag 0 < 1), so an exactly-simultaneous right row IS
+  * matched — `<=` semantics, same as DuckDB's ASOF JOIN.
+  */
+object AsOfJoin {
+
+  /** Left as-of join.
+    * @param left  probe side; all its columns survive
+    * @param right reference side: key col, ts col, payload cols
+    * @return left columns + right payload cols (null when no right
+    *         row at-or-before the left ts exists) */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTs: String, rightTs: String,
+           payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    // harmonized union schema: key, ts, side, left payload, right payload
+    val l = left.select(
+      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
+        +: lCols.map(col)) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
+        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (Seq(col("__side")) ++ lCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}
