@@ -215,6 +215,12 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum("n_events").cast("long").as("n_events"))),
+    // one availableNow batch over a single file → every duplicate key
+    // is in-batch and dropped, so exactly one row per user survives
+    // (which row is arbitrary → aggregate to the deterministic shape)
+    "q_stream_dedup" -> ((s, d) =>
+      EventStreams.streamingDedup(s, d, Seq("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_rows"))),
     // ---- F. dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
@@ -541,6 +547,8 @@ object SparkEntry {
     "q_xml_roundtrip" ->
       """SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS brand,
         |CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, CAST(1 AS BIGINT) AS n_rows FROM events GROUP BY user_id""",
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,

@@ -47,6 +47,34 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
+  /** STUB resize: deterministic target dimensions derived from the
+    * decode-stub dims and a fixed max edge — a real deployment swaps
+    * the arithmetic for a codec resample on the payload; the column
+    * contract (struct in, struct out, payload untouched) is the real
+    * plumbing. */
+  def resizeStub(decoded: org.apache.spark.sql.Column, maxEdge: Int)
+  : org.apache.spark.sql.Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val scale = least(lit(1.0),
+      lit(maxEdge.toDouble) / greatest(w, h).cast("double"))
+    struct(
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** STUB frame sampling for video payloads: every `stride`-th frame
+    * index up to a deterministic fake frame count derived from the
+    * payload hash. Real decoders replace the count; the exploded
+    * (payload, frame_idx) shape — one row per sampled frame, ready
+    * for per-frame decode — is the 100 TB plumbing. */
+  def frameSampleStub(df: DataFrame, stride: Int): DataFrame = {
+    val nFrames = (abs(xxhash64(col("payload"))) % 300 + 1).cast("int")
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), nFrames - 1, lit(stride))))
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: one iterator per partition so
     * a real decoder would load its model/codec once per partition,

@@ -52,6 +52,36 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: drop events whose `keyCols` were already
+    * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
+    * keys the state store and the watermark evicts it, so state is
+    * bounded by (arrival rate × horizon), not the stream's lifetime.
+    * The streaming twin of Dedup.exact for an always-on ingest
+    * pipeline (at-least-once upstream → exactly-once-per-key out). */
+  def streamingDedup(spark: SparkSession, eventsDir: String,
+                     keyCols: Seq[String],
+                     fileGlob: String = "events.parquet",
+                     watermark: String = "1 hour",
+                     queryName: String = "graft_stream_dedup"): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
+    val deduped = stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+    spark.catalog.dropTempView(queryName) // rerun-safe
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** The production 100 TB sink path: the same windowed aggregation in
     * APPEND mode to parquet files with a checkpoint — here the
     * watermark genuinely evicts state (a window's row is emitted,

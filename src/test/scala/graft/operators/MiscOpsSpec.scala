@@ -47,6 +47,26 @@ class MiscOpsSpec extends SparkSpec {
     assert(rows == Seq((2L, 4.0), (1L, 4.0)))
   }
 
+  test("resizeStub caps the max edge, preserves aspect") {
+    val media = Multimodal.asMedia(Seq((1L, "payload")).toDF("id", "text"),
+      "text", "image/png")
+    val r = media.select(Multimodal.resizeStub(
+        Multimodal.decodeImageStub(col("payload")), 512).as("d"))
+      .select("d.width", "d.height").head()
+    assert(r.getInt(0) <= 512 && r.getInt(1) <= 512)
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+  }
+
+  test("frameSampleStub explodes strided frame indices") {
+    val media = Multimodal.asMedia(Seq((1L, "vid")).toDF("id", "text"),
+      "text", "video/mp4")
+    val frames = Multimodal.frameSampleStub(media, stride = 10)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames.nonEmpty && frames.head == 0)
+    assert(frames.forall(_ % 10 == 0))
+    assert(frames == frames.sorted && frames.distinct == frames)
+  }
+
   test("asMedia + extractFeatures batch plumbing") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(

@@ -33,6 +33,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("streamingDedup drops within-watermark duplicate keys") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    Seq(
+      (1L, "2024-01-01 00:01:00", "a"),
+      (1L, "2024-01-01 00:02:00", "b"), // dup key within watermark
+      (2L, "2024-01-01 00:03:00", "c")
+    ).toDF("k", "s", "v")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventStreams.streamingDedup(spark, s"$dir/events.parquet",
+      Seq("k"), fileGlob = "*.parquet", queryName = "graft_dedup_test")
+    assert(out.count() == 2)
+    assert(out.select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("append-mode file sink emits watermark-passed windows only") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     // two windows 3 hours apart; 1h watermark ends at 02:00, so the
