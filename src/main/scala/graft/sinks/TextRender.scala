@@ -30,6 +30,27 @@ object TextRender {
   def writeText(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)
 
+  /** Render a viewer attribute file (the UCSF-Chimera "defattr"
+    * shape): a fixed header naming the attribute, then one
+    * `:key<TAB>value` line per row — the visualise.py analog
+    * (proteofav/visualise.py:14 make_chimera_attribute_file), with
+    * the body rendered distributed. Returns (headerLines, bodyDf);
+    * write header+body concatenated, or body alone for huge tables. */
+  def attributeLines(df: DataFrame, keyCol: String, valueCol: String,
+                     attrName: String, recipient: String = "residues")
+  : (Seq[String], DataFrame) = {
+    require(Seq("atoms", "residues", "molecules").contains(recipient),
+      s"unsupported recipient: $recipient")
+    val header = Seq(
+      "# Generated with graft",
+      s"attribute: $attrName",
+      "match mode: 1-to-1",
+      s"recipient: $recipient")
+    val body = df.select(concat(lit(":"), col(keyCol).cast("string"),
+      lit("\t"), col(valueCol).cast("string")).as("value"))
+    (header, body)
+  }
+
   /** Render token-record lines (mmCIF atom_site loop body shape):
     * columns joined by single spaces, in the given order — the
     * write_mmcif_from_table analog (proteofav/structures.py:515).

@@ -108,6 +108,37 @@ class FormatsSpec extends SparkSpec {
     assert(r.getAs[Int]("auth_seq_id") == 1)
   }
 
+  test("Library constants drive recode/constrain/complete operators") {
+    import graft.operators.{Aggregations, RowOps}
+    import org.apache.spark.sql.functions._
+    val atoms = Seq(
+      ("ALA", 1, "CA"), ("ALA", 1, "N"), ("ALA", 1, "C"), ("ALA", 1, "O"),
+      ("GLY", 2, "CA")) // residue 2 incomplete
+      .toDF("comp", "res", "atom")
+    val aa = RowOps.recodeByMap(atoms, "comp", "aa1", Library.toSingleAa, "X")
+    assert(aa.filter($"res" === 1).select("aa1").head().getString(0) == "A")
+    val complete = Aggregations.completeGroups(
+      atoms.filter(col("atom").isin(Library.backboneAtoms: _*)),
+      Seq("res"), col("n_members") >= Library.backboneAtoms.size)
+    assert(complete.select("res").as[Int].collect().toSeq == Seq(1))
+    val ss = RowOps.recodeByMap(Seq("G", "B", "S").toDF("SS"), "SS", "r",
+      Library.reducedSsMap, Library.reducedSsDefault)
+    assert(ss.select("r").as[String].collect().toSeq == Seq("H", "E", "C"))
+  }
+
+  test("attributeLines renders the defattr shape") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((12, 0.5), (13, 0.75)).toDF("res", "score")
+    val (header, body) = graft.sinks.TextRender.attributeLines(
+      df, "res", "score", "conservation")
+    assert(header.exists(_.contains("attribute: conservation")))
+    val lines = body.orderBy("value").as[String].collect().toSeq
+    assert(lines == Seq(":12\t0.5", ":13\t0.75"))
+    intercept[IllegalArgumentException] {
+      graft.sinks.TextRender.attributeLines(df, "res", "score", "x", "bogus")
+    }
+  }
+
   test("Xml.read + explodeNested: one row per nested element") {
     val xml =
       "<sifts><entity id=\"A\" type=\"protein\">" +
