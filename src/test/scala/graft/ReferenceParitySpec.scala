@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators._
+import graft.sinks.TextRender
+import graft.sources.{Library, StructureFormats, TextSources}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end parity with the reference's flagship workflow
+  * (proteofav main flow: parse structure → remove altlocs → drop
+  * partial residues → merge secondary structure → per-residue
+  * aggregation → contacts → viewer attributes), run entirely through
+  * graft's public API on a synthetic structure. A ProteoFAV user's
+  * whole pipeline, Spark-first.
+  */
+class ReferenceParitySpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("full structure pipeline: parse → clean → merge → aggregate → contacts") {
+    // synthetic 3-residue chain; residue 2 has an altloc pair (A/B)
+    // and residue 3 is missing its backbone O (partial)
+    val atoms = Seq(
+      // res 1: complete backbone
+      ("ATOM", 1, "N", "", "ALA", "A", 1, "", 0.0, 0.0, 0.0, 1.0, 0.0, "N"),
+      ("ATOM", 2, "CA", "", "ALA", "A", 1, "", 1.0, 0.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 3, "C", "", "ALA", "A", 1, "", 2.0, 0.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 4, "O", "", "ALA", "A", 1, "", 3.0, 0.0, 0.0, 1.0, 0.0, "O"),
+      // res 2: complete; CA has two altlocs, B wins on occupancy
+      ("ATOM", 5, "N", "", "GLY", "A", 2, "", 0.0, 2.0, 0.0, 1.0, 0.0, "N"),
+      ("ATOM", 6, "CA", "A", "GLY", "A", 2, "", 1.0, 2.0, 0.0, 0.4, 0.0, "C"),
+      ("ATOM", 7, "CA", "B", "GLY", "A", 2, "", 1.1, 2.0, 0.0, 0.6, 0.0, "C"),
+      ("ATOM", 8, "C", "", "GLY", "A", 2, "", 2.0, 2.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 9, "O", "", "GLY", "A", 2, "", 3.0, 2.0, 0.0, 1.0, 0.0, "O"),
+      // res 3: partial (no O) → dropped by completeness
+      ("ATOM", 10, "N", "", "SER", "A", 3, "", 0.0, 9.0, 0.0, 1.0, 0.0, "N"),
+      ("ATOM", 11, "CA", "", "SER", "A", 3, "", 1.0, 9.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 12, "C", "", "SER", "A", 3, "", 2.0, 9.0, 0.0, 1.0, 0.0, "C"))
+      .toDF(StructureFormats.PdbAtomFields.map(_.name): _*)
+
+    // 1. render + parse through the PDB text formats (write_pdb ↔ parse_pdb)
+    val dir = Files.createTempDirectory("graft_parity").toString + "/pdb"
+    TextRender.writeText(TextRender.pdbLines(atoms), dir)
+    val parsed = StructureFormats.pdbAtoms(spark, dir)
+    assert(parsed.count() == 12)
+
+    // 2. altloc removal: keep max occupancy per atom site
+    //    (structures.py:399 _remove_multiple_altlocs)
+    val noAlt = WindowOps.keepBestPerKey(parsed,
+      Seq("auth_asym_id", "auth_seq_id", "auth_atom_id"),
+      Seq(col("occupancy").desc, col("label_alt_id").asc))
+    assert(noAlt.count() == 11)
+    assert(noAlt.filter(col("auth_seq_id") === 2 &&
+      col("auth_atom_id") === "CA").select("label_alt_id")
+      .as[String].head() == "B")
+
+    // 3. drop partial residues (structures.py:430)
+    val backbone = noAlt.filter(col("auth_atom_id")
+      .isin(Library.backboneAtoms: _*))
+    val complete = Aggregations.completeGroups(backbone,
+      Seq("auth_asym_id", "auth_seq_id"),
+      col("n_members") >= Library.backboneAtoms.size)
+    val kept = noAlt.join(complete.select("auth_asym_id", "auth_seq_id"),
+      Seq("auth_asym_id", "auth_seq_id"), "left_semi")
+    assert(kept.select("auth_seq_id").distinct()
+      .as[Int].collect().toSorted == Seq(1, 2))
+
+    // 4. merge a DSSP-like per-residue table + reduced-SS recode
+    //    (mergers.py:65 + dssp.py:215)
+    val dssp = Seq((1, "A", "H"), (2, "A", "E")).toDF("RES", "CHAIN", "SS")
+    val merged = Joins.leftMerge(kept,
+      RowOps.recodeByMap(dssp, "SS", "SS_CLASS",
+        Library.reducedSsMap, Library.reducedSsDefault),
+      Seq("auth_seq_id" -> "RES", "auth_asym_id" -> "CHAIN"))
+    assert(merged.filter(col("auth_seq_id") === 2)
+      .select("SS_CLASS").as[String].head() == "E")
+
+    // 5. per-residue centroid aggregation (structures.py:483)
+    val centroids = Aggregations.centroid(merged,
+      Seq("auth_asym_id", "auth_seq_id"),
+      Seq("Cartn_x", "Cartn_y", "Cartn_z"))
+    assert(centroids.count() == 2)
+    val c1 = centroids.filter(col("auth_seq_id") === 1).head()
+    assert(c1.getAs[Double]("Cartn_x_centroid") == 1.5)
+
+    // 6. residue contacts within 3 Å of centroids (structures.py:366)
+    val contacts = RangeJoin.contacts3D(
+      centroids.select(col("auth_asym_id"),
+        col("auth_seq_id").cast("long").as("id"),
+        col("Cartn_x_centroid").as("x"), col("Cartn_y_centroid").as("y"),
+        col("Cartn_z_centroid").as("z")),
+      "auth_asym_id", "id", "x", "y", "z", eps = 3.0)
+    assert(contacts.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 2L))) // res 3 was dropped; 1↔2 ≈ 2 Å apart
+
+    // 7. viewer attribute file from the merged SS classes (visualise.py:14)
+    val (_, attrBody) = TextRender.attributeLines(
+      merged.select("auth_seq_id", "SS_CLASS").distinct(),
+      "auth_seq_id", "SS_CLASS", "ss_class")
+    assert(attrBody.as[String].collect().toSet == Set(":1\tH", ":2\tE"))
+  }
+
+  private implicit class SortedSeq(s: Array[Int]) {
+    def toSorted: Seq[Int] = s.toSeq.sorted
+  }
+}
