@@ -5,22 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector column functions over `array<float>` embeddings.
   *
-  * Built from `zip_with` / `aggregate` (codegen'd higher-order
-  * functions); elements are cast to double before accumulating so the
-  * left-to-right fold is deterministic.
+  * The dot/norm hot path is the custom codegen'd
+  * [[graft.expressions.ArrayDot]] expression (a tight primitive loop
+  * in generated code); higher-order functions — which interpret
+  * their lambda once per element — are used only for the per-row
+  * transforms that are off the pair-scoring hot path. Accumulation
+  * is left-to-right double addition everywhere, so results are
+  * bit-identical to the HOF formulation and DuckDB's list_sum.
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two array<float> columns. */
+  /** Codegen'd sequential dot product of two array<float> columns. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.ArrayDot.dot(a, b)
 
-  /** Squared L2 norm. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+  /** Squared L2 norm (array<float>). */
+  def normSq(a: Column): Column = graft.expressions.ArrayDot.dot(a, a)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))

@@ -79,8 +79,10 @@ object Ivf {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = trainCentroids(corpus, nCells, lloydIters, idCol, vecCol)
     val dvec = transform(col(vecCol), x => x.cast("double"))
-    // inverted file: corpus rows keyed by their single nearest cell
-    val c = corpus.select(col(idCol).as("neighbor_id"), dvec.as("c_vec"),
+    // inverted file: corpus rows keyed by their single nearest cell;
+    // scoring carries the RAW float vectors (codegen'd ArrayDot path)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
       VectorFunctions.norm(col(vecCol)).as("c_nrm"),
       nearestCell(dvec, centroids).as("cell"))
     // probes replicate to their nProbe nearest cells
@@ -94,7 +96,7 @@ object Ivf {
       }
       slice(array_sort(array(scored: _*)), 1, nProbe)
     }
-    val p = probes.select(col(idCol).as("probe_id"), dvec.as("p_vec"),
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
         VectorFunctions.norm(col(vecCol)).as("p_nrm"),
         explode(cellsRanked.getField("cell")).as("cell"))
     val denom = col("p_nrm") * col("c_nrm")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.BoundedTopK
+import graft.expressions.{ArrayDot, BoundedTopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(score, id, Literal(k: Int, _)) => BoundedTopK(score, id, k)
         case _ => throw new IllegalArgumentException(
           "bounded_top_k(score double, id bigint, k int-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ArrayDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "array_dot(array<float|double>, array<float|double>)")
       }))
   }
 }

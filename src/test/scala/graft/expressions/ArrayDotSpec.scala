@@ -1,0 +1,34 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ArrayDotSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("matches the HOF fold bit-for-bit on random float vectors") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 500).map(_ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(ArrayDot.dot(col("a"), col("b")).as("fast"),
+      hof.as("slow")).as[(Double, Double)].collect()
+    assert(rows.forall { case (f, s) => f == s }) // exact, not approx
+  }
+
+  test("mixed float/double element types and length mismatch") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 4.0))).toDF("a", "b")
+    val out = df.select(ArrayDot.dot(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(out == 10.0) // shorter-prefix semantics: 1*2 + 2*4
+  }
+
+  test("null array gives null") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(ArrayDot.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+}
