@@ -172,6 +172,15 @@ object SparkEntry {
           (col("l_extendedprice") / 100).as("y"),
           (col("l_discount") * 100).as("z")),
         "l_suppkey", "id", "x", "y", "z", 2.0)),
+    "q_knn_contacts" -> ((s, d) =>
+      RangeJoin.knnContacts(
+        T(s, d, "lineitem").select(
+          col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_quantity").as("x"),
+          (col("l_extendedprice") / 100).as("y"),
+          (col("l_discount") * 100).as("z")),
+        "l_suppkey", "id", "x", "y", "z", eps = 2.0, k = 3)),
     // exact linear-interpolation percentiles (sort-based; for the
     // 100 TB path see q_sketch_profile's approx variants)
     "q_quantiles" -> ((s, d) =>
@@ -215,6 +224,7 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum("n_events").cast("long").as("n_events"))),
+    "q_stream_join" -> ((s, d) => EventStreams.streamStreamJoin(s, d)),
     // one availableNow batch over a single file → every duplicate key
     // is in-batch and dropped, so exactly one row per user survives
     // (which row is arbitrary → aggregate to the deterministic shape)
@@ -523,6 +533,24 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts_us, e.err_id, e.err_value
         |FROM clicks c ASOF LEFT JOIN errors e
         |ON c.user_id = e.e_user AND c.ts_us >= e.e_ts""".stripMargin,
+    "q_knn_contacts" ->
+      """WITH pts AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
+        |l_quantity AS x, l_extendedprice / 100 AS y, l_discount * 100 AS z
+        |FROM lineitem),
+        |pairs AS (SELECT a.l_suppkey, a.id, b.id AS neighbor_id,
+        |(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist2
+        |FROM pts a JOIN pts b ON a.l_suppkey = b.l_suppkey AND a.id <> b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= 4.0)
+        |SELECT l_suppkey, id, CAST(rank AS INT) AS rank, neighbor_id, dist2 FROM (
+        |SELECT *, row_number() OVER (PARTITION BY l_suppkey, id ORDER BY dist2, neighbor_id) AS rank
+        |FROM pairs) WHERE rank <= 3""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+        |e.event_id AS err_id, epoch_us(e.ts) AS err_ts_us
+        |FROM events c JOIN events e ON c.event_type = 'click'
+        |AND e.event_type = 'error' AND c.user_id = e.user_id
+        |AND epoch_us(e.ts) <= epoch_us(c.ts)
+        |AND epoch_us(e.ts) >= epoch_us(c.ts) - 600000000""".stripMargin,
     "q_window_agg_time" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
         |event_type, COUNT(*) AS n,

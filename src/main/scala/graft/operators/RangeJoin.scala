@@ -84,6 +84,30 @@ object RangeJoin {
         col("dist2"))
   }
 
+  /** k-nearest contacts: for each point, its k nearest neighbours
+    * within eps (same partition key) — contacts3D candidates ranked
+    * by the k-capped BoundedTopK aggregate, so ranking shuffles at
+    * most k rows per point regardless of local density. The
+    * nearest-residue lookup pattern (structures.py:382 cKDTree query)
+    * at linear cost. Output: pk, id, rank, neighbor_id, dist2. */
+  def knnContacts(df: DataFrame, partitionKey: String, idCol: String,
+                  xCol: String, yCol: String, zCol: String,
+                  eps: Double, k: Int): DataFrame = {
+    val pairs = contacts3D(df, partitionKey, idCol, xCol, yCol, zCol, eps)
+    // contacts are unordered (a<b); each pair serves both endpoints
+    val directed = pairs.select(col(partitionKey), col("a_id").as("id"),
+        col("b_id").as("neighbor_id"), col("dist2"))
+      .unionByName(pairs.select(col(partitionKey), col("b_id").as("id"),
+        col("a_id").as("neighbor_id"), col("dist2")))
+    directed
+      .groupBy(col(partitionKey), col("id"))
+      .agg(graft.expressions.BoundedTopK.boundedTopK(
+        -col("dist2"), col("neighbor_id"), k).as("top"))
+      .select(col(partitionKey), col("id"), posexplode(col("top")))
+      .select(col(partitionKey), col("id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("dist2"))
+  }
+
   /** Pairs (a, b) with a.partition == b.partition, |a.v − b.v| <= eps
     * and a.id < b.id. Output columns: partition key, a_id, b_id,
     * a_v, b_v. */

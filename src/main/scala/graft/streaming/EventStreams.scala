@@ -52,6 +52,51 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream interval join: each click joins the
+    * errors of the same user within the trailing `intervalMicros` —
+    * both sides are streams, so Spark buffers each side in state and
+    * the two watermarks + the time-range condition bound how much:
+    * state is (rate × interval + watermark slack), not the stream's
+    * history. The streaming twin of AsOfJoin-style enrichment for
+    * always-on pipelines.
+    * Output: click_id, user_id, click_ts_us, err_id, err_ts_us. */
+  def streamStreamJoin(spark: SparkSession, eventsDir: String,
+                       fileGlob: String = "events.parquet",
+                       intervalMicros: Long = 600L * 1000000L,
+                       watermark: String = "30 minutes",
+                       queryName: String = "graft_ss_join"): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    def side(tag: String) = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
+      .filter(col("event_type") === tag)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val errors = side("error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMicros MICROSECOND"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"), col("err_id"),
+        unix_micros(col("err_ts")).as("err_ts_us"))
+    spark.catalog.dropTempView(queryName) // rerun-safe
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: drop events whose `keyCols` were already
     * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
     * keys the state store and the watermark evicts it, so state is

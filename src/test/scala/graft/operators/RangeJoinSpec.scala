@@ -14,6 +14,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // |0-2|=2 > 1; cross-partition excluded
   }
 
+  test("knnContacts ranks nearest neighbours within eps") {
+    val pts = Seq(
+      ("p", 1L, 0.0, 0.0, 0.0),
+      ("p", 2L, 1.0, 0.0, 0.0),   // dist2 to 1: 1
+      ("p", 3L, 0.0, 2.0, 0.0),   // dist2 to 1: 4
+      ("p", 4L, 50.0, 50.0, 50.0) // out of range
+    ).toDF("pk", "id", "x", "y", "z")
+    val out = RangeJoin.knnContacts(pts, "pk", "id", "x", "y", "z",
+        eps = 3.0, k = 2)
+      .filter(col("id") === 1L).orderBy("rank")
+      .select("rank", "neighbor_id", "dist2")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((1, 2L, 1.0), (2, 3L, 4.0)))
+  }
+
   test("contacts3D matches brute force exactly") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 120).map { i =>

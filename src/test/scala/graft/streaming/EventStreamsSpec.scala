@@ -48,6 +48,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", "error", 10L),
+      (2L, "2024-01-01 00:05:00", "click", 10L), // joins err 1 (5 min)
+      (3L, "2024-01-01 00:20:00", "click", 10L), // err 1 too old (20 min)
+      (4L, "2024-01-01 00:04:00", "click", 99L)) // other user: no error
+      .map { case (id, s, t, u) => (id, s, t, u, 1.0, "{}") }
+      .toDF("event_id", "s", "event_type", "user_id", "value", "props")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = EventStreams.streamStreamJoin(spark, s"$dir/events.parquet",
+        fileGlob = "*.parquet", queryName = "graft_ssj_test")
+      .select("click_id", "err_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L)))
+  }
+
   test("append-mode file sink emits watermark-passed windows only") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     // two windows 3 hours apart; 1h watermark ends at 02:00, so the
