@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g GC-thrashes the sf0.1 pair-generation queries at local[32]
   // (149 s vs 56 s total bench); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 58 queries x whole-stage codegen overflow the default 240 MB JIT
+  // code cache — once full, late queries run interpreted (a rotating
+  // 3-10x slowdown on whichever heavy query compiled last)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
