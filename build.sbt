@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON stdout line. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ",
+// which broke the driver's JSON parse in round 2 (BENCH_r02.json
+// "parsed": null). StdoutOutput makes the forked JVM inherit stdout
+// so the JSON line is emitted raw at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
