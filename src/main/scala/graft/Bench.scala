@@ -24,9 +24,15 @@ object Bench {
       w.groupBy("k").agg(sum("id"), countDistinct("s")).count()
       w.as("a").join(w.as("b"), "k").filter(col("a.id") < 10).count()
     }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for isolated
+    // profiling (the shared-JVM bench shows cross-query noise);
+    // unset = full suite, the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // A failed query records -1 (NOT a fake timing) and is listed in
     // "failed" — a broken query must never look fast.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -39,9 +39,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockingKeys: Seq[String],
                         threshold: Double, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // Tokenized docs feed the df-rank, the prefix index (self-joined
+    // a/b) and the verify-stage set fetch — persist the compact token
+    // table once instead of re-tokenizing per branch (see
+    // minhashPairs for the rationale).
     val base = docs.select(
       (col(idCol).as("id") +: blockingKeys.map(col)) :+
         TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // complete the cache before multi-branch reads
     val tok = base.select(
       (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
     // global df order: (df asc, tok asc) — broadcast-joined back
@@ -51,12 +57,16 @@ object Dedup {
     // keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("__ord"))
+    // self-joined below (a × b) — persist so the df-join + stacked
+    // windows run once, not once per join branch
     val prefix = ranked
       .withColumn("__rk", row_number().over(w))
       .withColumn("__sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix.count() // complete the cache before the a/b self-join
     val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
     val b = prefix.toDF(prefix.columns.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
@@ -68,13 +78,13 @@ object Dedup {
     // tokens hashed to longs first (same set sizes/intersections,
     // cheaper compares and ~4x smaller arrays through the join)
     val sets = base.select(col("id"),
-      array_distinct(transform(col("toks"), t => xxhash64(t))).as("toks"))
+      sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
+        .as("toks"))
     cands
       .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+      .withColumn("jaccard",
+        graft.expressions.SortedIntersect.jaccard(col("a_toks"), col("b_toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -128,12 +138,30 @@ object Dedup {
     // therefore jaccard are unchanged (collisions ~2^-64), while the
     // verify-stage array_intersect compares longs instead of strings
     // and the arrays shipped to candidates shrink ~4x
-    val base = docs.select(col(idCol).as("id"),
-      array_distinct(transform(TextFunctions.shingles(
+    // The sketch table (id, shingle-hashes, signature) is referenced
+    // by FIVE plan branches below (banding + 2 signature joins + 2
+    // shingle joins); Spark recomputes unshared subtrees per branch,
+    // so without a persist the text→shingle→numHashes-minima pipeline
+    // — the expensive part — runs 5x. Persisting the compact derived
+    // table (a few hundred bytes/doc, MEMORY_AND_DISK so it spills,
+    // never fails) is the same move a production pipeline makes by
+    // checkpointing the signature table before the candidate join.
+    // sorted-distinct so the verify step can use the codegen'd
+    // merge-walk jaccard (one sort per DOC buys an allocation-free
+    // O(n) loop per candidate PAIR)
+    val sketch = docs.select(col(idCol).as("id"),
+      sort_array(array_distinct(transform(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), shingleN),
-        s => xxhash64(s))).as("sh"))
-    val sigs = base.select(col("id"),
-      HashFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
+        s => xxhash64(s)))).as("sh"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the cache BEFORE the multi-branch join pipeline:
+    // concurrent branches populating a lazy cache race and each
+    // recompute the partitions they touch first (measured 6x worse
+    // than no cache at all on local[32]).
+    sketch.count()
+    val base = sketch.select(col("id"), col("sh"))
+    val sigs = sketch.select(col("id"), col("sig"))
     val banded = sigs.select(col("id"),
       explode(HashFunctions.bandKeys(col("sig"), bands,
         numHashes / bands)).as("bk"))
@@ -154,8 +182,7 @@ object Dedup {
       .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+        graft.expressions.SortedIntersect.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -202,13 +229,14 @@ object Dedup {
     // (O(pairs·dim) extra fold work at 100 TB).
     val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count() // complete the cache before the x/y self-join
     v.alias("x").join(v.alias("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .withColumn("denom", col("x.nrm") * col("y.nrm"))
       .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
         .otherwise(VectorFunctions.dot(col("x.vec"), col("y.vec")) / col("denom")))
       .filter(col("cos") >= threshold)
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos"))
   }
 }
