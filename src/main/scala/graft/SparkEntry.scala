@@ -233,6 +233,16 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_rows"))),
     // ---- F. dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
+    // pairs → clusters: the step that turns near-dup PAIRS into
+    // droppable duplicate groups (min-reachable-id representative)
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Graph.connectedComponents(
+          docs.select(col("doc_id")),
+          Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
+            .select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+    }),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), Seq("source"), 0.9)),
     // 32 hashes × 2 bands of 16: this corpus's tiny vocabulary makes
@@ -280,6 +290,9 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.rollingFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    "q_tfidf_top_terms" -> ((s, d) =>
+      Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
+    "q_bigram_counts" -> ((s, d) => Corpus.bigramCounts(T(s, d, "documents"))),
     "q_length_profile" -> ((s, d) =>
       Corpus.lengthProfile(T(s, d, "documents"), Seq("lang", "source"))),
     "q_vec_quantize" -> ((s, d) => {
@@ -289,6 +302,25 @@ object SparkEntry {
         array_min(q).cast("int").as("q_min"),
         array_max(q).cast("int").as("q_max"))
     }),
+    // ---- L. sampling / splits (training-data pipeline) -------------------
+    "q_train_split" -> ((s, d) =>
+      Sampling.deterministicSplit(
+        T(s, d, "documents").select("doc_id", "lang"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+    "q_cap_per_group" -> ((s, d) =>
+      Sampling.capPerGroup(
+        T(s, d, "documents").select("doc_id", "lang", "source"),
+        Seq("lang", "source"), Seq(col("doc_id").asc), 10)),
+    // salted join == plain join (the oracle proves it): single-key
+    // hotspot mitigation AQE cannot split
+    "q_skew_join" -> ((s, d) =>
+      Skew.saltedJoin(
+          T(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+          T(s, d, "supplier").select("s_suppkey", "s_name"),
+          Seq("l_suppkey" -> "s_suppkey"), buckets = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.decSum(col("l_quantity")).as("sum_qty"))),
     // ---- I. multimodal --------------------------------------------------
     "q_binary_meta" -> ((s, d) =>
       Multimodal.asMedia(T(s, d, "documents").select("doc_id", "text"),
@@ -379,6 +411,16 @@ object SparkEntry {
         .select(col("_id").cast("long").as("id"),
           col("_brand").cast("string").as("brand"),
           col("_size").cast("long").as("size"))
+    }),
+    // hive-style partitioned parquet write + partition-pruned read:
+    // the filter prunes to the lang=en directory at planning time
+    // (PartitionFilters in the scan), the 100 TB layout primitive
+    "q_partitioned_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("partitioned")
+      T(s, d, "documents").select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out).filter(col("lang") === "en")
+        .select("doc_id", "source", "n_chars", "lang")
     }),
     "q_fasta_roundtrip" -> ((s, d) => {
       val out = roundtripDir("fasta")
@@ -592,6 +634,83 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |cand AS (
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |edges AS (
+        |SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |UNION SELECT b_id AS src, a_id AS dst FROM edges),
+        |reach AS (
+        |SELECT doc_id AS src, doc_id AS dst FROM documents
+        |UNION
+        |SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
+    "q_dedup_embed_cos" ->
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.35""".stripMargin,
+    "q_ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |p AS (SELECT * FROM v WHERE vec_id < 8),
+        |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
+        |FROM p JOIN v c ON p.vec_id <> c.vec_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
+        |SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |FROM scored) WHERE rnk <= 5""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH tf AS (
+        |SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |FROM documents) GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, CAST(rnk AS INT) AS rank, tok, tf, df FROM (
+        |SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+        |row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfc.df ASC, tf.tok ASC) AS rnk
+        |FROM tf JOIN dfc ON tf.tok = dfc.tok) WHERE rnk <= 3""".stripMargin,
+    "q_bigram_counts" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |FROM t WHERE len(l) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram""".stripMargin,
+    "q_train_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |FROM documents)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+        |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "q_cap_per_group" ->
+      """SELECT doc_id, lang, source FROM (
+        |SELECT doc_id, lang, source,
+        |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |FROM documents) WHERE rn <= 10""".stripMargin,
+    "q_skew_join" ->
+      """SELECT s_name, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+    "q_partitioned_roundtrip" ->
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE lang = 'en'""".stripMargin,
     "q_vec_norms" ->
       """SELECT vec_id, label,
         |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,

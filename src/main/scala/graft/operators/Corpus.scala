@@ -18,6 +18,39 @@ object Corpus {
       .groupBy("tok")
       .agg(count(lit(1)).as("df"))
 
+  /** Top-k characteristic terms per document, ranked by
+    * (tf desc, df asc, token asc) — the tf-idf ordering without a
+    * float idf: for fixed tf, rarer (lower-df) terms win, which is
+    * exactly idf's tie-break, and integer ranks stay bit-stable
+    * across engines (ln() is libm-dependent). Two map-side-combined
+    * aggregations + one window; the df table joins on token
+    * (broadcast when vocab is bounded, shuffle otherwise — AQE
+    * decides from size stats). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(df_, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"))
+  }
+
+  /** Corpus bigram counts (adjacent token pairs) — the n-gram LM /
+    * collocation table. Explode + one combined count; the shuffle
+    * carries |distinct bigrams| partials. */
+  def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+
   /** Corpus length profile per grouping key: docs, total/mean token
     * counts — the cheap first look at a new 100 TB crawl. */
   def lengthProfile(docs: DataFrame, keys: Seq[String],

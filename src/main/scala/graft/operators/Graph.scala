@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives for the dedup pipeline.
+  *
+  * Near-dup PAIRS are only half the job: to actually drop duplicates
+  * you need the transitive closure — if A~B and B~C, then {A,B,C} is
+  * one duplicate cluster and one representative survives. Reference
+  * pipelines do this with union-find on one machine; the Spark-first
+  * shape is iterative min-label propagation (Pregel-style), which is
+  * a join + map-side-combined min aggregation per round.
+  *
+  * Rounds needed = graph diameter. Near-dup clusters are dense and
+  * shallow (diameter 2-4), so the loop converges in a handful of
+  * shuffles even at 100 TB; for adversarially long chains the
+  * large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce") halves diameter per round — same
+  * join+min building blocks, swap the message rule.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation.
+    *
+    * @param nodes one column = node id (numeric/string)
+    * @param edges undirected edge list
+    * @return (id, component) — component = min node id reachable,
+    *         every input node present (singletons map to themselves)
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 25): DataFrame = {
+    val idCol = nodes.columns.head
+    // symmetric edges, deduped once, cached: reused every round
+    // Iterative DataFrames MUST truncate lineage each round:
+    // labels_{n+1} references labels_n twice (self + messages), so
+    // without truncation the LOGICAL plan doubles per iteration and
+    // Catalyst analysis alone goes exponential — persist() only
+    // short-circuits execution, not analysis. localCheckpoint(eager)
+    // rebases the plan on the materialized RDD; on a real cluster
+    // with flaky executors, reliable checkpoint() to DFS is the
+    // drop-in hardened variant.
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    // labels only decrease, so sum(comp) is a monotone convergence
+    // metric — one cheap agg per round instead of a change-count join
+    def labelSum(df: DataFrame): Double =
+      df.agg(sum(col("comp").cast("double"))).head().getDouble(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true) // materializes + truncates lineage
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off a CONTENT hash of a stable id — never rand()
+  * — so assignments are reproducible across runs, clusters, task
+  * retries and engines (md5 is identical everywhere; Spark's rand()
+  * is partition-layout dependent and breaks on replay). Pure
+  * per-row column expressions: no shuffle, no state.
+  */
+object Sampling {
+
+  /** Bucket 0..255 from the first two hex chars of md5(id) —
+    * engine-portable (md5 + substring + strpos exist everywhere with
+    * identical semantics; no engine-specific hash involved). */
+  def md5Bucket(idCol: Column): Column = {
+    val hex = md5(idCol.cast("string"))
+    ((locateNibble(hex, 1) - 1) * 16 + (locateNibble(hex, 2) - 1)).cast("long")
+  }
+
+  private def locateNibble(hex: Column, pos: Int): Column =
+    // position of the pos-th hex char in the nibble alphabet (1-based)
+    instrCol(lit("0123456789abcdef"), substring(hex, pos, 1))
+
+  /** instr with a Column needle (the built-in wrapper only takes a
+    * String literal). */
+  private def instrCol(haystack: Column, needle: Column): Column =
+    call_function("instr", haystack, needle)
+
+  /** Deterministic named split by cumulative fractions over the 256
+    * md5 buckets, e.g. Seq("train" -> 0.9, "val" -> 0.05,
+    * "test" -> 0.05). Adds `bucket` and `split`. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = md5Bucket(col(idCol))
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(f => math.round(f * 256).toInt)
+    val assign = splits.map(_._1).zip(bounds)
+      .foldRight(lit(splits.last._1)) { case ((name, bound), other) =>
+        when(bucket < bound, lit(name)).otherwise(other)
+      }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Per-group quota: keep the first `n` rows of each group in
+    * `orderCols` order (domain caps / source balancing). Single
+    * window shuffle; at 100 TB pre-aggregate a per-group count to
+    * skip the window for groups already under quota. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[Column], n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

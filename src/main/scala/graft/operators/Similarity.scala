@@ -52,7 +52,9 @@ object Similarity {
       .select(col(groupCol), posexplode(col("top")))
       .select(col(groupCol), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"),
-        round(col("col.score"), 6).as("cos"))
+        // raw IEEE double — round() differs between engines on .5
+        // ties, and the unrounded score hash-matches DuckDB exactly
+        col("col.score").as("cos"))
 
   /** LSH-bucketed ANN: corpus and probes coded with `nBits` random
     * hyperplanes; candidates = same code (equi-join), ranked by exact

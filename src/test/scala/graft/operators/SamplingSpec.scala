@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("deterministicSplit: buckets in [0,256), stable, fractions sane") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Sampling.deterministicSplit(df, "id", splits)
+    val rows = out.select("id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 256 })
+    // identical on re-run (content hash, no rand())
+    val again = Sampling.deterministicSplit(df, "id", splits)
+      .select("id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05)
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("deterministicSplit boundaries follow bucket thresholds") {
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    val out = Sampling.deterministicSplit(df, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val bad = out.filter(
+      (col("bucket") < 230 && col("split") =!= "train") ||
+        (col("bucket") >= 230 && col("bucket") < 243 && col("split") =!= "val") ||
+        (col("bucket") >= 243 && col("split") =!= "test")).count()
+    assert(bad == 0)
+  }
+
+  test("capPerGroup keeps first n per group in order") {
+    val df = Seq(
+      ("a", 3), ("a", 1), ("a", 2), ("a", 4),
+      ("b", 7), ("b", 5)).toDF("g", "v")
+    val out = Sampling.capPerGroup(df, Seq("g"), Seq(col("v").asc), 2)
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 5), ("b", 7)))
+  }
+}
