@@ -21,6 +21,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStreams {
 
+  /** Stateful queries create one state-store instance per shuffle
+    * partition (×2 for stream-stream joins), each with checkpoint
+    * files and a maintenance thread — at the relational shuffle
+    * default, store setup I/O dominates small/medium streams. Scope
+    * stateful shuffles to a bounded width and restore the session
+    * default after; a production cluster sizes this to state volume
+    * per executor, independently of the batch shuffle width. */
+  private[streaming] def withStatefulShuffle[T](spark: SparkSession,
+                                                n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Windowed count+sum per event_type over a parquet events path,
     * executed as a streaming query and returned as the final batch
     * result. Output: window_start_us, event_type, n, sum_value. */
@@ -42,13 +57,15 @@ object EventStreams {
         col("event_type"), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
     spark.catalog.dropTempView(queryName) // rerun-safe
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatefulShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -87,13 +104,15 @@ object EventStreams {
         unix_micros(col("click_ts")).as("click_ts_us"), col("err_id"),
         unix_micros(col("err_ts")).as("err_ts_us"))
     spark.catalog.dropTempView(queryName) // rerun-safe
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatefulShuffle(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -117,13 +136,15 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
     spark.catalog.dropTempView(queryName) // rerun-safe
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatefulShuffle(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 

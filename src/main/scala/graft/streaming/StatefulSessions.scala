@@ -69,13 +69,15 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(step(gapMicros))
     spark.catalog.dropTempView(queryName) // rerun-safe
-    val q = sessions.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withStatefulShuffle(spark) {
+      val q = sessions.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }
