@@ -111,6 +111,6 @@ object Ivf {
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"),
-        round(col("col.score"), 6).as("cos"))
+        col("col.score").as("cos"))
   }
 }

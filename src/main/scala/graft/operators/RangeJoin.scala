@@ -93,7 +93,13 @@ object RangeJoin {
   def knnContacts(df: DataFrame, partitionKey: String, idCol: String,
                   xCol: String, yCol: String, zCol: String,
                   eps: Double, k: Int): DataFrame = {
+    // the pair set is referenced twice below (one per direction) —
+    // persist the small result so the grid join runs once, and
+    // materialize it eagerly so the two branches read a complete
+    // cache instead of racing to populate it
     val pairs = contacts3D(df, partitionKey, idCol, xCol, yCol, zCol, eps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     // contacts are unordered (a<b); each pair serves both endpoints
     val directed = pairs.select(col(partitionKey), col("a_id").as("id"),
         col("b_id").as("neighbor_id"), col("dist2"))
