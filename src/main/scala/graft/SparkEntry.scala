@@ -293,6 +293,19 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, d) =>
       Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
     "q_bigram_counts" -> ((s, d) => Corpus.bigramCounts(T(s, d, "documents"))),
+    "q_pii_scrub" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.emailCount(col("text")).cast("long").as("n_emails"),
+        TextFunctions.longNumCount(col("text")).cast("long").as("n_longnums"),
+        TextFunctions.scrubPii(col("text")).as("scrubbed"))),
+    // benchmark decontamination: docs 0..24 stand in for the eval
+    // suite; the rest of the corpus is checked for 3-gram overlap
+    "q_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), shingleN = 3, tau = 0.5)
+    }),
     "q_length_profile" -> ((s, d) =>
       Corpus.lengthProfile(T(s, d, "documents"), Seq("lang", "source"))),
     "q_vec_quantize" -> ((s, d) => {
@@ -690,6 +703,28 @@ object SparkEntry {
         |b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
         |FROM t WHERE len(l) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q_decontaminate" ->
+      """WITH corp AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |FROM documents WHERE doc_id >= 25),
+        |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |FROM documents WHERE doc_id < 25),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+        |FROM bench WHERE len(l) >= 3),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
+        |FROM corp WHERE len(l) >= 3),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
+        |FROM corp)
+        |SELECT tot.doc_id, tot.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5 AS contaminated
+        |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""".stripMargin,
     "q_train_split" ->
       """WITH b AS (SELECT doc_id, lang,
         |(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

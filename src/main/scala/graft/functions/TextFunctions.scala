@@ -104,6 +104,27 @@ object TextFunctions {
     sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val LongNumRe = "[0-9]{6,}"
+
+  /** Count of email-shaped substrings (pre-scrub audit column). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+
+  /** Count of long (6+) digit runs — phone/account-number shapes. */
+  def longNumCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LongNumRe), lit(0)))
+
+  /** PII scrub: emails → <EMAIL>, long digit runs → <NUM>. Both
+    * patterns stay in the RE2-compatible subset so any engine
+    * (Java regex here, RE2 in DuckDB/Go tooling) rewrites
+    * identically. Column-level, codegen'd — the hygiene pass runs in
+    * the same scan as tokenization. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   /** Order-sensitive rolling document fingerprint over tokens:
     * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
     * overflow, ANSI-safe, deterministic. */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics for the training-data pipeline: vocabulary
@@ -50,6 +50,34 @@ object Corpus {
         TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
+
+  /** Benchmark decontamination: flag corpus documents whose distinct
+    * word n-grams overlap a benchmark set by >= tau.
+    *
+    * The benchmark's distinct shingle set is small (eval suites are
+    * KBs–MBs, the corpus is the 100 TB side) — broadcast it; the
+    * corpus side is one explode + one broadcast-hash semi-count +
+    * one groupBy, no shuffle of text. Output: one row per corpus doc
+    * with its distinct-shingle count, overlap count, and flag. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, shingleN: Int,
+                    tau: Double, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def sh(c: Column) = array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(c), shingleN))
+    val benchSh = benchmark
+      .select(explode(sh(col(textCol))).as("sh")).distinct()
+    val corpSh = corpus
+      .select(col(idCol), explode(sh(col(textCol))).as("sh"))
+    val overlap = corpSh.join(broadcast(benchSh), "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol),
+        size(sh(col(textCol))).cast("long").as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contaminated",
+        col("n_overlap").cast("double") /
+          greatest(col("n_shingles"), lit(1L)) >= tau)
+  }
 
   /** Corpus length profile per grouping key: docs, total/mean token
     * counts — the cheap first look at a new 100 TB crawl. */
