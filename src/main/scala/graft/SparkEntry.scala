@@ -261,14 +261,36 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
     }),
+    // 4-bit × 8-table operating point: this corpus's true neighbours
+    // sit at cos ≈ 0.3 (near-random), where 6-bit codes collide too
+    // rarely — recall math in Similarity.lshTopK scaladoc
     "q_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64,
+        nBits = 4)
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5,
         nCells = 8, nProbe = 3)
+    }),
+    // ANN quality harness: recall@5 of the LSH and IVF indexes vs
+    // the brute-force exact result, per probe (approximate indexes →
+    // rows-only; the recall VALUE is the deliverable)
+    "q_ann_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, probes, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      val lsh = Similarity.recallAtK(
+          Similarity.lshTopK(emb, probes, 5, dim = 64, nBits = 4), exact, 5)
+        .withColumn("index", lit("lsh"))
+      val ivf = Similarity.recallAtK(
+          Ivf.ivfTopK(emb, probes, 5, nCells = 8, nProbe = 3), exact, 5)
+        .withColumn("index", lit("ivf"))
+      lsh.unionByName(ivf)
+        .select("index", "probe_id", "n_exact", "n_hit", "recall")
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),

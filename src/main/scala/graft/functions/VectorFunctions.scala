@@ -51,12 +51,15 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH code: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hash-derived, no
-    * RNG state — reproducible across executors). */
-  def hyperplaneCode(vec: Column, dim: Int, nBits: Int): Column = {
+    * RNG state — reproducible across executors). `table` salts the
+    * hyperplane family so multi-table LSH gets independent codes. */
+  def hyperplaneCode(vec: Column, dim: Int, nBits: Int,
+                     table: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val hp = (0 until dim).map { i =>
         // deterministic pseudo-random in [-0.5, 0.5)
-        val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-hp-$j-$i")
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"graft-hp-$table-$j-$i")
         (math.abs(h.toLong) % 1000L).toDouble / 1000.0 - 0.5
       }
       val hpCol = typedlit(hp)

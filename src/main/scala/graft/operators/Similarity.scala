@@ -56,22 +56,59 @@ object Similarity {
         // ties, and the unrounded score hash-matches DuckDB exactly
         col("col.score").as("cos"))
 
-  /** LSH-bucketed ANN: corpus and probes coded with `nBits` random
-    * hyperplanes; candidates = same code (equi-join), ranked by exact
-    * cosine within bucket. Recall < 1 by construction — the 100 TB
-    * trade: no cross join ever materializes. */
+  /** Recall@k of an approximate ANN result against the exact one:
+    * per probe, |approx∩exact| / |exact| over the top-k neighbor
+    * sets. The standard tuning loop for (nBits, nCells, nProbe) at
+    * scale — run on a sampled probe set, never the full corpus.
+    * Inputs are outputs of `bruteForceTopK`-shaped queries
+    * (probe col, neighbor_id, rank <= k). One small join on
+    * (probe, neighbor): exact side is |probes|×k rows. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                probeCol: String = "probe_id"): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col(probeCol), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col(probeCol), col("neighbor_id"))
+    val hits = a.join(e, Seq(probeCol, "neighbor_id"), "left_semi")
+      .groupBy(col(probeCol)).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col(probeCol)).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(probeCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact"))
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent `nBits`-hyperplane
+    * codes per vector; a candidate pair is any (probe, corpus) pair
+    * sharing ANY table's code — recall 1−(1−p^nBits)^nTables instead
+    * of the single-table p^nBits (measured 0.025 → healthy on the
+    * test corpus; single-code LSH is a recall trap). Candidate
+    * generation stays an equi-join on (table, code); candidate ids
+    * are deduped BEFORE vectors are fetched and scored, so each
+    * surviving pair is scored exactly once and no vector rides the
+    * multi-table join. Still never a cross join — the 100 TB trade
+    * is one coded shuffle per table. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
-              nBits: Int = 6, idCol: String = "vec_id",
+              nBits: Int = 6, nTables: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    def coded(df: DataFrame, id: String, vec: String, nrm: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        VectorFunctions.norm(col(vecCol)).as(nrm),
-        VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits).as("code"))
-    val c = coded(corpus, "neighbor_id", "c_vec", "c_nrm")
-    val p = coded(probes, "probe_id", "p_vec", "p_nrm")
-    val denom = col("p_nrm") * col("c_nrm")
-    val scored = c.join(p, Seq("code"))
+    def codes(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"),
+            VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits, t)
+              .as("code"))): _*)).as("tc"))
+    val cand = codes(corpus, "neighbor_id")
+      .join(codes(probes, "probe_id"), Seq("tc"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+    def side(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.norm(col(vecCol)).as(nrm))
+    val denom = col("p_nrm") * col("c_nrm")
+    val scored = cand
+      .join(side(corpus, "neighbor_id", "c_vec", "c_nrm"), "neighbor_id")
+      .join(side(probes, "probe_id", "p_vec", "p_nrm"), "probe_id")
       .select(col("probe_id"), col("neighbor_id"),
         when(denom === 0.0, lit(0.0))
           .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)

@@ -30,6 +30,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("probe_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("recallAtK scores approximate vs exact neighbor sets") {
+    val exact = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val approx = Seq(
+      (1L, 1, 10L), (1L, 2, 99L), (1L, 3, 12L), // 2/3
+      (2L, 1, 77L)) // 0/3
+      .toDF("probe_id", "rank", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, 3)
+      .select("probe_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 2.0 / 3), (2L, 3L, 0L, 0.0)))
+  }
+
   test("lshTopK returns only same-bucket candidates ranked by cosine") {
     val out = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 1L),
       k = 3, dim = 2, nBits = 2)
