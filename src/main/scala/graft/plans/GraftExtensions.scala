@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{ArrayDot, BoundedTopK}
+import graft.expressions.{ArrayDot, BoundedTopK, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => ArrayDot(a, b)
         case _ => throw new IllegalArgumentException(
           "array_dot(array<float|double>, array<float|double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedIntersectSize(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_size(array<bigint> sorted-distinct, array<bigint> sorted-distinct)")
       }))
   }
 }

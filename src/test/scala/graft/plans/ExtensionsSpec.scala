@@ -24,4 +24,15 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(out == Seq(1L, 3L))
   }
+
+  test("sorted_intersect_size callable from SQL") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => graft.expressions.SortedIntersectSize(exprs(0), exprs(1)),
+      "scala_udf")
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L))")
+      .head().getInt(0)
+    assert(n == 2)
+  }
 }
