@@ -28,10 +28,16 @@ object Corpus {
     * decides from size stats). */
   def tfIdfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    // tf feeds both the df aggregation and the final join — persist
+    // the compact (doc, tok, tf) table and materialize it eagerly so
+    // the corpus is tokenized once, not once per branch (at 100 TB
+    // this is the checkpoint of the term-frequency table)
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
