@@ -457,6 +457,21 @@ object SparkEntry {
       s.read.parquet(out).filter(col("lang") === "en")
         .select("doc_id", "source", "n_chars", "lang")
     }),
+    "q_stockholm_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("stockholm")
+      // render docs as a single-block Stockholm alignment: gaps are
+      // dots (spaces are not legal in aligned seqs), parser must
+      // strip them back out for the ungapped sequence
+      TextRender.writeText(
+        T(s, d, "documents").select(concat(
+          lit("doc_"), col("doc_id"), lit("/1-"),
+          length(regexp_replace(col("text"), " ", "")), lit(" "),
+          translate(col("text"), " ", ".")).as("value")),
+        out)
+      Msa.parseDescription(Msa.stockholm(s, out))
+        .select(col("acc"), col("seq_start"), col("seq_end"),
+          length(col("sequence")).cast("long").as("seq_len"))
+    }),
     "q_fasta_roundtrip" -> ((s, d) => {
       val out = roundtripDir("fasta")
       TextRender.writeText(
@@ -835,6 +850,11 @@ object SparkEntry {
         |CAST(p_partkey AS BIGINT) AS start, CAST(p_partkey + p_size AS BIGINT) AS "end",
         |CAST(p_partkey AS BIGINT) AS id_attr, CAST(p_size AS BIGINT) AS size_attr
         |FROM part""".stripMargin,
+    "q_stockholm_roundtrip" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
+        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
+        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
+        |FROM documents""".stripMargin,
     "q_fasta_roundtrip" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,

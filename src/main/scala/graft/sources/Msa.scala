@@ -35,6 +35,42 @@ object Msa {
       regexp_replace(body, "[\\s]", "").as("sequence"))
   }
 
+  /** Read Stockholm MSAs: one row per (file, seq_id) with the
+    * gapped alignment and the ungapped sequence.
+    *
+    * Stockholm interleaves sequences in blocks with no per-record
+    * separator, so the FASTA lineSep trick cannot shard a single
+    * file. The natural 100 TB unit is the FILE: Pfam/CATH ship one
+    * family per file (thousands of files), so `wholetext` reads each
+    * file as one row and families parallelize across executors;
+    * within a file, lines are split/parsed with codegen'd column
+    * expressions. Multi-block alignments concatenate each id's
+    * fragments in line order (posexplode index). `#=..` annotations,
+    * the header and the `//` terminator are filtered out.
+    *
+    * reference: proteofav/msas.py:32-54 (AlignIO stockholm branch)
+    * and msas.py:207-253 (Pfam/CATH `NAME/start-end` descriptions —
+    * parse with [[parseDescription]]). */
+  def stockholm(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("src_file"), col("value"))
+    val lines = files.select(col("src_file"),
+      posexplode(split(col("value"), "\n")).as(Seq("line_no", "line")))
+    val body = lines
+      .filter(!col("line").startsWith("#") && !col("line").startsWith("//") &&
+        length(trim(col("line"))) > 0)
+      .select(col("src_file"), col("line_no"),
+        regexp_extract(col("line"), "^(\\S+)\\s+(\\S+)\\s*$", 1).as("seq_id"),
+        regexp_extract(col("line"), "^(\\S+)\\s+(\\S+)\\s*$", 2).as("frag"))
+      .filter(col("seq_id") =!= "")
+    body.groupBy(col("src_file"), col("seq_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("frag")))),
+        s => s.getField("frag")), "").as("aligned"))
+      .withColumn("sequence",
+        regexp_replace(col("aligned"), "[.\\-]", ""))
+  }
+
   /** Extract structured fields out of FASTA descriptions with a
     * regex — the msas.py description-parsing analog (e.g.
     * "UniRef90_P12345/57-316" → id, start, end). Pure codegen'd

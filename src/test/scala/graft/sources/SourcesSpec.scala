@@ -59,6 +59,33 @@ class SourcesSpec extends SparkSpec {
       ("seq2", "", "KLMNO")))
   }
 
+  test("stockholm: blocks concatenate in order, annotations filtered") {
+    val path = writeTmp("a.sth",
+      """# STOCKHOLM 1.0
+        |#=GF ID   FAM1
+        |#=GS seq1/5-14  AC P00001.1
+        |seq1/5-14      ABC..DE
+        |seq2/1-6       GHI-JK.
+        |
+        |seq1/5-14      FGHIJ
+        |seq2/1-6       .LM
+        |#=GC seq_cons  xxxxx
+        |//
+        |""".stripMargin)
+    val out = Msa.stockholm(spark, path)
+    val rows = out.orderBy("seq_id")
+      .select("seq_id", "aligned", "sequence")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("seq1/5-14", "ABC..DEFGHIJ", "ABCDEFGHIJ"),
+      ("seq2/1-6", "GHI-JK..LM", "GHIJKLM")))
+    // description regex applies to stockholm NAME/start-end ids too
+    val parsed = Msa.parseDescription(out).orderBy("seq_id")
+      .select("acc", "seq_start", "seq_end")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(parsed == Seq(("seq1", 5L, 14L), ("seq2", 1L, 6L)))
+  }
+
   test("parseDescription extracts accession and range") {
     val df = Seq("UniRef90_P12345/57-316").toDF("seq_id")
     val r = Msa.parseDescription(df).head()
