@@ -346,6 +346,13 @@ object SparkEntry {
       Sampling.capPerGroup(
         T(s, d, "documents").select("doc_id", "lang", "source"),
         Seq("lang", "source"), Seq(col("doc_id").asc), 10)),
+    // context-window packing: documents → fixed token-budget bins
+    "q_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+        T(s, d, "documents").select(col("doc_id"),
+          functions.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "n_tokens", "doc_id", budget = 512L)),
     // salted join == plain join (the oracle proves it): single-key
     // hotspot mitigation AQE cannot split
     "q_skew_join" -> ((s, d) =>
@@ -770,6 +777,13 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
         |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents)
+        |SELECT doc_id, n_tokens,
+        |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
+        |FROM t""".stripMargin,
     "q_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |SELECT doc_id, lang, source,

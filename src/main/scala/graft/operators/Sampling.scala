@@ -47,6 +47,29 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (context-window packing for training batches). Deterministic
+    * greedy scheme: order by (length desc, id), take the running
+    * token sum, bin = floor((running − own) / budget) — documents
+    * fill bin 0 until the budget spills, then bin 1, and so on. A
+    * doc longer than the budget gets its own bin (still one row).
+    *
+    * The single global window is the VERIFIABLE form; at 100 TB the
+    * same two columns are computed per range-partition (sort key =
+    * the same ordering) with each partition's token total aggregated
+    * first and offset-added — identical output, no single-reducer
+    * sort. */
+  def packSequences(df: DataFrame, lenCol: String, idCol: String,
+                    budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(lenCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__running", sum(col(lenCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("__running") - col(lenCol)) / budget).cast("long"))
+      .drop("__running")
+  }
+
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
     * window shuffle; at 100 TB pre-aggregate a per-group count to

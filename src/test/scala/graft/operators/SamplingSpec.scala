@@ -33,6 +33,15 @@ class SamplingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("packSequences fills budget bins greedily by length desc") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 200L), (4L, 100L), (5L, 700L))
+      .toDF("id", "n")
+    val out = Sampling.packSequences(df, "n", "id", budget = 512L)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    // order: 5(700) 1(300) 2(300) 3(200) 4(100); running-own: 0,700,1000,1300,1500
+    assert(out == Map(5L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("capPerGroup keeps first n per group in order") {
     val df = Seq(
       ("a", 3), ("a", 1), ("a", 2), ("a", 4),
