@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline through graft's public API:
+  * quality signals → PII scrub → exact dedup → near-dup clustering →
+  * benchmark decontamination → deterministic split → context packing.
+  * The corpus twin of ReferenceParitySpec's structure workflow.
+  */
+class PipelineParitySpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("corpus pipeline: scrub → dedup → cluster → decontaminate → split → pack") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog yesterday"), // near dup
+      (4L, "contact me at alice@example.com about data and spark"),
+      (5L, "benchmark question one about the meaning of life"),
+      (6L, "completely unrelated text with words nobody repeats"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, "benchmark question one about the meaning of life"))
+      .toDF("doc_id", "text")
+
+    // 1. quality + hygiene columns in one scan
+    val scored = corpus.select(col("doc_id"),
+      TextFunctions.scrubPii(col("text")).as("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.emailCount(col("text")).as("n_emails"))
+    assert(scored.filter(col("n_emails") > 0).select("doc_id")
+      .as[Long].collect().toSeq == Seq(4L))
+    assert(scored.filter(col("text").contains("<EMAIL>")).count() == 1)
+
+    // 2. exact dedup: 1 and 2 collapse (scrubbed text identical)
+    val exact = Dedup.exact(scored, idCol = "doc_id", textCol = "text")
+    assert(exact.count() == 5)
+    val keepExact = scored.join(
+      exact.select(col("keeper_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(keepExact.count() == 5) // doc 2 gone
+
+    // 3. near-dup clustering: 1 and 3 share >= 70% of tokens
+    val pairs = Dedup.ngramJaccardPairs(
+      keepExact.withColumn("blk", lit(1)), Seq("blk"), threshold = 0.7,
+      idCol = "doc_id", textCol = "text")
+    assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 3L)))
+    val clusters = Graph.connectedComponents(
+      keepExact.select(col("doc_id")), pairs.select("a_id", "b_id"))
+    val reps = keepExact.join(
+      clusters.filter(col("id") === col("comp")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(reps.select("doc_id").as[Long].collect().toSorted ==
+      Seq(1L, 4L, 5L, 6L)) // 3 collapsed into 1's cluster
+
+    // 4. decontamination: doc 5 IS the benchmark doc
+    val decon = Corpus.decontaminate(reps, benchmark, shingleN = 3, tau = 0.5)
+    val clean = reps.join(
+      decon.filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(clean.select("doc_id").as[Long].collect().toSorted ==
+      Seq(1L, 4L, 6L))
+
+    // 5. deterministic split + context packing survive to the end
+    val split = Sampling.deterministicSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val packed = Sampling.packSequences(
+      split.withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")).cast("long")),
+      "n_tokens", "doc_id", budget = 16L)
+    assert(packed.count() == 3)
+    assert(packed.schema.fieldNames.contains("split") &&
+      packed.schema.fieldNames.contains("bin_id"))
+    // re-running the whole chain is bit-stable (no rand anywhere)
+    val again = Sampling.deterministicSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == split.select("doc_id", "split")
+      .as[(Long, String)].collect().toSet)
+  }
+
+  private implicit class SortedSeq(s: Array[Long]) {
+    def toSorted: Seq[Long] = s.toSeq.sorted
+  }
+}
