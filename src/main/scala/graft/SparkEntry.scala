@@ -144,6 +144,22 @@ object SparkEntry {
         .withColumn("kind", lit("anti"))
       semi.unionByName(anti).select("kind", "c_custkey", "c_name")
     }),
+    // bucketed fact-fact join: both sides pre-shuffled at write time
+    // into the same bucket layout → the join itself plans with ZERO
+    // exchanges (the repeated-join pattern for a 100 TB fact table)
+    "q_bucketed_join" -> ((s, d) => {
+      Bucketing.writeBucketed(
+        T(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_li_bucketed", Seq("l_orderkey"), 8)
+      Bucketing.writeBucketed(
+        T(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        "graft_ord_bucketed", Seq("o_orderkey"), 8)
+      Bucketing.bucketedJoin(s, "graft_li_bucketed", "graft_ord_bucketed",
+          Seq("l_orderkey" -> "o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.decSum(col("l_quantity")).as("sum_qty"))
+    }),
     // ---- D. window / dedup / order --------------------------------------
     "q_dedup_keep_best" -> ((s, d) =>
       WindowOps.keepBestPerKey(
@@ -593,6 +609,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'anti' AS kind, c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_dedup_keep_best" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
         |SELECT l_orderkey, l_linenumber, l_extendedprice,

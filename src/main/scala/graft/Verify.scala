@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) — read as long nanos,
       // normalized to micros in sources.Tables.normalizeNanoTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries saveAsTable into the warehouse — keep
+      // managed-table data out of the repo working tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
