@@ -16,14 +16,27 @@ object Bucketing {
 
   /** Write `df` as a bucketed (+ sorted within buckets) managed
     * table. Sorting by the key makes the downstream sort-merge join
-    * skip its sort too. */
+    * skip its sort too.
+    *
+    * Rerun-safe ACROSS sessions: with an in-memory catalog, a
+    * previous JVM's managed-table DIRECTORY survives while its
+    * catalog entry does not, and saveAsTable refuses to reuse the
+    * orphaned location (LOCATION_ALREADY_EXISTS) — drop both the
+    * table and any leftover directory first. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans with
     * no shuffle on either side (assert via hasShuffle in tests). */
