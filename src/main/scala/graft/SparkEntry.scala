@@ -78,6 +78,12 @@ object SparkEntry {
           .select("l_orderkey", "l_linenumber", "l_quantity"),
         "l_quantity", "qty_class", Seq(10.0, 25.0),
         Seq("low", "mid", "high"))),
+    "q_scaled_ratio" -> ((s, d) =>
+      RowOps.scaledRatio(
+        T(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        "l_quantity", "l_returnflag",
+        Map("A" -> 17.0, "N" -> 23.5, "R" -> 31.0), "qty_rsa")),
     // ---- B. aggregation -------------------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
       Aggregations.pricingSummary(T(s, d, "lineitem").filter(expr(q1Filter)))),
@@ -542,6 +548,10 @@ object SparkEntry {
     "q_recode_class" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_class
+        |FROM lineitem""".stripMargin,
+    "q_scaled_ratio" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |l_quantity / (CASE l_returnflag WHEN 'A' THEN CAST(17.0 AS DOUBLE) WHEN 'N' THEN CAST(23.5 AS DOUBLE) WHEN 'R' THEN CAST(31.0 AS DOUBLE) END) * CAST(100.0 AS DOUBLE) AS qty_rsa
         |FROM lineitem""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

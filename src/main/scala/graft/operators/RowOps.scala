@@ -91,6 +91,21 @@ object RowOps {
     df.withColumn(as, chain.otherwise(default))
   }
 
+  /** Scaled ratio against a per-category constant — the RSA shape:
+    * value / constants(category) × scale. The constants table is a
+    * literal when-chain (codegen'd, no join, no broadcast); unmapped
+    * categories yield null, matching the reference's empty-RSA
+    * behavior. reference: proteofav/dssp.py:249 (get_rsa,
+    * ACC / ASA[resname] × 100). */
+  def scaledRatio(df: DataFrame, valueCol: String, keyCol: String,
+                  constants: Map[String, Double], as: String,
+                  scale: Double = 100.0): DataFrame = {
+    val lookup = constants.foldLeft(lit(null).cast("double")) {
+      case (other, (k, v)) => when(col(keyCol) === k, lit(v)).otherwise(other)
+    }
+    df.withColumn(as, col(valueCol) / lookup * scale)
+  }
+
   /** Collapse to one row per `groupKeys`: every other column becomes
     * the sorted-unique values joined by `sep` — single shuffle, no
     * driver-side loops. reference: proteofav/utils.py:250

@@ -68,4 +68,15 @@ class RowOpsSpec extends SparkSpec {
     assert(out.select("r").as[String].collect().toSeq ==
       Seq("Helix", "Helix", "Other"))
   }
+
+  test("scaledRatio divides by the category constant, null if unmapped") {
+    val df = Seq(("A", 34.0), ("N", 47.0), ("X", 1.0)).toDF("k", "v")
+    val out = RowOps.scaledRatio(df, "v", "k",
+      Map("A" -> 17.0, "N" -> 23.5), "rsa")
+    val rows = out.select("k", "rsa").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map("A" -> Some(200.0), "N" -> Some(200.0), "X" -> None))
+  }
 }
