@@ -71,6 +71,18 @@ object Msa {
         regexp_replace(col("aligned"), "[.\\-]", ""))
   }
 
+  /** Sequence sanity normalization: uppercase, swap the gap symbol,
+    * and map any non-standard residue letter to the ambiguous
+    * symbol. Column-level, codegen'd.
+    * reference: proteofav/utils.py:356 (check_sequence). */
+  def normalizeSequence(seq: org.apache.spark.sql.Column,
+                        gapSymbol: String = "-", newGapSymbol: String = "-",
+                        ambiguous: String = "X"): org.apache.spark.sql.Column =
+    regexp_replace(
+      translate(upper(seq), gapSymbol, newGapSymbol),
+      "[^ACDEFGHIKLMNPQRSTVWYX" +
+        java.util.regex.Pattern.quote(newGapSymbol) + "]", ambiguous)
+
   /** Extract structured fields out of FASTA descriptions with a
     * regex — the msas.py description-parsing analog (e.g.
     * "UniRef90_P12345/57-316" → id, start, end). Pure codegen'd

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Randomized cross-check: distributed min-label propagation must
+  * equal a local union-find on arbitrary graphs (chains, cliques,
+  * singletons, dense/sparse mixes). */
+class GraphPropertySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min node id per component == find with min-root union above
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connectedComponents equals union-find on 25 random graphs") {
+    val rnd = new scala.util.Random(73)
+    (1 to 25).foreach { trial =>
+      val n = rnd.nextInt(35) + 5
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val got = Graph.connectedComponents(
+          (0 until n).map(_.toLong).toDF("id"),
+          if (edges.isEmpty) Seq((0L, 0L)).toDF("a_id", "b_id").limit(0)
+          else edges.toDF("a_id", "b_id"),
+          maxIter = n)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+}

@@ -86,6 +86,13 @@ class SourcesSpec extends SparkSpec {
     assert(parsed == Seq(("seq1", 5L, 14L), ("seq2", 1L, 6L)))
   }
 
+  test("normalizeSequence uppercases, swaps gaps, X-es unknown letters") {
+    val df = Seq("acd.ef?gZ").toDF("s")
+    val out = df.select(Msa.normalizeSequence(col("s"),
+      gapSymbol = ".", newGapSymbol = "-").as("n")).as[String].head()
+    assert(out == "ACD-EFXGX") // Z is not a standard residue letter
+  }
+
   test("parseDescription extracts accession and range") {
     val df = Seq("UniRef90_P12345/57-316").toDF("seq_id")
     val r = Msa.parseDescription(df).head()
