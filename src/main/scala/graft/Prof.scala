@@ -1,0 +1,101 @@
+package graft
+
+// Dev profiling harness — NOT part of the library surface or the
+// driver contract. Modes (env vars):
+//   PROF_EXACT=1        stage-time the exact-dedup primitives
+//   PROF_EXPLAIN_NEW=1  print formatted plans for the r3 queries
+//   PROF_USE_OP=1       time Dedup.minhashPairs end-to-end
+//   (default)           stage-by-stage minhash pipeline breakdown,
+//                       PROF_PERSIST=1 toggles the sketch cache,
+//                       PROF_FINAL_ONLY=1 skips intermediate actions
+// Used with SPARK_GRAFT_SF_DIR to pick the scale factor.
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s = $r"); r
+    }
+    val finalOnly = sys.env.get("PROF_FINAL_ONLY").contains("1")
+    def stage[T](name: String)(f: => T): Unit =
+      if (!finalOnly) time(name)(f)
+    val docs = sources.Tables.load(spark, sfDir, "documents")
+    val numHashes = 32; val bands = 2; val shingleN = 1; val threshold = 0.9
+
+    if (sys.env.get("PROF_EXACT").contains("1")) {
+      val t = time("load.count")(docs.count())
+      time("md5.agg.count")(operators.Dedup.exact(docs).count())
+      time("md5.agg.count.2")(operators.Dedup.exact(docs).count())
+      time("plain.groupBy.count")(
+        docs.groupBy("source").count().count())
+      spark.stop(); return
+    }
+    if (sys.env.get("PROF_EXPLAIN_NEW").contains("1")) {
+      for (q <- Seq("q_tfidf_top_terms", "q_train_split",
+        "q_partitioned_roundtrip", "q_decontaminate", "q_skew_join")) {
+        println(s"===== $q =====")
+        SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+    if (sys.env.get("PROF_USE_OP").contains("1")) {
+      time("op.minhashPairs.count")(
+        operators.Dedup.minhashPairs(docs, threshold = 0.9,
+          numHashes = 32, bands = 2, shingleN = 1).count())
+      spark.stop(); return
+    }
+    val usePersist = sys.env.get("PROF_PERSIST").contains("1")
+    var sketch = docs.select(col("doc_id").as("id"),
+      array_distinct(transform(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), shingleN),
+        s => xxhash64(s))).as("sh"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
+    if (usePersist) sketch = sketch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stage("sketch.count")(sketch.count())
+    val base = sketch.select(col("id"), col("sh"))
+    val sigs = sketch.select(col("id"), col("sig"))
+    val banded = sigs.select(col("id"),
+      explode(HashFunctions.bandKeys(col("sig"), bands,
+        numHashes / bands)).as("bk"))
+    stage("banded.count")(banded.count())
+    val cands = banded.alias("x").join(banded.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    stage("cands.count")(cands.count())
+    val minAgree = math.max(0, math.ceil((threshold - 0.15) * numHashes)).toInt
+    val agree = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m))
+    val prefiltered = cands
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .filter(agree >= minAgree)
+      .select(col("a_id"), col("b_id"))
+    stage("prefiltered.count")(prefiltered.count())
+    val fin = prefiltered
+      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    time("final.count")(fin.count())
+    if (sys.env.get("PROF_EXPLAIN").contains("1")) fin.explain("formatted")
+    spark.stop()
+  }
+}
