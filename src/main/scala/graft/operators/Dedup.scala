@@ -153,7 +153,8 @@ object Dedup {
       sort_array(array_distinct(transform(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), shingleN),
         s => xxhash64(s)))).as("sh"))
-      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
+      .withColumn("sig",
+        graft.expressions.MinHashSig.of(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize the cache BEFORE the multi-branch join pipeline:
     // concurrent branches populating a lazy cache race and each
