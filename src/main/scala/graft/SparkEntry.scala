@@ -247,6 +247,24 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum("n_events").cast("long").as("n_events"))),
     "q_stream_join" -> ((s, d) => EventStreams.streamStreamJoin(s, d)),
+    // the PRODUCTION streaming sink path: append-mode windowed agg to
+    // parquet files with a checkpoint — only windows the final
+    // watermark (max ts − 1h) has passed are emitted, and the oracle
+    // reproduces exactly that set
+    "q_stream_to_files" -> ((s, d) => {
+      val out = roundtripDir("stream_files/out")
+      val ckpt = roundtripDir("stream_files/ckpt")
+      // fresh checkpoint each run: the source checkpoint remembers
+      // processed files, a stale one would emit an empty batch
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      Seq(out, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      EventStreams.windowedCountsToFiles(s, d, out, ckpt)
+      s.read.parquet(out)
+    }),
     // one availableNow batch over a single file → every duplicate key
     // is in-batch and dropped, so exactly one row per user survives
     // (which row is arbitrary → aggregate to the deterministic shape)
@@ -691,6 +709,14 @@ object SparkEntry {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_to_files" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |wm AS (SELECT MAX(us) - 3600000000 AS w FROM e)
+        |SELECT (us // 900000000) * 900000000 AS window_start_us,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2
+        |HAVING (us // 900000000) * 900000000 + 900000000 <= (SELECT w FROM wm)""".stripMargin,
     "q_stateful_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |f AS (SELECT user_id, us,

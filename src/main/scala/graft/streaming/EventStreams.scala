@@ -175,13 +175,15 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatefulShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 }
