@@ -179,6 +179,12 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us")),
         Seq("user_id"), Seq(col("ts_us"), col("event_id")),
         col("ts_us"), "delta_us")),
+    "q_window_rolling" -> ((s, d) =>
+      WindowOps.rollingStats(
+        T(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value")),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")),
+        col("value"), nRows = 5)),
     "q_sessionize" -> ((s, d) =>
       WindowOps.sessionize(T(s, d, "events"), Seq("user_id"),
           unix_micros(col("ts")), 1800L * 1000000L)
@@ -651,6 +657,13 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
         |FROM events""".stripMargin,
+    "q_window_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS roll_sum,
+        |COUNT(value) OVER w AS roll_n,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) / COUNT(value) OVER w AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |f AS (SELECT user_id, us,

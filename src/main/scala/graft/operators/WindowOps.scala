@@ -35,6 +35,21 @@ object WindowOps {
     df.withColumn(as, valueCol - lag(valueCol, 1).over(w))
   }
 
+  /** Rolling statistics over the trailing `nRows` rows per key
+    * (smoothing / trailing-sum over an ordered series). Decimal
+    * accumulation keeps the sum bit-stable across engines and
+    * partitionings; one shuffle, same partitioning as the other
+    * per-key windows so stacking stays shuffle-free. */
+  def rollingStats(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
+                   valueCol: Column, nRows: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      .rowsBetween(-(nRows - 1), 0)
+    df.withColumn("roll_sum",
+        sum(valueCol.cast("decimal(28,2)")).over(w).cast("double"))
+      .withColumn("roll_n", count(valueCol).over(w))
+      .withColumn("roll_mean", col("roll_sum") / col("roll_n"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event exceeds `gapMicros`. Two stacked windows
     * (lag → conditional cumulative sum), one shuffle total since both

@@ -36,4 +36,15 @@ class WindowOpsSpec extends SparkSpec {
     assert(out.filter(col("k") === "v")
       .select("session_idx").as[Long].head() == 1L)
   }
+
+  test("rollingStats trailing window sums and means") {
+    val df = Seq(("u", 1L, 10.0), ("u", 2L, 20.0), ("u", 3L, 30.0),
+      ("u", 4L, 40.0)).toDF("k", "t", "v")
+    val out = WindowOps.rollingStats(df, Seq("k"), Seq(col("t")),
+        col("v"), nRows = 2)
+      .orderBy("t").select("roll_sum", "roll_n", "roll_mean")
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(out == Seq((10.0, 1L, 10.0), (30.0, 2L, 15.0),
+      (50.0, 2L, 25.0), (70.0, 2L, 35.0)))
+  }
 }
