@@ -392,6 +392,13 @@ object SparkEntry {
       Sampling.capPerGroup(
         T(s, d, "documents").select("doc_id", "lang", "source"),
         Seq("lang", "source"), Seq(col("doc_id").asc), 10)),
+    // uniform (not first-k) per-group sample: order by a content hash
+    // instead of the id — deterministic, unbiased within each group
+    "q_sample_uniform" -> ((s, d) =>
+      Sampling.capPerGroup(
+        T(s, d, "documents").select("doc_id", "lang"),
+        Seq("lang"),
+        Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc), 20)),
     // context-window packing: documents → fixed token-budget bins
     "q_pack_sequences" -> ((s, d) =>
       Sampling.packSequences(
@@ -859,6 +866,11 @@ object SparkEntry {
         |SELECT doc_id, lang, source,
         |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |FROM documents) WHERE rn <= 10""".stripMargin,
+    "q_sample_uniform" ->
+      """SELECT doc_id, lang FROM (
+        |SELECT doc_id, lang,
+        |row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |FROM documents) WHERE rn <= 20""".stripMargin,
     "q_skew_join" ->
       """SELECT s_name, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
