@@ -300,6 +300,18 @@ object SparkEntry {
       Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
         numHashes = 32, bands = 2, shingleN = 1)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(T(s, d, "documents"))),
+    // the deliverable of the dedup family: the corpus that SURVIVES —
+    // one representative (min id) per near-dup cluster
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val clusters = Graph.connectedComponents(
+        docs.select(col("doc_id")),
+        Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
+          .select("a_id", "b_id"))
+      docs.select("doc_id", "lang", "source")
+        .join(clusters.filter(col("id") === col("comp"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    }),
     "q_dedup_embed_cos" -> ((s, d) =>
       Dedup.embeddingCosinePairs(T(s, d, "embeddings"), 0.35)),
     // ---- G. similarity search -------------------------------------------
@@ -787,6 +799,27 @@ object SparkEntry {
         |UNION
         |SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         |SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
+    "q_dedup_keep" ->
+      """WITH RECURSIVE toks AS (
+        |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |cand AS (
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |edges AS (
+        |SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |UNION SELECT b_id AS src, a_id AS dst FROM edges),
+        |reach AS (
+        |SELECT doc_id AS src, doc_id AS dst FROM documents
+        |UNION
+        |SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |JOIN cc ON d.doc_id = cc.doc_id AND cc.doc_id = cc.rep""".stripMargin,
     "q_dedup_embed_cos" ->
       """WITH v AS (SELECT vec_id, label, embedding,
         |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{ArrayDot, BoundedTopK, SortedIntersectSize}
+import graft.expressions.{ArrayDot, BoundedTopK, MinHashSig, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => ArrayDot(a, b)
         case _ => throw new IllegalArgumentException(
           "array_dot(array<float|double>, array<float|double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(array<bigint>, numHashes int-literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
