@@ -50,9 +50,12 @@ object Graph {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
     // labels only decrease, so sum(comp) is a monotone convergence
-    // metric — one cheap agg per round instead of a change-count join
-    def labelSum(df: DataFrame): Double =
-      df.agg(sum(col("comp").cast("double"))).head().getDouble(0)
+    // metric — one cheap agg per round instead of a change-count
+    // join. Summed as DECIMAL(38,0): a double sum would lose ULPs at
+    // ~1e12 nodes and could declare convergence one round early.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -64,7 +67,7 @@ object Graph {
         .localCheckpoint(true) // materializes + truncates lineage
       val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
