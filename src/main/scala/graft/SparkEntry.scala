@@ -347,8 +347,10 @@ object SparkEntry {
       val ivf = Similarity.recallAtK(
           Ivf.ivfTopK(emb, probes, 5, nCells = 8, nProbe = 3), exact, 5)
         .withColumn("index", lit("ivf"))
-      lsh.unionByName(ivf)
-        .select("index", "probe_id", "n_exact", "n_hit", "recall")
+      operators.CacheOps.materializeAndRelease(
+        lsh.unionByName(ivf)
+          .select("index", "probe_id", "n_exact", "n_hit", "recall"),
+        exact)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),
@@ -532,13 +534,18 @@ object SparkEntry {
     "q_stockholm_roundtrip" -> ((s, d) => {
       val out = roundtripDir("stockholm")
       // render docs as a single-block Stockholm alignment: gaps are
-      // dots (spaces are not legal in aligned seqs), parser must
-      // strip them back out for the ungapped sequence
+      // dots (spaces are not legal in aligned seqs), and the parser
+      // strips ALL gap chars ([.-]) for the ungapped sequence — so
+      // the payload must be gap-free up front ([. -] removed) and
+      // gap-only (empty) docs are excluded on BOTH sides, or the
+      // roundtrip would not invert the render
+      val payload = regexp_replace(col("text"), "[. \\-]", "")
       TextRender.writeText(
-        T(s, d, "documents").select(concat(
-          lit("doc_"), col("doc_id"), lit("/1-"),
-          length(regexp_replace(col("text"), " ", "")), lit(" "),
-          translate(col("text"), " ", ".")).as("value")),
+        T(s, d, "documents")
+          .filter(length(payload) > 0)
+          .select(concat(
+            lit("doc_"), col("doc_id"), lit("/1-"), length(payload),
+            lit(" "), translate(col("text"), " ", ".")).as("value")),
         out)
       Msa.parseDescription(Msa.stockholm(s, out))
         .select(col("acc"), col("seq_start"), col("seq_end"),
@@ -743,7 +750,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_stream_to_files" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
-        |wm AS (SELECT MAX(us) - 3600000000 AS w FROM e)
+        |wm AS (SELECT (MAX(us) // 1000) * 1000 - 3600000000 AS w FROM e)
         |SELECT (us // 900000000) * 900000000 AS window_start_us,
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
@@ -981,9 +988,9 @@ object SparkEntry {
         |FROM part""".stripMargin,
     "q_stockholm_roundtrip" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
-        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
-        |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
-        |FROM documents""".stripMargin,
+        |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_end,
+        |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_len
+        |FROM documents WHERE length(regexp_replace(text, '[. -]', '', 'g')) > 0""".stripMargin,
     "q_fasta_roundtrip" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,

@@ -25,10 +25,17 @@ object Bucketing {
     * table and any leftover directory first. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
+    // single-part names only: the orphan-location cleanup below maps
+    // name → <warehouse>/<name>, which is wrong for db-qualified
+    // tables (<warehouse>/<db>.db/<name>), and backtick-quoting a
+    // dotted name would DROP a different identifier
+    require(!table.contains("."),
+      s"writeBucketed takes a single-part table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -42,10 +42,12 @@ object Corpus {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
-    tf.join(df_, "tok")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"))
+    CacheOps.materializeAndRelease(
+      tf.join(df_, "tok")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df")),
+      tf)
   }
 
   /** Corpus bigram counts (adjacent token pairs) — the n-gram LM /
@@ -72,17 +74,24 @@ object Corpus {
       TextFunctions.shingles(TextFunctions.tokens(c), shingleN))
     val benchSh = benchmark
       .select(explode(sh(col(textCol))).as("sh")).distinct()
-    val corpSh = corpus
-      .select(col(idCol), explode(sh(col(textCol))).as("sh"))
+    // tokenize+shingle the (big) corpus side ONCE: the cached
+    // (id, shingles) table feeds both the overlap count and the
+    // per-doc totals, instead of re-deriving shingles per branch
+    val corpSets = corpus.select(col(idCol), sh(col(textCol)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpSets.count()
+    val corpSh = corpSets.select(col(idCol), explode(col("shs")).as("sh"))
     val overlap = corpSh.join(broadcast(benchSh), "sh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    corpus.select(col(idCol),
-        size(sh(col(textCol))).cast("long").as("n_shingles"))
-      .join(overlap, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_overlap"))
-      .withColumn("contaminated",
-        col("n_overlap").cast("double") /
-          greatest(col("n_shingles"), lit(1L)) >= tau)
+    CacheOps.materializeAndRelease(
+      corpSets.select(col(idCol),
+          size(col("shs")).cast("long").as("n_shingles"))
+        .join(overlap, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_overlap"))
+        .withColumn("contaminated",
+          col("n_overlap").cast("double") /
+            greatest(col("n_shingles"), lit(1L)) >= tau),
+      corpSets)
   }
 
   /** Corpus length profile per grouping key: docs, total/mean token

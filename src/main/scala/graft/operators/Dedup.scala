@@ -80,13 +80,15 @@ object Dedup {
     val sets = base.select(col("id"),
       sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
         .as("toks"))
-    cands
-      .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
-      .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
-      .withColumn("jaccard",
-        graft.expressions.SortedIntersect.jaccard(col("a_toks"), col("b_toks")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    CacheOps.materializeAndRelease(
+      cands
+        .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+        .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+        .withColumn("jaccard",
+          graft.expressions.SortedIntersect.jaccard(col("a_toks"), col("b_toks")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard")),
+      base, prefix)
   }
 
   /** MinHash signatures + band keys + per-doc LSH candidate count.
@@ -179,13 +181,15 @@ object Dedup {
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .filter(agree >= minAgree)
       .select(col("a_id"), col("b_id"))
-    prefiltered
-      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        graft.expressions.SortedIntersect.jaccard(col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    CacheOps.materializeAndRelease(
+      prefiltered
+        .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .withColumn("jaccard",
+          graft.expressions.SortedIntersect.jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard")),
+      sketch)
   }
 
   /** Per-doc 64-bit SimHash + hamming band keys (always non-empty);
@@ -232,12 +236,14 @@ object Dedup {
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.count() // complete the cache before the x/y self-join
-    v.alias("x").join(v.alias("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("denom", col("x.nrm") * col("y.nrm"))
-      .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
-        .otherwise(VectorFunctions.dot(col("x.vec"), col("y.vec")) / col("denom")))
-      .filter(col("cos") >= threshold)
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos"))
+    CacheOps.materializeAndRelease(
+      v.alias("x").join(v.alias("y"),
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+        .withColumn("denom", col("x.nrm") * col("y.nrm"))
+        .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("x.vec"), col("y.vec")) / col("denom")))
+        .filter(col("cos") >= threshold)
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos")),
+      v)
   }
 }

@@ -53,12 +53,15 @@ object Graph {
     // metric — one cheap agg per round instead of a change-count
     // join. Summed as DECIMAL(38,0): a double sum would lose ULPs at
     // ~1e12 nodes and could declare convergence one round early.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    // Empty input sums to null → normalize to 0 (and the loop below
+    // then converges immediately on the empty fixpoint).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
@@ -72,6 +75,15 @@ object Graph {
       iter += 1
     }
     sym.unpersist(false)
+    // Silent non-convergence would OVER-RETAIN duplicates downstream
+    // (several reps for one true cluster) — fail loudly instead; the
+    // caller raises maxIter (rounds needed = graph diameter) or moves
+    // to the large-star/small-star variant for pathological chains.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds maxIter; raise it (diameter rounds " +
+          "are needed) or switch to a diameter-halving variant")
     labels
   }
 }

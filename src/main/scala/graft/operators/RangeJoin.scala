@@ -105,13 +105,15 @@ object RangeJoin {
         col("b_id").as("neighbor_id"), col("dist2"))
       .unionByName(pairs.select(col(partitionKey), col("b_id").as("id"),
         col("a_id").as("neighbor_id"), col("dist2")))
-    directed
-      .groupBy(col(partitionKey), col("id"))
-      .agg(graft.expressions.BoundedTopK.boundedTopK(
-        -col("dist2"), col("neighbor_id"), k).as("top"))
-      .select(col(partitionKey), col("id"), posexplode(col("top")))
-      .select(col(partitionKey), col("id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("neighbor_id"), (-col("col.score")).as("dist2"))
+    CacheOps.materializeAndRelease(
+      directed
+        .groupBy(col(partitionKey), col("id"))
+        .agg(graft.expressions.BoundedTopK.boundedTopK(
+          -col("dist2"), col("neighbor_id"), k).as("top"))
+        .select(col(partitionKey), col("id"), posexplode(col("top")))
+        .select(col(partitionKey), col("id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), (-col("col.score")).as("dist2")),
+      pairs)
   }
 
   /** Pairs (a, b) with a.partition == b.partition, |a.v − b.v| <= eps

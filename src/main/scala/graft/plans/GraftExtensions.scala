@@ -15,33 +15,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   GROUP BY probe_id
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("bounded_top_k"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The registrations, exposed so tests exercise the EXACT builder
+    * lambdas (argument-shape matches included) that production
+    * sessions get via injectFunction. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
       (args: Seq[Expression]) => args match {
         case Seq(score, id, Literal(k: Int, _)) => BoundedTopK(score, id, k)
         case _ => throw new IllegalArgumentException(
           "bounded_top_k(score double, id bigint, k int-literal)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("array_dot"),
+      }),
+    (new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ArrayDot(a, b)
         case _ => throw new IllegalArgumentException(
           "array_dot(array<float|double>, array<float|double>)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_signature"),
+      }),
+    (new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
       (args: Seq[Expression]) => args match {
         case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
         case _ => throw new IllegalArgumentException(
           "minhash_signature(array<bigint>, numHashes int-literal)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_intersect_size"),
+      }),
+    (new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName,
         "sorted_intersect_size"),
       (args: Seq[Expression]) => args match {
@@ -49,5 +55,4 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_size(array<bigint> sorted-distinct, array<bigint> sorted-distinct)")
       }))
-  }
 }

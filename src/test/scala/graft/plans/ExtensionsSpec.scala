@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 class ExtensionsSpec extends SparkSpec {
   import sqlImplicits._
 
-  test("bounded_top_k callable from SQL after extension injection") {
-    // injectFunction path, applied to the live session's registry
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // register directly (same builder the extension injects)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_top_k",
-      exprs => graft.expressions.BoundedTopK(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+  // Register the EXACT builder lambdas production sessions get via
+  // injectFunction (getOrCreate would hand back the shared test
+  // session, ignoring withExtensions — so exercise the builders
+  // through the live registry instead).
+  private def registerAll(): Unit =
+    GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+
+  test("bounded_top_k callable from SQL via the extension builder") {
+    registerAll()
     Seq(("g", 0.9, 1L), ("g", 0.5, 2L), ("g", 0.7, 3L))
       .toDF("g", "cos", "id").createOrReplaceTempView("scored")
     val out = spark.sql(
@@ -25,14 +27,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq(1L, 3L))
   }
 
-  test("sorted_intersect_size callable from SQL") {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => graft.expressions.SortedIntersectSize(exprs(0), exprs(1)),
-      "scala_udf")
-    val n = spark.sql(
+  test("array_dot / sorted_intersect_size / minhash_signature from SQL") {
+    registerAll()
+    assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql(
       "SELECT sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L))")
-      .head().getInt(0)
-    assert(n == 2)
+      .head().getInt(0) == 2)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(7L, 8L, 9L), 4)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4 && sig.distinct.length > 1)
+  }
+
+  test("builders reject malformed argument shapes") {
+    registerAll()
+    // non-literal k must be refused at analysis, not silently bound
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("minhash_signature") ||
+      err.getCause != null)
   }
 }
