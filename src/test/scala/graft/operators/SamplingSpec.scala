@@ -42,6 +42,26 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(5L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("packSequences matches a local greedy reference on random input") {
+    val rnd = new scala.util.Random(97)
+    (1 to 10).foreach { trial =>
+      val budget = rnd.nextInt(400) + 100L
+      val items = (1 to rnd.nextInt(80) + 5)
+        .map(i => (i.toLong, rnd.nextInt(300) + 1L))
+      val df = items.toDF("id", "n")
+      val got = Sampling.packSequences(df, "n", "id", budget)
+        .select("id", "bin_id").as[(Long, Long)].collect().toMap
+      // local reference: sort (len desc, id), running sum, floor
+      var running = 0L
+      val expected = items.sortBy { case (id, n) => (-n, id) }.map {
+        case (id, n) =>
+          val bin = (running / budget, running += n)._1
+          id -> bin
+      }.toMap
+      assert(got == expected, s"trial $trial budget=$budget")
+    }
+  }
+
   test("capPerGroup keeps first n per group in order") {
     val df = Seq(
       ("a", 3), ("a", 1), ("a", 2), ("a", 4),

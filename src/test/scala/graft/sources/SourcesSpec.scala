@@ -86,6 +86,21 @@ class SourcesSpec extends SparkSpec {
     assert(parsed == Seq(("seq1", 5L, 14L), ("seq2", 1L, 6L)))
   }
 
+  test("stockholm: multiple files parse independently (per-file shard)") {
+    val dir = Files.createTempDirectory("graft_sth").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "fam1.sth"),
+      "# STOCKHOLM 1.0\nseqA/1-3  ABC\n//\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "fam2.sth"),
+      "# STOCKHOLM 1.0\nseqA/1-4  DEFG\nseqB/2-4  HIJ\n//\n")
+    val out = Msa.stockholm(spark, dir)
+    // same seq id in two files stays two rows (grouped per src_file)
+    assert(out.count() == 3)
+    val seqs = out.select("sequence").as[String].collect().toSet
+    assert(seqs == Set("ABC", "DEFG", "HIJ"))
+  }
+
   test("normalizeSequence uppercases, swaps gaps, X-es unknown letters") {
     val df = Seq("acd.ef?gZ").toDF("s")
     val out = df.select(Msa.normalizeSequence(col("s"),
