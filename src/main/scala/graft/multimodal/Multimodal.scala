@@ -75,26 +75,44 @@ object Multimodal {
       explode(sequence(lit(0), nFrames - 1, lit(stride))))
   }
 
-  /** Per-partition batched feature extraction over binary payloads —
-    * the Scala analog of `mapInPandas`: one iterator per partition so
-    * a real decoder would load its model/codec once per partition,
-    * then stream batches. The stub "feature" is payload length and a
-    * rolling byte checksum. */
-  def extractFeatures(df: DataFrame): DataFrame = {
-    val out = StructType(df.schema.fields ++ Seq(
+  /** Batched codec contract for [[extractFeatures]]: `open()` runs
+    * ONCE per partition (load the native codec / model there, amortized
+    * over the partition's rows) and returns the per-payload feature
+    * function. The whole codec must be serializable — it ships to
+    * executors; whatever `open()` allocates does not. */
+  final case class BatchCodec(
+      features: Seq[StructField],
+      open: () => Array[Byte] => Seq[Any]) extends Serializable
+
+  /** Default stub codec: payload length + rolling byte checksum —
+    * deterministic, no external libs. A real deployment swaps ONLY
+    * this value for e.g. an Arrow-batched image decoder; the plumbing
+    * below is unchanged. */
+  val byteStatsCodec: BatchCodec = BatchCodec(
+    features = Seq(
       StructField("feat_len", LongType, nullable = false),
-      StructField("feat_checksum", LongType, nullable = false)))
+      StructField("feat_checksum", LongType, nullable = false)),
+    open = () => { bytes =>
+      var cs = 0L
+      var i = 0
+      while (i < bytes.length) { cs = cs * 31 + (bytes(i) & 0xff); i += 1 }
+      Seq[Any](bytes.length.toLong, cs)
+    })
+
+  /** Per-partition batched feature extraction over binary payloads —
+    * the Scala analog of `mapInPandas`: one iterator per partition,
+    * `codec.open()` called once per partition before the rows stream
+    * through it. */
+  def extractFeatures(df: DataFrame,
+                      codec: BatchCodec = byteStatsCodec): DataFrame = {
+    val out = StructType(df.schema.fields ++ codec.features)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(out)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition setup happens here (codec/model init in a real impl)
+      val perRow = codec.open() // codec/model init, once per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        var cs = 0L
-        var i = 0
-        while (i < bytes.length) { cs = cs * 31 + (bytes(i) & 0xff); i += 1 }
-        Row.fromSeq(r.toSeq ++ Seq[Any](bytes.length.toLong, cs))
+        Row.fromSeq(r.toSeq ++ perRow(r.getAs[Array[Byte]](payloadIdx)))
       }
     }(enc)
   }

@@ -36,6 +36,25 @@ object EventStreams {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Run `f` with the RocksDB state store provider — the 100 TB
+    * state backend: per-partition state lives on executor local disk
+    * with a block-cache, instead of the default HDFS-backed provider
+    * that keeps EVERY key in executor heap. Heap-resident state is
+    * the first thing to fall over when a streaming job's key space
+    * grows (dedup over billions of keys); RocksDB bounds memory and
+    * spills to SSD. Scoped + restored so verification runs (small
+    * state, heap is faster) are unaffected elsewhere. */
+  def withRocksDbState[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Windowed count+sum per event_type over a parquet events path,
     * executed as a streaming query and returned as the final batch
     * result. Output: window_start_us, event_type, n, sum_value. */

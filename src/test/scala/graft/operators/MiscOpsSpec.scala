@@ -81,4 +81,32 @@ class MiscOpsSpec extends SparkSpec {
       .select(col("media_meta.n_bytes")).as[Long].collect().toSeq
     assert(meta == Seq(3L, 0L))
   }
+
+  test("extractFeatures runs a CUSTOM codec, open() once per partition") {
+    val df = Seq.tabulate(8)(i => (i.toLong, s"payload$i"))
+      .toDF("doc_id", "text").repartition(3)
+    MiscOpsSpec.codecOpens.set(0)
+    val fakeImageCodec = Multimodal.BatchCodec(
+      features = Seq(
+        org.apache.spark.sql.types.StructField("magic",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false)),
+      open = () => {
+        MiscOpsSpec.codecOpens.incrementAndGet() // the per-partition init
+        bytes => Seq[Any](if (bytes.nonEmpty) bytes(0).toInt else -1,
+          bytes.length.toLong)
+      })
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "text", "image/fake"), fakeImageCodec)
+    val rows = out.select("magic", "n").as[(Int, Long)].collect()
+    assert(rows.length == 8 && rows.forall(_._1 == 'p'.toInt))
+    // local mode: executor == driver JVM, so the counter observes the
+    // per-partition open calls directly
+    assert(MiscOpsSpec.codecOpens.get() == 3)
+  }
+}
+
+object MiscOpsSpec {
+  val codecOpens = new java.util.concurrent.atomic.AtomicInteger(0)
 }

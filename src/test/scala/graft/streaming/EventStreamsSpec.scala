@@ -48,6 +48,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("streamingDedup runs identically on the RocksDB state backend") {
+    val dir = Files.createTempDirectory("graft_rocks").toString
+    Seq(
+      (1L, "2024-01-01 00:01:00", "a"),
+      (1L, "2024-01-01 00:02:00", "b"),
+      (3L, "2024-01-01 00:04:00", "d")
+    ).toDF("k", "s", "v")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventStreams.withRocksDbState(spark) {
+      EventStreams.streamingDedup(spark, s"$dir/events.parquet",
+        Seq("k"), fileGlob = "*.parquet", queryName = "graft_rocks_test")
+        .collect()
+    }
+    assert(out.length == 2)
+    // provider conf restored after the scoped run (getOption surfaces
+    // the session default — the HDFS-backed provider — not None)
+    assert(!spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val dir = Files.createTempDirectory("graft_ssj").toString
     val events = Seq(
