@@ -24,6 +24,27 @@ object Joins {
     left.join(right, cond, "left")
   }
 
+  /** Left merge with schema-driven key fallback: each left key may
+    * name an alternate column that takes precedence WHEN PRESENT in
+    * the schema (the reference's BioUnits workaround — merge on
+    * orig_*_asym_id when the table carries it, the plain column
+    * otherwise); missing BOTH is an error, matching the reference's
+    * TableMergerError rather than a silent empty join.
+    * reference: proteofav/mergers.py:29-59. */
+  def leftMergeWithFallback(left: DataFrame, right: DataFrame,
+                            keys: Seq[(String, Option[String], String)])
+  : DataFrame = {
+    val resolved = keys.map { case (primary, alt, rightKey) =>
+      val leftKey = alt.filter(left.columns.contains).getOrElse(primary)
+      require(left.columns.contains(leftKey),
+        s"neither '$primary' nor its fallback is present in the left schema")
+      require(right.columns.contains(rightKey),
+        s"right key '$rightKey' missing from the right schema")
+      leftKey -> rightKey
+    }
+    leftMerge(left, right, resolved)
+  }
+
   /** Chain of left merges — the table_merger pipeline.
     * reference: proteofav/mergers.py:403. */
   def chainMerge(base: DataFrame,

@@ -48,4 +48,24 @@ class JoinsSpec extends SparkSpec {
     assert(anti.select("id").as[Int].collect().toSet == Set(2))
     assert(semi.columns.toSeq == left.columns.toSeq) // no right columns
   }
+
+  test("leftMergeWithFallback prefers the alternate key when present") {
+    val right = Seq((10, "hit")).toDF("rk", "tag")
+    // alternate column present → used (orig chain maps to 10)
+    val withAlt = Seq((1, 99, 10)).toDF("id", "k", "orig_k")
+    val a = Joins.leftMergeWithFallback(withAlt, right,
+      Seq(("k", Some("orig_k"), "rk")))
+    assert(a.select("tag").as[String].head() == "hit")
+    // alternate absent → primary used (k = 10 maps directly)
+    val noAlt = Seq((1, 10)).toDF("id", "k")
+    val b = Joins.leftMergeWithFallback(noAlt, right,
+      Seq(("k", Some("orig_k"), "rk")))
+    assert(b.select("tag").as[String].head() == "hit")
+    // both missing → loud error, not a silent empty join
+    val err = intercept[IllegalArgumentException] {
+      Joins.leftMergeWithFallback(Seq(1).toDF("id"), right,
+        Seq(("k", Some("orig_k"), "rk")))
+    }
+    assert(err.getMessage.contains("fallback"))
+  }
 }
