@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape guards over the REAL driver queries: the scale claims
+  * in SURVEY §6 (pushdown, pruning, narrow scans) are asserted here
+  * against the executed plans, so an optimizer-defeating refactor
+  * fails tests instead of silently shipping a full-scan plan.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_eq pushes the equality predicate into the parquet scan") {
+    val p = plan("q_filter_eq")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q_multiway_merge prunes lineitem to the referenced columns") {
+    val p = plan("q_multiway_merge")
+    // the 16-col lineitem scan must read only join key + measure
+    assert(p.contains("l_orderkey") && p.contains("l_extendedprice"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      s"unreferenced lineitem columns not pruned:\n$p")
+  }
+
+  test("q_tfidf_top_terms keeps the map-side rank-limit (WindowGroupLimit)") {
+    val p = plan("q_tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k no longer pruned before the window exchange:\n$p")
+  }
+
+  test("q_join_broadcast_dims broadcasts both dimension tables") {
+    val p = plan("q_join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"dimension joins not broadcast:\n$p")
+  }
+}
