@@ -17,6 +17,11 @@ run / fork := true
 // "parsed": null). StdoutOutput makes the forked JVM inherit stdout
 // so the JSON line is emitted raw at column 0.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...but round 3 STILL recorded "parsed": null: sbt prints
+// "[success] Total time: ..." AFTER the forked JVM exits, so the JSON
+// line was not the last stdout line. Suppress the banner so Bench's
+// JSON line is the final line the driver reads.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
