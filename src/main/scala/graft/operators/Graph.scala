@@ -33,7 +33,13 @@ object Graph {
                           aCol: String = "a_id", bCol: String = "b_id",
                           maxIter: Int = 25): DataFrame = {
     val idCol = nodes.columns.head
-    // symmetric edges, deduped once, cached: reused every round
+    // Symmetric edges, deduped once, cached: reused every round.
+    // Both directions come from ONE explode over ONE scan — a
+    // union(edges, edges.swapped) would evaluate the (often
+    // expensive: near-dup pair generation) edge plan twice during
+    // materialization. Hash-partitioned by src so every round's
+    // message join reuses the cached partitioning instead of
+    // re-shuffling the edge set.
     // Iterative DataFrames MUST truncate lineage each round:
     // labels_{n+1} references labels_n twice (self + messages), so
     // without truncation the LOGICAL plan doubles per iteration and
@@ -42,12 +48,21 @@ object Graph {
     // rebases the plan on the materialized RDD; on a real cluster
     // with flaky executors, reliable checkpoint() to DFS is the
     // drop-in hardened variant.
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // Only nodes touched by an edge can ever change label; propagate
+    // over those and append the (at 100 TB: vastly larger) singleton
+    // set once at the end. Init from the edge endpoints themselves so
+    // edge ids absent from `nodes` still resolve (as before, via the
+    // message union).
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     // labels only decrease, so sum(comp) is a monotone convergence
     // metric — one cheap agg per round instead of a change-count
@@ -75,6 +90,15 @@ object Graph {
       iter += 1
     }
     sym.unpersist(false)
+    // Singletons (nodes with no incident edge) never change label —
+    // they were excluded from every propagation round; append them
+    // here with comp = own id. One anti-join, once, instead of
+    // dragging the whole corpus through every iteration's shuffles.
+    val allNodes = nodes.select(col(idCol).as("id"))
+    val singletons = allNodes
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labels = labels.unionByName(singletons)
     // Silent non-convergence would OVER-RETAIN duplicates downstream
     // (several reps for one true cluster) — fail loudly instead; the
     // caller raises maxIter (rounds needed = graph diameter) or moves
