@@ -562,6 +562,75 @@ object SparkEntry {
       Msa.parseDescription(Msa.fasta(s, out))
         .select(col("acc"), col("seq_start"), col("seq_end"),
           length(col("sequence")).cast("long").as("seq_len"))
+    }),
+    // ---- r4 additions ---------------------------------------------------
+    // Gopher-style repetition quality gate: per-row dup ratios + the
+    // top-bigram fraction (explode + two combined aggs)
+    "q_repetition_profile" -> ((s, d) =>
+      Corpus.repetitionProfile(T(s, d, "documents"))),
+    // context-window chunking: 32-token chunks every 16 tokens
+    // (stride < size → overlapping training contexts), zero shuffles
+    "q_chunk_tokens" -> ((s, d) =>
+      Corpus.chunkTokens(T(s, d, "documents"), size = 32, stride = 16)),
+    // temperature-weighted source mixing (alpha = 0.5): dominant
+    // sources square-root-damped via deterministic md5 thresholds
+    "q_corpus_mix" -> ((s, d) =>
+      Sampling.temperatureSample(
+        T(s, d, "documents").select("doc_id", "source"),
+        "source", "doc_id")),
+    // hopping windows: width 30 min, slide 15 min — every event in 2
+    // windows via the native window() generator, one hash agg
+    "q_window_sliding" -> ((s, d) =>
+      TimeOps.slidingAgg(T(s, d, "events"), "ts", Seq("event_type"),
+        "value", 1800L * 1000000L, 900L * 1000000L)),
+    // stream-static enrichment: stateless dim lookup on the stream +
+    // windowed agg (the always-on twin of q_join_broadcast_dims)
+    "q_stream_static_join" -> ((s, d) =>
+      EventStreams.streamStaticJoin(s, d)),
+    // minhash-LSH pair recall vs the exact jaccard pair set (the
+    // number that justifies the sketch at 100 TB); xxhash64-based →
+    // rows-only
+    "q_minhash_recall" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.pairRecall(
+        Dedup.minhashPairs(docs, threshold = 0.9, numHashes = 32,
+          bands = 2, shingleN = 1).select("a_id", "b_id"),
+        Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
+          .select("a_id", "b_id"))
+    }),
+    // viewer attribute file (visualise.py defattr shape): header +
+    // ':key<TAB>value' body rendered distributed, parsed back —
+    // double→string→double roundtrips bit-exactly in Java
+    "q_attr_render_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("attr")
+      val (header, body) = TextRender.attributeLines(
+        T(s, d, "customer").select("c_custkey", "c_acctbal"),
+        "c_custkey", "c_acctbal", "acctbal")
+      val headerDf = header.toDF("value")
+      TextRender.writeText(headerDf.unionByName(body), out)
+      val re = "^:([^\\t]+)\\t(.*)$"
+      s.read.text(out)
+        .filter(col("value").startsWith(":"))
+        .select(
+          regexp_extract(col("value"), re, 1).cast("long").as("c_custkey"),
+          regexp_extract(col("value"), re, 2).cast("double").as("c_acctbal"))
+    }),
+    // JSONL (the interchange format of corpus pipelines): render each
+    // doc as one JSON line, read back as text + from_json, aggregate
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("jsonl")
+      val docs = T(s, d, "documents")
+      TextRender.writeText(
+        docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value")), out)
+      s.read.text(out)
+        .select(from_json(col("value"), docs.schema).as("r"))
+        .select("r.*")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"))
     }))
 
   /** DuckDB oracle SQL per SQL-expressible query (driver runs these
@@ -607,8 +676,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
         |CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -995,5 +1064,57 @@ object SparkEntry {
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_repetition_profile" ->
+      """WITH per_row AS (SELECT doc_id,
+        |1.0 - CAST(len(list_distinct(list_filter(string_split(text, chr(10)), l -> l <> ''))) AS DOUBLE)
+        |  / greatest(len(list_filter(string_split(text, chr(10)), l -> l <> '')), 1) AS dup_line_ratio,
+        |1.0 - CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+        |  / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS dup_tok_ratio
+        |FROM documents),
+        |big AS (SELECT doc_id, bigram, COUNT(*) AS n FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l FROM documents)
+        |  WHERE len(l) >= 2) GROUP BY doc_id, bigram),
+        |topb AS (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac
+        |  FROM big GROUP BY doc_id)
+        |SELECT p.doc_id, p.dup_line_ratio, p.dup_tok_ratio,
+        |COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |(p.dup_line_ratio > 0.30 OR COALESCE(t.top_bigram_frac, 0.0) > 0.18) AS repetitive
+        |FROM per_row p LEFT JOIN topb t USING (doc_id)""".stripMargin,
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 16)) AS start FROM s)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_idx,
+        |CAST(least(32, n - start) AS BIGINT) AS chunk_len,
+        |array_to_string(toks[start + 1 : least(n, start + 32)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT source,
+        |CAST(floor(sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) * 256) AS BIGINT) AS thresh
+        |FROM counts)
+        |SELECT d.source, d.doc_id FROM documents d JOIN t USING (source)
+        |WHERE (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < thresh""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |k AS (SELECT unnest(generate_series(0, 1)) AS k)
+        |SELECT ((us // 900000000) - k.k) * 900000000 AS window_start_us, event_type,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM e, k GROUP BY 1, 2""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT (epoch_us(e.ts) // 900000000) * 900000000 AS window_start_us,
+        |COALESCE(c.c_mktsegment, 'unknown') AS segment, COUNT(*) AS n,
+        |CAST(SUM(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_attr_render_roundtrip" ->
+      "SELECT c_custkey, c_acctbal FROM customer",
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY lang, source""".stripMargin)
 }

@@ -62,8 +62,16 @@ object Aggregations {
       .agg(
         decSum(col("l_quantity")).as("sum_qty"),
         decSum(col("l_extendedprice")).as("sum_base_price"),
-        sum(disc).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        // Rescale each PER-ROW product to scale 6 before summing: the
+        // inputs are 2-decimal money, so the scale-8/12 product's
+        // extra digits are all zero and the rescale is exact in both
+        // engines (no rounding mode involved — Spark rounds HALF_UP,
+        // DuckDB truncates, which diverges if applied AFTER the sum
+        // of a scale-12 decimal). At scale 6 the summed integer stays
+        // < 2^53, so both engines' decimal→double conversions are a
+        // single exact division → identical bits.
+        sum(disc.cast(DecimalType(28, 6))).cast("double").as("sum_disc_price"),
+        sum(charge.cast(DecimalType(28, 6))).cast("double").as("sum_charge"),
         (decSum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
         (decSum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
         (decSum(col("l_discount"), 4) / count(col("l_discount"))).as("avg_disc"),

@@ -94,6 +94,63 @@ object Corpus {
       corpSets)
   }
 
+  /** Per-document repetition profile (the Gopher-style repetition
+    * quality gate): duplicate-line ratio, duplicate-token ratio, and
+    * the fraction of all bigrams taken by the single most frequent
+    * bigram. The per-row ratios are pure column expressions in the
+    * scan; the top-bigram fraction is explode + two map-side-combined
+    * aggregations (the shuffle carries (doc, bigram) partial counts,
+    * never text). Docs with <2 tokens have no bigrams → fraction 0.
+    * `repetitive` flags docs over any threshold — the rows a
+    * training-data pipeline drops. */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxDupLine: Double = 0.30,
+                        maxTopBigram: Double = 0.18): DataFrame = {
+    val perRow = docs.select(col(idCol),
+      TextFunctions.dupLineRatio(col(textCol)).as("dup_line_ratio"),
+      TextFunctions.dupTokenRatio(col(textCol)).as("dup_tok_ratio"))
+    val bigram = docs
+      .select(col(idCol), explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg((max(col("n")).cast("double") / sum(col("n")))
+        .as("top_bigram_frac"))
+    perRow.join(bigram, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_line_ratio") > maxDupLine ||
+          col("top_bigram_frac") > maxTopBigram)
+  }
+
+  /** Context-window chunking: split each document's token sequence
+    * into fixed-size chunks every `stride` tokens (overlapping when
+    * stride < size — the training-time sliding context). One
+    * sequence+explode per doc (fan-out = ceil(n/stride)) followed by
+    * a codegen'd slice+join — no shuffle at all; the chunker runs
+    * inside the same scan stage as tokenization, which is what lets
+    * it stream over 100 TB. Output: (id, chunk_idx, chunk_len,
+    * chunk_text); empty docs produce no chunks. */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int,
+                  idCol: String = "doc_id", textCol: String = "text")
+  : DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    docs.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / lit(stride)).cast("long").as("chunk_idx"),
+        least(lit(size), col("__n") - col("__start")).cast("long")
+          .as("chunk_len"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
   /** Corpus length profile per grouping key: docs, total/mean token
     * counts — the cheap first look at a new 100 TB crawl. */
   def lengthProfile(docs: DataFrame, keys: Seq[String],

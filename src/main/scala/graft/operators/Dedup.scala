@@ -246,4 +246,30 @@ object Dedup {
         .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos")),
       v)
   }
+
+  /** Pair-set recall harness: how many of the exact near-dup pairs
+    * does an approximate (LSH/simhash) pair set recover? The quality
+    * number that justifies running the sketch instead of the exact
+    * join at 100 TB. Pairs are orientation-normalized (min, max)
+    * before the semi-count so A~B matches B~A. Output: one row —
+    * n_exact, n_approx, n_hit, recall. */
+  def pairRecall(approx: DataFrame, exact: DataFrame,
+                 aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("p"),
+      greatest(col(aCol), col(bCol)).as("q")).distinct()
+    val a = norm(approx).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a.count()
+    val e = norm(exact).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val hits = e.join(a, Seq("p", "q"), "left_semi")
+    val out = e.agg(count(lit(1)).as("n_exact")).crossJoin(
+        a.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall",
+        col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
+    CacheOps.materializeAndRelease(CacheOps.materializeAndRelease(out, a), e)
+  }
 }

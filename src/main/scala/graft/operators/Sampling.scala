@@ -70,6 +70,35 @@ object Sampling {
       .drop("__running")
   }
 
+  /** Temperature-weighted corpus mixing (the multi-source sampling
+    * rule behind multilingual / multi-domain training mixes):
+    * down-sample each group so kept counts follow n_g^alpha with
+    * alpha = 0.5 — rare sources keep everything, dominant sources
+    * are square-root-damped. The keep rate for group g is
+    * sqrt(n_min / n_g) (the smallest group keeps 100%), applied as a
+    * deterministic md5-bucket threshold so the sample is stable
+    * across runs, retries and engines — floor(256·sqrt(ratio))
+    * involves only IEEE-exact ops (integer→double division, sqrt,
+    * scale, floor), so any engine computes the same threshold.
+    *
+    * Plan shape at 100 TB: one map-side-combined count per group, a
+    * broadcast of the (tiny) per-group threshold table back onto the
+    * corpus scan, and a pure column-expression filter — no shuffle
+    * of the corpus itself. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        floor(sqrt(col("__n_min").cast("double") / col("__n")) * 256)
+          .cast("long").as("__thresh"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(md5Bucket(col(idCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
     * window shuffle; at 100 TB pre-aggregate a per-group count to

@@ -27,4 +27,26 @@ object TimeOps {
         +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(DecimalType(28, 2))).cast("double").as("sum_value"))
+
+  /** Sliding (overlapping) window count + decimal-exact sum per
+    * (window, key): each event lands in width/slide windows. Uses
+    * Spark's native `window(ts, width, slide)` — the multi-window
+    * replication is a codegen'd generator in the scan stage, then one
+    * hash aggregation whose shuffle carries |windows × keys| states;
+    * no self-join, no range join. Requires width to be a multiple of
+    * slide (the standard hopping-window contract).
+    * Output: window_start_us, <keys...>, n, sum_value. */
+  def slidingAgg(df: DataFrame, tsCol: String, keys: Seq[String],
+                 valueCol: String, widthMicros: Long, slideMicros: Long)
+  : DataFrame = {
+    require(widthMicros % slideMicros == 0,
+      "width must be a multiple of slide")
+    df.groupBy((window(col(tsCol), s"$widthMicros microseconds",
+        s"$slideMicros microseconds").as("w") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(28, 2))).cast("double")
+          .as("sum_value"))
+      .select((unix_micros(col("w.start")).as("window_start_us")
+        +: keys.map(col)) ++ Seq(col("n"), col("sum_value")): _*)
+  }
 }

@@ -167,6 +167,54 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension table (user → segment), then window-aggregated.
+    * Stream-static joins are STATELESS on the stream side — the
+    * static side is just a (re-broadcast per micro-batch) lookup, so
+    * this is the always-on twin of the batch broadcast dim join and
+    * the cheapest enrichment shape at 100 TB: no state store, no
+    * second watermark. Left join keeps events whose user has no
+    * dimension row (segment → 'unknown') — dropping them silently is
+    * the classic enrichment bug.
+    * Output: window_start_us, segment, n, sum_value. */
+  def streamStaticJoin(spark: SparkSession, eventsDir: String,
+                       fileGlob: String = "events.parquet",
+                       windowDur: String = "15 minutes",
+                       queryName: String = "graft_stream_static",
+                       dimDir: String = null): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
+    val dim = broadcast(
+      graft.sources.Tables.load(spark,
+        Option(dimDir).getOrElse(eventsDir), "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .join(dim, Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+      .groupBy(window(col("ts"), windowDur), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).as("sum_dec"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("segment"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+    spark.catalog.dropTempView(queryName) // rerun-safe
+    withStatefulShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** The production 100 TB sink path: the same windowed aggregation in
     * APPEND mode to parquet files with a checkpoint — here the
     * watermark genuinely evicts state (a window's row is emitted,

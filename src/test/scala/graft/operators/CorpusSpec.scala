@@ -26,6 +26,31 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map("a b" -> 3L, "b a" -> 1L))
   }
 
+  test("repetitionProfile flags repeated bigrams and duplicate lines") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),      // top bigram 'spam spam' = 3/3
+      (2L, "a fresh doc with plenty of distinct words"), // 7 distinct bigrams
+      (3L, "x"))                        // <2 tokens → no bigrams
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionProfile(df)
+      .select("doc_id", "top_bigram_frac", "repetitive")
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (k, f, r) => k -> ((f, r)) }.toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L)._1 == 1.0 / 7 && !out(2L)._2)
+    assert(out(3L) == ((0.0, false)))
+  }
+
+  test("chunkTokens: overlap, tail clamp, empty docs dropped") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4"), (2L, "")).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(df, size = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, "t2 t3 t4"),
+      (1L, 2L, 1L, "t4")))
+  }
+
   test("partitioned write + filtered read prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")

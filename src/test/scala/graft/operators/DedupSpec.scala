@@ -61,4 +61,14 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("pairRecall: orientation-normalized hit counting") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
+      .toDF("a_id", "b_id")
+    // (2,1) reversed → still a hit; (9,10) is approx-only noise
+    val approx = Seq((2L, 1L), (3L, 4L), (9L, 10L)).toDF("a_id", "b_id")
+    val out = Dedup.pairRecall(approx, exact)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((4L, 3L, 2L, 0.5)))
+  }
 }

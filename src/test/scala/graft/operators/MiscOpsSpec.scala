@@ -47,6 +47,23 @@ class MiscOpsSpec extends SparkSpec {
     assert(rows == Seq((2L, 4.0), (1L, 4.0)))
   }
 
+  test("slidingAgg: each event lands in width/slide windows") {
+    val df = Seq(
+      ("2024-01-01 00:05:00", "a", 1.0), // windows 23:45 & 00:00
+      ("2024-01-01 00:20:00", "a", 2.0)) // windows 00:00 & 00:15
+      .toDF("s", "k", "v").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeOps.slidingAgg(df, "ts", Seq("k"), "v",
+      1800L * 1000000L, 900L * 1000000L)
+      .orderBy("window_start_us")
+      .select("window_start_us", "n", "sum_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+    assert(out == Seq(
+      (us("2023-12-31 23:45:00"), 1L, 1.0),
+      (us("2024-01-01 00:00:00"), 2L, 3.0),
+      (us("2024-01-01 00:15:00"), 1L, 2.0)))
+  }
+
   test("resizeStub caps the max edge, preserves aspect") {
     val media = Multimodal.asMedia(Seq((1L, "payload")).toDF("id", "text"),
       "text", "image/png")

@@ -62,6 +62,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: min group kept whole, big groups sqrt-damped") {
+    val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (2001 to 2100).map(i => (i.toLong, "small")))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id")
+    val kept = out.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    // smallest group: threshold 256 → every row survives
+    assert(kept("small") == 100L)
+    // big group: keep rate sqrt(100/1600) = 1/4 → E=400, md5 buckets
+    // are near-uniform so allow a generous band
+    assert(kept("big") > 300L && kept("big") < 500L)
+    // deterministic: identical on re-run
+    val again = Sampling.temperatureSample(df, "grp", "id")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("capPerGroup keeps first n per group in order") {
     val df = Seq(
       ("a", 3), ("a", 1), ("a", 2), ("a", 4),

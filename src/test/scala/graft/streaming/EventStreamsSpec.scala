@@ -33,6 +33,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("streamStaticJoin enriches the stream, keeps dimension misses") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    Seq(
+      ("2024-01-01 00:01:00", 1L, 10.0),
+      ("2024-01-01 00:05:00", 2L, 20.0),
+      ("2024-01-01 00:05:30", 9L, 40.0) // no customer row → 'unknown'
+    ).toDF("s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "HOUSE"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = EventStreams.streamStaticJoin(spark, s"$dir/events.parquet",
+      fileGlob = "*.parquet", queryName = "graft_test_ssj", dimDir = dir)
+      .orderBy("window_start_us", "segment")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+    assert(out == Seq(
+      (us("2024-01-01 00:00:00"), "AUTO", 2L, 30.0),
+      (us("2024-01-01 00:00:00"), "unknown", 1L, 40.0)))
+  }
+
   test("streamingDedup drops within-watermark duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     Seq(
