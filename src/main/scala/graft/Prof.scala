@@ -50,6 +50,15 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
+    if (sys.env.contains("PROF_EXPLAIN")) {
+      for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)
+          .filter(_.nonEmpty)) {
+        println(s"===== $q =====")
+        SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (sys.env.get("PROF_USE_OP").contains("1")) {
       time("op.minhashPairs.count")(
         operators.Dedup.minhashPairs(docs, threshold = 0.9,

@@ -300,6 +300,10 @@ object SparkEntry {
       Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
         numHashes = 32, bands = 2, shingleN = 1)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(T(s, d, "documents"))),
+    // directed containment (|A∩B|/|A| ≥ τ): the subsumed-copy case
+    // symmetric jaccard misses; asymmetric prefix-filtered index
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(T(s, d, "documents"), Seq("source"), 0.9)),
     // the deliverable of the dedup family: the corpus that SURVIVES —
     // one representative (min id) per near-dup cluster
     "q_dedup_keep" -> ((s, d) => {
@@ -1065,6 +1069,15 @@ object SparkEntry {
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
         |FROM documents""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id <> b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(inter AS DOUBLE) / sa.sz AS containment
+        |FROM cand JOIN sizes sa ON a_id = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.9""".stripMargin,
     "q_repetition_profile" ->
       """WITH per_row AS (SELECT doc_id,
         |1.0 - CAST(len(list_distinct(list_filter(string_split(text, chr(10)), l -> l <> ''))) AS DOUBLE)

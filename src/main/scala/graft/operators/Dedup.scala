@@ -91,6 +91,64 @@ object Dedup {
       base, prefix)
   }
 
+  /** Directed set-containment near-dup pairs: (a, b) where
+    * |A∩B| / |A| ≥ τ — doc a's token set is (nearly) subsumed by
+    * doc b's (the boilerplate-page / quoted-reply / truncated-copy
+    * case that symmetric Jaccard misses when sizes differ a lot).
+    *
+    * Candidate generation is the ASYMMETRIC prefix-filtered inverted
+    * index: only the probe (contained) side is prefix-pruned — if
+    * |A∩B| ≥ τ|A| then A shares one of its ⌊|A|−⌈τ|A|⌉⌋+1 rarest
+    * tokens with B (pigeonhole on A alone), so the candidate join is
+    * A.prefix × B.fullIndex, recall-exact. Hot tokens stay out of
+    * prefixes (df-ranked), which bounds the blowup the full×full
+    * token join would have. Verify fetches each side's hashed token
+    * set once and runs the codegen'd merge-walk intersect. */
+  def containmentPairs(docs: DataFrame, blockingKeys: Seq[String],
+                       threshold: Double, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      (col(idCol).as("id") +: blockingKeys.map(col)) :+
+        TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val tok = base.select(
+      (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
+    val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(broadcast(df_), "tok")
+      .withColumn("__ord", struct(col("df"), col("tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__ord"))
+    val prefix = ranked
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix.count()
+    val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
+    val b = tok.toDF(tok.columns.map(c => s"b_$c"): _*)
+    val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
+      (col("a_tok") === col("b_tok")) :+ (col("a_id") =!= col("b_id")))
+      .reduce(_ && _)
+    val cands = a.join(b, joinCond)
+      .select(col("a_id"), col("b_id")).distinct()
+    val sets = base.select(col("id"),
+      sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
+        .as("toks"))
+    CacheOps.materializeAndRelease(
+      cands
+        .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+        .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+        .withColumn("containment",
+          graft.expressions.SortedIntersect.size(col("a_toks"), col("b_toks"))
+            .cast("double") / size(col("a_toks")))
+        .filter(col("containment") >= threshold)
+        .select(col("a_id"), col("b_id"), col("containment")),
+      base, prefix)
+  }
+
   /** MinHash signatures + band keys + per-doc LSH candidate count.
     * Always non-empty (one row per doc); candidate generation is the
     * band-key equi-join. Verified near-dup pairs available via

@@ -62,6 +62,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("containmentPairs: directed subsumption, not symmetric jaccard") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"),
+      // doc 2 ⊂ doc 1 (5 of 5 tokens) but jaccard is only 0.5
+      (2L, "alpha beta gamma delta epsilon", "s"),
+      (3L, "totally different words here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(df, Seq("source"), 0.9)
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((2L, 1L, 1.0))) // directed: 2-in-1 only
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")
