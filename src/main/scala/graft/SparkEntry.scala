@@ -103,6 +103,24 @@ object SparkEntry {
     "q_having_complete" -> ((s, d) =>
       Aggregations.completeGroups(T(s, d, "lineitem"), Seq("l_orderkey"),
         col("n_members") >= 5)),
+    // aligned-sequence comparison (variants.py:411,430): build two
+    // sequences under ONE total ordering, count positionwise
+    // mismatches with the zip_with char walk
+    "q_seq_mismatch" -> ((s, d) => {
+      val rows = T(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(array_sort(collect_list(struct(col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus")))).as("rows"))
+      rows.select(col("l_orderkey"),
+          array_join(transform(col("rows"),
+            r => r.getField("l_returnflag")), "").as("seq_a"),
+          array_join(transform(col("rows"),
+            r => r.getField("l_linestatus")), "").as("seq_b"))
+        .withColumn("n_mismatch",
+          TextFunctions.countMismatches(col("seq_a"), col("seq_b"))
+            .cast("long"))
+        .withColumn("seqs_match",
+          TextFunctions.sequencesMatch(col("seq_a"), col("seq_b"), 2))
+    }),
     "q_annotation_collapse" -> ((s, d) =>
       RowOps.mergeDownByKey(
         T(s, d, "documents").select("lang", "source"), Seq("lang"))),
@@ -568,6 +586,44 @@ object SparkEntry {
           length(col("sequence")).cast("long").as("seq_len"))
     }),
     // ---- r4 additions ---------------------------------------------------
+    // CSV leg with the production failure mode exercised: one
+    // malformed line is injected, read PERMISSIVE with a
+    // corrupt-record column, and filtered out — bad input must be
+    // quarantined, never crash the pipeline or silently parse
+    "q_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val out = roundtripDir("csv")
+      val rendered = T(s, d, "customer")
+        .select(concat_ws(",", col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal")).as("value"))
+        .unionByName(Seq("oops,this line is not,valid").toDF("value"))
+      TextRender.writeText(rendered, out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+        .filter(col("_bad").isNull)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    }),
+    // second columnar format: ORC write + read + agg (same Catalyst
+    // scan surface as parquet — pushdown/pruning apply identically)
+    "q_orc_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("orc")
+      T(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,2)")).cast("double")
+            .as("sum_qty"))
+    }),
     // Gopher-style repetition quality gate: per-row dup ratios + the
     // top-bigram fraction (explode + two combined aggs)
     "q_repetition_profile" -> ((s, d) =>
@@ -1069,6 +1125,19 @@ object SparkEntry {
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
         |FROM documents""".stripMargin,
+    "q_seq_mismatch" ->
+      """SELECT l_orderkey,
+        |string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag, l_linestatus) AS seq_a,
+        |string_agg(l_linestatus, '' ORDER BY l_linenumber, l_returnflag, l_linestatus) AS seq_b,
+        |CAST(SUM(CASE WHEN l_returnflag <> l_linestatus THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |SUM(CASE WHEN l_returnflag <> l_linestatus THEN 1 ELSE 0 END) <= 2 AS seqs_match
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer",
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_dedup_containment" ->
       """WITH toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),

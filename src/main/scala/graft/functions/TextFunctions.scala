@@ -104,6 +104,23 @@ object TextFunctions {
     sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
   }
 
+  /** Positionwise mismatch count between two aligned sequences — the
+    * variant-mapping sanity check (proteofav/variants.py:430
+    * _count_mismatches). zip_with pads the shorter side with nulls;
+    * `x =!= y` is null there and the filter drops it, reproducing
+    * Python zip's truncate-to-shorter semantics exactly. */
+  def countMismatches(a: Column, b: Column): Column = {
+    // split("", "") yields [""] not [] — drop the empty-input artifact
+    def chars(s: Column) = filter(split(s, ""), c => c =!= lit(""))
+    size(filter(zip_with(chars(a), chars(b), (x, y) => x =!= y), m => m))
+  }
+
+  /** Permissive aligned-sequence equivalence: same length and at most
+    * `nMax` mismatches (proteofav/variants.py:411 _compare_sequences
+    * with permissive=True). */
+  def sequencesMatch(a: Column, b: Column, nMax: Int = 10): Column =
+    (length(a) === length(b)) && (countMismatches(a, b) <= nMax)
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   private val LongNumRe = "[0-9]{6,}"
 

@@ -97,6 +97,16 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) == 0.75 && out(1) == 0.0)
   }
 
+  test("countMismatches: positionwise, truncates to shorter side") {
+    val df = Seq(("ABCD", "ABXD"), ("ABC", "ABCDEF"), ("", "XYZ"))
+      .toDF("a", "b")
+    val out = df.select(
+      TextFunctions.countMismatches(col("a"), col("b")).as("n"),
+      TextFunctions.sequencesMatch(col("a"), col("b"), 1).as("ok"))
+      .as[(Int, Boolean)].collect().toSeq
+    assert(out == Seq((1, true), (0, false), (0, false)))
+  }
+
   test("hyperplaneCode deterministic and within nBits range") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(-0.5f)).toDF("v")
     val codes = df.select(
