@@ -38,4 +38,28 @@ class PlanGuardSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"dimension joins not broadcast:\n$p")
   }
+
+  test("q_chunk_tokens runs shuffle-free inside the scan stage") {
+    val p = plan("q_chunk_tokens")
+    assert(!p.contains("Exchange"),
+      s"chunker grew a shuffle — it must stay a scan-stage generator:\n$p")
+    assert(p.contains("Generate"), s"explode generator missing:\n$p")
+  }
+
+  test("q_corpus_mix never shuffles the corpus side") {
+    val p = plan("q_corpus_mix")
+    // thresholds reach the corpus scan via broadcast joins; the only
+    // exchanges allowed are on the tiny per-group count/min tables
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"threshold table not broadcast back onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join appeared:\n$p")
+  }
+
+  test("q_window_sliding is one aggregation exchange, no self-join") {
+    val p = plan("q_window_sliding")
+    assert(!p.contains("Join"), s"hopping windows must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more exchanges than the single agg needs:\n$p")
+  }
 }
