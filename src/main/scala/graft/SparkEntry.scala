@@ -608,7 +608,11 @@ object SparkEntry {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .csv(out)
-        .filter(col("_bad").isNull)
+        // reference a REAL column alongside _bad: Spark rejects
+        // queries whose pruned column set is ONLY the corrupt-record
+        // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — hit by the
+        // bench's count() after pruning the bare _bad filter)
+        .filter(col("_bad").isNull && col("c_custkey").isNotNull)
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     }),
     // second columnar format: ORC write + read + agg (same Catalyst
