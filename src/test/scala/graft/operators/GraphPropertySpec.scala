@@ -43,4 +43,36 @@ class GraphPropertySpec extends SparkSpec {
       assert(got == expected, s"trial $trial: n=$n edges=$edges")
     }
   }
+
+  test("connectedComponentsStars equals union-find on 25 random graphs") {
+    val rnd = new scala.util.Random(89)
+    (1 to 25).foreach { trial =>
+      val n = rnd.nextInt(35) + 5
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val got = Graph.connectedComponentsStars(
+          (0 until n).map(_.toLong).toDF("id"),
+          if (edges.isEmpty) Seq((0L, 0L)).toDF("a_id", "b_id").limit(0)
+          else edges.toDF("a_id", "b_id"),
+          maxIter = n)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("stars variant converges in O(log d) rounds on a 200-node chain") {
+    val n = 200
+    // plain min-label propagation needs ~n rounds on a path; the
+    // alternating-stars contraction must finish far under that
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L))
+    val got = Graph.connectedComponentsStars(
+        (0 until n).map(_.toLong).toDF("id"),
+        edges.toDF("a_id", "b_id"),
+        maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
 }
