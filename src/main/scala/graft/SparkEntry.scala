@@ -309,6 +309,17 @@ object SparkEntry {
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), Seq("source"), 0.9)),
+    // same clusters via the O(log d) alternating-stars algorithm —
+    // the two independent implementations must agree bit-for-bit
+    // with the same recursive-CTE oracle
+    "q_dedup_cluster_stars" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Graph.connectedComponentsStars(
+          docs.select(col("doc_id")),
+          Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
+            .select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+    }),
     // 32 hashes × 2 bands of 16: this corpus's tiny vocabulary makes
     // 1-gram jaccard between RANDOM docs ~0.6, so short bands (4
     // rows) degenerate into near-all-pairs candidates; 16-row bands
@@ -921,6 +932,25 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9""".stripMargin,
     "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |cand AS (
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |edges AS (
+        |SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |UNION SELECT b_id AS src, a_id AS dst FROM edges),
+        |reach AS (
+        |SELECT doc_id AS src, doc_id AS dst FROM documents
+        |UNION
+        |SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
+    "q_dedup_cluster_stars" ->
       """WITH RECURSIVE toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents),
