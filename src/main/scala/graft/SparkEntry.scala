@@ -271,6 +271,12 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum("n_events").cast("long").as("n_events"))),
     "q_stream_join" -> ((s, d) => EventStreams.streamStreamJoin(s, d)),
+    // streaming upsert (foreachBatch): latest-event-per-user keyed
+    // table maintained by the stream — the materialized-view /
+    // feature-store shape
+    "q_stream_upsert" -> ((s, d) =>
+      EventStreams.streamUpsertToTable(s, d,
+        roundtripDir("upsert/table"), roundtripDir("upsert/ckpt"))),
     // the PRODUCTION streaming sink path: append-mode windowed agg to
     // parquet files with a checkpoint — only windows the final
     // watermark (max ts − 1h) has passed are emitted, and the oracle
@@ -625,6 +631,29 @@ object SparkEntry {
         // bench's count() after pruning the bare _bad filter)
         .filter(col("_bad").isNull && col("c_custkey").isNotNull)
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    }),
+    // schema evolution: a 100 TB dataset is written over months —
+    // later partitions carry columns earlier ones lack. Write two
+    // generations (the second adds a column), read with mergeSchema,
+    // aggregate with explicit null handling for the missing column.
+    "q_schema_evolution" -> ((s, d) => {
+      val out = roundtripDir("schema_evo")
+      val li = T(s, d, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,2)")).cast("double")
+            .as("sum_qty"),
+          count(col("l_extendedprice")).as("n_with_price"),
+          sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+            .as("sum_price_new_gen"))
     }),
     // second columnar format: ORC write + read + agg (same Catalyst
     // scan surface as parquet — pushdown/pruning apply identically)
@@ -1171,6 +1200,17 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+        |value AS last_value FROM (
+        |SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS n_with_price,
+        |CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN CAST(l_extendedprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_price_new_gen
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_dedup_containment" ->
       """WITH toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM documents),

@@ -215,6 +215,67 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming upsert via foreachBatch: maintain a keyed
+    * latest-event-per-user table from the stream — the production
+    * "materialized view" shape (CDC compaction, feature stores).
+    * Each micro-batch merges into the keyed table: read existing,
+    * union the batch's per-key latest, keep-latest again, overwrite.
+    * The merge is persisted+materialized BEFORE the overwrite —
+    * lazily overwriting a path you are still reading from is the
+    * classic self-overwrite corruption. Keep-latest is a max(struct)
+    * aggregation ((ts, event_id) lexicographic — event_id unique →
+    * deterministic), not a window sort.
+    * Output: user_id, last_event_id, last_ts_us, last_value. */
+  def streamUpsertToTable(spark: SparkSession, eventsDir: String,
+                          tableDir: String, checkpointDir: String,
+                          fileGlob: String = "events.parquet",
+                          maxFilesPerTrigger: Option[Int] = None)
+  : DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(tableDir, checkpointDir).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      reader.parquet(eventsDir))
+      .select("user_id", "ts", "event_id", "value")
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    withStatefulShuffle(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+              spark.read.parquet(tableDir)
+            else latest(batch).limit(0)
+          val merged = latest(existing.unionByName(latest(batch)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          merged.count() // materialize BEFORE overwriting the source path
+          merged.write.mode("overwrite").parquet(tableDir)
+          merged.unpersist(false)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(tableDir)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("value").as("last_value"))
+  }
+
   /** The production 100 TB sink path: the same windowed aggregation in
     * APPEND mode to parquet files with a checkpoint — here the
     * watermark genuinely evicts state (a window's row is emitted,

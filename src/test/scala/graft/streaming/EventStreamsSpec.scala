@@ -55,6 +55,38 @@ class EventStreamsSpec extends SparkSpec {
       (us("2024-01-01 00:00:00"), "unknown", 1L, 40.0)))
   }
 
+  test("streamUpsertToTable merges keep-latest across micro-batches") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val staging = s"$dir/staging_$name"
+      rows.toDF("user_id", "s", "event_id", "value")
+        .withColumn("ts", to_timestamp(col("s"))).drop("s")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name"))
+    }
+    // generation 1: users 1, 2; generation 2 updates user 1, adds 3
+    write("a.parquet", Seq(
+      (1L, "2024-01-01 00:01:00", 10L, 1.0),
+      (2L, "2024-01-01 00:02:00", 11L, 2.0)))
+    write("b.parquet", Seq(
+      (1L, "2024-01-01 00:09:00", 12L, 9.0),
+      (3L, "2024-01-01 00:03:00", 13L, 3.0)))
+    val out = EventStreams.streamUpsertToTable(spark, s"$dir/in",
+      s"$dir/table", s"$dir/ckpt", fileGlob = "*",
+      maxFilesPerTrigger = Some(1))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+    assert(out == Seq(
+      (1L, 12L, us("2024-01-01 00:09:00"), 9.0), // updated by gen 2
+      (2L, 11L, us("2024-01-01 00:02:00"), 2.0),
+      (3L, 13L, us("2024-01-01 00:03:00"), 3.0)))
+  }
+
   test("streamingDedup drops within-watermark duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     Seq(
