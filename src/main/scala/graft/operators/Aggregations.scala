@@ -62,15 +62,21 @@ object Aggregations {
       .agg(
         decSum(col("l_quantity")).as("sum_qty"),
         decSum(col("l_extendedprice")).as("sum_base_price"),
-        // Rescale each PER-ROW product to scale 6 before summing: the
-        // inputs are 2-decimal money, so the scale-8/12 product's
-        // extra digits are all zero and the rescale is exact in both
-        // engines (no rounding mode involved — Spark rounds HALF_UP,
-        // DuckDB truncates, which diverges if applied AFTER the sum
-        // of a scale-12 decimal). At scale 6 the summed integer stays
-        // < 2^53, so both engines' decimal→double conversions are a
-        // single exact division → identical bits.
-        sum(disc.cast(DecimalType(28, 6))).cast("double").as("sum_disc_price"),
+        // Rescale each PER-ROW product to its TRUE scale before
+        // summing: the inputs are 2-decimal money, so disc_price =
+        // price×(1−disc) needs scale 4 and charge needs scale 6 —
+        // the dropped digits are all zero, making the rescale exact
+        // in both engines (no rounding mode involved — Spark rounds
+        // HALF_UP, DuckDB truncates, which diverges if applied AFTER
+        // the sum). With the summed scaled integer < 2^53 both
+        // engines' decimal→double conversions are a single exact
+        // division → identical bits. Validity bound: group sums must
+        // stay under 2^53/10^scale ≈ 9e8 (charge) / 9e11 (disc) —
+        // holds through the harness SFs (sf0.1 max group ≈ 5e9 total
+        // → per-group ≈ 8.5e8); beyond that the decimal sums remain
+        // exact and only the final double conversion may differ by
+        // 1 ulp between engines.
+        sum(disc.cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
         sum(charge.cast(DecimalType(28, 6))).cast("double").as("sum_charge"),
         (decSum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
         (decSum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),

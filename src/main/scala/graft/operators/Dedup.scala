@@ -23,6 +23,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Shared prefix-filtered inverted-index scaffolding for the
+    * set-similarity joins: tokenize once (persisted), df-rank tokens
+    * globally, keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens as
+    * its prefix, and expose the hashed sorted token sets for the
+    * verify stage. The ceil subtracts a 1e-9 epsilon: τ·sz computed
+    * in doubles can land one ulp ABOVE the exact product (0.9 × 10 =
+    * 9.000000000000002), which would shorten the prefix by one token
+    * and break the pigeonhole recall guarantee; the epsilon undoes
+    * that without affecting exact-integer products.
+    * Returns (base, tok, prefix, sets) — base and prefix are
+    * persisted; the caller releases them via materializeAndRelease. */
+  private def prefixIndex(docs: DataFrame, blockingKeys: Seq[String],
+                          threshold: Double, idCol: String,
+                          textCol: String)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(
+      (col(idCol).as("id") +: blockingKeys.map(col)) :+
+        TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // complete the cache before multi-branch reads
+    val tok = base.select(
+      (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
+    // global df order: (df asc, tok asc) — broadcast-joined back
+    val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(broadcast(df_), "tok")
+      .withColumn("__ord", struct(col("df"), col("tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__ord"))
+    // joined below (a × b) — persist so the df-join + stacked
+    // windows run once, not once per join branch
+    val prefix = ranked
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .filter(col("__rk") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+      .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix.count() // complete the cache before the candidate join
+    // hashed sorted-distinct sets for the codegen'd merge-walk verify
+    // (same sizes/intersections, cheaper compares, ~4x smaller)
+    val sets = base.select(col("id"),
+      sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
+        .as("toks"))
+    (base, tok, prefix, sets)
+  }
+
   /** Prefix-filtered token-set Jaccard similarity join within
     * blocking keys (the PPJoin candidate bound).
     *
@@ -39,34 +86,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockingKeys: Seq[String],
                         threshold: Double, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    // Tokenized docs feed the df-rank, the prefix index (self-joined
-    // a/b) and the verify-stage set fetch — persist the compact token
-    // table once instead of re-tokenizing per branch (see
-    // minhashPairs for the rationale).
-    val base = docs.select(
-      (col(idCol).as("id") +: blockingKeys.map(col)) :+
-        TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count() // complete the cache before multi-branch reads
-    val tok = base.select(
-      (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
-    // global df order: (df asc, tok asc) — broadcast-joined back
-    val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(broadcast(df_), "tok")
-      .withColumn("__ord", struct(col("df"), col("tok")))
-    // keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("__ord"))
-    // self-joined below (a × b) — persist so the df-join + stacked
-    // windows run once, not once per join branch
-    val prefix = ranked
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefix.count() // complete the cache before the a/b self-join
+    val (base, _, prefix, sets) =
+      prefixIndex(docs, blockingKeys, threshold, idCol, textCol)
+    // symmetric candidate join: prefix x prefix, a < b
     val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
     val b = prefix.toDF(prefix.columns.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
@@ -74,12 +96,6 @@ object Dedup {
       .reduce(_ && _)
     val cands = a.join(b, joinCond)
       .select(col("a_id"), col("b_id")).distinct()
-    // fetch full token arrays once per side, verify exact jaccard —
-    // tokens hashed to longs first (same set sizes/intersections,
-    // cheaper compares and ~4x smaller arrays through the join)
-    val sets = base.select(col("id"),
-      sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
-        .as("toks"))
     CacheOps.materializeAndRelease(
       cands
         .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
@@ -107,26 +123,9 @@ object Dedup {
   def containmentPairs(docs: DataFrame, blockingKeys: Seq[String],
                        threshold: Double, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val base = docs.select(
-      (col(idCol).as("id") +: blockingKeys.map(col)) :+
-        TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    val tok = base.select(
-      (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
-    val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(broadcast(df_), "tok")
-      .withColumn("__ord", struct(col("df"), col("tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("__ord"))
-    val prefix = ranked
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefix.count()
+    val (base, tok, prefix, sets) =
+      prefixIndex(docs, blockingKeys, threshold, idCol, textCol)
+    // asymmetric candidate join: A.prefix x B.fullIndex, directed
     val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
     val b = tok.toDF(tok.columns.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
@@ -134,9 +133,6 @@ object Dedup {
       .reduce(_ && _)
     val cands = a.join(b, joinCond)
       .select(col("a_id"), col("b_id")).distinct()
-    val sets = base.select(col("id"),
-      sort_array(array_distinct(transform(col("toks"), t => xxhash64(t))))
-        .as("toks"))
     CacheOps.materializeAndRelease(
       cands
         .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
@@ -328,6 +324,6 @@ object Dedup {
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .withColumn("recall",
         col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
-    CacheOps.materializeAndRelease(CacheOps.materializeAndRelease(out, a), e)
+    CacheOps.materializeAndRelease(out, a, e)
   }
 }

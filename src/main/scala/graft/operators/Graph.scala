@@ -163,12 +163,14 @@ object Graph {
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")))
         .localCheckpoint(true)
-      // ---- small-star: only edges v <= u (child u, parent v)
-      val smallNbr = large.filter(col("v") <= col("u"))
-      val smallMin = smallNbr.groupBy("u")
+      // ---- small-star over the large-star output: every edge is
+      // already canonically child > parent (large-star emits (v, m)
+      // with m <= u < v and nonLoopDistinct drops equality), so the
+      // published "v <= u only" restriction is the whole set here
+      val smallMin = large.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
       val next = nonLoopDistinct(
-        smallNbr.join(smallMin, "u")
+        large.join(smallMin, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(smallMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
@@ -181,10 +183,17 @@ object Graph {
     if (!converged && !cur.isEmpty)
       throw new IllegalStateException(
         s"connectedComponentsStars did not converge in $maxIter rounds")
-    // fixpoint edges are (node -> component min) stars
+    // Fixpoint edges are (node -> component min) stars. Children
+    // appear as label rows; component ROOTS only appear on the comp
+    // side — include them (plus node-list singletons) as
+    // self-labeled rows so edge-only root ids are not dropped
+    // (matching connectedComponents' id coverage: nodes ∪ edge
+    // endpoints).
     val labels = cur.select(col("u").as("id"), col("v").as("comp"))
-    val allNodes = nodes.select(col(idCol).as("id"))
-    val roots = allNodes
+    val allIds = nodes.select(col(idCol).as("id"))
+      .unionByName(labels.select(col("comp").as("id")))
+      .distinct()
+    val roots = allIds
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     labels.unionByName(roots)

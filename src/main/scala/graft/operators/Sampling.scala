@@ -21,6 +21,18 @@ object Sampling {
     ((locateNibble(hex, 1) - 1) * 16 + (locateNibble(hex, 2) - 1)).cast("long")
   }
 
+  /** Bucket 0..65535 from the first four hex chars of md5(id) — the
+    * finer-grained variant for per-group sampling RATES, where 256
+    * buckets would quantize a keep rate by up to 1/256 of the corpus
+    * and floor sub-1/256 rates to zero (dropping a dominant group
+    * entirely). */
+  def md5Bucket16(idCol: Column): Column = {
+    val hex = md5(idCol.cast("string"))
+    (1 to 4).map(i => (locateNibble(hex, i) - 1) *
+        (1L << (4 * (4 - i))))
+      .reduce(_ + _).cast("long")
+  }
+
   private def locateNibble(hex: Column, pos: Int): Column =
     // position of the pos-th hex char in the nibble alphabet (1-based)
     instrCol(lit("0123456789abcdef"), substring(hex, pos, 1))
@@ -77,9 +89,12 @@ object Sampling {
     * are square-root-damped. The keep rate for group g is
     * sqrt(n_min / n_g) (the smallest group keeps 100%), applied as a
     * deterministic md5-bucket threshold so the sample is stable
-    * across runs, retries and engines — floor(256·sqrt(ratio))
+    * across runs, retries and engines — floor(65536·sqrt(ratio))
     * involves only IEEE-exact ops (integer→double division, sqrt,
-    * scale, floor), so any engine computes the same threshold.
+    * scale, floor), so any engine computes the same threshold. The
+    * threshold is floored at 1 bucket (≈1/65536): a group so
+    * dominant that its target rate rounds to zero is still sampled,
+    * never silently dropped.
     *
     * Plan shape at 100 TB: one map-side-combined count per group, a
     * broadcast of the (tiny) per-group threshold table back onto the
@@ -92,10 +107,11 @@ object Sampling {
     val nMin = counts.agg(min(col("__n")).as("__n_min"))
     val thresholds = counts.crossJoin(broadcast(nMin))
       .select(col(groupCol),
-        floor(sqrt(col("__n_min").cast("double") / col("__n")) * 256)
-          .cast("long").as("__thresh"))
+        greatest(lit(1L),
+          floor(sqrt(col("__n_min").cast("double") / col("__n")) * 65536)
+            .cast("long")).as("__thresh"))
     df.join(broadcast(thresholds), groupCol)
-      .filter(md5Bucket(col(idCol)) < col("__thresh"))
+      .filter(md5Bucket16(col(idCol)) < col("__thresh"))
       .drop("__thresh")
   }
 

@@ -63,6 +63,17 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("both variants label edge-only ids (roots and children) consistently") {
+    // node list covers only id 9; the edge introduces 5 (the root)
+    val nodes = Seq(9L).toDF("id")
+    val edges = Seq((5L, 9L)).toDF("a_id", "b_id")
+    val expected = Map(5L -> 5L, 9L -> 5L)
+    assert(Graph.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap == expected)
+    assert(Graph.connectedComponentsStars(nodes, edges)
+      .as[(Long, Long)].collect().toMap == expected)
+  }
+
   test("stars variant converges in O(log d) rounds on a 200-node chain") {
     val n = 200
     // plain min-label propagation needs ~n rounds on a path; the

@@ -69,7 +69,7 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.temperatureSample(df, "grp", "id")
     val kept = out.groupBy("grp").count()
       .as[(String, Long)].collect().toMap
-    // smallest group: threshold 256 → every row survives
+    // smallest group: threshold 65536 → every row survives
     assert(kept("small") == 100L)
     // big group: keep rate sqrt(100/1600) = 1/4 → E=400, md5 buckets
     // are near-uniform so allow a generous band
