@@ -43,20 +43,22 @@ object Dedup {
         TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // complete the cache before multi-branch reads
+    // set size rides along from the scan — deriving it later with a
+    // count() window would add a second window pass over the sorted
+    // partitions for a value already known at tokenize time
     val tok = base.select(
-      (col("id") +: blockingKeys.map(col)) :+ explode(col("toks")).as("tok"): _*)
+      (col("id") +: blockingKeys.map(col)) :+
+        size(col("toks")).as("__sz") :+ explode(col("toks")).as("tok"): _*)
     // global df order: (df asc, tok asc) — broadcast-joined back
     val df_ = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = tok.join(broadcast(df_), "tok")
       .withColumn("__ord", struct(col("df"), col("tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("__ord"))
-    // joined below (a × b) — persist so the df-join + stacked
-    // windows run once, not once per join branch
+    // joined below (a × b) — persist so the df-join + window run
+    // once, not once per join branch
     val prefix = ranked
       .withColumn("__rk", row_number().over(w))
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       .filter(col("__rk") <=
         col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
       .select((col("id") +: blockingKeys.map(col)) :+ col("tok"): _*)
