@@ -353,6 +353,16 @@ object SparkEntry {
     }),
     "q_dedup_embed_cos" -> ((s, d) =>
       Dedup.embeddingCosinePairs(T(s, d, "embeddings"), 0.35)),
+    // the SEMANTIC dedup deliverable: embedding near-dup pairs →
+    // connected components → one cluster representative per vector
+    // (the embedding-side twin of q_dedup_cluster/q_dedup_keep)
+    "q_dedup_semantic" -> ((s, d) => {
+      val embs = T(s, d, "embeddings")
+      Graph.connectedComponents(
+          embs.select(col("vec_id")),
+          Dedup.embeddingCosinePairs(embs, 0.35).select("a_id", "b_id"))
+        .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+    }),
     // ---- G. similarity search -------------------------------------------
     "q_ann_brute_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -1028,6 +1038,22 @@ object SparkEntry {
         |list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.35""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, label, embedding,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |edges AS (SELECT a_id, b_id FROM p WHERE cos >= 0.35),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |UNION SELECT b_id AS src, a_id AS dst FROM edges),
+        |reach AS (
+        |SELECT vec_id AS src, vec_id AS dst FROM embeddings
+        |UNION
+        |SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
     "q_ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
         |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
