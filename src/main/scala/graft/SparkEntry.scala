@@ -103,6 +103,19 @@ object SparkEntry {
     "q_having_complete" -> ((s, d) =>
       Aggregations.completeGroups(T(s, d, "lineitem"), Seq("l_orderkey"),
         col("n_members") >= 5)),
+    // dataset versioning: diff two corpus snapshots (v2 derived
+    // deterministically: drop %10 ids, mutate %7 texts, add %13 ids
+    // under new keys) → added/removed/changed rows
+    "q_table_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      RowOps.snapshotDiff(docs, v2, Seq("doc_id"),
+        Seq("text", "lang", "source", "n_chars"))
+    }),
     // aligned-sequence comparison (variants.py:411,430): build two
     // sequences under ONE total ordering, count positionwise
     // mismatches with the zip_with char walk
@@ -1214,6 +1227,22 @@ object SparkEntry {
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
         |FROM documents""".stripMargin,
+    "q_table_diff" ->
+      """WITH newsnap AS (
+        |SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |lang, source, n_chars FROM documents WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |CASE WHEN o.doc_id IS NULL THEN 'added'
+        |WHEN n.doc_id IS NULL THEN 'removed'
+        |WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+        |  OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+        |ELSE 'unchanged' END AS change
+        |FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |  AND o.text IS NOT DISTINCT FROM n.text AND o.lang IS NOT DISTINCT FROM n.lang
+        |  AND o.source IS NOT DISTINCT FROM n.source AND o.n_chars IS NOT DISTINCT FROM n.n_chars)""".stripMargin,
     "q_seq_mismatch" ->
       """SELECT l_orderkey,
         |string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag, l_linestatus) AS seq_a,

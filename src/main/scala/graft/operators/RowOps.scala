@@ -106,6 +106,37 @@ object RowOps {
     df.withColumn(as, col(valueCol) / lookup * scale)
   }
 
+  /** Diff two snapshots of a keyed table — the dataset-versioning
+    * primitive (what changed between corpus v1 and v2?). One full
+    * outer join on the key; payload comparison is null-safe (`<=>`)
+    * per column, so a value going to/from null registers as a
+    * change. Emits (keys..., change ∈ added|removed|changed);
+    * unchanged rows are dropped — at 100 TB the diff output is the
+    * small side, the join shuffles both snapshots on the key once. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String])
+  : DataFrame = {
+    val o = oldDf.select((keyCols ++ compareCols).map(c =>
+      col(c).as(s"o_$c")): _*)
+    val n = newDf.select((keyCols ++ compareCols).map(c =>
+      col(c).as(s"n_$c")): _*)
+    val joinCond = keyCols.map(k => col(s"o_$k") === col(s"n_$k"))
+      .reduce(_ && _)
+    val inOld = col(s"o_${keyCols.head}").isNotNull
+    val inNew = col(s"n_${keyCols.head}").isNotNull
+    val payloadDiffers = compareCols.map(c =>
+      !(col(s"o_$c") <=> col(s"n_$c"))).reduce(_ || _)
+    o.join(n, joinCond, "full_outer")
+      .withColumn("change",
+        when(!inOld, lit("added"))
+          .when(!inNew, lit("removed"))
+          .when(payloadDiffers, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(k =>
+        coalesce(col(s"o_$k"), col(s"n_$k")).as(k)) :+ col("change"): _*)
+  }
+
   /** Collapse to one row per `groupKeys`: every other column becomes
     * the sorted-unique values joined by `sep` — single shuffle, no
     * driver-side loops. reference: proteofav/utils.py:250

@@ -69,6 +69,23 @@ class RowOpsSpec extends SparkSpec {
       Seq("Helix", "Helix", "Other"))
   }
 
+  test("snapshotDiff classifies added/removed/changed, null-safe") {
+    val v1 = Seq((1L, "a", Some(10)), (2L, "b", Some(20)),
+      (3L, "c", None: Option[Int])).toDF("id", "t", "x")
+    val v2 = Seq((1L, "a", Some(10)),              // unchanged → dropped
+      (2L, "b2", Some(20)),                        // changed payload
+      (3L, "c", Some(5)),                          // null → value = changed
+      (4L, "d", Some(40))).toDF("id", "t", "x")    // added; none removed? drop 2? keep
+    val out = RowOps.snapshotDiff(v1, v2, Seq("id"), Seq("t", "x"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "changed", 4L -> "added"))
+    // removal: v2 without id 1
+    val out2 = RowOps.snapshotDiff(v1, v2.filter(col("id") =!= 1), Seq("id"),
+      Seq("t", "x"))
+      .as[(Long, String)].collect().toMap
+    assert(out2(1L) == "removed")
+  }
+
   test("scaledRatio divides by the category constant, null if unmapped") {
     val df = Seq(("A", 34.0), ("N", 47.0), ("X", 1.0)).toDF("k", "v")
     val out = RowOps.scaledRatio(df, "v", "k",
