@@ -284,6 +284,11 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum("n_events").cast("long").as("n_events"))),
     "q_stream_join" -> ((s, d) => EventStreams.streamStreamJoin(s, d)),
+    // OUTER stream-stream join: unmatched clicks surface with null
+    // error columns once the watermark closes their join window —
+    // "no match ever", proven, not just "no match yet"
+    "q_stream_left_join" -> ((s, d) =>
+      EventStreams.streamStreamLeftJoin(s, d)),
     // streaming upsert (foreachBatch): latest-event-per-user keyed
     // table maintained by the stream — the materialized-view /
     // feature-store shape
@@ -934,6 +939,19 @@ object SparkEntry {
         |AND e.event_type = 'error' AND c.user_id = e.user_id
         |AND epoch_us(e.ts) <= epoch_us(c.ts)
         |AND epoch_us(e.ts) >= epoch_us(c.ts) - 600000000""".stripMargin,
+    "q_stream_left_join" ->
+      """WITH ev AS (SELECT *, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'click'),
+        |err AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error'),
+        |wm AS (SELECT least((SELECT (MAX(us) // 1000) * 1000 FROM c),
+        |               (SELECT (MAX(us) // 1000) * 1000 FROM err))
+        |        - 1800000000 AS w),
+        |j AS (SELECT c.event_id AS click_id, c.user_id, c.us AS click_ts_us,
+        |err.event_id AS err_id, err.us AS err_ts_us
+        |FROM c LEFT JOIN err ON c.user_id = err.user_id
+        |AND err.us <= c.us AND err.us >= c.us - 600000000)
+        |SELECT click_id, user_id, click_ts_us, err_id, err_ts_us FROM j
+        |WHERE err_id IS NOT NULL OR click_ts_us < (SELECT w FROM wm)""".stripMargin,
     "q_window_agg_time" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
         |event_type, COUNT(*) AS n,

@@ -326,6 +326,8 @@ object Dedup {
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .withColumn("recall",
         col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
+      .withColumn("precision",
+        col("n_hit").cast("double") / greatest(col("n_approx"), lit(1L)))
     CacheOps.materializeAndRelease(out, a, e)
   }
 }

@@ -135,6 +135,59 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: every click
+    * pairs with its trailing errors, and clicks WITHOUT a matching
+    * error are still emitted (null error columns) once the watermark
+    * proves no match can arrive — the streaming feature that
+    * distinguishes "no match yet" from "no match ever". State and
+    * emission timing follow the two watermarks + the interval bound,
+    * exactly like the inner variant; the outer rows simply flush
+    * when their join-window closes. With a finite availableNow input
+    * the final watermark closes every window, so the result equals
+    * the batch left join.
+    * Output: click_id, user_id, click_ts_us, err_id, err_ts_us
+    * (err columns null for unmatched clicks). */
+  def streamStreamLeftJoin(spark: SparkSession, eventsDir: String,
+                           fileGlob: String = "events.parquet",
+                           intervalMicros: Long = 600L * 1000000L,
+                           watermark: String = "30 minutes",
+                           queryName: String = "graft_ss_ljoin")
+  : DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    def side(tag: String) = graft.sources.Tables.normalizeNanoTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(eventsDir))
+      .filter(col("event_type") === tag)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val errors = side("error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMicros MICROSECOND"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"), col("err_id"),
+        unix_micros(col("err_ts")).as("err_ts_us"))
+    spark.catalog.dropTempView(queryName) // rerun-safe
+    withStatefulShuffle(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: drop events whose `keyCols` were already
     * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
     * keys the state store and the watermark evicts it, so state is

@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
     // (2,1) reversed → still a hit; (9,10) is approx-only noise
     val approx = Seq((2L, 1L), (3L, 4L), (9L, 10L)).toDF("a_id", "b_id")
     val out = Dedup.pairRecall(approx, exact)
-      .as[(Long, Long, Long, Double)].head()
-    assert(out == ((4L, 3L, 2L, 0.5)))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((4L, 3L, 2L, 0.5, 2.0 / 3)))
   }
 }
