@@ -242,6 +242,10 @@ object SparkEntry {
         "l_suppkey", "id", "x", "y", "z", eps = 2.0, k = 3)),
     // exact linear-interpolation percentiles (sort-based; for the
     // 100 TB path see q_sketch_profile's approx variants)
+    // fixed-width histogram per return flag (distribution profiling)
+    "q_histogram" -> ((s, d) =>
+      Aggregations.histogram(T(s, d, "lineitem"), "l_quantity",
+        Seq("l_returnflag"), lo = 0.0, width = 5.0, nBins = 10)),
     "q_quantiles" -> ((s, d) =>
       T(s, d, "lineitem").groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
@@ -1245,6 +1249,12 @@ object SparkEntry {
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_end,
         |CAST(length(replace(text, ' ', '')) AS BIGINT) AS seq_len
         |FROM documents""".stripMargin,
+    "q_histogram" ->
+      """SELECT l_returnflag,
+        |CAST(least(9, greatest(0, floor((l_quantity - 0.0) / 5.0))) AS BIGINT) AS bin,
+        |COUNT(*) AS n,
+        |0.0 + CAST(least(9, greatest(0, floor((l_quantity - 0.0) / 5.0))) AS BIGINT) * 5.0 AS bin_lo
+        |FROM lineitem GROUP BY 1, 2, 4""".stripMargin,
     "q_table_diff" ->
       """WITH newsnap AS (
         |SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,

@@ -85,6 +85,20 @@ object Aggregations {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Fixed-width histogram per group: bin = clamp(floor((v−lo)/w)),
+    * one map-side-combined aggregation — the shuffle carries
+    * |groups × bins| partial counts. Distribution profiling for a
+    * new table at any scale (the groupable twin of the sketch
+    * percentiles). */
+  def histogram(df: DataFrame, valueCol: String, keys: Seq[String],
+                lo: Double, width: Double, nBins: Int): DataFrame = {
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / width))).cast("long")
+    df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+  }
+
   /** Keep the first row of each group under an explicit ordering —
     * window row_number, one shuffle. reference:
     * proteofav/structures.py:483 (residues_aggregation 'first'). */
