@@ -56,4 +56,15 @@ class AggregationsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_qty") == 15.0)
     assert(r.getAs[Long]("count_order") == 2L)
   }
+
+  test("histogram clamps out-of-range values into edge bins") {
+    val df = Seq(("a", -3.0), ("a", 0.0), ("a", 4.9), ("a", 5.0),
+      ("a", 47.0), ("a", 999.0)).toDF("k", "v")
+    val out = Aggregations.histogram(df, "v", Seq("k"),
+        lo = 0.0, width = 5.0, nBins = 10)
+      .select("bin", "n", "bin_lo").as[(Long, Long, Double)]
+      .collect().toSet
+    // -3 clamps to bin 0; 47 and 999 clamp to bin 9; 5.0 is bin 1
+    assert(out == Set((0L, 3L, 0.0), (1L, 1L, 5.0), (9L, 2L, 45.0)))
+  }
 }
