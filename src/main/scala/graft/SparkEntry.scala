@@ -1334,7 +1334,7 @@ object SparkEntry {
         |t AS (SELECT source,
         |greatest(1, CAST(floor(sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) * 65536) AS BIGINT)) AS thresh
         |FROM counts)
-        |SELECT d.source, d.doc_id FROM documents d JOIN t USING (source)
+        |SELECT d.source, d.doc_id FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.source
         |WHERE (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
         |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
         |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16

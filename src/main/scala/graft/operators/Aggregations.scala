@@ -94,7 +94,10 @@ object Aggregations {
                 lo: Double, width: Double, nBins: Int): DataFrame = {
     val bin = least(lit(nBins - 1), greatest(lit(0),
       floor((col(valueCol) - lo) / width))).cast("long")
-    df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // greatest/least skip nulls, so a null value would otherwise land
+    // in bin 0 — drop nulls instead of misattributing them.
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin") * width)
   }

@@ -308,7 +308,7 @@ object Dedup {
     * number that justifies running the sketch instead of the exact
     * join at 100 TB. Pairs are orientation-normalized (min, max)
     * before the semi-count so A~B matches B~A. Output: one row —
-    * n_exact, n_approx, n_hit, recall. */
+    * n_exact, n_approx, n_hit, recall, precision. */
   def pairRecall(approx: DataFrame, exact: DataFrame,
                  aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     def norm(df: DataFrame) = df.select(

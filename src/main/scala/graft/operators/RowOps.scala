@@ -116,14 +116,18 @@ object RowOps {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String], compareCols: Seq[String])
   : DataFrame = {
+    // Explicit presence markers: key nullness is not a reliable
+    // signal (a legitimately-null key row would read as "absent").
+    // Keys are still required to be unique per snapshot — duplicate
+    // keys fan the full-outer join into a cross product of diff rows.
     val o = oldDf.select((keyCols ++ compareCols).map(c =>
-      col(c).as(s"o_$c")): _*)
+      col(c).as(s"o_$c")) :+ lit(true).as("__o_present"): _*)
     val n = newDf.select((keyCols ++ compareCols).map(c =>
-      col(c).as(s"n_$c")): _*)
-    val joinCond = keyCols.map(k => col(s"o_$k") === col(s"n_$k"))
+      col(c).as(s"n_$c")) :+ lit(true).as("__n_present"): _*)
+    val joinCond = keyCols.map(k => col(s"o_$k") <=> col(s"n_$k"))
       .reduce(_ && _)
-    val inOld = col(s"o_${keyCols.head}").isNotNull
-    val inNew = col(s"n_${keyCols.head}").isNotNull
+    val inOld = col("__o_present").isNotNull
+    val inNew = col("__n_present").isNotNull
     val payloadDiffers = compareCols.map(c =>
       !(col(s"o_$c") <=> col(s"n_$c"))).reduce(_ || _)
     o.join(n, joinCond, "full_outer")

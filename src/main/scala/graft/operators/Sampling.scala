@@ -110,9 +110,10 @@ object Sampling {
         greatest(lit(1L),
           floor(sqrt(col("__n_min").cast("double") / col("__n")) * 65536)
             .cast("long")).as("__thresh"))
-    df.join(broadcast(thresholds), groupCol)
+    val t = thresholds.withColumnRenamed(groupCol, "__g")
+    df.join(broadcast(t), col(groupCol) <=> col("__g"))
       .filter(md5Bucket16(col(idCol)) < col("__thresh"))
-      .drop("__thresh")
+      .drop("__g", "__thresh")
   }
 
   /** Per-group quota: keep the first `n` rows of each group in

@@ -311,11 +311,15 @@ object EventStreams {
             if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
               spark.read.parquet(tableDir)
             else latest(batch).limit(0)
-          val merged = latest(existing.unionByName(latest(batch)))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          merged.count() // materialize BEFORE overwriting the source path
+          // localCheckpoint(eager = true) is a durable barrier: it
+          // truncates lineage, so a lost block can never trigger a
+          // recompute that re-reads the path we are about to
+          // overwrite (persist+count would — cached blocks can be
+          // evicted or lost mid-overwrite and recompute from the
+          // partially-overwritten source).
+          val merged =
+            latest(existing.unionByName(latest(batch))).localCheckpoint(true)
           merged.write.mode("overwrite").parquet(tableDir)
-          merged.unpersist(false)
           ()
         }
         .option("checkpointLocation", checkpointDir)

@@ -67,4 +67,13 @@ class AggregationsSpec extends SparkSpec {
     // -3 clamps to bin 0; 47 and 999 clamp to bin 9; 5.0 is bin 1
     assert(out == Set((0L, 3L, 0.0), (1L, 1L, 5.0), (9L, 2L, 45.0)))
   }
+
+  test("histogram drops null values instead of binning them at 0") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", None))
+      .toDF("k", "v")
+    val out = Aggregations.histogram(df, "v", Seq("k"),
+        lo = 0.0, width = 5.0, nBins = 10)
+      .select("bin", "n").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
 }

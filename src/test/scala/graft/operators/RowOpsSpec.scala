@@ -86,6 +86,14 @@ class RowOpsSpec extends SparkSpec {
     assert(out2(1L) == "removed")
   }
 
+  test("snapshotDiff matches a null key to itself, not as added+removed") {
+    val v1 = Seq((Option.empty[Long], "a")).toDF("id", "t")
+    val v2 = Seq((Option.empty[Long], "b")).toDF("id", "t")
+    val out = RowOps.snapshotDiff(v1, v2, Seq("id"), Seq("t"))
+      .select("change").as[String].collect().toSeq
+    assert(out == Seq("changed"))
+  }
+
   test("scaledRatio divides by the category constant, null if unmapped") {
     val df = Seq(("A", 34.0), ("N", 47.0), ("X", 1.0)).toDF("k", "v")
     val out = RowOps.scaledRatio(df, "v", "k",

@@ -80,6 +80,17 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureSample keeps null-group rows (null-safe join)") {
+    val df = ((1 to 50).map(i => (i.toLong, Option("a"))) ++
+      (101 to 150).map(i => (i.toLong, Option.empty[String])))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id")
+    // both groups have equal size → threshold 65536 → nothing dropped,
+    // including the rows whose group key is NULL
+    assert(out.count() == 100L)
+    assert(out.filter(col("grp").isNull).count() == 50L)
+  }
+
   test("capPerGroup keeps first n per group in order") {
     val df = Seq(
       ("a", 3), ("a", 1), ("a", 2), ("a", 4),
