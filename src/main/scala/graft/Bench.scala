@@ -43,12 +43,27 @@ object Bench {
         name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).keys.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full-precision per-query timings go to a file; stdout gets ONE
+    // compact line (3-decimal values) as the FINAL line. The driver
+    // captures only the tail of stdout, and at ~95 queries the
+    // full-precision line overflows that capture (BENCH_r04..r06 all
+    // recorded "parsed": null) — rounding keeps the line well inside
+    // the window while preserving the "queries" map contract.
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      s"""{"queries":$detail,"failed":$failed,"total":$total,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,17 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_DUMP=q_a,q_b — run queries, parquet to /tmp/graft_dump/<q>
+    // (targeted oracle comparison without the full Verify sweep)
+    if (sys.env.contains("PROF_DUMP")) {
+      for (q <- sys.env("PROF_DUMP").split(",").map(_.trim)
+          .filter(_.nonEmpty)) {
+        time(s"dump.$q")(SparkEntry.queries(q)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_dump/$q"))
+      }
+      spark.stop(); return
+    }
     // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
     if (sys.env.contains("PROF_EXPLAIN")) {
       for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)

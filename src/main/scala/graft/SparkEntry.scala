@@ -734,6 +734,18 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
           .select("a_id", "b_id"))
     }),
+    // embedding-LSH pair recall vs the tiled exact pair set — the
+    // measured basis for choosing exact-tiled vs LSH-staged dedup at
+    // a given threshold (regime math in embeddingCosinePairsLsh's
+    // scaladoc). Verify is exact-cosine on both sides, so precision
+    // is 1.0 by construction and recall is the number that matters.
+    "q_embed_recall" -> ((s, d) => {
+      val embs = T(s, d, "embeddings")
+      Dedup.pairRecall(
+        Dedup.embeddingCosinePairsLsh(embs, 0.35, dim = 64, nBits = 2,
+          nTables = 8).select("a_id", "b_id"),
+        Dedup.embeddingCosinePairs(embs, 0.35).select("a_id", "b_id"))
+    }),
     // viewer attribute file (visualise.py defattr shape): header +
     // ':key<TAB>value' body rendered distributed, parsed back —
     // double→string→double roundtrips bit-exactly in Java

@@ -278,28 +278,111 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label):
-    * per-block self-join + exact cosine ≥ threshold. The blocked join
-    * bounds fan-out; the 100 TB path swaps the block key for an LSH
-    * code (see Similarity.lshTopK). */
+    * EXACT cosine-threshold self-join, triangle-TILED for scale.
+    *
+    * Why exact and why tiled: an exact threshold join over DENSE
+    * vectors has no subquadratic algorithm — prefix-filter pruning
+    * (ngramJaccardPairs) needs sparsity, and hyperplane LSH only wins
+    * when the threshold is high (see [[embeddingCosinePairsLsh]]'s
+    * regime math; at this corpus's τ = 0.35 operating point any LSH
+    * parameterization with recall ≥ 0.95 generates MORE candidates
+    * than brute force). So the per-block pair count is inherent; what
+    * must NOT happen at 100 TB is a plain self-join on the block key,
+    * which shuffles every block into ONE task — a low-cardinality
+    * block key turns that task into an (n/|blocks|)² straggler/OOM.
+    *
+    * The fix is deterministic triangle tiling: each row gets a tile
+    * t = xxhash64(id) mod T; the row side replicates to tile pairs
+    * (t, u) for u ∈ [t, T), the col side to (t', u) for t' ∈ [0, u],
+    * and the join key is (block, t, u). Every unordered cross-tile
+    * pair meets in exactly one tile pair and diagonal tiles dedupe on
+    * id order, so the pair set is EXACTLY the blocked all-pairs set —
+    * but the block's quadratic work now spreads evenly over
+    * T·(T+1)/2 independent tasks with (n_blk/T)² pairs each, at the
+    * cost of shuffling (T+1)× the vector data. Pick T ≈ n_blk·dim /
+    * (per-task FLOP budget); 8 is right for the test SFs.
+    *
+    * Norms are precomputed once per ROW before replication — the
+    * naive cosine-per-pair recomputes both norms for every candidate
+    * pair (O(pairs·dim) extra fold work at 100 TB). */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double,
                            blockCol: String = "label",
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
-    // Precompute each row's norm ONCE before the join — the naive
-    // cosine-per-pair recomputes both norms for every candidate pair
-    // (O(pairs·dim) extra fold work at 100 TB).
+                           vecCol: String = "embedding",
+                           tiles: Int = 8): DataFrame = {
+    val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(tiles)).cast("int").as("tile"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count() // complete the cache before the two-branch read
+    val rows = v.select(col("id").as("a_id"), col("blk"),
+      col("vec").as("a_vec"), col("nrm").as("a_nrm"),
+      col("tile").as("t"), explode(sequence(col("tile"), lit(tiles - 1))).as("u"))
+    val cols_ = v.select(col("id").as("b_id"), col("blk"),
+      col("vec").as("b_vec"), col("nrm").as("b_nrm"),
+      explode(sequence(lit(0), col("tile"))).as("t"), col("tile").as("u"))
+    val denom = col("a_nrm") * col("b_nrm")
+    CacheOps.materializeAndRelease(
+      rows.join(cols_, Seq("blk", "t", "u"))
+        // diagonal tiles see both orders + self; cross tiles exactly once
+        .filter(col("t") =!= col("u") || col("a_id") < col("b_id"))
+        .withColumn("cos", when(denom === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("a_vec"), col("b_vec")) / denom))
+        .filter(col("cos") >= threshold)
+        // cross-tile orientation is by tile, not id — normalize (dot
+        // and norms are accumulation-order-identical either way)
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"), col("cos")),
+      v)
+  }
+
+  /** APPROXIMATE embedding near-dup pairs: multi-table random-
+    * hyperplane LSH candidate blocking + exact cosine verify — the
+    * staged candidate/verify shape of [[minhashPairs]], for the
+    * regime where it actually wins.
+    *
+    * Regime math (collision prob per bit p = 1 − acos(cos)/π;
+    * a random pair has p ≈ 0.5): candidate volume ≈ nTables/2^nBits
+    * of all-pairs, recall = 1 − (1 − p^nBits)^nTables. At τ = 0.9
+    * (p ≈ 0.857), nBits = 8 / nTables = 12 gives ~4.7% of all-pairs
+    * candidates at recall ≈ 0.97. At τ = 0.35 (p ≈ 0.61) the same
+    * recall needs nTables ≈ 3·(1/p)^nBits, i.e. MORE candidates than
+    * brute force for every nBits — use the tiled exact join
+    * [[embeddingCosinePairs]] there instead. [[pairRecall]] measures
+    * the achieved recall/precision against the exact pair set
+    * (q_embed_recall). */
+  def embeddingCosinePairsLsh(embs: DataFrame, threshold: Double,
+                              dim: Int, nBits: Int = 8, nTables: Int = 12,
+                              blockCol: String = "label",
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
     val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    v.count() // complete the cache before the x/y self-join
+    v.count()
+    // (table, code) bucket keys: the candidate join carries only
+    // (id, blk, bucket) — vectors never ride the multi-table join
+    val coded = v.select(col("id"), col("blk"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          VectorFunctions.hyperplaneCode(col("vec"), dim, nBits, t)
+            .as("code"))): _*)).as("bk"))
+    val cands = coded.alias("x").join(coded.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct() // dedupe across tables BEFORE fetching vectors
+    val denom = col("a_nrm") * col("b_nrm")
     CacheOps.materializeAndRelease(
-      v.alias("x").join(v.alias("y"),
-          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-        .withColumn("denom", col("x.nrm") * col("y.nrm"))
-        .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
-          .otherwise(VectorFunctions.dot(col("x.vec"), col("y.vec")) / col("denom")))
+      cands
+        .join(v.select(col("id").as("a_id"), col("vec").as("a_vec"),
+          col("nrm").as("a_nrm")), "a_id")
+        .join(v.select(col("id").as("b_id"), col("vec").as("b_vec"),
+          col("nrm").as("b_nrm")), "b_id")
+        .withColumn("cos", when(denom === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("a_vec"), col("b_vec")) / denom))
         .filter(col("cos") >= threshold)
-        .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos")),
+        .select(col("a_id"), col("b_id"), col("cos")),
       v)
   }
 

@@ -24,19 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Squared L2 distance between a double-array column and one
+    * centroid column (an element of the centroid matrix literal). */
+  private def d2(vec: Column, c: Column): Column =
+    aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** All cells scored against `vec`, as an array<struct<d2, cell>>.
+    *
+    * The centroid matrix is ONE array<array<double>> literal and the
+    * scoring is ONE indexed-transform lambda — expression-tree size
+    * is O(1) in nCells (the matrix is data, not code). The previous
+    * shape (one aggregate/zip_with subtree per centroid inside an
+    * `array(...)`) grew the tree linearly: at the thousands of cells
+    * a 100 TB corpus needs it blows past codegen's 64KB method limit
+    * and stalls the analyzer long before that. Struct comparison
+    * orders by (d2, cell), so min/sort tie-break on the lower cell
+    * id, exactly as before. */
+  private def cellScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    transform(cents, (c, i) =>
+      struct(d2(vec, c).as("d2"), i.as("cell")))
+  }
+
   /** argmin over the broadcast centroid literal: returns the 0-based
     * index of the nearest centroid (squared-L2). */
-  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = typedlit(c)
-      struct(
-        aggregate(zip_with(vec, cLit,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v).as("d2"),
-        lit(i).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(cellScores(vec, centroids)).getField("cell")
 
   /** Train centroids: deterministic hash-seeded sample + Lloyd
     * refinement. Returns nCells × dim (some cells may repeat if the
@@ -86,16 +100,8 @@ object Ivf {
       VectorFunctions.norm(col(vecCol)).as("c_nrm"),
       nearestCell(dvec, centroids).as("cell"))
     // probes replicate to their nProbe nearest cells
-    val cellsRanked = {
-      val scored = centroids.zipWithIndex.map { case (cn, i) =>
-        struct(
-          aggregate(zip_with(dvec, typedlit(cn),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v).as("d2"),
-          lit(i).as("cell"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nProbe)
-    }
+    val cellsRanked =
+      slice(array_sort(cellScores(dvec, centroids)), 1, nProbe)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
         VectorFunctions.norm(col(vecCol)).as("p_nrm"),
         explode(cellsRanked.getField("cell")).as("cell"))

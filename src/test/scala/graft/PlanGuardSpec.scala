@@ -56,6 +56,15 @@ class PlanGuardSpec extends SparkSpec {
       s"corpus-side shuffle join appeared:\n$p")
   }
 
+  test("q_dedup_embed_cos joins on (block, tile, tile), never the block key alone") {
+    val p = plan("q_dedup_embed_cos")
+    // the exact cosine self-join must carry the triangle-tile columns
+    // in its EQUALITY keys — a join keyed on blk alone funnels each
+    // block into one task, the (n/|blocks|)² straggler at 100 TB
+    assert("""Join \[[^\[\]]*t#\d+, u#\d+\]""".r.findFirstIn(p).isDefined,
+      s"tile columns missing from the self-join keys:\n$p")
+  }
+
   test("q_window_sliding is one aggregation exchange, no self-join") {
     val p = plan("q_window_sliding")
     assert(!p.contains("Join"), s"hopping windows must not self-join:\n$p")

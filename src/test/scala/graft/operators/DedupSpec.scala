@@ -62,6 +62,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("embeddingCosinePairs tiling is pair-exact at every tile count") {
+    // the tiled plan must produce EXACTLY the blocked all-pairs set:
+    // cross-tile pairs meet in one tile pair, diagonal tiles dedupe
+    // on id order, no pair is lost or doubled at any T
+    val rnd = new scala.util.Random(11)
+    val embs = (1 to 40).map(i => (i.toLong,
+      Array.fill(6)(rnd.nextFloat() - 0.5f), i % 2)).toDF(
+      "vec_id", "embedding", "label")
+    val expected = Dedup.embeddingCosinePairs(embs, 0.2, tiles = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    for (t <- Seq(3, 8)) {
+      val got = Dedup.embeddingCosinePairs(embs, 0.2, tiles = t)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"tiles=$t diverged from all-pairs")
+    }
+  }
+
+  test("embeddingCosinePairsLsh: verified subset of exact, finds identicals") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // identical -> every table collides
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingCosinePairsLsh(embs, threshold = 0.9, dim = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("containmentPairs: directed subsumption, not symmetric jaccard") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"),

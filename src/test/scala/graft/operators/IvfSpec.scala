@@ -34,6 +34,25 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute) // nProbe == nCells → exhaustive → identical
   }
 
+  test("ivfTopK plans and runs at nCells=1024 (centroid matrix is data, not code)") {
+    // the per-cell array(...) shape this replaced grew one
+    // aggregate/zip_with subtree per centroid: at 1024 cells the
+    // analyzer stalls and codegen's 64KB method limit trips long
+    // before the 100 TB-scale cell counts. The fold-over-literal
+    // shape keeps the expression tree O(1) in nCells — this test is
+    // the regression guard (it fails by hanging/erroring, not by
+    // assertion, if the per-cell shape comes back).
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 1200).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val probes = big.filter(col("vec_id") <= 2)
+    val out = Ivf.ivfTopK(big, probes, k = 3, nCells = 1024, nProbe = 16,
+      lloydIters = 1).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L)) // both probes answered
+    assert(out.length >= 2 && out.length <= 6)         // <= 2 probes x k
+  }
+
   test("ivfTopK with nProbe=1 stays within the probe's own cluster") {
     val probes = corpus.filter(col("vec_id") === 2) // +5 cluster
     val out = Ivf.ivfTopK(corpus, probes, k = 5, nCells = 2, nProbe = 1)
