@@ -134,6 +134,26 @@ object SparkEntry {
         .withColumn("seqs_match",
           TextFunctions.sequencesMatch(col("seq_a"), col("seq_b"), 2))
     }),
+    // re-key annotations through a per-sequence alignment index map
+    // (variants.py:394): the map drops every 4th position (gap) and
+    // shifts the rest by orderkey%5; unmapped positions surface as
+    // null mapped_idx (imap.get -> None)
+    "q_seq_index_map" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val ann = li.select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity")
+      // positions deduped first: (orderkey, linenumber) repeats in
+      // this corpus and a map key must be unique
+      val imaps = li.select("l_orderkey", "l_linenumber").distinct()
+        .filter(col("l_linenumber") % 4 =!= 0)
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(array_sort(collect_list(struct(
+          col("l_linenumber").as("src"),
+          (col("l_linenumber") + pmod(col("l_orderkey"), lit(5)))
+            .cast("int").as("dst"))))).as("imap"))
+      RowOps.applySequenceIndexMap(ann, imaps, Seq("l_orderkey"),
+        "l_linenumber")
+    }),
     "q_annotation_collapse" -> ((s, d) =>
       RowOps.mergeDownByKey(
         T(s, d, "documents").select("lang", "source"), Seq("lang"))),
@@ -853,6 +873,11 @@ object SparkEntry {
       """SELECT lang, string_agg(source, ';' ORDER BY source) AS source
         |FROM (SELECT DISTINCT lang, source FROM documents)
         |GROUP BY lang""".stripMargin,
+    "q_seq_index_map" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |CASE WHEN l_linenumber % 4 = 0 THEN NULL
+        |ELSE CAST(l_linenumber + l_orderkey % 5 AS INT) END AS mapped_idx
+        |FROM lineitem""".stripMargin,
     "q_join_left_composite" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.grp_qty
         |FROM lineitem l LEFT JOIN (

@@ -141,6 +141,33 @@ object RowOps {
         coalesce(col(s"o_$k"), col(s"n_$k")).as(k)) :+ col("change"): _*)
   }
 
+  /** Re-key an annotation table through a per-sequence alignment
+    * index map — the variant-to-structure re-keying step.
+    * reference: proteofav/variants.py:394 (_apply_sequence_index_map:
+    * `[imap.get(i) for i in indexes]`).
+    *
+    * `imaps` carries one `map<old_idx, new_idx>` per sequence key;
+    * the map is exploded to (key, src, dst) rows once and the
+    * annotations LEFT-join it on (seqKeys, idxCol), so positions
+    * absent from the map surface as a null `outCol` — exactly
+    * Python's `imap.get(i) → None` — rather than dropping the row.
+    * At 100 TB both sides shuffle once on the composite key; per-row
+    * map lookups (a map_filter/element_at per annotation) would
+    * instead ship every sequence's whole map to every annotation row. */
+  def applySequenceIndexMap(annotations: DataFrame, imaps: DataFrame,
+                            seqKeys: Seq[String], idxCol: String,
+                            mapCol: String = "imap",
+                            outCol: String = "mapped_idx"): DataFrame = {
+    val exploded = imaps.select(
+      seqKeys.map(k => col(k).as(s"__m_$k")) :+
+        explode(col(mapCol)).as(Seq("__m_src", "__m_dst")): _*)
+    val cond = (seqKeys.map(k => annotations(k) === col(s"__m_$k")) :+
+      (annotations(idxCol) === col("__m_src"))).reduce(_ && _)
+    annotations.join(exploded, cond, "left")
+      .withColumn(outCol, col("__m_dst"))
+      .drop((seqKeys.map(k => s"__m_$k") :+ "__m_src" :+ "__m_dst"): _*)
+  }
+
   /** Collapse to one row per `groupKeys`: every other column becomes
     * the sorted-unique values joined by `sep` — single shuffle, no
     * driver-side loops. reference: proteofav/utils.py:250

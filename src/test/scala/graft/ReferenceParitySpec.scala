@@ -43,36 +43,26 @@ class ReferenceParitySpec extends SparkSpec {
     val parsed = StructureFormats.pdbAtoms(spark, dir)
     assert(parsed.count() == 12)
 
-    // 2. altloc removal: keep max occupancy per atom site
-    //    (structures.py:399 _remove_multiple_altlocs)
-    val noAlt = WindowOps.keepBestPerKey(parsed,
-      Seq("auth_asym_id", "auth_seq_id", "auth_atom_id"),
-      Seq(col("occupancy").desc, col("label_alt_id").asc))
-    assert(noAlt.count() == 11)
-    assert(noAlt.filter(col("auth_seq_id") === 2 &&
-      col("auth_atom_id") === "CA").select("label_alt_id")
-      .as[String].head() == "B")
-
-    // 3. drop partial residues (structures.py:430)
-    val backbone = noAlt.filter(col("auth_atom_id")
-      .isin(Library.backboneAtoms: _*))
-    val complete = Aggregations.completeGroups(backbone,
-      Seq("auth_asym_id", "auth_seq_id"),
-      col("n_members") >= Library.backboneAtoms.size)
-    val kept = noAlt.join(complete.select("auth_asym_id", "auth_seq_id"),
-      Seq("auth_asym_id", "auth_seq_id"), "left_semi")
-    assert(kept.select("auth_seq_id").distinct()
-      .as[Int].collect().toSorted == Seq(1, 2))
-
-    // 4. merge a DSSP-like per-residue table + reduced-SS recode
-    //    (mergers.py:65 + dssp.py:215)
+    // 2-4. clean + merge through the one-call facade
+    //      (mergers.py:449 table_generator / 576 _Tables.generate):
+    //      altloc removal, partial-residue drop, DSSP left-merge
     val dssp = Seq((1, "A", "H"), (2, "A", "E")).toDF("RES", "CHAIN", "SS")
-    val merged = Joins.leftMerge(kept,
-      RowOps.recodeByMap(dssp, "SS", "SS_CLASS",
-        Library.reducedSsMap, Library.reducedSsDefault),
-      Seq("auth_seq_id" -> "RES", "auth_asym_id" -> "CHAIN"))
+    val merged = TableGenerator.generate(parsed,
+      dssp = Some(RowOps.recodeByMap(dssp, "SS", "SS_CLASS",
+        Library.reducedSsMap, Library.reducedSsDefault)))
+    // altloc pair collapsed to the occupancy winner (structures.py:399)
+    assert(merged.filter(col("auth_seq_id") === 2 &&
+      col("auth_atom_id") === "CA").select("label_alt_id")
+      .as[String].collect().toSeq == Seq("B"))
+    // partial residue 3 dropped (structures.py:430)
+    assert(merged.select("auth_seq_id").distinct()
+      .as[Int].collect().toSorted == Seq(1, 2))
+    // DSSP merged + reduced-SS recode rode along (mergers.py:65)
     assert(merged.filter(col("auth_seq_id") === 2)
       .select("SS_CLASS").as[String].head() == "E")
+    // selection knobs push down: chain filter keeps everything here,
+    // an absent chain yields an empty frame — not an error
+    assert(TableGenerator.generate(parsed, chains = Seq("Z")).count() == 0)
 
     // 5. per-residue centroid aggregation (structures.py:483)
     val centroids = Aggregations.centroid(merged,
@@ -97,6 +87,26 @@ class ReferenceParitySpec extends SparkSpec {
       merged.select("auth_seq_id", "SS_CLASS").distinct(),
       "auth_seq_id", "SS_CLASS", "ss_class")
     assert(attrBody.as[String].collect().toSet == Set(":1\tH", ":2\tE"))
+  }
+
+  test("table_generator sequence check: raise on mismatch, ignore passes") {
+    // one-residue chain whose atoms say ALA (A) but the merged
+    // annotation says GLY (G) → positionwise mismatch
+    val atoms = Seq(
+      ("ATOM", 1, "N", "", "ALA", "A", 1, "", 0.0, 0.0, 0.0, 1.0, 0.0, "N"),
+      ("ATOM", 2, "CA", "", "ALA", "A", 1, "", 1.0, 0.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 3, "C", "", "ALA", "A", 1, "", 2.0, 0.0, 0.0, 1.0, 0.0, "C"),
+      ("ATOM", 4, "O", "", "ALA", "A", 1, "", 3.0, 0.0, 0.0, 1.0, 0.0, "O"))
+      .toDF(StructureFormats.PdbAtomFields.map(_.name): _*)
+      .withColumn("aa_struct", lit("A"))
+    val dssp = Seq((1, "A", "G")).toDF("RES", "CHAIN", "aa_dssp")
+    def gen(check: String) = TableGenerator.generate(atoms,
+      dssp = Some(dssp), sequenceCheck = check,
+      seqCheckCols = Some(("aa_struct", "aa_dssp")))
+    assert(gen("ignore").count() == 4)
+    intercept[IllegalStateException](gen("raise"))
+    intercept[IllegalArgumentException](
+      TableGenerator.generate(atoms, sequenceCheck = "nope"))
   }
 
   private implicit class SortedSeq(s: Array[Int]) {

@@ -94,6 +94,21 @@ class RowOpsSpec extends SparkSpec {
     assert(out == Seq("changed"))
   }
 
+  test("applySequenceIndexMap re-keys through the map, None when unmapped") {
+    // seq "s1": 1->10, 2->11 (3 unmapped = aligned to a gap);
+    // seq "s2": 1->5. Same index, different sequence -> different key.
+    val ann = Seq(("s1", 1, "a"), ("s1", 2, "b"), ("s1", 3, "c"),
+      ("s2", 1, "d")).toDF("seq", "idx", "payload")
+    val imaps = Seq(("s1", Map(1 -> 10, 2 -> 11)), ("s2", Map(1 -> 5)))
+      .toDF("seq", "imap")
+    val out = RowOps.applySequenceIndexMap(ann, imaps, Seq("seq"), "idx")
+      .select("seq", "idx", "mapped_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out == Map(("s1", 1) -> Some(10), ("s1", 2) -> Some(11),
+      ("s1", 3) -> None, ("s2", 1) -> Some(5)))
+  }
+
   test("scaledRatio divides by the category constant, null if unmapped") {
     val df = Seq(("A", 34.0), ("N", 47.0), ("X", 1.0)).toDF("k", "v")
     val out = RowOps.scaledRatio(df, "v", "k",
