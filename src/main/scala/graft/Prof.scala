@@ -50,6 +50,32 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_SKEW=1 — plain vs salted join wall-time on a synthetic
+    // hot-key table (1% of keys = 50% of rows), broadcast disabled so
+    // the shuffle path is exercised. Feeds the BASELINE.md skew note.
+    if (sys.env.get("PROF_SKEW").contains("1")) {
+      val n = 20000000L
+      val big = spark.range(n).select(
+        when(col("id") < n / 2, lit(0L))
+          .otherwise(pmod(col("id"), lit(999L)) + 1L).as("k"),
+        col("id").as("v"))
+      val small = spark.range(1000).select(col("id").as("sk"),
+        md5(col("id").cast("string")).as("payload"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // PROF_SKEW_MODE=plain|salted, PROF_SKEW_AQE=true|false pick ONE
+      // config per JVM (in-JVM interleaving cross-contaminates by
+      // several x: GC + shuffle-file churn); round 1 is JIT warmup
+      val mode = sys.env.getOrElse("PROF_SKEW_MODE", "plain")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+        sys.env.getOrElse("PROF_SKEW_AQE", "true"))
+      val joined =
+        if (mode == "plain") big.join(small, big("k") === small("sk"))
+        else operators.Skew.saltedJoin(big, small, Seq("k" -> "sk"), 16)
+      for (round <- 1 to 3)
+        time(s"r$round.$mode")(
+          joined.agg(count(lit(1)), max(length(col("payload")))).count())
+      spark.stop(); return
+    }
     // PROF_DUMP=q_a,q_b — run queries, parquet to /tmp/graft_dump/<q>
     // (targeted oracle comparison without the full Verify sweep)
     if (sys.env.contains("PROF_DUMP")) {

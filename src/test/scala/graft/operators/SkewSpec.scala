@@ -30,6 +30,59 @@ class SkewSpec extends SparkSpec {
     assert(out.filter(col("k") === "zzz").select("sv").head().isNullAt(0))
   }
 
+  test("saltedJoin spreads a hot key across reducers (real skew)") {
+    // 1% of keys own 50% of rows: key 0 holds 50k rows, keys 1..99
+    // split the other 50k. A plain shuffle join lands ALL of key 0's
+    // rows in one reducer partition (the 100 TB straggler); the
+    // salted key (k, salt) spreads it over `buckets` partitions.
+    val n = 100000
+    val big = spark.range(n).select(
+      when(col("id") < n / 2, lit(0L))
+        .otherwise(pmod(col("id"), lit(99L)) + 1L).as("k"),
+      col("id").as("v"))
+    val small = spark.range(100).select(col("id").as("sk"),
+      (col("id") * 10).as("sv"))
+    def maxPartitionShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy(spark_partition_id().as("p")).count()
+        .select("count").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    // force the shuffled-join path this test measures: with the dim
+    // auto-broadcast there is no shuffle to skew in the first place
+    // (broadcasting IS the first-choice fix; salting is for when the
+    // small side isn't broadcastable)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE would coalesce this test's few-MB shuffle into one
+      // partition and hide the per-reducer distribution being measured;
+      // and at the suite default of 4 reducers even a perfect spread
+      // reads as 25% per partition — use a cluster-like 32
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val plain = big.join(small, big("k") === small("sk"))
+      val salted = Skew.saltedJoin(big, small, Seq("k" -> "sk"), buckets = 16)
+      val plainShare = maxPartitionShare(plain)
+      val saltedShare = maxPartitionShare(salted)
+      // plain: the key-0 partition carries >= half the rows; salted:
+      // no partition above ~4x the uniform share
+      assert(plainShare >= 0.5, s"expected hot partition, got $plainShare")
+      assert(saltedShare <= 0.15,
+        s"salting left a hot partition: $saltedShare")
+      // pin the executed shape: the join key must carry the salt
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt missing from join keys:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   test("hotKeys finds heavy hitters") {
     val df = (Seq.fill(100)("hot") ++ Seq("a", "b")).toDF("k")
     val hot = Skew.hotKeys(df, Seq("k"), minCount = 50)
