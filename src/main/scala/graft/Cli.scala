@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.TableGenerator
+import graft.sources.StructureFormats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Command-line entry point — the Spark-native analog of the
+  * reference's CLI (proteofav/main.py:15-66): select inputs, merge
+  * through the one-call [[TableGenerator]] facade, write the merged
+  * table. Differences are deliberate: output is a DISTRIBUTED
+  * csv/json/parquet directory write (the reference streams a single
+  * pandas to_csv through the driver — at 100 TB the driver must
+  * never hold the table), and inputs are paths to already-fetched
+  * files (no network layer in a no-egress engine).
+  */
+object Cli {
+
+  private val usage =
+    """usage: graft.Cli --atoms <pdb-file-or-dir> --output <dir>
+      |  [--dssp <dssp-file-or-dir>]   merge DSSP per-residue records
+      |  [--chains A,B]                keep only these chain ids
+      |  [--res 1,2,3]                 keep only these residue numbers
+      |  [--atom-names CA,N]           keep only these atom names
+      |  [--keep-altlocs]              skip max-occupancy altloc collapse
+      |  [--keep-partial]              skip partial-residue drop
+      |  [--sequence-check MODE]       ignore|warn|raise (default ignore)
+      |  [--output-type TYPE]          csv|json|parquet (default csv)
+      |  [--master URL]                spark master (default local[*])
+      |""".stripMargin
+
+  private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
+    val flags = Set("--keep-altlocs", "--keep-partial")
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case f :: t if flags(f) => loop(t, acc + (f.drop(2) -> "true"))
+        case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
+        case bad => throw new IllegalArgumentException(
+          s"unparseable argument(s): ${bad.mkString(" ")}\n$usage")
+      }
+    val m = loop(args.toList, Map.empty)
+    for (req <- Seq("atoms", "output"))
+      if (!m.contains(req)) throw new IllegalArgumentException(
+        s"--$req is required\n$usage")
+    m
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toIndexedSeq)
+    // reuse a live session when embedded (tests, notebooks); only
+    // stop what this main itself created
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val dssp = opts.get("dssp").map(p =>
+        StructureFormats.dsspResidues(spark, p)
+          .withColumn("RES", col("RES").cast("int")))
+      def csv(key: String): Seq[String] =
+        opts.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val merged = TableGenerator.generate(
+        StructureFormats.pdbAtoms(spark, opts("atoms")),
+        dssp = dssp,
+        chains = csv("chains"),
+        res = csv("res").map(_.trim.toInt),
+        atomNames = csv("atom-names"),
+        removeAltlocs = !opts.contains("keep-altlocs"),
+        dropPartialResidues = !opts.contains("keep-partial"),
+        sequenceCheck = opts.getOrElse("sequence-check", "ignore"))
+      val out = opts("output")
+      opts.getOrElse("output-type", "csv") match {
+        case "csv" => merged.write.mode("overwrite")
+          .option("header", "true").csv(out)
+        case "json" => merged.write.mode("overwrite").json(out)
+        case "parquet" => merged.write.mode("overwrite").parquet(out)
+        case other => throw new IllegalArgumentException(
+          s"unknown --output-type '$other' (csv|json|parquet)\n$usage")
+      }
+    } finally if (!preexisting) spark.stop()
+  }
+}
