@@ -304,20 +304,33 @@ object Dedup {
     *
     * Norms are precomputed once per ROW before replication — the
     * naive cosine-per-pair recomputes both norms for every candidate
-    * pair (O(pairs·dim) extra fold work at 100 TB). */
+    * pair (O(pairs·dim) extra fold work at 100 TB).
+    *
+    * `tiles` <= 0 auto-sizes: T = ceil(maxBlockRows / 2048), capped
+    * at 256 — one extra tiny aggregation over the already-cached
+    * projection, targeting ~4M scored pairs per task so per-task
+    * work stays minutes-not-hours whatever the block skew is. */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double,
                            blockCol: String = "label",
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            tiles: Int = 8): DataFrame = {
-    val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
-      pmod(xxhash64(col(idCol)), lit(tiles)).cast("int").as("tile"))
+    val v0 = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    v.count() // complete the cache before the two-branch read
+    v0.count() // complete the cache before the multi-branch read
+    val t =
+      if (tiles > 0) tiles
+      else {
+        val maxBlk = v0.groupBy("blk").count()
+          .agg(max("count")).first().getLong(0)
+        math.min(256, math.max(1, math.ceil(maxBlk / 2048.0).toInt))
+      }
+    val v = v0.withColumn("tile",
+      pmod(xxhash64(col("id")), lit(t)).cast("int"))
     val rows = v.select(col("id").as("a_id"), col("blk"),
       col("vec").as("a_vec"), col("nrm").as("a_nrm"),
-      col("tile").as("t"), explode(sequence(col("tile"), lit(tiles - 1))).as("u"))
+      col("tile").as("t"), explode(sequence(col("tile"), lit(t - 1))).as("u"))
     val cols_ = v.select(col("id").as("b_id"), col("blk"),
       col("vec").as("b_vec"), col("nrm").as("b_nrm"),
       explode(sequence(lit(0), col("tile"))).as("t"), col("tile").as("u"))
@@ -333,7 +346,7 @@ object Dedup {
         // and norms are accumulation-order-identical either way)
         .select(least(col("a_id"), col("b_id")).as("a_id"),
           greatest(col("a_id"), col("b_id")).as("b_id"), col("cos")),
-      v)
+      v0)
   }
 
   /** APPROXIMATE embedding near-dup pairs: multi-table random-

@@ -73,7 +73,7 @@ class DedupSpec extends SparkSpec {
     val expected = Dedup.embeddingCosinePairs(embs, 0.2, tiles = 1)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(expected.nonEmpty)
-    for (t <- Seq(3, 8)) {
+    for (t <- Seq(3, 8, 0)) { // 0 = auto-size from block stats
       val got = Dedup.embeddingCosinePairs(embs, 0.2, tiles = t)
         .select("a_id", "b_id").as[(Long, Long)].collect().toSet
       assert(got == expected, s"tiles=$t diverged from all-pairs")
