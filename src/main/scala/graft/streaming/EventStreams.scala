@@ -272,12 +272,17 @@ object EventStreams {
     * latest-event-per-user table from the stream — the production
     * "materialized view" shape (CDC compaction, feature stores).
     * Each micro-batch merges into the keyed table: read existing,
-    * union the batch's per-key latest, keep-latest again, overwrite.
-    * The merge is persisted+materialized BEFORE the overwrite —
-    * lazily overwriting a path you are still reading from is the
-    * classic self-overwrite corruption. Keep-latest is a max(struct)
-    * aggregation ((ts, event_id) lexicographic — event_id unique →
-    * deterministic), not a window sort.
+    * union the batch's per-key latest, keep-latest again, swap in.
+    * The merged table is written to a TEMP path and promoted with
+    * renames — writing in place over the path the plan is still
+    * reading is the classic self-overwrite corruption, and even a
+    * materialized in-place overwrite is not crash-safe (a failure
+    * mid-overwrite leaves a partial directory a retry would read as
+    * "existing"). With the swap, the live path always holds a
+    * complete table and a batch retry that died between renames
+    * restores the displaced previous version. Keep-latest is a
+    * max(struct) aggregation ((ts, event_id) lexicographic —
+    * event_id unique → deterministic), not a window sort.
     * Output: user_id, last_event_id, last_ts_us, last_value. */
   def streamUpsertToTable(spark: SparkSession, eventsDir: String,
                           tableDir: String, checkpointDir: String,
@@ -306,20 +311,28 @@ object EventStreams {
           col("m.event_id").as("event_id"), col("m.value").as("value"))
     withStatefulShuffle(spark) {
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+          val prevPath = new org.apache.hadoop.fs.Path(s"$tableDir.prev")
+          // crash recovery: a retry that died between the two renames
+          // below finds no live table — restore the displaced version
+          // rather than silently restarting history from empty
+          if (!fs.exists(tablePath) && fs.exists(prevPath))
+            fs.rename(prevPath, tablePath)
           val existing =
-            if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
-              spark.read.parquet(tableDir)
+            if (fs.exists(tablePath)) spark.read.parquet(tableDir)
             else latest(batch).limit(0)
-          // localCheckpoint(eager = true) is a durable barrier: it
-          // truncates lineage, so a lost block can never trigger a
-          // recompute that re-reads the path we are about to
-          // overwrite (persist+count would — cached blocks can be
-          // evicted or lost mid-overwrite and recompute from the
-          // partially-overwritten source).
-          val merged =
-            latest(existing.unionByName(latest(batch))).localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(tableDir)
+          // write the merge to a temp path: the plan reads tableDir
+          // while writing elsewhere, so no lineage barrier is needed
+          // and the live path never holds a partial table
+          val tmpPath = new org.apache.hadoop.fs.Path(s"$tableDir.tmp-$batchId")
+          latest(existing.unionByName(latest(batch)))
+            .write.mode("overwrite").parquet(tmpPath.toString)
+          // promote: displace current, rename tmp in, drop displaced
+          if (fs.exists(prevPath)) fs.delete(prevPath, true)
+          if (fs.exists(tablePath)) fs.rename(tablePath, prevPath)
+          fs.rename(tmpPath, tablePath)
+          fs.delete(prevPath, true)
           ()
         }
         .option("checkpointLocation", checkpointDir)

@@ -85,6 +85,11 @@ class EventStreamsSpec extends SparkSpec {
       (1L, 12L, us("2024-01-01 00:09:00"), 9.0), // updated by gen 2
       (2L, 11L, us("2024-01-01 00:02:00"), 2.0),
       (3L, 13L, us("2024-01-01 00:03:00"), 3.0)))
+    // the atomic-swap scaffolding must clean up after itself: only
+    // the live table remains, no .tmp-N / .prev leftovers
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.endsWith(".prev"))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(",")}")
   }
 
   test("streamingDedup drops within-watermark duplicate keys") {
