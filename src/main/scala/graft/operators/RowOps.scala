@@ -120,6 +120,10 @@ object RowOps {
     // signal (a legitimately-null key row would read as "absent").
     // Keys are still required to be unique per snapshot — duplicate
     // keys fan the full-outer join into a cross product of diff rows.
+    val reserved = (oldDf.columns ++ newDf.columns).toSet
+      .intersect(Set("__o_present", "__n_present"))
+    require(reserved.isEmpty,
+      s"snapshotDiff reserves column name(s) ${reserved.mkString(", ")}")
     val o = oldDf.select((keyCols ++ compareCols).map(c =>
       col(c).as(s"o_$c")) :+ lit(true).as("__o_present"): _*)
     val n = newDf.select((keyCols ++ compareCols).map(c =>

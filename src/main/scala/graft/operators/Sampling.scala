@@ -103,6 +103,12 @@ object Sampling {
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String)
   : DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // loud failure beats an ambiguous-column error mid-plan: the
+    // internal names below are reserved against the input schema
+    val reserved = df.columns.toSet
+      .intersect(Set("__g", "__n", "__n_min", "__thresh"))
+    require(reserved.isEmpty,
+      s"temperatureSample reserves column name(s) ${reserved.mkString(", ")}")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__n_min"))
     val thresholds = counts.crossJoin(broadcast(nMin))
