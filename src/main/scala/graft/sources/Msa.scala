@@ -95,4 +95,94 @@ object Msa {
         regexp_extract(col(descCol), "/(\\d+)-", 1).cast("long"))
       .withColumn("seq_end",
         regexp_extract(col(descCol), "-(\\d+)$", 1).cast("long"))
+
+  // The four description grammars msas.py tries, as single regexes.
+  // `([A-Z0-9])+`-style reference patterns are re.search'd and read
+  // via .group(), so the single-regex capture groups below produce
+  // the same observable fields.
+  private val UniprotRe =
+    "([a-zA-Z]+)\\|([A-Z0-9]+)\\|([A-Z0-9]+_[A-Z0-9]+)"
+  private val CathFastaRe =
+    "([a-zA-Z]+)\\|([0-9][.\\-][0-9][.\\-][0-9])\\|" +
+      "([a-zA-Z0-9]+)/(-?[0-9]+)-(-?[0-9]+)"
+  private val NamedRe = "([A-Z0-9]+_[a-zA-Z0-9]+)/(-?[0-9]+)-(-?[0-9]+)"
+  private val GenericRe = "([a-zA-Z0-9]+)/(-?[0-9]+)-(-?[0-9]+)"
+  private val DomainRe = "^([a-zA-Z0-9]{4})([a-zA-Z0-9])([0-9]{2})/"
+
+  /** Structured description parsing with the reference's per-format
+    * dispatch (msas.py:147-190 parse_sequence_info_from_description
+    * and the four parsers it tries, NETWORK LOOKUPS EXCLUDED):
+    *
+    *  - `format = "fasta"`: UniProt `sp|P00439|PH4H_HUMAN ...` first
+    *    (msas.py:163), then CATH `cath|4.1.0|1rwcA01/4-372 ...`
+    *    (msas.py:259);
+    *  - `format = "stockholm"`: Pfam `C7P4T5_HALMD/44-372`
+    *    (msas.py:207), then CATH-Stockholm `<alnum>/<start>-<end>`
+    *    (msas.py:235) — which, like the reference, stamps
+    *    source = CATH even when nothing matched;
+    *  - anything else: the generic `<acc>/<start>-<end>` parser
+    *    (msas.py:315), which also recognizes the 7-char CATH domain
+    *    form `1rwcA01/...` → (pdb_id, chain_id, domain_id).
+    *
+    * Faithful to the reference's observable quirks: for a
+    * `NAME_SUFFIX/s-e` description the generic accession regex
+    * re.search-lands on the run AFTER the underscore (HALMD, not
+    * C7P4T5) — Spark's leftmost regexp_extract reproduces it for
+    * free. `rest` carries the description with the matched grammar
+    * removed (the reference's remaining-'Description' field). All
+    * pure codegen'd column expressions; unmatched fields are null. */
+  def parseDescriptionFull(df: DataFrame, descCol: String = "description",
+                           format: String = "generic"): DataFrame = {
+    val d = col(descCol)
+    def hit(re: String) = regexp_extract(d, re, 0) =!= ""
+    def g(re: String, i: Int) = regexp_extract(d, re, i)
+    def nullS = lit(null).cast("string")
+    val domain = regexp_extract(g(GenericRe, 0), DomainRe, 0)
+    val out = format match {
+      case "fasta" => Seq(
+        "collection" -> when(hit(UniprotRe), g(UniprotRe, 1))
+          .when(hit(CathFastaRe), g(CathFastaRe, 1)),
+        "version" -> when(hit(CathFastaRe) && !hit(UniprotRe),
+          g(CathFastaRe, 2)),
+        "accession" -> when(hit(UniprotRe), g(UniprotRe, 2))
+          .when(hit(CathFastaRe), g(CathFastaRe, 3)),
+        "name" -> when(hit(UniprotRe), g(UniprotRe, 3)),
+        "seq_start" -> when(hit(CathFastaRe) && !hit(UniprotRe),
+          g(CathFastaRe, 4)).cast("long"),
+        "seq_end" -> when(hit(CathFastaRe) && !hit(UniprotRe),
+          g(CathFastaRe, 5)).cast("long"),
+        "source" -> when(hit(UniprotRe), lit("UniProt"))
+          .when(hit(CathFastaRe), lit("CATH")),
+        "rest" -> when(hit(UniprotRe),
+            trim(regexp_replace(d, UniprotRe, "")))
+          .when(hit(CathFastaRe), trim(regexp_replace(d, CathFastaRe, ""))))
+      case "stockholm" => Seq(
+        "name" -> when(hit(NamedRe), g(NamedRe, 1)),
+        // generic-parser sub-call: accession is the alnum run right
+        // before the '/', which for NAME_SUFFIX ids is the suffix
+        "accession" -> when(hit(GenericRe), g(GenericRe, 1)),
+        "pdb_id" -> when(domain =!= "", regexp_extract(domain, DomainRe, 1))
+          .otherwise(nullS),
+        "chain_id" -> when(domain =!= "", regexp_extract(domain, DomainRe, 2))
+          .otherwise(nullS),
+        "seq_start" -> when(hit(GenericRe), g(GenericRe, 2)).cast("long"),
+        "seq_end" -> when(hit(GenericRe), g(GenericRe, 3)).cast("long"),
+        // msas.py:251 stamps CATH unconditionally when Pfam missed
+        "source" -> when(hit(NamedRe), lit("Pfam")).otherwise(lit("CATH")),
+        "rest" -> when(hit(NamedRe), trim(regexp_replace(d, NamedRe, ""))))
+      case _ => Seq(
+        "name" -> when(hit(NamedRe), g(NamedRe, 1)),
+        "accession" -> when(hit(GenericRe), g(GenericRe, 1)),
+        "pdb_id" -> when(domain =!= "", regexp_extract(domain, DomainRe, 1))
+          .otherwise(nullS),
+        "chain_id" -> when(domain =!= "", regexp_extract(domain, DomainRe, 2))
+          .otherwise(nullS),
+        "collection" -> when(domain =!= "", lit("cath")).otherwise(nullS),
+        "seq_start" -> when(hit(GenericRe), g(GenericRe, 2)).cast("long"),
+        "seq_end" -> when(hit(GenericRe), g(GenericRe, 3)).cast("long"),
+        "source" -> when(hit(GenericRe), lit("GenericParser")),
+        "rest" -> when(hit(GenericRe), trim(regexp_replace(d, GenericRe, ""))))
+    }
+    out.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
+  }
 }

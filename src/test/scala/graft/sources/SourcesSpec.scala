@@ -116,6 +116,52 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Long]("seq_end") == 316L)
   }
 
+  test("parseDescriptionFull: the reference's four description grammars") {
+    def one(desc: String, fmt: String) =
+      Msa.parseDescriptionFull(Seq(desc).toDF("description"),
+        format = fmt).head()
+    // UniProt fasta (msas.py:165 docstring example)
+    val u = one("sp|P00439|PH4H_HUMAN Phenylalanine-4-hydroxylase OS=Homo",
+      "fasta")
+    assert(u.getAs[String]("collection") == "sp")
+    assert(u.getAs[String]("accession") == "P00439")
+    assert(u.getAs[String]("name") == "PH4H_HUMAN")
+    assert(u.getAs[String]("source") == "UniProt")
+    assert(u.getAs[String]("rest") == "Phenylalanine-4-hydroxylase OS=Homo")
+    // CATH fasta with structure domain (msas.py:260 example)
+    val c = one("cath|4.1.0|1rwcA01/4-372 CATH_S35=1.50.10.100.1", "fasta")
+    assert(c.getAs[String]("collection") == "cath")
+    assert(c.getAs[String]("version") == "4.1.0")
+    assert(c.getAs[String]("accession") == "1rwcA01")
+    assert(c.getAs[Long]("seq_start") == 4L && c.getAs[Long]("seq_end") == 372L)
+    assert(c.getAs[String]("source") == "CATH")
+    // Pfam stockholm (msas.py:209 example) — incl. the reference's
+    // generic-accession quirk: the alnum run AFTER the underscore
+    val p = one("C7P4T5_HALMD/44-372", "stockholm")
+    assert(p.getAs[String]("name") == "C7P4T5_HALMD")
+    assert(p.getAs[String]("accession") == "HALMD")
+    assert(p.getAs[Long]("seq_start") == 44L && p.getAs[Long]("seq_end") == 372L)
+    assert(p.getAs[String]("source") == "Pfam")
+    // CATH stockholm fallback stamps source even without a match
+    val s = one("no grammar here", "stockholm")
+    assert(s.getAs[String]("source") == "CATH")
+    assert(s.isNullAt(s.fieldIndex("seq_start")))
+    // generic with CATH domain form → pdb/chain split
+    val gd = one("1rwcA01/4-372", "generic")
+    assert(gd.getAs[String]("pdb_id") == "1rwc")
+    assert(gd.getAs[String]("chain_id") == "A")
+    assert(gd.getAs[String]("collection") == "cath")
+    assert(gd.getAs[String]("source") == "GenericParser")
+    // plain generic accession/range
+    val gp = one("P00439/24-145", "generic")
+    assert(gp.getAs[String]("accession") == "P00439")
+    assert(gp.getAs[Long]("seq_start") == 24L && gp.getAs[Long]("seq_end") == 145L)
+    // unmatched generic → null fields, null source
+    val gn = one("nothing to see", "generic")
+    assert(gn.isNullAt(gn.fieldIndex("source")))
+    assert(gn.isNullAt(gn.fieldIndex("accession")))
+  }
+
   test("TextRender roundtrip through fixedWidth") {
     val df = Seq((7L, "R", 2.5), (42L, "A", 10.0)).toDF("id", "f", "v")
     val dir = Files.createTempDirectory("graft_render").toString + "/out"
