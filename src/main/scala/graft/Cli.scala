@@ -18,6 +18,7 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli --atoms <pdb-file-or-dir> --output <dir>
+      |  [--input-format FMT]          pdb|mmcif atom records (default pdb)
       |  [--dssp <dssp-file-or-dir>]   merge DSSP per-residue records
       |  [--chains A,B]                keep only these chain ids
       |  [--res 1,2,3]                 keep only these residue numbers
@@ -62,8 +63,14 @@ object Cli {
           .withColumn("RES", col("RES").cast("int")))
       def csv(key: String): Seq[String] =
         opts.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val atoms = opts.getOrElse("input-format", "pdb") match {
+        case "pdb" => StructureFormats.pdbAtoms(spark, opts("atoms"))
+        case "mmcif" => StructureFormats.mmcifAtoms(spark, opts("atoms"))
+        case other => throw new IllegalArgumentException(
+          s"unknown --input-format '$other' (pdb|mmcif)\n$usage")
+      }
       val merged = TableGenerator.generate(
-        StructureFormats.pdbAtoms(spark, opts("atoms")),
+        atoms,
         dssp = dssp,
         chains = csv("chains"),
         res = csv("res").map(_.trim.toInt),

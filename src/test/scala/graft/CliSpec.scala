@@ -39,6 +39,34 @@ class CliSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("cli: mmcif input format, parquet out") {
+    // token-record mmCIF body rendered through tokenLines
+    val rows = Seq(
+      ("ATOM", 1, "N", "N", ".", "ALA", "A", 1, 1, "?", 0.0, 0.0, 0.0, 1.0,
+        0.0, "?", 1, "ALA", "A", "N", 1),
+      ("ATOM", 2, "C", "CA", ".", "ALA", "A", 1, 1, "?", 1.0, 0.0, 0.0, 1.0,
+        0.0, "?", 1, "ALA", "A", "CA", 1),
+      ("ATOM", 3, "C", "C", ".", "ALA", "A", 1, 1, "?", 2.0, 0.0, 0.0, 1.0,
+        0.0, "?", 1, "ALA", "A", "C", 1),
+      ("ATOM", 4, "O", "O", ".", "ALA", "A", 1, 1, "?", 3.0, 0.0, 0.0, 1.0,
+        0.0, "?", 1, "ALA", "A", "O", 1))
+      .toDF("group_PDB", "id", "type_symbol", "label_atom_id", "label_alt_id",
+        "label_comp_id", "label_asym_id", "label_entity_id", "label_seq_id",
+        "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z", "occupancy",
+        "B_iso_or_equiv", "pdbx_formal_charge", "auth_seq_id", "auth_comp_id",
+        "auth_asym_id", "auth_atom_id", "pdbx_PDB_model_num")
+    val dir = Files.createTempDirectory("graft_cli_cif").toString + "/cif"
+    TextRender.writeText(
+      TextRender.tokenLines(rows, StructureFormats.MmcifAtomCols), dir)
+    val out = Files.createTempDirectory("graft_cli_cif_out").toString + "/pq"
+    Cli.main(Array("--atoms", dir, "--input-format", "mmcif",
+      "--output-type", "parquet", "--output", out))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.select("auth_seq_id").distinct().as[Int].collect().toSeq
+      == Seq(1))
+  }
+
   test("cli: rejects missing required args and bad output type") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--atoms", "x")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--output")))
