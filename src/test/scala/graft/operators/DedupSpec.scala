@@ -80,6 +80,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("tiled join equals local all-pairs on 15 random corpora") {
+    // randomized cross-check against a LOCAL quadratic scorer:
+    // random sizes, block cardinalities, dims, thresholds and tile
+    // counts — the tiling must never lose, duplicate or reorder a pair
+    val rnd = new scala.util.Random(41)
+    (1 to 15).foreach { trial =>
+      val n = rnd.nextInt(50) + 10
+      val nBlocks = rnd.nextInt(4) + 1
+      val dim = rnd.nextInt(6) + 2
+      val thr = rnd.nextDouble() * 0.6
+      val tiles = rnd.nextInt(9) - 1 // -1..7: invalid→auto, 1..7 fixed
+      val data = (1 to n).map(i => (i.toLong,
+        Array.fill(dim)(rnd.nextFloat() - 0.5f), i % nBlocks))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+        val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (d == 0.0) 0.0 else dot(a, b) / d
+      }
+      val expected = (for {
+        (ia, va, ba) <- data; (ib, vb, bb) <- data
+        if ba == bb && ia < ib && cos(va, vb) >= thr
+      } yield (ia, ib)).toSet
+      val got = Dedup.embeddingCosinePairs(
+          data.toDF("vec_id", "embedding", "label"), thr,
+          tiles = math.max(0, tiles))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"trial $trial (n=$n blocks=$nBlocks dim=$dim thr=$thr tiles=$tiles)")
+    }
+  }
+
   test("embeddingCosinePairsLsh: verified subset of exact, finds identicals") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
