@@ -87,11 +87,23 @@ object Ivf {
   }
 
   /** IVF top-k: probe each query's nProbe nearest cells, exact cosine
-    * within them, k-capped top-k aggregation. */
+    * within them, k-capped top-k aggregation. Trains on the corpus
+    * first; at 100 TB call [[trainCentroids]] once (on a sample) and
+    * reuse via the pre-trained overload — refitting per query batch
+    * wastes the Lloyd passes and changes cell assignments under the
+    * searcher. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nCells, lloydIters, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(corpus, probes, k,
+      trainCentroids(corpus, nCells, lloydIters, idCol, vecCol), nProbe,
+      idCol, vecCol)
+
+  /** IVF top-k with PRE-TRAINED centroids — the production shape:
+    * fit once, search many query batches against stable cells. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]], nProbe: Int,
+              idCol: String, vecCol: String): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
     // inverted file: corpus rows keyed by their single nearest cell;
     // scoring carries the RAW float vectors (codegen'd ArrayDot path)

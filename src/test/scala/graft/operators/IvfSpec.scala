@@ -53,6 +53,18 @@ class IvfSpec extends SparkSpec {
     assert(out.length >= 2 && out.length <= 6)         // <= 2 probes x k
   }
 
+  test("pre-trained overload searches identically against fixed centroids") {
+    val probes = corpus.filter(col("vec_id") <= 4)
+    val cents = Ivf.trainCentroids(corpus, nCells = 2, lloydIters = 2)
+    val pre = Ivf.ivfTopK(corpus, probes, 3, cents, nProbe = 2,
+      "vec_id", "embedding").orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val self = Ivf.ivfTopK(corpus, probes, 3, nCells = 2, nProbe = 2)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(pre == self) // same (deterministic) training -> same search
+  }
+
   test("ivfTopK with nProbe=1 stays within the probe's own cluster") {
     val probes = corpus.filter(col("vec_id") === 2) // +5 cluster
     val out = Ivf.ivfTopK(corpus, probes, k = 5, nCells = 2, nProbe = 1)
