@@ -383,16 +383,10 @@ object SparkEntry {
       Dedup.containmentPairs(T(s, d, "documents"), Seq("source"), 0.9)),
     // the deliverable of the dedup family: the corpus that SURVIVES —
     // one representative (min id) per near-dup cluster
-    "q_dedup_keep" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val clusters = Graph.connectedComponents(
-        docs.select(col("doc_id")),
-        Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
-          .select("a_id", "b_id"))
-      docs.select("doc_id", "lang", "source")
-        .join(clusters.filter(col("id") === col("comp"))
-          .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
-    }),
+    "q_dedup_keep" -> ((s, d) =>
+      Dedup.deduplicate(T(s, d, "documents"), method = "jaccard",
+          threshold = 0.9, blockingKeys = Seq("source"))
+        .select("doc_id", "lang", "source")),
     "q_dedup_embed_cos" -> ((s, d) =>
       Dedup.embeddingCosinePairs(T(s, d, "embeddings"), 0.35)),
     // the SEMANTIC dedup deliverable: embedding near-dup pairs →

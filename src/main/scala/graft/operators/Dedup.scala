@@ -399,6 +399,46 @@ object Dedup {
       v)
   }
 
+  /** One-call dedup deliverable: near-dup pair generation (by
+    * `method`) → connected-components clustering → the SURVIVING
+    * rows (minimum id per cluster, original columns preserved via a
+    * semi join — no payload ever rides the clustering loop).
+    *
+    * Methods: "exact" (hash-identical text), "jaccard"
+    * (prefix-filtered token-set similarity, recall-exact),
+    * "containment" (directed subsumption), "minhash" (LSH-staged,
+    * approximate), "simhash" (hamming-banded, approximate). The
+    * composition equals the q_dedup_keep driver query, which keeps
+    * this facade oracle-checked end-to-end. */
+  def deduplicate(docs: DataFrame, method: String = "jaccard",
+                  threshold: Double = 0.9,
+                  blockingKeys: Seq[String] = Nil,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val pairs = method match {
+      case "exact" =>
+        // hash groups to copy -> keeper edges (star per group)
+        docs.select(col(idCol).as("a_id"),
+            md5(lower(trim(col(textCol))).cast("binary")).as("text_hash"))
+          .join(exact(docs, idCol, textCol), "text_hash")
+          .filter(col("a_id") =!= col("keeper_doc_id"))
+          .select(col("a_id"), col("keeper_doc_id").as("b_id"))
+      case "jaccard" => ngramJaccardPairs(docs, blockingKeys, threshold,
+        idCol, textCol)
+      case "containment" => containmentPairs(docs, blockingKeys, threshold,
+        idCol, textCol)
+      case "minhash" => minhashPairs(docs, threshold, idCol = idCol,
+        textCol = textCol)
+      case "simhash" => simhashPairs(docs, idCol = idCol, textCol = textCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup method '$other'")
+    }
+    val clusters = graft.operators.Graph.connectedComponents(
+      docs.select(col(idCol)), pairs.select("a_id", "b_id"))
+    docs.join(clusters.filter(col("id") === col("comp"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Pair-set recall harness: how many of the exact near-dup pairs
     * does an approximate (LSH/simhash) pair set recover? The quality
     * number that justifies running the sketch instead of the exact

@@ -136,6 +136,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((2L, 1L, 1.0))) // directed: 2-in-1 only
   }
 
+  test("deduplicate facade: exact method keeps one copy per text") {
+    val docs = Seq(
+      (1L, "same text here", "s"), (2L, "SAME TEXT HERE  ", "s"),
+      (3L, "unique document", "s"), (4L, "same text here", "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.deduplicate(docs, method = "exact")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L)) // min id survives each hash group
+    intercept[IllegalArgumentException](
+      Dedup.deduplicate(docs, method = "nope").count())
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")
