@@ -24,11 +24,17 @@ import org.apache.spark.sql.types._
   * the HOF formulation and DuckDB's list_sum, so results are
   * bit-identical to both (determinism contract of SURVEY §5).
   *
-  * Null semantics: null if either array is null; mismatched lengths
-  * dot over the shorter prefix (embeddings are fixed-dim upstream).
+  * Null semantics: null if either array is null, and null on
+  * MISMATCHED lengths — exactly what the HOF formulation produces
+  * (zip_with pads the shorter side with nulls, the null product
+  * poisons the sum), so [[graft.plans.DotProductRewrite]] can swap
+  * the HOF pattern for this expression without changing any result,
+  * and a silently-truncated dot can never masquerade as a score.
   */
 case class ArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def okType(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -52,7 +58,8 @@ case class ArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-pad parity
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -72,12 +79,16 @@ case class ArrayDot(left: Expression, right: Expression)
       def get(arr: String, isFloat: Boolean) =
         if (isFloat) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(x, leftFloat)} * ${get(y, rightFloat)};
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(x, leftFloat)} * ${get(y, rightFloat)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

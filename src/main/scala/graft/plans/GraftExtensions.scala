@@ -15,8 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   GROUP BY probe_id
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // HOF dot-product pattern -> codegen'd ArrayDot (semantics-equal;
+    // see DotProductRewrite). Users writing the portable SQL spelling
+    // get the native expression for free.
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftExtensions {

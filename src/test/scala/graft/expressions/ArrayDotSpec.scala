@@ -19,11 +19,14 @@ class ArrayDotSpec extends SparkSpec {
     assert(rows.forall { case (f, s) => f == s }) // exact, not approx
   }
 
-  test("mixed float/double element types and length mismatch") {
-    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 4.0))).toDF("a", "b")
-    val out = df.select(ArrayDot.dot(col("a"), col("b")).as("d"))
-      .as[Double].head()
-    assert(out == 10.0) // shorter-prefix semantics: 1*2 + 2*4
+  test("mixed float/double element types; length mismatch is null") {
+    val ok = Seq((Array(1.0f, 2.0f), Array(2.0, 4.0))).toDF("a", "b")
+      .select(ArrayDot.dot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(ok == 10.0) // float widens exactly: 1*2 + 2*4
+    // mismatched lengths: null, matching the HOF zip_with-pad
+    // semantics (a truncated dot must never masquerade as a score)
+    val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 4.0))).toDF("a", "b")
+    assert(mm.select(ArrayDot.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("null array gives null") {

@@ -40,6 +40,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.length == 4 && sig.distinct.length > 1)
   }
 
+  test("DotProductRewrite: HOF pattern becomes array_dot, results identical") {
+    // parquet-backed source: a Seq-based LocalRelation gets evaluated
+    // whole by ConvertToLocalRelation before the rewrite can show up
+    val dir = java.nio.file.Files.createTempDirectory("graft_dot").toString
+    Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, 0.0f, -1.0f), Array(2.0f, 8.0f, 2.0f)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v).as("dot")
+    val plain = df.select(hof).as[Double].collect().toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      val q = df.select(hof)
+      assert(q.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+      assert(q.as[Double].collect().toSeq == plain) // bit-identical
+      // float*float multiply (rounds each product) must NOT rewrite
+      val floatMult = df.select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (s, v) => s + v).as("dot"))
+      assert(!floatMult.queryExecution.optimizedPlan.toString
+        .contains("array_dot"))
+      // non-zero seed must NOT rewrite
+      val seeded = df.select(aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (s, v) => s + v).as("dot"))
+      assert(!seeded.queryExecution.optimizedPlan.toString
+        .contains("array_dot"))
+      // null parity on mismatched lengths: both spellings yield null
+      val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      assert(mm.select(hof).head().isNullAt(0))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+  }
+
   test("builders reject malformed argument shapes") {
     registerAll()
     // non-literal k must be refused at analysis, not silently bound
