@@ -76,6 +76,31 @@ object Prof {
           joined.agg(count(lit(1)), max(length(col("payload")))).count())
       spark.stop(); return
     }
+    // PROF_DOT=1 — HOF aggregate(zip_with) vs codegen'd ArrayDot on
+    // a brute-force scoring shape (the DotProductRewrite payoff)
+    if (sys.env.get("PROF_DOT").contains("1")) {
+      val emb = sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val nProbes = sys.env.getOrElse("PROF_DOT_PROBES", "512").toInt
+      val probes = emb.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("pid"), col("embedding").as("p"))
+      val pairs = emb.crossJoin(broadcast(probes))
+      def hofDot = aggregate(
+        zip_with(col("embedding"), col("p"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (s, v) => s + v)
+      def nativeDot = graft.expressions.ArrayDot.dot(col("embedding"), col("p"))
+      // head().getDouble forces the sum: a count() here lets the
+      // optimizer prune the unused dot entirely (measured 0.2 s for
+      // BOTH spellings — of nothing)
+      for (round <- 1 to 2) {
+        time(s"r$round.hof.dot")(
+          pairs.select(sum(hofDot).as("s")).head().getDouble(0).isNaN)
+        time(s"r$round.native.dot")(
+          pairs.select(sum(nativeDot).as("s")).head().getDouble(0).isNaN)
+      }
+      spark.stop(); return
+    }
     // PROF_DUMP=q_a,q_b — run queries, parquet to /tmp/graft_dump/<q>
     // (targeted oracle comparison without the full Verify sweep)
     if (sys.env.contains("PROF_DUMP")) {
