@@ -51,6 +51,24 @@ object TextRender {
     (header, body)
   }
 
+  /** Render a Chimera command file: open the structure, optional
+    * custom commands, optional secondary-structure coloring — the
+    * small driver-side companion of [[attributeLines]] (a command
+    * file is a handful of lines; only attribute BODIES need
+    * distributed rendering).
+    * reference: proteofav/visualise.py:54 (make_chimera_command_file). */
+  def chimeraCommandLines(structurePath: String,
+                          content: Seq[String] = Nil,
+                          colorSecondaryStructure: Boolean = true)
+  : Seq[String] = {
+    val coloring =
+      if (colorSecondaryStructure)
+        Seq("color green,r helix", "color yellow,r strand",
+          "color gray,r coil")
+      else Nil
+    (s"open $structurePath" +: content) ++ coloring
+  }
+
   /** Render token-record lines (mmCIF atom_site loop body shape):
     * columns joined by single spaces, in the given order — the
     * write_mmcif_from_table analog (proteofav/structures.py:515).

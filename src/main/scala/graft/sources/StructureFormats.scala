@@ -85,4 +85,51 @@ object StructureFormats {
       .withColumn("label_seq_id", col("label_seq_id").cast("int"))
       .withColumn("auth_seq_id", col("auth_seq_id").cast("int"))
   }
+
+  // ---- record cleanup passes (structures.py:178-258, 340-364) ----
+  // PDB-parsed records carry blanks where mmCIF expects sentinel
+  // characters; all four fixes are pure column expressions so they
+  // fuse into the scan projection.
+
+  /** Blank/null insertion codes → '?' (the mmCIF no-code sentinel).
+    * reference: proteofav/structures.py:205 (_fix_pdb_ins_code). */
+  def fixPdbInsCode(df: DataFrame): DataFrame =
+    df.withColumn("pdbx_PDB_ins_code",
+      when(col("pdbx_PDB_ins_code").isNull ||
+        (trim(col("pdbx_PDB_ins_code")) === ""), lit("?"))
+        .otherwise(col("pdbx_PDB_ins_code")))
+
+  /** Blank/'?'/null altloc ids → '.' (the mmCIF no-altloc sentinel).
+    * reference: proteofav/structures.py:219 (_fix_label_alt_id). */
+  def fixLabelAltId(df: DataFrame): DataFrame =
+    df.withColumn("label_alt_id",
+      when(col("label_alt_id").isNull ||
+        (trim(col("label_alt_id")) === "") ||
+        (col("label_alt_id") === "?"), lit("."))
+        .otherwise(col("label_alt_id")))
+
+  /** Missing element symbol → first uppercase letter of the atom id
+    * (" CA " → C). reference: proteofav/structures.py:233
+    * (_fix_type_symbol / get_type_symbol). */
+  def fixTypeSymbol(df: DataFrame,
+                    atomCol: String = "label_atom_id"): DataFrame =
+    df.withColumn("type_symbol",
+      when(col("type_symbol").isNull || (trim(col("type_symbol")) === ""),
+        substring(regexp_replace(col(atomCol), "[^A-Z]", ""), 1, 1))
+        .otherwise(col("type_symbol")))
+
+  /** Add '<atom>.<altloc>' disambiguation ids (plain atom id when no
+    * altloc) for both label_ and auth_ naming schemes.
+    * reference: proteofav/structures.py:340 (_add_mmcif_atom_altloc /
+    * join_atom_altloc). */
+  def addAtomAltloc(df: DataFrame): DataFrame = {
+    def joined(category: String) = when(
+      col("label_alt_id").isNull ||
+        trim(col("label_alt_id")).isin("", "."),
+      col(s"${category}_atom_id"))
+      .otherwise(concat(col(s"${category}_atom_id"), lit("."),
+        col("label_alt_id")))
+    df.withColumn("label_atom_altloc_id", joined("label"))
+      .withColumn("auth_atom_altloc_id", joined("auth"))
+  }
 }

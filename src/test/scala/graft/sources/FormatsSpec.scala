@@ -139,6 +139,47 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("chimeraCommandLines: open + content + SS coloring") {
+    val lines = graft.sinks.TextRender.chimeraCommandLines(
+      "/data/1abc.cif", content = Seq("display :12-20.A@ca"))
+    assert(lines == Seq("open /data/1abc.cif", "display :12-20.A@ca",
+      "color green,r helix", "color yellow,r strand", "color gray,r coil"))
+    assert(graft.sinks.TextRender.chimeraCommandLines("x.cif",
+      colorSecondaryStructure = false) == Seq("open x.cif"))
+  }
+
+  test("record cleanup passes: ins-code, altloc, type-symbol, altloc ids") {
+    val df = Seq(
+      // (ins_code, alt_id, type_symbol, label_atom, auth_atom)
+      (null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], "CA", "CA"),
+      (" ", "?", " ", "NZ2", "NZ2"),
+      ("A", "B", "N", "N", "N"))
+      .toDF("pdbx_PDB_ins_code", "label_alt_id", "type_symbol",
+        "label_atom_id", "auth_atom_id")
+    val out = StructureFormats.addAtomAltloc(
+      StructureFormats.fixTypeSymbol(
+        StructureFormats.fixLabelAltId(
+          StructureFormats.fixPdbInsCode(df))))
+      .orderBy("label_atom_id").collect()
+    // row CA: all sentinels applied, symbol from atom id, no suffix
+    val ca = out.find(_.getAs[String]("label_atom_id") == "CA").get
+    assert(ca.getAs[String]("pdbx_PDB_ins_code") == "?")
+    assert(ca.getAs[String]("label_alt_id") == ".")
+    assert(ca.getAs[String]("type_symbol") == "C")
+    assert(ca.getAs[String]("label_atom_altloc_id") == "CA")
+    // row NZ2: blank/question forms normalize the same way
+    val nz = out.find(_.getAs[String]("label_atom_id") == "NZ2").get
+    assert(nz.getAs[String]("label_alt_id") == ".")
+    assert(nz.getAs[String]("type_symbol") == "N") // digits excluded
+    // row N: real values pass through; altloc B suffixes both ids
+    val n = out.find(_.getAs[String]("label_atom_id") == "N").get
+    assert(n.getAs[String]("pdbx_PDB_ins_code") == "A")
+    assert(n.getAs[String]("type_symbol") == "N")
+    assert(n.getAs[String]("label_atom_altloc_id") == "N.B")
+    assert(n.getAs[String]("auth_atom_altloc_id") == "N.B")
+  }
+
   test("Xml.read + explodeNested: one row per nested element") {
     val xml =
       "<sifts><entity id=\"A\" type=\"protein\">" +
