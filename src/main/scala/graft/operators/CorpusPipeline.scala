@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call training-data preparation facade — the corpus twin of
+  * [[TableGenerator]]: hygiene → quality gate → dedup →
+  * decontamination → deterministic split → context packing, each
+  * stage a call into the existing operators and each individually
+  * oracle-checked through its own driver query. Stages toggle off
+  * independently so a pipeline can adopt them incrementally.
+  *
+  * Everything is deterministic (md5-bucket split, no rand()) so a
+  * re-run over the same corpus reproduces the same splits and bins —
+  * the replay property a 100 TB pipeline needs after a partial
+  * failure.
+  */
+object CorpusPipeline {
+
+  /** @param scrubPii       mask emails/long numbers in `textCol`
+    * @param minQuality     drop docs scoring below this (0 = keep all)
+    * @param dedupMethod    null/empty = skip; else a
+    *                       [[Dedup.deduplicate]] method name
+    * @param dedupThreshold similarity threshold for the dedup pass
+    * @param dedupBlockingKeys blocking columns for the pair join
+    * @param decontaminateAgainst benchmark docs (id, text) to exclude
+    *                       near-matches of
+    * @param decontaminateTau shingle-overlap fraction that counts as
+    *                       contaminated
+    * @param splitWeights   name → weight for the deterministic split
+    *                       (empty = skip)
+    * @param packBudget     token budget per packed bin (None = skip)
+    */
+  case class Config(scrubPii: Boolean = true,
+                    minQuality: Double = 0.0,
+                    dedupMethod: String = "jaccard",
+                    dedupThreshold: Double = 0.9,
+                    dedupBlockingKeys: Seq[String] = Seq("source"),
+                    decontaminateAgainst: Option[DataFrame] = None,
+                    decontaminateTau: Double = 0.5,
+                    splitWeights: Seq[(String, Double)] =
+                      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                    packBudget: Option[Long] = None)
+
+  def prepare(docs: DataFrame, config: Config = Config(),
+              idCol: String = "doc_id", textCol: String = "text")
+  : DataFrame = {
+    // 1. hygiene + quality signals in ONE scan projection
+    var t = docs
+    if (config.scrubPii)
+      t = t.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
+    if (config.minQuality > 0.0)
+      t = t.filter(
+        TextFunctions.qualityScore(col(textCol)) >= config.minQuality)
+
+    // 2. dedup: survivors only (pairs -> clusters -> min-id reps)
+    if (config.dedupMethod != null && config.dedupMethod.nonEmpty)
+      t = Dedup.deduplicate(t, config.dedupMethod, config.dedupThreshold,
+        config.dedupBlockingKeys, idCol, textCol)
+
+    // 3. benchmark decontamination: drop docs sharing >= tau of their
+    //    shingles with any benchmark doc (broadcast benchmark side)
+    config.decontaminateAgainst.foreach { bench =>
+      val verdict = Corpus.decontaminate(t, bench, shingleN = 3,
+        tau = config.decontaminateTau, idCol = idCol, textCol = textCol)
+      t = t.join(verdict.filter(!col("contaminated")).select(idCol),
+        Seq(idCol), "left_semi")
+    }
+
+    // 4. deterministic md5-bucket split (replay-safe, engine-stable)
+    if (config.splitWeights.nonEmpty)
+      t = Sampling.deterministicSplit(t, idCol, config.splitWeights)
+
+    // 5. context-window packing on the token count
+    config.packBudget.foreach { budget =>
+      t = Sampling.packSequences(
+        t.withColumn("n_tokens",
+          TextFunctions.tokenCount(col(textCol)).cast("long")),
+        "n_tokens", idCol, budget = budget)
+    }
+    t
+  }
+}

@@ -80,6 +80,43 @@ class PipelineParitySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet)
   }
 
+  test("CorpusPipeline.prepare: the same chain through the one-call facade") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog yesterday"), // near dup
+      (4L, "contact me at alice@example.com about data and spark"),
+      (5L, "benchmark question one about the meaning of life"),
+      (6L, "completely unrelated text with words nobody repeats"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "benchmark question one about the meaning of life"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(
+        dedupMethod = "jaccard", dedupThreshold = 0.7,
+        dedupBlockingKeys = Nil,
+        decontaminateAgainst = Some(benchmark),
+        packBudget = Some(16L)))
+    // docs 2 (exact dup via jaccard 1.0), 3 (near dup) and 5
+    // (benchmark) are gone; survivors carry split + bin assignments
+    assert(out.select("doc_id").as[Long].collect().toSorted ==
+      Seq(1L, 4L, 6L))
+    assert(out.columns.contains("split") && out.columns.contains("bin_id"))
+    assert(out.filter(col("text").contains("<EMAIL>")).count() == 1)
+    // deterministic: a re-run reproduces splits and bins bit-for-bit
+    val again = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(
+        dedupMethod = "jaccard", dedupThreshold = 0.7,
+        dedupBlockingKeys = Nil,
+        decontaminateAgainst = Some(benchmark),
+        packBudget = Some(16L)))
+    assert(again.select("doc_id", "split", "bin_id")
+      .as[(Long, String, Long)].collect().toSet ==
+      out.select("doc_id", "split", "bin_id")
+        .as[(Long, String, Long)].collect().toSet)
+  }
+
   private implicit class SortedSeq(s: Array[Long]) {
     def toSorted: Seq[Long] = s.toSeq.sorted
   }
