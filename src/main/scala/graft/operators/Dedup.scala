@@ -91,8 +91,8 @@ object Dedup {
     val (base, _, prefix, sets) =
       prefixIndex(docs, blockingKeys, threshold, idCol, textCol)
     // symmetric candidate join: prefix x prefix, a < b
-    val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
-    val b = prefix.toDF(prefix.columns.map(c => s"b_$c"): _*)
+    val a = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val b = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
       (col("a_tok") === col("b_tok")) :+ (col("a_id") < col("b_id")))
       .reduce(_ && _)
@@ -128,8 +128,8 @@ object Dedup {
     val (base, tok, prefix, sets) =
       prefixIndex(docs, blockingKeys, threshold, idCol, textCol)
     // asymmetric candidate join: A.prefix x B.fullIndex, directed
-    val a = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
-    val b = tok.toDF(tok.columns.map(c => s"b_$c"): _*)
+    val a = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val b = tok.toDF(tok.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
       (col("a_tok") === col("b_tok")) :+ (col("a_id") =!= col("b_id")))
       .reduce(_ && _)

@@ -20,7 +20,7 @@ object Skew {
   /** Deterministic per-row salt derived from the whole row's hash —
     * stable across retries (no rand(), which breaks task replay). */
   private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).cast("int")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int")
 
   /** Inner/left equi-join with a salted key: `big` is salted, `small`
     * is replicated buckets×. Result equals the unsalted join. */

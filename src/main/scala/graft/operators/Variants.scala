@@ -85,7 +85,7 @@ object Variants {
       .withColumn("__v", explode(from_json(col(jsonCol),
         org.apache.spark.sql.types.ArrayType(schema))))
     val flat0 = NestedOps.flattenStructs(parsed.select(col("__v").as("variant")))
-    val flat = flat0.toDF(flat0.columns.map(_.stripPrefix("variant_")): _*)
+    val flat = flat0.toDF(flat0.columns.toIndexedSeq.map(_.stripPrefix("variant_")): _*)
     val renamed = EnsemblToUniprot.foldLeft(flat) { case (d, (from, to)) =>
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
