@@ -760,6 +760,65 @@ object SparkEntry {
           nTables = 8).select("a_id", "b_id"),
         Dedup.embeddingCosinePairs(embs, 0.35).select("a_id", "b_id"))
     }),
+    // variant-payload normalization end-to-end (variants.py:622): a
+    // deterministic Proteins-API-shaped JSON payload is synthesized
+    // per document, then flattened features -> xref split ->
+    // merge-down; the oracle reproduces the derivation relationally
+    "q_variants_flatten" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val xrefs = array(
+        struct(lit("dbSNP").as("name"),
+          concat(lit("rs"), pmod(col("doc_id"), lit(37)).cast("string"))
+            .as("id")),
+        struct(lit("ClinVar").as("name"),
+          concat(lit("rcv"), pmod(col("doc_id"), lit(13)).cast("string"))
+            .as("id")))
+      val payload = docs.select(to_json(struct(
+        concat(lit("P"), pmod(col("doc_id"), lit(50)).cast("string"))
+          .as("accession"),
+        lit("GRAFT_ENTRY").as("entryName"),
+        array(
+          struct(lit("VARIANT").as("type"),
+            (pmod(col("n_chars"), lit(900)) + 1).cast("string").as("begin"),
+            (pmod(col("n_chars"), lit(900)) + 3).cast("string").as("end"),
+            upper(substring(col("lang"), 1, 1)).as("wildType"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("synonymous_variant")).otherwise(lit("missense_variant"))
+              .as("consequenceType"),
+            xrefs.as("xrefs")),
+          struct(lit("MUTAGEN").as("type"),
+            (pmod(col("n_chars"), lit(900)) + 5).cast("string").as("begin"),
+            (pmod(col("n_chars"), lit(900)) + 7).cast("string").as("end"),
+            upper(substring(col("source"), 1, 1)).as("wildType"),
+            lit("mutagenesis").as("consequenceType"),
+            slice(xrefs, 1, 1).as("xrefs"))).as("features"))).as("json"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("accession",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("entryName",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("features",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("begin",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("end",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("wildType",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("consequenceType",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("xrefs",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("name",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("id",
+                      org.apache.spark.sql.types.StringType)))))))))))
+      Variants.flattenUniprotVariants(payload, "json", schema)
+    }),
     // viewer attribute file (visualise.py defattr shape): header +
     // ':key<TAB>value' body rendered distributed, parsed back —
     // double→string→double roundtrips bit-exactly in Java
@@ -872,6 +931,32 @@ object SparkEntry {
         |CASE WHEN l_linenumber % 4 = 0 THEN NULL
         |ELSE CAST(l_linenumber + l_orderkey % 5 AS INT) END AS mapped_idx
         |FROM lineitem""".stripMargin,
+    "q_variants_flatten" ->
+      """WITH feats AS (
+        |SELECT 'P' || CAST(doc_id % 50 AS VARCHAR) AS accession, 'GRAFT_ENTRY' AS en,
+        |'VARIANT' AS ftype, CAST(n_chars % 900 + 1 AS INT) AS fbegin, CAST(n_chars % 900 + 3 AS INT) AS fend,
+        |upper(substr(lang, 1, 1)) AS wt,
+        |CASE WHEN doc_id % 3 = 0 THEN 'synonymous_variant' ELSE 'missense_variant' END AS ct,
+        |'rs' || CAST(doc_id % 37 AS VARCHAR) AS xid FROM documents
+        |UNION ALL
+        |SELECT 'P' || CAST(doc_id % 50 AS VARCHAR), 'GRAFT_ENTRY',
+        |'VARIANT', CAST(n_chars % 900 + 1 AS INT), CAST(n_chars % 900 + 3 AS INT),
+        |upper(substr(lang, 1, 1)),
+        |CASE WHEN doc_id % 3 = 0 THEN 'synonymous_variant' ELSE 'missense_variant' END,
+        |'rcv' || CAST(doc_id % 13 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'P' || CAST(doc_id % 50 AS VARCHAR), 'GRAFT_ENTRY',
+        |'MUTAGEN', CAST(n_chars % 900 + 5 AS INT), CAST(n_chars % 900 + 7 AS INT),
+        |upper(substr(source, 1, 1)), 'mutagenesis',
+        |'rs' || CAST(doc_id % 37 AS VARCHAR) FROM documents)
+        |SELECT accession, xid AS xrefs_id,
+        |string_agg(DISTINCT en, ';' ORDER BY en) AS "entryName",
+        |string_agg(DISTINCT ftype, ';' ORDER BY ftype) AS "type",
+        |string_agg(DISTINCT CAST(fbegin AS VARCHAR), ';' ORDER BY CAST(fbegin AS VARCHAR)) AS "begin",
+        |string_agg(DISTINCT CAST(fend AS VARCHAR), ';' ORDER BY CAST(fend AS VARCHAR)) AS "end",
+        |string_agg(DISTINCT wt, ';' ORDER BY wt) AS "wildType",
+        |string_agg(DISTINCT ct, ';' ORDER BY ct) AS "consequenceType"
+        |FROM feats GROUP BY accession, xid""".stripMargin,
     "q_join_left_composite" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.grp_qty
         |FROM lineitem l LEFT JOIN (

@@ -53,9 +53,11 @@ object Variants {
         explode(col("__p.features")).as("feature"): _*)
     val flat = NestedOps.flattenStructs(exploded)
     // xrefs: array<struct<name,id>> → one row per id (the reference's
-    // splitting_up_by_key on the ';'-joined 'xrefs_id')
+    // splitting_up_by_key on the ';'-joined 'xrefs_id'); OUTER so a
+    // feature without xrefs survives with a null key, as the
+    // reference's NaN-keyed rows do
     val split = flat
-      .withColumn("xrefs_id", explode(col("feature_xrefs.id")))
+      .withColumn("xrefs_id", explode_outer(col("feature_xrefs.id")))
       .drop("feature_xrefs")
     // reference key naming: flattened feature fields are unprefixed
     // ('wildType', not 'feature_wildType') — strip the explode

@@ -43,6 +43,18 @@ class VariantsSpec extends SparkSpec {
     assert(byId("rcv1").getAs[String]("accession") == "P00439")
   }
 
+  test("flattenUniprotVariants keeps xref-less features (null key)") {
+    val payload =
+      """{"accession":"P1","entryName":"E","features":[
+        |{"type":"VARIANT","begin":"1","end":"1","wildType":"A",
+        | "alternativeSequence":"G","consequenceType":"m","xrefs":null}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val out = Variants.flattenUniprotVariants(
+      Seq(payload).toDF("json"), "json", uniprotSchema).collect()
+    assert(out.length == 1 &&
+      out.head.isNullAt(out.head.fieldIndex("xrefs_id")))
+  }
+
   private val ensemblSchema = StructType(Seq(
     StructField("id", StringType),
     StructField("start", StringType),
