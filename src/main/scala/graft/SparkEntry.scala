@@ -792,31 +792,11 @@ object SparkEntry {
             upper(substring(col("source"), 1, 1)).as("wildType"),
             lit("mutagenesis").as("consequenceType"),
             slice(xrefs, 1, 1).as("xrefs"))).as("features"))).as("json"))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("accession",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("entryName",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("features",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("type",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("begin",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("end",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("wildType",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("consequenceType",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("xrefs",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("name",
-                      org.apache.spark.sql.types.StringType),
-                    org.apache.spark.sql.types.StructField("id",
-                      org.apache.spark.sql.types.StringType)))))))))))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "accession string, entryName string, features array<struct<" +
+          "type:string, begin:string, end:string, wildType:string, " +
+          "consequenceType:string, " +
+          "xrefs:array<struct<name:string, id:string>>>>")
       Variants.flattenUniprotVariants(payload, "json", schema)
     }),
     // viewer attribute file (visualise.py defattr shape): header +

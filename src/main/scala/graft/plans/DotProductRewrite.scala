@@ -54,7 +54,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case agg @ ArrayAggregate(
+      case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(mult: Multiply, Seq(
             x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           zero,
@@ -72,7 +72,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           ((sameVar(add.left, s) && sameVar(add.right, v)) ||
             (sameVar(add.left, v) && sameVar(add.right, s))) &&
           sameVar(fin, f) =>
-        val _ = agg
         ArrayDot(a, b)
     }
 }
