@@ -65,6 +65,14 @@ class PlanGuardSpec extends SparkSpec {
       s"tile columns missing from the self-join keys:\n$p")
   }
 
+  test("q_variants_flatten: explode + merge-down in one exchange, no joins") {
+    val p = plan("q_variants_flatten")
+    assert(!p.contains("Join"),
+      s"payload flatten must stay a generate+aggregate plan:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more exchanges than the single merge-down agg needs:\n$p")
+  }
+
   test("q_window_sliding is one aggregation exchange, no self-join") {
     val p = plan("q_window_sliding")
     assert(!p.contains("Join"), s"hopping windows must not self-join:\n$p")
