@@ -148,6 +148,23 @@ class DedupSpec extends SparkSpec {
       Dedup.deduplicate(docs, method = "nope").count())
   }
 
+  test("deduplicate facade: every method collapses identical docs") {
+    // identical texts must collapse under EVERY pair-generation
+    // method (jaccard/containment see identical token sets, minhash
+    // identical signatures, simhash hamming 0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (3L, "totally different content with other words here", "s"))
+      .toDF("doc_id", "text", "source")
+    for (m <- Seq("jaccard", "containment", "minhash", "simhash")) {
+      val kept = Dedup.deduplicate(docs, method = m, threshold = 0.9,
+          blockingKeys = Seq("source"))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(kept == Seq(1L, 3L), s"method=$m kept $kept")
+    }
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")
