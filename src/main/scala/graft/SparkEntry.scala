@@ -760,6 +760,22 @@ object SparkEntry {
           nTables = 8).select("a_id", "b_id"),
         Dedup.embeddingCosinePairs(embs, 0.35).select("a_id", "b_id"))
     }),
+    // the WHOLE training-data pipeline in one call: scrub -> jaccard
+    // dedup -> benchmark decontamination -> deterministic split ->
+    // context packing, hash-matched end-to-end against a composite
+    // DuckDB oracle assembled from the per-stage oracles
+    "q_corpus_prepare" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      CorpusPipeline.prepare(docs.filter(col("doc_id") >= 25),
+          CorpusPipeline.Config(
+            dedupMethod = "jaccard", dedupThreshold = 0.9,
+            dedupBlockingKeys = Seq("source"),
+            decontaminateAgainst = Some(docs.filter(col("doc_id") < 25)
+              .select("doc_id", "text")),
+            packBudget = Some(512L)))
+        .select("doc_id", "lang", "source", "bucket", "split",
+          "n_tokens", "bin_id")
+    }),
     // variant-payload normalization end-to-end (variants.py:622): a
     // deterministic Proteins-API-shaped JSON payload is synthesized
     // per document, then flattened features -> xref split ->
@@ -911,6 +927,45 @@ object SparkEntry {
         |CASE WHEN l_linenumber % 4 = 0 THEN NULL
         |ELSE CAST(l_linenumber + l_orderkey % 5 AS INT) END AS mapped_idx
         |FROM lineitem""".stripMargin,
+    "q_corpus_prepare" ->
+      """WITH RECURSIVE src AS (
+        |SELECT doc_id, lang, source,
+        |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS text
+        |FROM documents WHERE doc_id >= 25),
+        |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |FROM documents WHERE doc_id < 25),
+        |toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM src),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges UNION SELECT b_id, a_id FROM edges),
+        |reach AS (SELECT doc_id AS src, doc_id AS dst FROM src
+        |UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+        |kept AS (SELECT d.* FROM src d JOIN cc ON d.doc_id = cc.doc_id AND cc.doc_id = cc.rep),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+        |FROM bench WHERE len(l) >= 3),
+        |kl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM kept),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
+        |FROM kl WHERE len(l) >= 3),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
+        |FROM kl),
+        |clean AS (SELECT k.* FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+        |LEFT JOIN ov ON k.doc_id = ov.doc_id
+        |WHERE NOT (CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5)),
+        |named AS (SELECT *,
+        |CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket FROM clean),
+        |tokd AS (SELECT *,
+        |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM named)
+        |SELECT doc_id, lang, source, bucket, split, n_tokens,
+        |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
+        |FROM tokd""".stripMargin,
     "q_variants_flatten" ->
       """WITH feats AS (
         |SELECT 'P' || CAST(doc_id % 50 AS VARCHAR) AS accession, 'GRAFT_ENTRY' AS en,
