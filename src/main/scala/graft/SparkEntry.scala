@@ -4,7 +4,7 @@ import graft.operators._
 import graft.functions._
 import graft.multimodal.Multimodal
 import graft.sinks.TextRender
-import graft.sources.{Msa, TextSources}
+import graft.sources.{Msa, StructureFormats, TextSources}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -760,6 +760,52 @@ object SparkEntry {
           nTables = 8).select("a_id", "b_id"),
         Dedup.embeddingCosinePairs(embs, 0.35).select("a_id", "b_id"))
     }),
+    // the flagship STRUCTURE workflow end-to-end through the facade:
+    // synthesize atoms, render to PDB text, parse back distributed,
+    // clean (completeness gate) + merge a recoded per-residue table
+    // via TableGenerator — the oracle derives the same rows
+    // relationally (the render/parse leg's exactness is separately
+    // proven by q_fixedwidth_roundtrip)
+    "q_structure_pipeline" -> ((s, d) => {
+      val out = roundtripDir("structpipe")
+      // (orderkey, linenumber) repeats in this corpus — reduce to one
+      // deterministic row per position so every atom site is unique
+      // (a tied altloc collapse would otherwise pick arbitrarily)
+      val li = T(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 9999 && col("l_linenumber") <= 4)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(min("l_returnflag").as("l_returnflag"),
+          min("l_quantity").as("l_quantity"))
+      val atoms = li.select(
+        lit("ATOM").as("group_PDB"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("int").as("id"),
+        when(col("l_linenumber") === 1, "N")
+          .when(col("l_linenumber") === 2, "CA")
+          .when(col("l_linenumber") === 3, "C").otherwise("O")
+          .as("auth_atom_id"),
+        lit("").as("label_alt_id"),
+        lit("ALA").as("auth_comp_id"),
+        col("l_returnflag").as("auth_asym_id"),
+        col("l_orderkey").cast("int").as("auth_seq_id"),
+        lit("").as("pdbx_PDB_ins_code"),
+        col("l_quantity").as("Cartn_x"),
+        col("l_linenumber").cast("double").as("Cartn_y"),
+        lit(0.0).as("Cartn_z"),
+        lit(1.0).as("occupancy"),
+        lit(0.0).as("B_iso_or_equiv"),
+        lit("C").as("type_symbol"))
+      TextRender.writeText(TextRender.pdbLines(atoms), out)
+      val dssp = RowOps.recodeByMap(
+        T(s, d, "orders").select(col("o_orderkey").cast("int").as("RES"),
+          col("o_orderstatus").as("SS")),
+        "SS", "SS_CLASS", Map("O" -> "open", "F" -> "finished"), "other")
+      TableGenerator.generate(StructureFormats.pdbAtoms(s, out),
+          dssp = Some(dssp.select("RES", "SS_CLASS")),
+          dsspKeys = Seq("auth_seq_id" -> "RES"))
+        .select(col("auth_asym_id"), col("auth_seq_id"),
+          col("auth_atom_id"), col("Cartn_x"), col("Cartn_y"),
+          col("SS_CLASS"))
+    }),
     // the WHOLE training-data pipeline in one call: scrub -> jaccard
     // dedup -> benchmark decontamination -> deterministic split ->
     // context packing, hash-matched end-to-end against a composite
@@ -927,6 +973,26 @@ object SparkEntry {
         |CASE WHEN l_linenumber % 4 = 0 THEN NULL
         |ELSE CAST(l_linenumber + l_orderkey % 5 AS INT) END AS mapped_idx
         |FROM lineitem""".stripMargin,
+    "q_structure_pipeline" ->
+      """WITH li AS (
+        |SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS l_returnflag,
+        |MIN(l_quantity) AS l_quantity
+        |FROM lineitem WHERE l_orderkey <= 9999 AND l_linenumber <= 4
+        |GROUP BY 1, 2),
+        |atoms AS (
+        |SELECT l_returnflag AS auth_asym_id, CAST(l_orderkey AS INT) AS auth_seq_id,
+        |CASE l_linenumber WHEN 1 THEN 'N' WHEN 2 THEN 'CA' WHEN 3 THEN 'C' ELSE 'O' END AS auth_atom_id,
+        |l_quantity AS cx, CAST(l_linenumber AS DOUBLE) AS cy
+        |FROM li),
+        |complete AS (SELECT auth_asym_id, auth_seq_id FROM atoms
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |kept AS (SELECT a.* FROM atoms a JOIN complete USING (auth_asym_id, auth_seq_id)),
+        |dssp AS (SELECT CAST(o_orderkey AS INT) AS res,
+        |CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' ELSE 'other' END AS ss
+        |FROM orders)
+        |SELECT k.auth_asym_id, k.auth_seq_id, k.auth_atom_id,
+        |k.cx AS "Cartn_x", k.cy AS "Cartn_y", dssp.ss AS "SS_CLASS"
+        |FROM kept k LEFT JOIN dssp ON k.auth_seq_id = dssp.res""".stripMargin,
     "q_corpus_prepare" ->
       """WITH RECURSIVE src AS (
         |SELECT doc_id, lang, source,
