@@ -117,6 +117,17 @@ class PipelineParitySpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet)
   }
 
+  test("CorpusPipeline quality gate drops low-quality docs") {
+    val corpus = Seq(
+      (1L, "A well formed sentence with reasonable words and a period."),
+      (2L, "!!!! ???? @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.5, dedupMethod = "",
+        splitWeights = Nil))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   private implicit class SortedSeq(s: Array[Long]) {
     def toSorted: Seq[Long] = s.toSeq.sorted
   }

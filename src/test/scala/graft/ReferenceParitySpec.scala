@@ -104,6 +104,7 @@ class ReferenceParitySpec extends SparkSpec {
       dssp = Some(dssp), sequenceCheck = check,
       seqCheckCols = Some(("aa_struct", "aa_dssp")))
     assert(gen("ignore").count() == 4)
+    assert(gen("warn").count() == 4) // warn reports but returns the table
     intercept[IllegalStateException](gen("raise"))
     intercept[IllegalArgumentException](
       TableGenerator.generate(atoms, sequenceCheck = "nope"))
