@@ -47,11 +47,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     // Full-precision per-query timings go to a file; stdout gets ONE
-    // compact line (3-decimal values) as the FINAL line. The driver
-    // captures only the tail of stdout, and at ~95 queries the
-    // full-precision line overflows that capture (BENCH_r04..r06 all
-    // recorded "parsed": null) — rounding keeps the line well inside
-    // the window while preserving the "queries" map contract.
+    // compact summary line (~120 chars) as the FINAL line. The driver
+    // captures only a 2000-char tail of stdout, and even the rounded
+    // per-query map (~100 queries) overflows it (BENCH_r04..r07 all
+    // recorded "parsed": null) — so the map stays OUT of stdout
+    // entirely; anyone wanting per-query numbers reads the detail
+    // file.
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
@@ -59,11 +60,8 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       s"""{"queries":$detail,"failed":$failed,"total":$total,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    }.mkString("{", ",", "}")
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

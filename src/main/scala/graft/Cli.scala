@@ -36,7 +36,14 @@ object Cli {
       rest match {
         case Nil => acc
         case f :: t if flags(f) => loop(t, acc + (f.drop(2) -> "true"))
+        // a value-taking option must not swallow the NEXT option as
+        // its value: `--chains --res 1` is a missing value, not
+        // chains="--res" plus a confusing leftover error
+        case k :: v :: _ if k.startsWith("--") && v.startsWith("--") =>
+          throw new IllegalArgumentException(s"missing value for $k\n$usage")
         case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
+        case k :: Nil if k.startsWith("--") =>
+          throw new IllegalArgumentException(s"missing value for $k\n$usage")
         case bad => throw new IllegalArgumentException(
           s"unparseable argument(s): ${bad.mkString(" ")}\n$usage")
       }

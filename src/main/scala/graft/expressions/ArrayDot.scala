@@ -24,12 +24,17 @@ import org.apache.spark.sql.types._
   * the HOF formulation and DuckDB's list_sum, so results are
   * bit-identical to both (determinism contract of SURVEY §5).
   *
-  * Null semantics: null if either array is null, and null on
-  * MISMATCHED lengths — exactly what the HOF formulation produces
-  * (zip_with pads the shorter side with nulls, the null product
-  * poisons the sum), so [[graft.plans.DotProductRewrite]] can swap
-  * the HOF pattern for this expression without changing any result,
-  * and a silently-truncated dot can never masquerade as a score.
+  * Null semantics: null if either array is null, null on MISMATCHED
+  * lengths, and null when ANY element is null — exactly what the HOF
+  * formulation produces (zip_with pads the shorter side with nulls,
+  * and a null element makes a null product that poisons the sum), so
+  * [[graft.plans.DotProductRewrite]] can swap the HOF pattern for
+  * this expression without changing any result even on
+  * containsNull=true element types (the default from from_json and
+  * plain parquet reads), and a silently-truncated dot can never
+  * masquerade as a score. The per-element null branch is emitted
+  * only when the input type admits null elements, so
+  * containsNull=false columns keep the branch-free loop.
   */
 case class ArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -52,8 +57,12 @@ case class ArrayDot(left: Expression, right: Expression)
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
+  @transient private lazy val leftMayNull = elemNullable(left)
+  @transient private lazy val rightMayNull = elemNullable(right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -63,6 +72,9 @@ case class ArrayDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element poisons the HOF sum -> whole result null
+      if ((leftMayNull && x.isNullAt(i)) || (rightMayNull && y.isNullAt(i)))
+        return null
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -78,6 +90,12 @@ case class ArrayDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       def get(arr: String, isFloat: Boolean) =
         if (isFloat) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+      val nullChecks =
+        (if (leftMayNull) Seq(s"$x.isNullAt($i)") else Nil) ++
+          (if (rightMayNull) Seq(s"$y.isNullAt($i)") else Nil)
+      val elemGuard =
+        if (nullChecks.isEmpty) ""
+        else s"""if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"""
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -85,9 +103,10 @@ case class ArrayDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
          |    $acc += ${get(x, leftFloat)} * ${get(y, rightFloat)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

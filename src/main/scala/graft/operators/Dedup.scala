@@ -306,10 +306,15 @@ object Dedup {
     * naive cosine-per-pair recomputes both norms for every candidate
     * pair (O(pairs·dim) extra fold work at 100 TB).
     *
-    * `tiles` <= 0 auto-sizes: T = ceil(maxBlockRows / 2048), capped
-    * at 256 — one extra tiny aggregation over the already-cached
-    * projection, targeting ~4M scored pairs per task so per-task
-    * work stays minutes-not-hours whatever the block skew is. */
+    * `tiles` <= 0 auto-sizes PER BLOCK: T_blk = ceil(blockRows /
+    * 2048), capped at 256, broadcast-joined back onto the cached
+    * projection — so a skewed giant block gets the tiling it needs
+    * while small blocks keep T = 1 instead of paying the global-max
+    * T's (T+1)× replication for zero pair-count benefit. The stats
+    * side is one row per distinct blocking key (and a key cardinality
+    * too high to broadcast implies blocks too small to need tiling —
+    * pass an explicit `tiles` there). Targeting ~4M scored pairs per
+    * task keeps per-task work minutes-not-hours whatever the skew. */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double,
                            blockCol: String = "label",
                            idCol: String = "vec_id",
@@ -319,18 +324,21 @@ object Dedup {
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v0.count() // complete the cache before the multi-branch read
-    val t =
-      if (tiles > 0) tiles
+    val sized =
+      if (tiles > 0) v0.withColumn("nt", lit(tiles))
       else {
-        val maxBlk = v0.groupBy("blk").count()
-          .agg(max("count")).first().getLong(0)
-        math.min(256, math.max(1, math.ceil(maxBlk / 2048.0).toInt))
+        val stats = v0.groupBy("blk").agg(count(lit(1)).as("__cnt"))
+          .select(col("blk"),
+            least(lit(256), greatest(lit(1),
+              ceil(col("__cnt") / lit(2048.0)))).cast("int").as("nt"))
+        v0.join(broadcast(stats), "blk")
       }
-    val v = v0.withColumn("tile",
-      pmod(xxhash64(col("id")), lit(t)).cast("int"))
+    val v = sized.withColumn("tile",
+      pmod(xxhash64(col("id")), col("nt")).cast("int"))
     val rows = v.select(col("id").as("a_id"), col("blk"),
       col("vec").as("a_vec"), col("nrm").as("a_nrm"),
-      col("tile").as("t"), explode(sequence(col("tile"), lit(t - 1))).as("u"))
+      col("tile").as("t"),
+      explode(sequence(col("tile"), col("nt") - 1)).as("u"))
     val cols_ = v.select(col("id").as("b_id"), col("blk"),
       col("vec").as("b_vec"), col("nrm").as("b_nrm"),
       explode(sequence(lit(0), col("tile"))).as("t"), col("tile").as("u"))
@@ -414,29 +422,32 @@ object Dedup {
                   threshold: Double = 0.9,
                   blockingKeys: Seq[String] = Nil,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val pairs = method match {
-      case "exact" =>
-        // hash groups to copy -> keeper edges (star per group)
-        docs.select(col(idCol).as("a_id"),
-            md5(lower(trim(col(textCol))).cast("binary")).as("text_hash"))
-          .join(exact(docs, idCol, textCol), "text_hash")
-          .filter(col("a_id") =!= col("keeper_doc_id"))
-          .select(col("a_id"), col("keeper_doc_id").as("b_id"))
-      case "jaccard" => ngramJaccardPairs(docs, blockingKeys, threshold,
-        idCol, textCol)
-      case "containment" => containmentPairs(docs, blockingKeys, threshold,
-        idCol, textCol)
-      case "minhash" => minhashPairs(docs, threshold, idCol = idCol,
-        textCol = textCol)
-      case "simhash" => simhashPairs(docs, idCol = idCol, textCol = textCol)
-      case other => throw new IllegalArgumentException(
-        s"unknown dedup method '$other'")
-    }
-    val clusters = graft.operators.Graph.connectedComponents(
-      docs.select(col(idCol)), pairs.select("a_id", "b_id"))
-    docs.join(clusters.filter(col("id") === col("comp"))
-      .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+                  textCol: String = "text"): DataFrame = method match {
+    case "exact" =>
+      // Hash-identical groups already name their representative (the
+      // min id per hash group): the copy→keeper star edges are a
+      // transitively-closed clustering, so the CC loop the other
+      // methods need would be a provably-redundant iterative job at
+      // 100 TB. Survivors = the keeper set, one semi join.
+      docs.join(
+        exact(docs, idCol, textCol).select(col("keeper_doc_id").as(idCol)),
+        Seq(idCol), "left_semi")
+    case _ =>
+      val pairs = method match {
+        case "jaccard" => ngramJaccardPairs(docs, blockingKeys, threshold,
+          idCol, textCol)
+        case "containment" => containmentPairs(docs, blockingKeys, threshold,
+          idCol, textCol)
+        case "minhash" => minhashPairs(docs, threshold, idCol = idCol,
+          textCol = textCol)
+        case "simhash" => simhashPairs(docs, idCol = idCol, textCol = textCol)
+        case other => throw new IllegalArgumentException(
+          s"unknown dedup method '$other'")
+      }
+      val clusters = graft.operators.Graph.connectedComponents(
+        docs.select(col(idCol)), pairs.select("a_id", "b_id"))
+      docs.join(clusters.filter(col("id") === col("comp"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
   /** Pair-set recall harness: how many of the exact near-dup pairs

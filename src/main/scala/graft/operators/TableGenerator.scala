@@ -87,12 +87,21 @@ object TableGenerator {
     if (sequenceCheck != "ignore") {
       val (lc, rc) = seqCheckCols.getOrElse(throw new IllegalArgumentException(
         s"sequenceCheck='$sequenceCheck' needs seqCheckCols"))
+      // one deterministic letter per residue per side FIRST: a residue
+      // carrying two distinct letters after the merge (surviving
+      // altloc, duplicate annotation row) must contribute ONE position
+      // — two would shift every later position and inflate the count
+      // relative to the reference's per-residue comparison. min()
+      // skips nulls, so a partially-null residue keeps its letter.
       def seqOf(c: String) = array_join(transform(
         array_sort(collect_list(struct(col("auth_seq_id"), col(c)))),
-        r => r.getField(c)), "")
+        // null-fill so both sides stay position-aligned (array_join
+        // would silently DROP a null letter and desynchronize lengths)
+        r => coalesce(r.getField(c), lit("-"))), "")
       val bad = merged
         .select(col("auth_asym_id"), col("auth_seq_id"), col(lc), col(rc))
-        .distinct()
+        .groupBy("auth_asym_id", "auth_seq_id")
+        .agg(min(col(lc)).as(lc), min(col(rc)).as(rc))
         .groupBy("auth_asym_id")
         .agg(seqOf(lc).as("seq_a"), seqOf(rc).as("seq_b"))
         .filter(TextFunctions.countMismatches(col("seq_a"), col("seq_b")) > 0)

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * millions of candidates that interpreter overhead is the query.
   * The rewrite is a pure win because the semantics are pinned equal:
   * ArrayDot accumulates left-to-right in doubles (bit-identical sum)
-  * and returns null on null or length-mismatched input exactly as
-  * the zip_with null-pad + poisoned sum does.
+  * and returns null on null input, length-mismatched input, AND any
+  * null element — exactly the zip_with null-pad + poisoned-sum
+  * behavior — so it is safe on containsNull=true element types (the
+  * default schema from from_json and plain parquet reads), not just
+  * the containsNull=false case.
   *
   * Fires only when every piece matches: float/double array inputs,
   * multiply of exactly the two zip_with lambda variables (either

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Concrete structural-biology text layouts from the reference,
@@ -64,6 +65,78 @@ object StructureFormats {
       // '!' chain-break placeholder rows carry no residue
       .filter(col("AA") =!= "!")
 
+  /** DSSP parse that KEEPS the '!'/'!*' break marker rows and reads
+    * AA two wide (the reference colspec is (12,15), so the '*' of a
+    * '!*' chain break survives — the plain 1-char read sees only
+    * '!'). This is the input [[dsspFullChain]] needs; each row also
+    * carries its source file for the per-file window.
+    * reference: proteofav/dssp.py:31 (colspecs) + dssp.py:153. */
+  def dsspResiduesWithBreaks(spark: SparkSession, path: String): DataFrame = {
+    val fields = DsspResidueFields.map {
+      case f if f.name == "AA" => f.copy(len = 2)
+      case f => f
+    }
+    spark.read.text(path)
+      .withColumn("file", input_file_name())
+      .filter(regexp_like(substring(col("value"), 1, 5), lit("^\\s*\\d+$")))
+      .select(col("file") +: fields.map { f =>
+        trim(substring(col("value"), f.start, f.len)).cast(f.dataType).as(f.name)
+      }: _*)
+  }
+
+  /** BioUnits chain re-lettering — the `_add_dssp_full_chain` recode
+    * (proteofav/dssp.py:153-196), Spark-first: a per-file window scan
+    * instead of the reference's driver-side row loop (parallel across
+    * files, ordered within each — the only order the semantics need).
+    *
+    * Reference semantics reproduced exactly: a counter starts at -1;
+    * at each '!*' chain-break row it increments when the CHAIN values
+    * of the two NEIGHBORING rows agree (a BioUnit copy boundary
+    * inside one author chain) and RESETS to -1 when they differ (a
+    * genuine new chain) — including the quirk that the comparison is
+    * positional (whatever rows happen to sit at ix±1, markers
+    * included). While the counter is ≥ 0, residue rows (not '!' or
+    * '!*') get CHAIN suffixed from the generated alphabet A..Z0..9,
+    * AA..A9, BA..B9; position ≥ 108 raises, as the reference does. A
+    * marker at a file edge has a null neighbor and resets (the
+    * reference indexes out of bounds there — undefined; we pin the
+    * conservative reset).
+    *
+    * In window terms: reset markers partition each file into groups
+    * (running sum of resets), and the counter is the running count of
+    * increment markers within the group, minus one. */
+  def dsspFullChain(df: DataFrame, fileCol: String = "file",
+                    orderCol: String = "LINE",
+                    chainCol: String = "CHAIN",
+                    aaCol: String = "AA",
+                    as: String = "CHAIN_FULL"): DataFrame = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val w = Window.partitionBy(fileCol).orderBy(orderCol)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isBreak = col(aaCol) === "!*"
+    val sameNbr = lag(col(chainCol), 1).over(w) <=> lead(col(chainCol), 1).over(w)
+    val staged = df
+      .withColumn("__inc", when(isBreak && sameNbr, 1).otherwise(0))
+      .withColumn("__rst", when(isBreak && !sameNbr, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__rst")).over(wRun))
+    val wGrp = Window.partitionBy(col(fileCol), col("__grp"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c: Column = sum(col("__inc")).over(wGrp) - 1
+    val suffix = when(c < 36, lit(alpha).substr((c + 1).cast("int"), lit(1)))
+      .when(c < 72, concat(lit("A"), lit(alpha).substr((c - 35).cast("int"), lit(1))))
+      .when(c < 108, concat(lit("B"), lit(alpha).substr((c - 71).cast("int"), lit(1))))
+      .otherwise(raise_error(lit(
+        "Alphabet needs update to accommodate such high number of chains..."))
+        .cast("string"))
+    staged
+      .withColumn(as,
+        when(c >= 0 && !col(aaCol).isin("!*", "!"),
+          concat(col(chainCol), suffix))
+          .otherwise(col(chainCol)))
+      .drop("__inc", "__rst", "__grp")
+  }
+
   /** mmCIF atom_site loop column order (whitespace-token records) —
     * the 21 columns proteofav names in structures.py:57. */
   val MmcifAtomCols: Seq[String] = Seq(
@@ -117,6 +190,16 @@ object StructureFormats {
       when(col("type_symbol").isNull || (trim(col("type_symbol")) === ""),
         substring(regexp_replace(col(atomCol), "[^A-Z]", ""), 1, 1))
         .otherwise(col("type_symbol")))
+
+  /** x/y/z coordinate matrix from an atom table — the (N, 3)
+    * vector-set `get_coordinates` builds with a driver-side row loop
+    * (proteofav/structures.py:716-735); here a narrow projection the
+    * parquet/text scan prunes to, one array<double> row per atom.
+    * Same column contract as the reference: Cartn_x/y/z. */
+  def getCoordinates(atoms: DataFrame): DataFrame =
+    atoms.select(array(col("Cartn_x").cast("double"),
+      col("Cartn_y").cast("double"),
+      col("Cartn_z").cast("double")).as("coord"))
 
   /** Add '<atom>.<altloc>' disambiguation ids (plain atom id when no
     * altloc) for both label_ and auth_ naming schemes.

@@ -70,6 +70,10 @@ class CliSpec extends SparkSpec {
   test("cli: rejects missing required args and bad output type") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--atoms", "x")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--output")))
+    // a value-taking option must not consume the next option token
+    val e = intercept[IllegalArgumentException](Cli.parseArgs(
+      Seq("--atoms", "x", "--output", "y", "--chains", "--res", "1")))
+    assert(e.getMessage.contains("missing value for --chains"))
     intercept[IllegalArgumentException](
       Cli.main(Array("--atoms", writePdb(), "--output", "/tmp/graft_cli_bad",
         "--output-type", "nope")))

@@ -34,4 +34,20 @@ class ArrayDotSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(ArrayDot.dot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("null element poisons the dot to null, matching the HOF sum") {
+    // containsNull=true element type (the from_json/parquet default):
+    // zip_with's null product nulls the whole aggregate, so ArrayDot
+    // must return null too — not silently read the slot as 0.0
+    val df = Seq(
+      (1, Seq(Option(1.0f), None, Option(3.0f)),
+        Seq(Option(4.0f), Option(5.0f), Option(6.0f))),
+      (2, Seq(Option(1.0f), Option(2.0f), Option(3.0f)),
+        Seq(Option(4.0f), Option(5.0f), Option(6.0f))))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"), ArrayDot.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) == 32.0)
+  }
 }

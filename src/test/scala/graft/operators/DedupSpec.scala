@@ -144,6 +144,13 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.deduplicate(docs, method = "exact")
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(1L, 3L)) // min id survives each hash group
+    // hash groups are transitively closed, so the exact method must
+    // short-circuit to the keeper set: no connected-components loop,
+    // whose localCheckpoint would leave an ExistingRDD scan in the plan
+    val p = Dedup.deduplicate(docs, method = "exact")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD"),
+      s"exact dedup ran the CC loop it provably doesn't need:\n$p")
     intercept[IllegalArgumentException](
       Dedup.deduplicate(docs, method = "nope").count())
   }

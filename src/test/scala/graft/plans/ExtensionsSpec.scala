@@ -77,6 +77,23 @@ class ExtensionsSpec extends SparkSpec {
       // null parity on mismatched lengths: both spellings yield null
       val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
       assert(mm.select(hof).head().isNullAt(0))
+      // nullable-element arrays (the from_json/parquet default):
+      // the rewrite still fires, and through the CODEGEN path a null
+      // element nulls the sum exactly as the HOF spelling does
+      val ndir = java.nio.file.Files.createTempDirectory("graft_dotn").toString
+      Seq(
+        (1, Seq(Option(1.0f), None, Option(3.0f)),
+          Seq(Option(4.0f), Option(5.0f), Option(6.0f))),
+        (2, Seq(Option(1.0f), Option(2.0f), Option(3.0f)),
+          Seq(Option(4.0f), Option(5.0f), Option(6.0f))))
+        .toDF("id", "a", "b").write.mode("overwrite").parquet(ndir)
+      val ndf = spark.read.parquet(ndir)
+      val nq = ndf.select(col("id"), hof)
+      assert(nq.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        s"rewrite skipped nullable-element arrays:\n${nq.queryExecution.optimizedPlan}")
+      val nrows = nq.orderBy("id").collect()
+      assert(nrows(0).isNullAt(1), "null element did not poison the sum")
+      assert(nrows(1).getDouble(1) == 32.0)
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
   }

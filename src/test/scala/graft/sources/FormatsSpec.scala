@@ -195,4 +195,88 @@ class FormatsSpec extends SparkSpec {
     assert(b.getAs[Long]("residue__nr") == 7L)
     assert(b.getAs[String]("residue__name") == "DT")
   }
+
+  test("siftsDbs: listDB header rows, default exclusion set applied") {
+    val xml =
+      "<entry><listDB>" +
+      "<db dbSource=\"Pfam\" dbCoordSys=\"UniProt\" dbVersion=\"27.0\"/>" +
+      "<db dbSource=\"InterPro\" dbCoordSys=\"UniProt\" dbVersion=\"48.0\"/>" +
+      "<db dbSource=\"UniProt\" dbCoordSys=\"UniProt\" dbVersion=\"2014.08\"/>" +
+      "<db dbSource=\"GO\" dbCoordSys=\"UniProt\" dbVersion=\"20140708\"/>" +
+      "</listDB><entity type=\"protein\" entityId=\"A\"/></entry>"
+    val path = writeTmp("sifts.xml", xml)
+    val dbs = Xml.siftsDbs(spark, path).orderBy("dbSource")
+      .as[(String, String, String)].collect().toSeq
+    // InterPro and GO fall to the reference's default exclusion set
+    assert(dbs == Seq(("Pfam", "UniProt", "27.0"),
+      ("UniProt", "UniProt", "2014.08")))
+    // excluded=Nil keeps everything
+    assert(Xml.siftsDbs(spark, path, excluded = Nil).count() == 4)
+    // enrichment: residue crossRefDb rows pick up the header version
+    val residues = Seq((1, "Pfam"), (1, "UniProt"), (2, "SCOP"))
+      .toDF("resnum", "_dbSource")
+    val enriched = Xml.withDbVersions(residues, Xml.siftsDbs(spark, path))
+      .orderBy("resnum", "_dbSource")
+      .select("_dbSource", "dbVersion").as[(String, String)].collect().toSeq
+    assert(enriched == Seq(("Pfam", "27.0"), ("UniProt", "2014.08"),
+      ("SCOP", null)))
+  }
+
+  test("dsspResiduesWithBreaks keeps '!*' markers with 2-wide AA") {
+    val pad = " " * 80
+    val dssp =
+      "==== Secondary Structure Definition ====\n" +
+      "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC\n" +
+      "    1    1 A M  H          0   0  160" + pad + "\n" +
+      "    2        !*             0   0    0" + pad + "\n" +
+      "    3    1 B M  E          0   0   82" + pad + "\n"
+    val out = StructureFormats
+      .dsspResiduesWithBreaks(spark, writeTmp("brk.dssp", dssp))
+      .orderBy("LINE").select("AA", "CHAIN", "file").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("M", "!*", "M"))
+    assert(out.map(_.getString(1)).toSeq == Seq("A", "", "B"))
+    assert(out.forall(_.getString(2).nonEmpty)) // per-file window key
+  }
+
+  test("dsspFullChain: BioUnit re-lettering incl. the reset quirk") {
+    // mirrors tests/test_dssp.py:185-191 — both 'AA' and 'BA' must
+    // appear: copies of chain A suffix from the alphabet, a break
+    // between DIFFERENT chains resets the counter, and copies of the
+    // next chain restart the suffix series
+    val df = Seq(
+      (1, "A", "M"), (2, "A", "R"),
+      (3, "", "!*"), // prev A == next A -> counter 0
+      (4, "A", "M"), (5, "A", "R"), // -> AA
+      (6, "", "!*"), // prev A != next B -> reset
+      (7, "B", "M"), // bare B
+      (8, "", "!*"), // prev B == next B -> counter 0
+      (9, "B", "K"), // -> BA
+      (10, "", "!")) // missing-segment marker: never suffixed
+      .map { case (l, c, a) => ("f1", l, c, a) }
+      .toDF("file", "LINE", "CHAIN", "AA")
+    val out = StructureFormats.dsspFullChain(df).orderBy("LINE")
+      .select("CHAIN_FULL").as[String].collect().toSeq
+    assert(out == Seq("A", "A", "", "AA", "AA", "", "B", "", "BA", ""))
+  }
+
+  test("dsspFullChain: repeated breaks advance the alphabet in order") {
+    val df = Seq(
+      ("f", 1, "A", "M"), ("f", 2, "", "!*"), ("f", 3, "A", "M"),
+      ("f", 4, "", "!*"), ("f", 5, "A", "M"),
+      // independent second file: windows must not leak across files
+      ("g", 1, "C", "M"), ("g", 2, "", "!*"), ("g", 3, "C", "M"))
+      .toDF("file", "LINE", "CHAIN", "AA")
+    val out = StructureFormats.dsspFullChain(df)
+      .orderBy("file", "LINE").select("CHAIN_FULL").as[String].collect().toSeq
+    assert(out == Seq("A", "", "AA", "", "AB", "C", "", "CA"))
+  }
+
+  test("getCoordinates projects the (N,3) coordinate matrix") {
+    val atoms = Seq((1, 11.1, 6.1, -6.5), (2, 1.0, 2.0, 3.0))
+      .toDF("id", "Cartn_x", "Cartn_y", "Cartn_z")
+    val out = StructureFormats.getCoordinates(atoms)
+    assert(out.columns.toSeq == Seq("coord"))
+    val coords = out.as[Seq[Double]].collect().toSet
+    assert(coords == Set(Seq(11.1, 6.1, -6.5), Seq(1.0, 2.0, 3.0)))
+  }
 }
