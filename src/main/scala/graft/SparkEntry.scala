@@ -376,7 +376,31 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
         numHashes = 32, bands = 2, shingleN = 1)),
-    "q_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(T(s, d, "documents"))),
+    // hamming-banded near-dup pairs over codes BOTH engines derive
+    // identically (md5 hex-char parity bits — the production
+    // simhash's xxhash64 mixing is not SQL-expressible; that path is
+    // simhashPairs/simhashProfile, spec-tested): each bucket of 10
+    // docs shares a 62-bit base code and each member flips one
+    // distinct low bit, so within-bucket pairs sit at hamming 2 and
+    // cross-bucket pairs at ~31 — the banded join (4×16-bit slices,
+    // pigeonhole-exact for hamming ≤ 3) must recover exactly the
+    // within-bucket pairs, which the oracle re-derives all-pairs.
+    "q_dedup_simhash" -> ((s, d) => {
+      val bucket = floor(col("doc_id") / 10).cast("string")
+      val withH = T(s, d, "documents").select(col("doc_id"),
+        concat(md5(bucket.cast("binary")),
+          md5(concat(bucket, lit("x")).cast("binary"))).as("h"))
+      val base = (0 until 62).map(i =>
+          (ascii(substring(col("h"), i + 1, 1)) % 2).cast("long") *
+            lit(1L << i))
+        .reduce(_ + _)
+      val coded = withH.select(col("doc_id").as("id"),
+        base.bitwiseXOR(call_function("shiftleft", lit(1L),
+          (col("doc_id") % 10).cast("int"))).as("code"))
+      Dedup.hammingPairs(coded, maxHamming = 3)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("hamming"))
+    }),
     // directed containment (|A∩B|/|A| ≥ τ): the subsumed-copy case
     // symmetric jaccard misses; asymmetric prefix-filtered index
     "q_dedup_containment" -> ((s, d) =>
@@ -806,6 +830,32 @@ object SparkEntry {
           col("auth_atom_id"), col("Cartn_x"), col("Cartn_y"),
           col("SS_CLASS"))
     }),
+    // BioUnits chain re-lettering (dssp.py:153-196) as a per-file
+    // window recode: synthesized DSSP-ish rows from orders (chain
+    // flips every 37 rows, '!*' markers every 11 — so markers inside
+    // a chain run increment the copy counter and markers straddling a
+    // flip reset it, and counters climb past 36 to exercise the
+    // two-char AA.. suffixes), run through dsspFullChain; the oracle
+    // re-derives the same recode with window sums
+    "q_dssp_full_chain" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("file_id").orderBy("line_no")
+      val syn = T(s, d, "orders")
+        .select((col("o_orderkey") % 8).as("file_id"),
+          col("o_orderkey").as("line_no"))
+        .withColumn("r", row_number().over(w0))
+        .select(col("file_id"), col("line_no"),
+          lit("ABCD").substr(
+            (floor(col("r") / 37.0).cast("int") % 4) + 1, lit(1)).as("chain"),
+          when(col("r") % 11 === 0, "!*")
+            .when(col("r") % 23 === 0, "!")
+            .otherwise(lit("ARNDCQEGHILKMFPSTWYV").substr(
+              (col("r") % 20).cast("int") + 1, lit(1))).as("aa"))
+      StructureFormats.dsspFullChain(syn, fileCol = "file_id",
+          orderCol = "line_no", chainCol = "chain", aaCol = "aa",
+          as = "chain_full")
+        .select("file_id", "line_no", "chain", "aa", "chain_full")
+    }),
     // the WHOLE training-data pipeline in one call: scrub -> jaccard
     // dedup -> benchmark decontamination -> deterministic split ->
     // context packing, hash-matched end-to-end against a composite
@@ -993,6 +1043,38 @@ object SparkEntry {
         |SELECT k.auth_asym_id, k.auth_seq_id, k.auth_atom_id,
         |k.cx AS "Cartn_x", k.cy AS "Cartn_y", dssp.ss AS "SS_CLASS"
         |FROM kept k LEFT JOIN dssp ON k.auth_seq_id = dssp.res""".stripMargin,
+    "q_dssp_full_chain" ->
+      """WITH base AS (
+        |SELECT o_orderkey % 8 AS file_id, o_orderkey AS line_no,
+        |row_number() OVER (PARTITION BY o_orderkey % 8 ORDER BY o_orderkey) AS r
+        |FROM orders),
+        |syn AS (
+        |SELECT file_id, line_no,
+        |substr('ABCD', (CAST(FLOOR(r / 37.0) AS INT) % 4) + 1, 1) AS chain,
+        |CASE WHEN r % 11 = 0 THEN '!*' WHEN r % 23 = 0 THEN '!'
+        |ELSE substr('ARNDCQEGHILKMFPSTWYV', CAST(r % 20 AS INT) + 1, 1) END AS aa
+        |FROM base),
+        |nbr AS (
+        |SELECT *, (lag(chain) OVER (PARTITION BY file_id ORDER BY line_no)
+        |IS NOT DISTINCT FROM lead(chain) OVER (PARTITION BY file_id ORDER BY line_no)) AS same_nbr
+        |FROM syn),
+        |marks AS (
+        |SELECT *, CASE WHEN aa = '!*' AND same_nbr THEN 1 ELSE 0 END AS inc,
+        |CASE WHEN aa = '!*' AND NOT same_nbr THEN 1 ELSE 0 END AS rst
+        |FROM nbr),
+        |grps AS (
+        |SELECT *, SUM(rst) OVER (PARTITION BY file_id ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS grp
+        |FROM marks),
+        |cs AS (
+        |SELECT *, SUM(inc) OVER (PARTITION BY file_id, grp ORDER BY line_no ROWS UNBOUNDED PRECEDING) - 1 AS c
+        |FROM grps)
+        |SELECT file_id, line_no, chain, aa,
+        |CASE WHEN c >= 0 AND aa NOT IN ('!', '!*') THEN chain ||
+        |CASE WHEN c < 36 THEN substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', CAST(c AS INT) + 1, 1)
+        |WHEN c < 72 THEN 'A' || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', CAST(c AS INT) - 35, 1)
+        |ELSE 'B' || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', CAST(c AS INT) - 71, 1) END
+        |ELSE chain END AS chain_full
+        |FROM cs""".stripMargin,
     "q_corpus_prepare" ->
       """WITH RECURSIVE src AS (
         |SELECT doc_id, lang, source,
@@ -1210,6 +1292,26 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_simhash" -> {
+      // same md5-parity code construction as the Spark side; the
+      // oracle brute-forces the quadratic hamming join the banded
+      // equi-join must equal exactly (pigeonhole at hamming <= 3)
+      val bits = (0 until 62).map(i =>
+        s"(ascii(substr(h, ${i + 1}, 1)) % 2) * ${1L << i}").mkString(" + ")
+      s"""WITH hsrc AS (
+         |SELECT doc_id,
+         |md5(CAST(CAST(FLOOR(doc_id / 10.0) AS BIGINT) AS VARCHAR)) ||
+         |md5(CAST(CAST(FLOOR(doc_id / 10.0) AS BIGINT) AS VARCHAR) || 'x') AS h
+         |FROM documents),
+         |coded AS (
+         |SELECT doc_id AS id,
+         |xor($bits, CAST(POWER(2, doc_id % 10) AS BIGINT)) AS code
+         |FROM hsrc)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+         |FROM coded a JOIN coded b ON a.id < b.id
+         |WHERE bit_count(xor(a.code, b.code)) <= 3""".stripMargin
+    },
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

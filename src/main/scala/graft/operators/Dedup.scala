@@ -259,14 +259,16 @@ object Dedup {
         col("bands")(0)("key").as("band0"), col("bands")(1)("key").as("band1"),
         col("bands")(2)("key").as("band2"), col("bands")(3)("key").as("band3"))
 
-  /** SimHash near-dup pairs with hamming <= maxHamming (<= bands−1
-    * guarantees exact recall via pigeonhole). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val coded = docs.select(col(idCol).as("id"),
-      HashFunctions.simhash(TextFunctions.tokens(col(textCol))).as("code"))
-    val banded = coded.select(col("id"), col("code"),
-      explode(HashFunctions.hammingBands(col("code"), 4)).as("bk"))
+  /** Hamming-≤-maxHamming pairs over PRECOMPUTED 64-bit codes via the
+    * band equi-join: two codes within hamming distance (bands−1)
+    * share at least one identical bit-slice (pigeonhole), so for
+    * maxHamming ≤ bands−1 recall is exact while candidate generation
+    * stays a shuffle-on-band-key join, never all-pairs. */
+  def hammingPairs(coded: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   idCol: String = "id", codeCol: String = "code"): DataFrame = {
+    val base = coded.select(col(idCol).as("id"), col(codeCol).as("code"))
+    val banded = base.select(col("id"), col("code"),
+      explode(HashFunctions.hammingBands(col("code"), bands)).as("bk"))
     banded.alias("x").join(banded.alias("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
@@ -276,6 +278,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs with hamming <= maxHamming (<= bands−1
+    * guarantees exact recall via pigeonhole). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs(docs.select(col(idCol).as("id"),
+      HashFunctions.simhash(TextFunctions.tokens(col(textCol))).as("code")),
+      maxHamming)
 
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * EXACT cosine-threshold self-join, triangle-TILED for scale.

@@ -89,6 +89,46 @@ class ReferenceParitySpec extends SparkSpec {
     assert(attrBody.as[String].collect().toSet == Set(":1\tH", ":2\tE"))
   }
 
+  test("BioUnit path: DSSP breaks → full-chain recode → multi-char merge") {
+    // the Biological-Unit workflow (dssp.py:153-196 + mergers.py:79-93):
+    // a DSSP file whose chain A repeats after a '!*' break parses WITH
+    // the break rows, the copies get re-lettered (A → AA), and the
+    // facade merges per-residue records onto multi-char chain ids
+    val dssp =
+      "==== Secondary Structure Definition ====\n" +
+      "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC\n" +
+      "    1    1 A M  H\n" +
+      "    2    2 A R  H\n" +
+      "    3        !*\n" +
+      "    4    1 A M  E\n" +
+      "    5    2 A R  E\n"
+    val dir = Files.createTempDirectory("graft_biounit")
+    Files.writeString(dir.resolve("b.dssp"), dssp)
+    val full = StructureFormats.dsspFullChain(
+        StructureFormats.dsspResiduesWithBreaks(spark, dir.resolve("b.dssp").toString))
+      .filter(!col("AA").isin("!", "!*")) // the reference's final drop
+      .select(col("RES").cast("int").as("RES"), col("CHAIN_FULL"), col("SS"))
+    // the second copy of chain A re-lettered to AA (tests/test_dssp.py:186)
+    assert(full.select("CHAIN_FULL").as[String].collect().sorted.toSeq ==
+      Seq("A", "A", "AA", "AA"))
+    // BioUnit atoms carry the multi-char auth_asym_id (mmCIF-style)
+    val atoms = (for {
+      (ch, base) <- Seq(("A", 0), ("AA", 100))
+      r <- 1 to 2
+      (an, i) <- Seq("N", "CA", "C", "O").zipWithIndex
+    } yield ("ATOM", base + r * 10 + i, an, "", "ALA", ch, r, "",
+      base + i * 1.0, r.toDouble, 0.0, 1.0, 0.0, an.take(1)))
+      .toDF(StructureFormats.PdbAtomFields.map(_.name): _*)
+    val merged = TableGenerator.generate(atoms, dssp = Some(full),
+      dsspKeys = Seq("auth_seq_id" -> "RES", "auth_asym_id" -> "CHAIN_FULL"))
+    // each copy's residues picked up ITS OWN segment's records
+    assert(merged.filter(col("auth_asym_id") === "A")
+      .select("SS").as[String].collect().toSet == Set("H"))
+    assert(merged.filter(col("auth_asym_id") === "AA")
+      .select("SS").as[String].collect().toSet == Set("E"))
+    assert(merged.count() == 16)
+  }
+
   test("table_generator sequence check: raise on mismatch, ignore passes") {
     // one-residue chain whose atoms say ALA (A) but the merged
     // annotation says GLY (G) → positionwise mismatch
