@@ -41,6 +41,20 @@ object TextFunctions {
     (length(text) - length(regexp_replace(text, charClass, "")))
       .cast("double") / length(text)
 
+  /** UniProt-GFF annotation label — the `_annotation_writer` recode
+    * (proteofav/annotation.py:19-34): TYPE alone, 'TYPE: Note',
+    * 'TYPE (ID)' or 'TYPE: Note (ID)' depending on which fields are
+    * present (null or empty both count as absent, matching pandas
+    * truthiness). A pure when-chain, codegen'd. */
+  def annotationLabel(typ: Column, note: Column, id: Column): Column = {
+    val noId = id.isNull || id === ""
+    val noNote = note.isNull || note === ""
+    when(noId && noNote, typ)
+      .when(noId, concat(typ, lit(": "), note))
+      .when(noNote, concat(typ, lit(" ("), id, lit(")")))
+      .otherwise(concat(typ, lit(": "), note, lit(" ("), id, lit(")")))
+  }
+
   private val StopWords =
     Seq("the", "a", "an", "of", "and", "in", "to", "is", "for", "on")
 

@@ -97,4 +97,26 @@ object Variants {
     else RowOps.rowSelector(out, "consequenceType",
       Seq("synonymous_variant"), reverse = true)
   }
+
+  /** Extract disease names, residue transitions and variant ids from
+    * an aggregated natural-variant annotation string — the regex
+    * findall triple of parse_uniprot_variants (variants.py:718-744),
+    * as three codegen'd regexp_extract_all array columns (the
+    * `annotation` source column is dropped, as the reference does).
+    * Transitions surface as (ref, alt) structs — the reference's
+    * findall tuples. */
+  def parseUniprotVariants(df: DataFrame,
+                           annotationCol: String = "annotation"): DataFrame = {
+    val c = col(annotationCol)
+    df
+      .withColumn("disease",
+        regexp_extract_all(c, lit("\\['In ([a-zA-Z0-9_ ]+)[.;]"), lit(1)))
+      .withColumn("transition",
+        arrays_zip(
+          regexp_extract_all(c, lit("([A-Z]+)->([A-Z]+)"), lit(1)).as("ref"),
+          regexp_extract_all(c, lit("([A-Z]+)->([A-Z]+)"), lit(2)).as("alt")))
+      .withColumn("ids",
+        regexp_extract_all(c, lit("\\(\\['([a-zA-Z0-9_]+)'\\]\\)"), lit(1)))
+      .drop(annotationCol)
+  }
 }

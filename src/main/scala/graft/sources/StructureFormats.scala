@@ -191,6 +191,53 @@ object StructureFormats {
         substring(regexp_replace(col(atomCol), "[^A-Z]", ""), 1, 1))
         .otherwise(col("type_symbol")))
 
+  /** Import mmCIF chain ids into a DSSP table by positional sequence
+    * alignment — `_import_dssp_chains_ids` (dssp.py:114-133): DSSP
+    * rows carrying a standard residue letter are aligned, in order,
+    * with the mmCIF residue list; if ANY aligned position disagrees
+    * (mmCIF 3-letter codes mapped through Library.toSingleAa — an
+    * unmappable or missing residue counts as a disagreement, as the
+    * reference's NaN comparison does) the import refuses with the
+    * reference's error; otherwise CHAIN is replaced positionally by
+    * the mmCIF auth_asym_id and non-standard rows keep theirs.
+    *
+    * The reference aligns two pandas tables by implicit row position
+    * for ONE structure; here both sides carry a structure key and
+    * every structure aligns independently — per-key windows, one
+    * (key, position) equi-join, and the consistency check is a single
+    * eager aggregate (eager so it can raise). */
+  def dsspImportChainIds(dssp: DataFrame, cifResidues: DataFrame,
+                         keyCol: String = "file",
+                         orderCol: String = "LINE",
+                         cifKeyCol: String = "file",
+                         cifOrderCol: String = "id",
+                         chainCol: String = "CHAIN"): DataFrame = {
+    val letters = Library.toSingleAa.values.toSeq
+    val toSingle = map(Library.toSingleAa.toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dPos = dssp.filter(col("AA").isin(letters: _*))
+      .select(col(keyCol).as("__k"), col(orderCol).as("__ord"),
+        col("AA").as("__aa"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("__k").orderBy("__ord")))
+    val cPos = cifResidues
+      .select(col(cifKeyCol).as("__k"), col(cifOrderCol).as("__cord"),
+        element_at(toSingle, col("auth_comp_id")).as("__letter"),
+        col("auth_asym_id").as("__chain"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("__k").orderBy("__cord")))
+    val aligned = dPos.join(cPos, Seq("__k", "__pos"), "full_outer")
+    val bad = aligned.filter(!(col("__aa") <=> col("__letter"))).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"Inconsistent DSSP / mmCIF sequence at $bad position(s) — " +
+        "cannot be fixed by import_dssp_chains_ids")
+    val mapping = aligned.select(col("__k"), col("__ord"), col("__chain"))
+    dssp.join(mapping,
+        dssp(keyCol) === col("__k") && dssp(orderCol) === col("__ord"), "left")
+      .withColumn(chainCol, coalesce(col("__chain"), col(chainCol)))
+      .drop("__k", "__ord", "__chain")
+  }
+
   /** x/y/z coordinate matrix from an atom table — the (N, 3)
     * vector-set `get_coordinates` builds with a driver-side row loop
     * (proteofav/structures.py:716-735); here a narrow projection the

@@ -107,6 +107,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Seq((1, true), (0, false), (0, false)))
   }
 
+  test("annotationLabel: the four _annotation_writer cases") {
+    // null and empty both count as absent (pandas truthiness)
+    val df = Seq[(String, String, String)](
+      ("Domain", null, null), ("Domain", "desc", null),
+      ("Domain", null, "PF1"), ("Domain", "desc", "PF1"),
+      ("Domain", "", "")).toDF("t", "n", "i")
+    val out = df.select(TextFunctions.annotationLabel(
+      col("t"), col("n"), col("i")).as("l")).as[String].collect().toSeq
+    assert(out == Seq("Domain", "Domain: desc", "Domain (PF1)",
+      "Domain: desc (PF1)", "Domain"))
+  }
+
   test("hyperplaneCode deterministic and within nBits range") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(-0.5f)).toDF("v")
     val codes = df.select(

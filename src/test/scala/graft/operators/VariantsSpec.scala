@@ -80,4 +80,17 @@ class VariantsSpec extends SparkSpec {
     assert(filtered.select("xrefs_id").as[String].collect().toSeq
       == Seq("rs10"))
   }
+
+  test("parseUniprotVariants: disease / transition / ids findall triple") {
+    val ann = "['In cancer; loss'] P->L (['VAR_000001']) " +
+      "['In BRCA1. G->R (['VAR_000002'])']"
+    val out = Variants.parseUniprotVariants(
+      Seq((7L, ann)).toDF("acc", "annotation"))
+    assert(!out.columns.contains("annotation")) // dropped, as reference
+    val row = out.select("disease", "transition", "ids")
+      .as[(Seq[String], Seq[(String, String)], Seq[String])].head()
+    assert(row._1 == Seq("cancer", "BRCA1"))
+    assert(row._2 == Seq(("P", "L"), ("G", "R")))
+    assert(row._3 == Seq("VAR_000001", "VAR_000002"))
+  }
 }

@@ -271,6 +271,27 @@ class FormatsSpec extends SparkSpec {
     assert(out == Seq("A", "", "AA", "", "AB", "C", "", "CA"))
   }
 
+  test("dsspImportChainIds: positional chain import with consistency gate") {
+    val dssp = Seq(
+      ("f", 1, "M", "A"), ("f", 2, "!", ""), ("f", 3, "R", "A"))
+      .toDF("file", "LINE", "AA", "CHAIN")
+    val cif = Seq(("f", 10, "MET", "X"), ("f", 20, "ARG", "Y"))
+      .toDF("file", "id", "auth_comp_id", "auth_asym_id")
+    val out = StructureFormats.dsspImportChainIds(dssp, cif)
+      .orderBy("LINE").select("AA", "CHAIN")
+      .as[(String, String)].collect().toSeq
+    // residue rows re-chained positionally; the '!' break row keeps its own
+    assert(out == Seq(("M", "X"), ("!", ""), ("R", "Y")))
+    // a mismatched residue letter refuses the import (reference raises)
+    val badCif = Seq(("f", 10, "MET", "X"), ("f", 20, "GLY", "Y"))
+      .toDF("file", "id", "auth_comp_id", "auth_asym_id")
+    intercept[IllegalStateException](
+      StructureFormats.dsspImportChainIds(dssp, badCif))
+    // a length mismatch refuses too (the pandas NaN-compare analog)
+    intercept[IllegalStateException](
+      StructureFormats.dsspImportChainIds(dssp, cif.limit(1)))
+  }
+
   test("getCoordinates projects the (N,3) coordinate matrix") {
     val atoms = Seq((1, 11.1, 6.1, -6.5), (2, 1.0, 2.0, 3.0))
       .toDF("id", "Cartn_x", "Cartn_y", "Cartn_z")
