@@ -79,4 +79,24 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2,
       s"more exchanges than the single agg needs:\n$p")
   }
+
+  test("q_dssp_full_chain: all four windows ride ONE file partition exchange") {
+    // lag/lead, the reset-group running sum and the in-group counter
+    // all partition by file (or a prefix-compatible refinement), so
+    // the whole recode must plan as windows over a single exchange —
+    // a second exchange means a window stopped reusing the file
+    // partitioning and the per-file scan became a multi-shuffle job
+    val p = plan("q_dssp_full_chain")
+    assert(!p.contains("Join"), s"the recode must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"windows stopped sharing the file_id partitioning:\n$p")
+  }
+
+  test("q_dedup_simhash: candidate join keyed on the band slice, never all-pairs") {
+    val p = plan("q_dedup_simhash")
+    assert("""Join \[bk#\d+\], \[bk#\d+\]""".r.findFirstIn(p).isDefined,
+      s"band key missing from the join's equality keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"hamming join degenerated to all-pairs:\n$p")
+  }
 }
