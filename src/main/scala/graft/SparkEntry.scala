@@ -630,6 +630,24 @@ object SparkEntry {
           col("_brand").cast("string").as("brand"),
           col("_size").cast("long").as("size"))
     }),
+    // SIFTS listDB header roundtrip: render a listDB XML from the
+    // nation dim, parse it back distributed via siftsDbs with a
+    // custom exclusion set (sifts.py:22-62's excluded_cols knob);
+    // the oracle re-derives the surviving rows relationally
+    "q_sifts_dbs" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("siftsdbs")
+      val recs = T(s, d, "nation").select(lit(1).as("k"),
+        concat(lit("  <db dbSource=\""), col("n_name"),
+          lit("\" dbCoordSys=\"UniProt\" dbVersion=\""), col("n_nationkey"),
+          lit(".0\"/>")).as("value"))
+      val wrapped = Seq((0, "<entry><listDB>")).toDF("k", "value")
+        .unionByName(recs)
+        .unionByName(Seq((2, "</listDB></entry>")).toDF("k", "value"))
+        .coalesce(1).sortWithinPartitions("k")
+      TextRender.writeText(wrapped.select("value"), out)
+      sources.Xml.siftsDbs(s, out, excluded = Seq("FRANCE", "KENYA"))
+    }),
     // hive-style partitioned parquet write + partition-pruned read:
     // the filter prunes to the lang=en directory at planning time
     // (PartitionFilters in the scan), the 100 TB layout primitive
@@ -856,6 +874,33 @@ object SparkEntry {
           as = "chain_full")
         .select("file_id", "line_no", "chain", "aa", "chain_full")
     }),
+    // mmCIF→DSSP chain-id import (dssp.py:114-133): synthesized DSSP
+    // rows ('!' breaks every 13th) aligned positionally against a
+    // synthesized cif residue list with per-row chains; the REAL
+    // operator runs (per-file windows + position equi-join + eager
+    // consistency gate) while the oracle derives the imported chains
+    // relationally — alignment is the identity by construction, so
+    // any positional drift in the operator breaks the hash match
+    "q_dssp_chain_import" -> ((s, d) => {
+      val three = sources.Library.toSingleAa.map(_.swap)
+      val threeMap = map(three.toSeq
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val base = T(s, d, "orders").select(
+        (col("o_orderkey") % 4).as("file"), col("o_orderkey").as("line"),
+        when(col("o_orderkey") % 13 === 0, "!")
+          .otherwise(lit("ARNDCQEGHILKMFPSTWYV").substr(
+            (col("o_orderkey") % 20).cast("int") + 1, lit(1))).as("AA"),
+        lit("A").as("CHAIN"))
+      val cif = base.filter(col("AA") =!= "!").select(col("file"),
+        col("line").as("id"),
+        element_at(threeMap, col("AA")).as("auth_comp_id"),
+        lit("XYZ").substr((col("line") % 3).cast("int") + 1, lit(1))
+          .as("auth_asym_id"))
+      StructureFormats.dsspImportChainIds(base, cif,
+          keyCol = "file", orderCol = "line")
+        .select(col("file"), col("line"), col("AA").as("aa"),
+          col("CHAIN").as("chain"))
+    }),
     // the WHOLE training-data pipeline in one call: scrub -> jaccard
     // dedup -> benchmark decontamination -> deterministic split ->
     // context packing, hash-matched end-to-end against a composite
@@ -1075,6 +1120,13 @@ object SparkEntry {
         |ELSE 'B' || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', CAST(c AS INT) - 71, 1) END
         |ELSE chain END AS chain_full
         |FROM cs""".stripMargin,
+    "q_dssp_chain_import" ->
+      """SELECT o_orderkey % 4 AS file, o_orderkey AS line,
+        |CASE WHEN o_orderkey % 13 = 0 THEN '!'
+        |ELSE substr('ARNDCQEGHILKMFPSTWYV', CAST(o_orderkey % 20 AS INT) + 1, 1) END AS aa,
+        |CASE WHEN o_orderkey % 13 = 0 THEN 'A'
+        |ELSE substr('XYZ', CAST(o_orderkey % 3 AS INT) + 1, 1) END AS chain
+        |FROM orders""".stripMargin,
     "q_corpus_prepare" ->
       """WITH RECURSIVE src AS (
         |SELECT doc_id, lang, source,
@@ -1287,6 +1339,10 @@ object SparkEntry {
     "q_xml_roundtrip" ->
       """SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS brand,
         |CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
+    "q_sifts_dbs" ->
+      """SELECT n_name AS "dbSource", 'UniProt' AS "dbCoordSys",
+        |CAST(n_nationkey AS VARCHAR) || '.0' AS "dbVersion"
+        |FROM nation WHERE n_name NOT IN ('FRANCE', 'KENYA')""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, CAST(1 AS BIGINT) AS n_rows FROM events GROUP BY user_id""",
     "q_dedup_exact" ->
