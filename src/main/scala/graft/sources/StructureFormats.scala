@@ -211,9 +211,15 @@ object StructureFormats {
                          orderCol: String = "LINE",
                          cifKeyCol: String = "file",
                          cifOrderCol: String = "id",
-                         chainCol: String = "CHAIN"): DataFrame = {
-    val letters = Library.toSingleAa.values.toSeq
-    val toSingle = map(Library.toSingleAa.toSeq
+                         chainCol: String = "CHAIN",
+                         // the reference uses the full modified-residue
+                         // scop_3to1 dictionary (library.py:14) — pass it
+                         // here; the 20-standard default covers
+                         // unmodified structures
+                         singleAa: Map[String, String] = Library.toSingleAa)
+  : DataFrame = {
+    val letters = singleAa.values.toSeq.distinct
+    val toSingle = map(singleAa.toSeq
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val dPos = dssp.filter(col("AA").isin(letters: _*))
       .select(col(keyCol).as("__k"), col(orderCol).as("__ord"),
@@ -237,6 +243,14 @@ object StructureFormats {
       .withColumn(chainCol, coalesce(col("__chain"), col(chainCol)))
       .drop("__k", "__ord", "__chain")
   }
+
+  /** Renumber the line/residue index sequentially (1-based) after
+    * filtering — filter_dssp's `reset_res_id` knob (dssp.py:403-407),
+    * per file instead of the reference's single-table reset_index. */
+  def resetLineIds(df: DataFrame, fileCol: String = "file",
+                   orderCol: String = "LINE"): DataFrame =
+    df.withColumn(orderCol, row_number().over(
+      Window.partitionBy(fileCol).orderBy(orderCol)))
 
   /** x/y/z coordinate matrix from an atom table — the (N, 3)
     * vector-set `get_coordinates` builds with a driver-side row loop

@@ -290,6 +290,24 @@ class FormatsSpec extends SparkSpec {
     // a length mismatch refuses too (the pandas NaN-compare analog)
     intercept[IllegalStateException](
       StructureFormats.dsspImportChainIds(dssp, cif.limit(1)))
+    // a modified residue resolves through a caller-supplied dictionary
+    // (the reference's scop_3to1); the standard default would refuse
+    val modCif = Seq(("f", 10, "MSE", "X"), ("f", 20, "ARG", "Y"))
+      .toDF("file", "id", "auth_comp_id", "auth_asym_id")
+    intercept[IllegalStateException](
+      StructureFormats.dsspImportChainIds(dssp, modCif))
+    val ok = StructureFormats.dsspImportChainIds(dssp, modCif,
+        singleAa = Library.toSingleAa + ("MSE" -> "M"))
+      .orderBy("LINE").select("CHAIN").as[String].collect().toSeq
+    assert(ok == Seq("X", "", "Y"))
+  }
+
+  test("resetLineIds renumbers sequentially per file after filtering") {
+    val df = Seq(("f", 3, "A"), ("f", 9, "B"), ("g", 7, "C"))
+      .toDF("file", "LINE", "x")
+    val out = StructureFormats.resetLineIds(df).orderBy("file", "LINE")
+      .select("file", "LINE", "x").as[(String, Int, String)].collect().toSeq
+    assert(out == Seq(("f", 1, "A"), ("f", 2, "B"), ("g", 1, "C")))
   }
 
   test("getCoordinates projects the (N,3) coordinate matrix") {
