@@ -232,7 +232,11 @@ object StructureFormats {
         col("auth_asym_id").as("__chain"))
       .withColumn("__pos", row_number().over(
         Window.partitionBy("__k").orderBy("__cord")))
+    // the aligned table feeds BOTH the eager gate and the chain
+    // mapping — materialize it once (localCheckpoint, as the CC loops
+    // do) instead of running the two window sorts + join twice
     val aligned = dPos.join(cPos, Seq("__k", "__pos"), "full_outer")
+      .localCheckpoint(true)
     val bad = aligned.filter(!(col("__aa") <=> col("__letter"))).count()
     if (bad > 0) throw new IllegalStateException(
       s"Inconsistent DSSP / mmCIF sequence at $bad position(s) — " +
