@@ -42,6 +42,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("hammingPairs equals brute force at every band count (pigeonhole)") {
+    // random 64-bit codes plus planted hamming-1 neighbors; for
+    // maxHamming <= bands-1 the band join must recover EXACTLY the
+    // brute-force pair set — no pair lost (pigeonhole) or invented
+    val rnd = new scala.util.Random(7)
+    val codes = (1 to 60).map(i => (i.toLong, rnd.nextLong()))
+    val planted = codes.take(10).map { case (i, c) =>
+      (i + 100L, c ^ (1L << rnd.nextInt(64))) }
+    val all = codes ++ planted
+    for (bands <- Seq(4, 8); maxH <- Seq(0, 1, bands - 1)) {
+      val expected = (for {
+        (ia, ca) <- all; (ib, cb) <- all
+        if ia < ib && java.lang.Long.bitCount(ca ^ cb) <= maxH
+      } yield (ia, ib)).toSet
+      val got = Dedup.hammingPairs(all.toDF("id", "code"),
+          maxHamming = maxH, bands = bands)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"bands=$bands maxH=$maxH")
+      assert(expected.nonEmpty || maxH > 0 || got.isEmpty)
+    }
+  }
+
   test("simhashProfile deterministic across runs") {
     val a = Dedup.simhashProfile(docs).orderBy("doc_id")
       .select("simhash").as[Long].collect().toSeq
