@@ -630,6 +630,16 @@ object SparkEntry {
           col("_brand").cast("string").as("brand"),
           col("_size").cast("long").as("size"))
     }),
+    // the UniProt-GFF annotation label recode (_annotation_writer,
+    // annotation.py:19-34): all four TYPE/Note/ID presence cases
+    // exercised by deriving note/id presence from part attributes
+    "q_annotation_label" -> ((s, d) =>
+      T(s, d, "part").select(col("p_partkey"),
+        TextFunctions.annotationLabel(
+          col("p_brand"),
+          when(col("p_size") % 3 === 0, col("p_type")),
+          when(col("p_size") % 2 === 0, col("p_partkey").cast("string")))
+          .as("label"))),
     // SIFTS listDB header roundtrip: render a listDB XML from the
     // nation dim, parse it back distributed via siftsDbs with a
     // custom exclusion set (sifts.py:22-62's excluded_cols knob);
@@ -1339,6 +1349,18 @@ object SparkEntry {
     "q_xml_roundtrip" ->
       """SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS brand,
         |CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
+    "q_annotation_label" ->
+      """WITH src AS (
+        |SELECT p_partkey, p_brand,
+        |CASE WHEN p_size % 3 = 0 THEN p_type END AS note,
+        |CASE WHEN p_size % 2 = 0 THEN CAST(p_partkey AS VARCHAR) END AS id
+        |FROM part)
+        |SELECT p_partkey,
+        |CASE WHEN (id IS NULL OR id = '') AND (note IS NULL OR note = '') THEN p_brand
+        |WHEN (id IS NULL OR id = '') THEN p_brand || ': ' || note
+        |WHEN (note IS NULL OR note = '') THEN p_brand || ' (' || id || ')'
+        |ELSE p_brand || ': ' || note || ' (' || id || ')' END AS label
+        |FROM src""".stripMargin,
     "q_sifts_dbs" ->
       """SELECT n_name AS "dbSource", 'UniProt' AS "dbCoordSys",
         |CAST(n_nationkey AS VARCHAR) || '.0' AS "dbVersion"
