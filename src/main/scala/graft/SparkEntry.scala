@@ -630,6 +630,21 @@ object SparkEntry {
           col("_brand").cast("string").as("brand"),
           col("_size").cast("long").as("size"))
     }),
+    // natural-variant annotation findall triple (variants.py:718-744):
+    // annotation strings synthesized per part row, the REAL regex
+    // extraction runs, arrays joined to scalars for the hash compare;
+    // the oracle re-derives the extracted values relationally
+    "q_uniprot_variants" -> ((s, d) => {
+      val ann = concat(lit("['In disease_"), pmod(col("p_partkey"), lit(7)),
+        lit("; x'] A->V (['VAR_"), col("p_partkey"), lit("'])"))
+      Variants.parseUniprotVariants(
+          T(s, d, "part").select(col("p_partkey"), ann.as("annotation")))
+        .select(col("p_partkey"),
+          array_join(col("disease"), ";").as("disease"),
+          array_join(transform(col("transition"),
+            t => concat(t("ref"), lit(">"), t("alt"))), ";").as("transition"),
+          array_join(col("ids"), ";").as("ids"))
+    }),
     // the UniProt-GFF annotation label recode (_annotation_writer,
     // annotation.py:19-34): all four TYPE/Note/ID presence cases
     // exercised by deriving note/id presence from part attributes
@@ -1349,6 +1364,12 @@ object SparkEntry {
     "q_xml_roundtrip" ->
       """SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS brand,
         |CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
+    "q_uniprot_variants" ->
+      """SELECT p_partkey,
+        |'disease_' || CAST(p_partkey % 7 AS VARCHAR) AS disease,
+        |'A>V' AS transition,
+        |'VAR_' || CAST(p_partkey AS VARCHAR) AS ids
+        |FROM part""".stripMargin,
     "q_annotation_label" ->
       """WITH src AS (
         |SELECT p_partkey, p_brand,
