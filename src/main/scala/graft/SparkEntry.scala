@@ -673,6 +673,105 @@ object SparkEntry {
       TextRender.writeText(wrapped.select("value"), out)
       sources.Xml.siftsDbs(s, out, excluded = Seq("FRANCE", "KENYA"))
     }),
+    // SIFTS region-map roundtrip + per-residue interval enrichment
+    // (sifts.py:64-138 _parse_sifts_regions_from_file + :266-284 the
+    // add_regions lookup): render a two-segment region XML from the
+    // nation dim (overlapping ranges so the last-counter-wins rule is
+    // exercised), parse it back via siftsRegions with an exclusion,
+    // then enrich customer-derived residues — matched / overlap /
+    // unmatched / excluded-source cases all present by construction
+    "q_sifts_regions" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("siftsregions")
+      val nat = T(s, d, "nation")
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("entity"), col("n_nationkey").as("nk"),
+          concat(lit("SRC"), pmod(col("n_nationkey"), lit(3))).as("src"),
+          concat(lit("AC"), col("n_nationkey")).as("acc"))
+      val segs = Seq(1, 2).toDF("seg")
+      val rstart = col("nk") * 10 + (col("seg") - 1) * 5
+      val regionRows = nat.crossJoin(segs).select(lit(1).as("ord"),
+        col("entity"), col("seg"), lit(1).as("sub"), col("nk"),
+        concat(lit("      <mapRegion start=\""), rstart,
+          lit("\" end=\""), rstart + 9,
+          lit("\"><db dbSource=\""), col("src"),
+          lit("\" dbCoordSys=\"UniProt\" dbAccessionId=\""), col("acc"),
+          lit("\"/></mapRegion>")).as("value"))
+      val entities = nat.select("entity").distinct()
+      val entOpen = entities.select(lit(1).as("ord"), col("entity"),
+        lit(0).as("seg"), lit(0).as("sub"), lit(0).as("nk"),
+        concat(lit("  <entity type=\"protein\" entityId=\""), col("entity"),
+          lit("\">")).as("value"))
+      val segOpen = entities.crossJoin(segs).select(lit(1).as("ord"),
+        col("entity"), col("seg"), lit(0).as("sub"), lit(0).as("nk"),
+        concat(lit("    <segment segId=\""), col("entity"), lit("_s"),
+          col("seg"), lit("\"><listMapRegion>")).as("value"))
+      val segClose = entities.crossJoin(segs).select(lit(1).as("ord"),
+        col("entity"), col("seg"), lit(2).as("sub"), lit(0).as("nk"),
+        lit("    </listMapRegion></segment>").as("value"))
+      val entClose = entities.select(lit(1).as("ord"), col("entity"),
+        lit(9).as("seg"), lit(0).as("sub"), lit(0).as("nk"),
+        lit("  </entity>").as("value"))
+      val open = Seq((0, "", 0, 0, 0, "<entry>"))
+        .toDF("ord", "entity", "seg", "sub", "nk", "value")
+      val close = Seq((2, "", 0, 0, 0, "</entry>"))
+        .toDF("ord", "entity", "seg", "sub", "nk", "value")
+      val doc = open.unionByName(entOpen).unionByName(segOpen)
+        .unionByName(regionRows).unionByName(segClose).unionByName(entClose)
+        .unionByName(close)
+        .coalesce(1).sortWithinPartitions("ord", "entity", "seg", "sub", "nk")
+      TextRender.writeText(doc.select("value"), out)
+      val regions = sources.Xml.siftsRegions(s, out, excluded = Seq("SRC2"))
+      val residues = T(s, d, "customer")
+        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("entityId"),
+          concat(lit("SRC"), pmod(col("n_nationkey"), lit(3))).as("_dbSource"),
+          concat(lit("AC"), col("n_nationkey")).as("_dbAccessionId"),
+          (col("n_nationkey") * 10 + pmod(col("c_custkey"), lit(20)) - 2)
+            .cast("int").as("resnum"))
+      sources.Xml.withRegions(residues, regions)
+    }),
+    // validation-XML roundtrip (validation.py:21 parse_validation_
+    // residues + :142 filter_validation): render ModelledSubgroup
+    // attribute rows from the part dim with all three icode cases
+    // (absent / blank / real) and all three altcode cases, parse back
+    // via the named loader with a column exclusion, then filter by
+    // chains with the res_full extension on — the oracle re-derives
+    // every fix + the concat relationally
+    "q_validation_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("validation")
+      val icodeAttr = when(pmod(col("p_partkey"), lit(4)) === 0, lit(""))
+        .when(pmod(col("p_partkey"), lit(4)) === 1, lit(" icode=\" \""))
+        .when(pmod(col("p_partkey"), lit(4)) === 2, lit(" icode=\"A\""))
+        .otherwise(lit(" icode=\"?\""))
+      val altAttr = when(pmod(col("p_partkey"), lit(3)) === 0, lit(""))
+        .when(pmod(col("p_partkey"), lit(3)) === 1, lit(" altcode=\"?\""))
+        .otherwise(lit(" altcode=\"B\""))
+      val recs = T(s, d, "part").select(lit(1).as("k"),
+        col("p_partkey").as("pk"),
+        concat(lit("  <ModelledSubgroup model=\"1\" said=\"main\" chain=\""),
+          substring(col("p_brand"), 8, 1),
+          lit("\" seq=\""), col("p_partkey"),
+          lit("\" resnum=\""), pmod(col("p_partkey"), lit(100)),
+          lit("\" resname=\""), upper(substring(col("p_type"), 1, 3)),
+          lit("\" NatomsEDS=\""), col("p_size"),
+          lit("\" rsr=\""), col("p_retailprice"),
+          lit("\" phi=\""), pmod(col("p_partkey"), lit(360)) - 180,
+          lit("\""), icodeAttr, altAttr, lit("/>")).as("value"))
+      val doc = Seq((0, 0L, "<wwPDB-validation-information>"))
+        .toDF("k", "pk", "value")
+        .unionByName(recs)
+        .unionByName(Seq((2, 0L, "</wwPDB-validation-information>"))
+          .toDF("k", "pk", "value"))
+        .coalesce(1).sortWithinPartitions("k", "pk")
+      TextRender.writeText(doc.select("value"), out)
+      val parsed = sources.Validation.validationResidues(s, out,
+        excludedCols = Seq("validation_said"))
+      sources.Validation.filterValidation(parsed,
+        chains = Some(Seq("1", "3", "5")))
+    }),
     // hive-style partitioned parquet write + partition-pruned read:
     // the filter prunes to the lang=en directory at planning time
     // (PartitionFilters in the scan), the 100 TB layout primitive
@@ -700,6 +799,29 @@ object SparkEntry {
             lit(" "), translate(col("text"), " ", ".")).as("value")),
         out)
       Msa.parseDescription(Msa.stockholm(s, out))
+        .select(col("acc"), col("seq_start"), col("seq_end"),
+          length(col("sequence")).cast("long").as("seq_len"))
+    }),
+    // clustal roundtrip (msas.py:32 read_alignments' clustal branch):
+    // one header + one record line per doc with a trailing cumulative
+    // count (the optional column the parser must tolerate); same
+    // gap-domain rules as the stockholm roundtrip
+    "q_clustal_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("clustal")
+      val payload = regexp_replace(col("text"), "[. \\-]", "")
+      val recs = T(s, d, "documents")
+        .filter(length(payload) > 0)
+        .select(lit(1).as("k"), col("doc_id").as("pk"),
+          concat(lit("doc_"), col("doc_id"), lit("/1-"), length(payload),
+            lit(" "), translate(col("text"), " .", "--"),
+            lit(" "), length(col("text"))).as("value"))
+      val doc = Seq((0, -1L, "CLUSTAL W (1.83) multiple sequence alignment"))
+        .toDF("k", "pk", "value")
+        .unionByName(recs)
+        .coalesce(1).sortWithinPartitions("k", "pk")
+      TextRender.writeText(doc.select("value"), out)
+      Msa.parseDescription(Msa.clustal(s, out))
         .select(col("acc"), col("seq_start"), col("seq_end"),
           length(col("sequence")).cast("long").as("seq_len"))
     }),
@@ -1386,6 +1508,63 @@ object SparkEntry {
       """SELECT n_name AS "dbSource", 'UniProt' AS "dbCoordSys",
         |CAST(n_nationkey AS VARCHAR) || '.0' AS "dbVersion"
         |FROM nation WHERE n_name NOT IN ('FRANCE', 'KENYA')""".stripMargin,
+    // re-derives the rendered region map relationally (two segments per
+    // nation => counter ordered by (seg, nk)), then replays the
+    // last-match-wins interval lookup with max/arg_max over the
+    // matching regions per residue
+    "q_sifts_regions" ->
+      """WITH nat AS (
+        |SELECT r_name AS entity, n_nationkey AS nk,
+        |'SRC' || CAST(n_nationkey % 3 AS VARCHAR) AS src,
+        |'AC' || CAST(n_nationkey AS VARCHAR) AS acc
+        |FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |regions AS (
+        |SELECT entity, src, acc,
+        |nk * 10 + (seg - 1) * 5 AS rstart,
+        |nk * 10 + (seg - 1) * 5 + 9 AS rend,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY entity, src ORDER BY seg, nk) AS BIGINT) AS region_id
+        |FROM nat CROSS JOIN (SELECT unnest([1, 2]) AS seg) s
+        |WHERE src <> 'SRC2'),
+        |res AS (
+        |SELECT c_custkey, r_name AS entity,
+        |'SRC' || CAST(n_nationkey % 3 AS VARCHAR) AS src,
+        |'AC' || CAST(n_nationkey AS VARCHAR) AS acc,
+        |n_nationkey * 10 + (c_custkey % 20) - 2 AS resnum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey)
+        |SELECT res.c_custkey, res.entity AS "entityId", res.src AS "_dbSource",
+        |res.acc AS "_dbAccessionId", res.resnum,
+        |max(reg.region_id) AS "regionId",
+        |arg_max(reg.rstart, reg.region_id) AS "regionStart",
+        |arg_max(reg.rend, reg.region_id) AS "regionEnd",
+        |CASE WHEN max(reg.region_id) IS NOT NULL THEN res.resnum END AS "regionResNum"
+        |FROM res LEFT JOIN regions reg
+        |ON res.entity = reg.entity AND res.src = reg.src AND res.acc = reg.acc
+        |AND res.resnum BETWEEN reg.rstart AND reg.rend
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_validation_roundtrip" ->
+      """WITH src AS (
+        |SELECT p_partkey, substr(p_brand, 8, 1) AS chain,
+        |CAST(p_partkey % 100 AS VARCHAR) AS resnum,
+        |CASE WHEN p_partkey % 4 = 2 THEN 'A' ELSE '?' END AS icode,
+        |CASE WHEN p_partkey % 3 = 2 THEN 'B' ELSE '.' END AS altcode,
+        |upper(substr(p_type, 1, 3)) AS resname,
+        |CAST(p_size AS BIGINT) AS natoms,
+        |CAST(p_retailprice AS DOUBLE) AS rsr,
+        |CAST((p_partkey % 360) - 180 AS DOUBLE) AS phi
+        |FROM part)
+        |SELECT CAST(1 AS BIGINT) AS validation_model,
+        |chain AS validation_chain,
+        |CAST(p_partkey AS VARCHAR) AS validation_seq,
+        |resnum AS validation_resnum,
+        |resname AS validation_resname,
+        |natoms AS "validation_NatomsEDS",
+        |rsr AS validation_rsr,
+        |phi AS validation_phi,
+        |icode AS validation_icode,
+        |altcode AS validation_altcode,
+        |resnum || CASE WHEN icode = 'A' THEN 'A' ELSE '' END AS validation_resnum_full
+        |FROM src WHERE chain IN ('1', '3', '5')""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, CAST(1 AS BIGINT) AS n_rows FROM events GROUP BY user_id""",
     "q_dedup_exact" ->
@@ -1658,6 +1837,11 @@ object SparkEntry {
         |CAST(p_partkey AS BIGINT) AS id_attr, CAST(p_size AS BIGINT) AS size_attr
         |FROM part""".stripMargin,
     "q_stockholm_roundtrip" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
+        |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_end,
+        |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_len
+        |FROM documents WHERE length(regexp_replace(text, '[. -]', '', 'g')) > 0""".stripMargin,
+    "q_clustal_roundtrip" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS acc, CAST(1 AS BIGINT) AS seq_start,
         |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_end,
         |CAST(length(regexp_replace(text, '[. -]', '', 'g')) AS BIGINT) AS seq_len

@@ -71,6 +71,47 @@ object Msa {
         regexp_replace(col("aligned"), "[.\\-]", ""))
   }
 
+  /** Read Clustal MSAs (.aln/.clw): one row per (file, seq_id) with
+    * the gapped alignment and the ungapped sequence — the `clustal`
+    * branch of read_alignments' seq_format dispatch
+    * (proteofav/msas.py:32-65 via Bio.AlignIO).
+    *
+    * Same wholetext-per-file sharding as [[stockholm]] (Clustal also
+    * interleaves blocks with no record separator). Within a file:
+    * the mandatory first header line is dropped, conservation rows
+    * (leading whitespace) and blanks are skipped, a trailing
+    * cumulative-column count is tolerated, and multi-block fragments
+    * concatenate per id in line order. A file whose first line does
+    * not announce the format raises, as Biopython's ClustalIterator
+    * does — an eager gate over the (file-count-sized) header set. */
+  def clustal(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("src_file"), col("value"))
+    val badHeaders = files
+      .filter(!substring_index(col("value"), "\n", 1)
+        .rlike("^(CLUSTAL|MUSCLE|PROBCONS|MSAPROBS|Kalign)"))
+      .limit(1).count()
+    if (badHeaders > 0)
+      throw new IllegalArgumentException(
+        s"$path: not a Clustal file (header line must announce the format)")
+    val lines = files.select(col("src_file"),
+      posexplode(split(col("value"), "\n")).as(Seq("line_no", "line")))
+    val rec = "^(\\S+)\\s+(\\S+)(\\s+\\d+)?\\s*$"
+    val body = lines
+      .filter(col("line_no") > 0)          // the CLUSTAL header line
+      .filter(col("line").rlike("^\\S"))   // blanks + conservation rows
+      .select(col("src_file"), col("line_no"),
+        regexp_extract(col("line"), rec, 1).as("seq_id"),
+        regexp_extract(col("line"), rec, 2).as("frag"))
+      .filter(col("seq_id") =!= "")
+    body.groupBy(col("src_file"), col("seq_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("frag")))),
+        s => s.getField("frag")), "").as("aligned"))
+      .withColumn("sequence",
+        regexp_replace(col("aligned"), "[.\\-]", ""))
+  }
+
   /** Sequence sanity normalization: uppercase, swap the gap symbol,
     * and map any non-standard residue letter to the ambiguous
     * symbol. Column-level, codegen'd.

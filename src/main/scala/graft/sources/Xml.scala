@@ -1,9 +1,11 @@
 package graft.sources
 
 import graft.operators.NestedOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType,
+  StructField, StructType}
 
 /** XML sources — the SIFTS / validation-XML analog, Spark-first.
   *
@@ -50,6 +52,93 @@ object Xml {
     residues.join(
       broadcast(dbs.select(col("dbSource").as(sourceCol), col("dbVersion"))),
       Seq(sourceCol), "left")
+
+  /** Explicit read schema for the regions walk: every repeated level
+    * (segment, listMapRegion, mapRegion, db) pinned to array<struct>
+    * so single-occurrence files can't collapse a level to a bare
+    * struct under inference and break the posexplode chain. */
+  val siftsRegionsSchema: StructType = StructType(Seq(
+    StructField("_entityId", StringType),
+    StructField("_type", StringType),
+    StructField("segment", ArrayType(StructType(Seq(
+      StructField("_segId", StringType),
+      StructField("listMapRegion", ArrayType(StructType(Seq(
+        StructField("mapRegion", ArrayType(StructType(Seq(
+          StructField("_start", IntegerType),
+          StructField("_end", IntegerType),
+          StructField("db", ArrayType(StructType(Seq(
+            StructField("_dbSource", StringType),
+            StructField("_dbCoordSys", StringType),
+            StructField("_dbAccessionId", StringType)))))))))))))))))))
+
+  /** Parse the SIFTS region map — one row per `<db/>` annotation under
+    * entity[type=protein]/segment/listMapRegion/mapRegion, with
+    * `regionId` the reference's per-(entity, dbSource) 1-based counter
+    * in document order across segments (missing dbCoordSys → "-", the
+    * reference's KeyError fallback). The nested-dict output of
+    * _parse_sifts_regions_from_file flattened to a long table.
+    * reference: proteofav/sifts.py:64-138. */
+  def siftsRegions(spark: SparkSession, path: String,
+                   excluded: Seq[String] = DefaultExcludedDbs): DataFrame =
+    spark.read.option("rowTag", "entity").schema(siftsRegionsSchema).xml(path)
+      .filter(col("_type") === "protein")
+      .select(col("_entityId").as("entityId"),
+        posexplode(col("segment")).as(Seq("segPos", "seg")))
+      .select(col("entityId"), col("segPos"),
+        posexplode(col("seg.listMapRegion")).as(Seq("lmrPos", "lmr")))
+      .select(col("entityId"), col("segPos"), col("lmrPos"),
+        posexplode(col("lmr.mapRegion")).as(Seq("regPos", "reg")))
+      .select(col("entityId"), col("segPos"), col("lmrPos"), col("regPos"),
+        col("reg._start").as("start"), col("reg._end").as("end"),
+        posexplode(col("reg.db")).as(Seq("dbPos", "db")))
+      .filter(col("db._dbSource").isNotNull &&
+        !col("db._dbSource").isin(excluded: _*))
+      // the counter: regions is metadata-sized (a handful of mapped
+      // dbs per entity), so the window is cheap by construction
+      .withColumn("regionId", row_number().over(
+        Window.partitionBy(col("entityId"), col("db._dbSource"))
+          .orderBy("segPos", "lmrPos", "regPos", "dbPos")).cast("long"))
+      .select(col("entityId"), col("db._dbSource").as("dbSource"),
+        col("regionId"), col("db._dbAccessionId").as("dbAccessionId"),
+        col("start"), col("end"),
+        coalesce(col("db._dbCoordSys"), lit("-")).as("dbCoordSys"))
+
+  /** Per-residue region enrichment — the `add_regions=True` leg of
+    * parse_sifts_residues (sifts.py:266-284): a residue annotation row
+    * gains (regionId, regionStart, regionEnd, regionResNum) when its
+    * resnum falls inside a region of the same (entity, source,
+    * accession); with several matching regions the LAST counter wins
+    * (the reference overwrites the dict entry per match).
+    *
+    * Scale shape: regions is metadata-sized, so it is pre-aggregated
+    * to one row per (entity, source, accession) carrying a
+    * regionId-sorted interval array, then BROADCAST equi-joined — the
+    * big residue side sees one codegen'd array probe per row, no
+    * range-join shuffle and no post-join dedup pass. */
+  def withRegions(residues: DataFrame, regions: DataFrame,
+                  entityCol: String = "entityId",
+                  sourceCol: String = "_dbSource",
+                  accessionCol: String = "_dbAccessionId",
+                  resnumCol: String = "resnum"): DataFrame = {
+    val packed = regions.groupBy(
+        col("entityId").as("__r_entity"), col("dbSource").as("__r_source"),
+        col("dbAccessionId").as("__r_acc"))
+      .agg(sort_array(collect_list(struct(
+        col("regionId"), col("start"), col("end")))).as("__regs"))
+    val joined = residues.join(broadcast(packed),
+      residues(entityCol) === col("__r_entity") &&
+        residues(sourceCol) === col("__r_source") &&
+        residues(accessionCol) === col("__r_acc"), "left")
+    val resnum = residues(resnumCol)
+    val hits: Column = filter(col("__regs"),
+      r => resnum >= r("start") && resnum <= r("end"))
+    val last: Column = when(size(hits) > 0, element_at(hits, -1))
+    joined.select(residues.columns.map(residues(_)) ++ Seq(
+      last("regionId").as("regionId"),
+      last("start").as("regionStart"),
+      last("end").as("regionEnd"),
+      when(last("regionId").isNotNull, resnum).as("regionResNum")): _*)
+  }
 
   /** Explode every array-of-struct column (nested repeated elements)
     * into one row per leaf element — parent attributes replicate onto

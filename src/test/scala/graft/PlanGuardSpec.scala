@@ -99,4 +99,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"hamming join degenerated to all-pairs:\n$p")
   }
+
+  test("q_sifts_regions: region enrichment is a broadcast equi-join") {
+    val p = plan("q_sifts_regions")
+    // the packed interval table joins broadcast on the accession key;
+    // a shuffle (or range-join) here would move the residue fact side
+    // for metadata-sized regions
+    val accLines = p.linesIterator.filter(_.contains("__r_acc")).toSeq
+    assert(accLines.exists(_.contains("BroadcastHashJoin")),
+      s"packed regions not broadcast:\n$p")
+    assert(!accLines.exists(_.contains("SortMergeJoin")),
+      s"region join shuffled the residue side:\n$p")
+  }
 }

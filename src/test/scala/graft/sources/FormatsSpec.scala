@@ -222,6 +222,78 @@ class FormatsSpec extends SparkSpec {
       ("SCOP", null)))
   }
 
+  test("siftsRegions: per-(entity,source) counter in document order") {
+    val xml =
+      "<entry><entity type=\"protein\" entityId=\"A\">" +
+      "<segment segId=\"A_1\"><listMapRegion>" +
+      "<mapRegion start=\"1\" end=\"100\">" +
+      "<db dbSource=\"Pfam\" dbCoordSys=\"UniProt\" dbAccessionId=\"PF01\"/>" +
+      "<db dbSource=\"InterPro\" dbCoordSys=\"UniProt\" dbAccessionId=\"IPR1\"/>" +
+      "</mapRegion>" +
+      "<mapRegion start=\"50\" end=\"150\">" +
+      "<db dbSource=\"Pfam\" dbAccessionId=\"PF01\"/>" +
+      "</mapRegion>" +
+      "</listMapRegion></segment>" +
+      "<segment segId=\"A_2\"><listMapRegion>" +
+      "<mapRegion start=\"200\" end=\"300\">" +
+      "<db dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10\"/>" +
+      "</mapRegion>" +
+      "</listMapRegion></segment></entity>" +
+      "<entity type=\"dna\" entityId=\"B\">" +
+      "<segment segId=\"B_1\"><listMapRegion>" +
+      "<mapRegion start=\"1\" end=\"5\">" +
+      "<db dbSource=\"Pfam\" dbAccessionId=\"PFX\"/></mapRegion>" +
+      "</listMapRegion></segment></entity></entry>"
+    val path = writeTmp("regions.xml", xml)
+    val regions = Xml.siftsRegions(spark, path)
+    val rows = regions.orderBy("dbSource", "regionId")
+      .select("entityId", "dbSource", "regionId", "dbAccessionId",
+        "start", "end", "dbCoordSys")
+      .as[(String, String, Long, String, Int, Int, String)].collect().toSeq
+    // InterPro excluded by default; dna entity dropped; the missing
+    // dbCoordSys falls to the reference's '-' KeyError fallback
+    assert(rows == Seq(
+      ("A", "CATH", 1L, "1.10", 200, 300, "PDBresnum"),
+      ("A", "Pfam", 1L, "PF01", 1, 100, "UniProt"),
+      ("A", "Pfam", 2L, "PF01", 50, 150, "-")))
+  }
+
+  test("withRegions: interval lookup, last matching counter wins") {
+    val xml =
+      "<entry><entity type=\"protein\" entityId=\"A\">" +
+      "<segment segId=\"A_1\"><listMapRegion>" +
+      "<mapRegion start=\"1\" end=\"100\">" +
+      "<db dbSource=\"Pfam\" dbCoordSys=\"UniProt\" dbAccessionId=\"PF01\"/>" +
+      "</mapRegion>" +
+      "<mapRegion start=\"50\" end=\"150\">" +
+      "<db dbSource=\"Pfam\" dbCoordSys=\"UniProt\" dbAccessionId=\"PF01\"/>" +
+      "</mapRegion>" +
+      "<mapRegion start=\"200\" end=\"300\">" +
+      "<db dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10\"/>" +
+      "</mapRegion>" +
+      "</listMapRegion></segment></entity></entry>"
+    val regions = Xml.siftsRegions(spark, writeTmp("wr.xml", xml))
+    val residues = Seq(
+      ("A", "Pfam", "PF01", 60),   // both Pfam regions match -> id 2
+      ("A", "Pfam", "PF01", 10),   // first region only -> id 1
+      ("A", "Pfam", "PF01", 180),  // accession matches, out of range
+      ("A", "CATH", "1.10", 250),  // other source -> its own counter
+      ("A", "SCOP", "42", 60))     // unlisted source -> no region
+      .toDF("entityId", "_dbSource", "_dbAccessionId", "resnum")
+    val out = Xml.withRegions(residues, regions)
+      .orderBy("_dbSource", "resnum")
+      .select("_dbSource", "resnum", "regionId", "regionStart",
+        "regionEnd", "regionResNum")
+      .as[(String, Int, Option[Long], Option[Int], Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("CATH", 250, Some(1L), Some(200), Some(300), Some(250)),
+      ("Pfam", 10, Some(1L), Some(1), Some(100), Some(10)),
+      ("Pfam", 60, Some(2L), Some(50), Some(150), Some(60)),
+      ("Pfam", 180, None, None, None, None),
+      ("SCOP", 60, None, None, None, None)))
+  }
+
   test("dsspResiduesWithBreaks keeps '!*' markers with 2-wide AA") {
     val pad = " " * 80
     val dssp =

@@ -101,6 +101,38 @@ class SourcesSpec extends SparkSpec {
     assert(seqs == Set("ABC", "DEFG", "HIJ"))
   }
 
+  test("clustal: header dropped, consensus skipped, blocks concat") {
+    val path = writeTmp("a.aln",
+      """CLUSTAL W (1.83) multiple sequence alignment
+        |
+        |seq1/5-14      ABC--DE 7
+        |seq2/1-6       GHI-JK- 6
+        |               **: .
+        |
+        |seq1/5-14      FGHIJ 12
+        |seq2/1-6       -LM 8
+        |""".stripMargin)
+    val out = Msa.clustal(spark, path)
+    val rows = out.orderBy("seq_id")
+      .select("seq_id", "aligned", "sequence")
+      .as[(String, String, String)].collect().toSeq
+    // trailing cumulative counts tolerated; conservation row (leading
+    // whitespace) and blanks skipped; fragments concat in line order
+    assert(rows == Seq(
+      ("seq1/5-14", "ABC--DEFGHIJ", "ABCDEFGHIJ"),
+      ("seq2/1-6", "GHI-JK--LM", "GHIJKLM")))
+    // the Pfam/CATH NAME/start-end grammar applies to clustal ids too
+    val parsed = Msa.parseDescription(out).orderBy("seq_id")
+      .select("acc", "seq_start", "seq_end")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(parsed == Seq(("seq1", 5L, 14L), ("seq2", 1L, 6L)))
+  }
+
+  test("clustal: non-clustal header raises, as AlignIO.read does") {
+    val path = writeTmp("bad.aln", "NOT AN ALIGNMENT\nseq1 ABC\n")
+    intercept[IllegalArgumentException] { Msa.clustal(spark, path) }
+  }
+
   test("normalizeSequence uppercases, swaps gaps, X-es unknown letters") {
     val df = Seq("acd.ef?gZ").toDF("s")
     val out = df.select(Msa.normalizeSequence(col("s"),
