@@ -85,6 +85,58 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("withRegions equals brute-force interval scan on random data") {
+    // the packed-array broadcast probe must match a literal
+    // re-implementation of the reference loop (scan all regions of
+    // the residue's (entity, source, accession); keep the LAST
+    // counter whose [start, end] contains resnum) on arbitrary
+    // overlapping / disjoint / empty interval sets
+    val rnd = new scala.util.Random(41)
+    (1 to 10).foreach { trial =>
+      val nReg = rnd.nextInt(30) + 1
+      val regions = (1 to nReg).map { i =>
+        val e = s"E${rnd.nextInt(3)}"
+        val src = s"S${rnd.nextInt(3)}"
+        val acc = s"A${rnd.nextInt(4)}"
+        val start = rnd.nextInt(50)
+        (e, src, acc, start, start + rnd.nextInt(20))
+      }
+      // per-(entity, source) counters in insertion order, as the
+      // parser's row_number produces
+      val withIds = regions.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+        case (_, rs) => rs.zipWithIndex.map { case (r, i) => (r, i + 1L) }
+      }
+      val regDf = withIds.map { case ((e, s0, a, st, en), id) =>
+        (e, s0, id, a, st, en, "-") }
+        .toDF("entityId", "dbSource", "regionId", "dbAccessionId",
+          "start", "end", "dbCoordSys")
+      val residues = (1 to 40).map { i =>
+        (i, s"E${rnd.nextInt(3)}", s"S${rnd.nextInt(3)}",
+          s"A${rnd.nextInt(4)}", rnd.nextInt(80))
+      }.toDF("rid", "entityId", "_dbSource", "_dbAccessionId", "resnum")
+      val got = graft.sources.Xml.withRegions(residues, regDf)
+        .select("rid", "regionId", "regionStart", "regionEnd",
+          "regionResNum")
+        .as[(Int, Option[Long], Option[Int], Option[Int], Option[Int])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val lookup = withIds.groupBy { case ((e, s0, a, _, _), _) => (e, s0, a) }
+      residues.as[(Int, String, String, String, Int)].collect()
+        .foreach { case (rid, e, s0, a, rn) =>
+          val hits = lookup.getOrElse((e, s0, a), Nil)
+            .filter { case ((_, _, _, st, en), _) => rn >= st && rn <= en }
+          val expected =
+            if (hits.isEmpty) (None, None, None, None)
+            else {
+              val ((_, _, _, st, en), id) = hits.maxBy(_._2)
+              (Some(id), Some(st), Some(en), Some(rn))
+            }
+          assert(got(rid) == expected,
+            s"trial $trial residue $rid ($e,$s0,$a,$rn): " +
+              s"got ${got(rid)}, expected $expected")
+        }
+    }
+  }
+
   test("TableGenerator: validation leg merges on res_full x chain") {
     // mmcif_validation_table_merger (mergers.py:103): left merge of the
     // atom table on [auth_seq_id_full, auth_asym_id] against
