@@ -373,9 +373,29 @@ object SparkEntry {
     // rows) degenerate into near-all-pairs candidates; 16-row bands
     // keep collision probability j^16 — negligible at j=0.6, high
     // only for true near-dups.
-    "q_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashPairs(T(s, d, "documents"), threshold = 0.9,
-        numHashes = 32, bands = 2, shingleN = 1)),
+    // the REAL minhash banding/prefilter/verify machinery
+    // (minhashPairsFromSketch) driven with an md5-derived hash family
+    // both engines compute identically — v = first 15 md5 hex chars
+    // of the token as int64; sig_j = min over v of md5int("v_j").
+    // DuckDB replays sketch, band slices, 24-of-32 signature
+    // prefilter and the exact jaccard verify; the xxhash64+MinHashSig
+    // fast path keeps its own drive via q_minhash_recall. Promoted
+    // rows-only -> oracle-green r9 (the simhash r8 pattern).
+    "q_dedup_minhash_lsh" -> ((s, d) => {
+      def md5int15(c: Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val sh = sort_array(array_distinct(transform(
+        TextFunctions.tokens(col("text")), t => md5int15(t))))
+      val sketch = T(s, d, "documents")
+        .select(col("doc_id").as("id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", transform(sequence(lit(0), lit(31)),
+          j => array_min(transform(col("sh"), v =>
+            md5int15(concat(v.cast("string"), lit("_"),
+              j.cast("string")))))))
+      Dedup.minhashPairsFromSketch(sketch, threshold = 0.9,
+        numHashes = 32, bands = 2)
+    }),
     // hamming-banded near-dup pairs over codes BOTH engines derive
     // identically (md5 hex-char parity bits — the production
     // simhash's xxhash64 mixing is not SQL-expressible; that path is
@@ -477,9 +497,12 @@ object SparkEntry {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // the oracle-checkable polynomial fold (DuckDB replays the md5 +
+    // hex-parse + modular fold via list_reduce); rollingFingerprint
+    // (the xxhash64 fast path, same contract) stays spec-covered
     "q_fingerprint" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
-        TextFunctions.rollingFingerprint(col("text")).as("fp"))),
+        TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
     "q_tfidf_top_terms" -> ((s, d) =>
       Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
@@ -1590,6 +1613,41 @@ object SparkEntry {
          |FROM coded a JOIN coded b ON a.id < b.id
          |WHERE bit_count(xor(a.code, b.code)) <= 3""".stripMargin
     },
+    // replays the full LSH pipeline with the same md5 hash family:
+    // sketch (15-hex-char md5 ints, 32 per-seed minima), band
+    // membership via exact slice equality (the Spark side equi-joins
+    // on xxhash64(slice), equality-preserving), the 24-of-32
+    // signature prefilter, and the exact merge-walk jaccard verify
+    "q_dedup_minhash_lsh" ->
+      """WITH mtoks AS (
+        |SELECT doc_id, list_sort(list_distinct(list_transform(
+        |list_filter(string_split(text, ' '), t -> t <> ''),
+        |t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS sh
+        |FROM documents),
+        |nz AS (SELECT * FROM mtoks WHERE len(sh) > 0),
+        |sigs AS (
+        |SELECT doc_id, sh, list_transform(range(0, 32), j ->
+        |list_min(list_transform(sh, v ->
+        |CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))) AS sig
+        |FROM nz),
+        |banded AS (
+        |SELECT doc_id, s.band_no, CAST(sig[s.band_no*16+1:(s.band_no+1)*16] AS VARCHAR) AS bkey
+        |FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band_no) s),
+        |cands AS (
+        |SELECT DISTINCT x.doc_id AS p, y.doc_id AS q
+        |FROM banded x JOIN banded y
+        |ON x.band_no = y.band_no AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pre AS (
+        |SELECT c.p, c.q, sa.sh AS a_sh, sb.sh AS b_sh
+        |FROM cands c JOIN sigs sa ON c.p = sa.doc_id
+        |JOIN sigs sb ON c.q = sb.doc_id
+        |WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 24)
+        |SELECT p AS a_id, q AS b_id,
+        |CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
+        |FROM pre
+        |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.9""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
@@ -1802,6 +1860,17 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents) GROUP BY tok""".stripMargin,
+    // replays the polynomial fold token-by-token: same md5, same
+    // 7-hex-char hash domain, same modular step — list_prepend(0)
+    // supplies the fold's init value (list_reduce has no init arg)
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |list_reduce(
+        |list_prepend(CAST(0 AS BIGINT),
+        |list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+        |t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))),
+        |(a, h) -> (a * 31 + h) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
     "q_length_profile" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,

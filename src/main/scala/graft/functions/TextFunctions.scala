@@ -158,7 +158,8 @@ object TextFunctions {
 
   /** Order-sensitive rolling document fingerprint over tokens:
     * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
-    * overflow, ANSI-safe, deterministic. */
+    * overflow, ANSI-safe, deterministic. The fast production default
+    * (xxhash64 per token, fully codegen'd). */
   def rollingFingerprint(text: Column): Column =
     aggregate(
       tokens(text),
@@ -166,4 +167,19 @@ object TextFunctions {
       (acc, t) =>
         shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
           .bitwiseXOR(xxhash64(t)))
+
+  /** Order-sensitive polynomial fingerprint over tokens:
+    * acc' = (acc * 31 + h(token)) mod (2^31 - 1), with h = the first
+    * 7 hex chars of md5 as an integer. Same contract as
+    * [[rollingFingerprint]] but every step is engine-portable
+    * arithmetic (md5 + base conversion + modular fold), so an
+    * external SQL engine can replay it bit-exactly — the
+    * oracle-checkable variant. All intermediates < 2^36: ANSI-safe,
+    * no overflow. */
+  def polyFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text),
+        t => conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(2147483647L)))
 }

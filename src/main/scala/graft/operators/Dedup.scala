@@ -207,12 +207,29 @@ object Dedup {
     // sorted-distinct so the verify step can use the codegen'd
     // merge-walk jaccard (one sort per DOC buys an allocation-free
     // O(n) loop per candidate PAIR)
-    val sketch = docs.select(col(idCol).as("id"),
-      sort_array(array_distinct(transform(TextFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), shingleN),
-        s => xxhash64(s)))).as("sh"))
-      .withColumn("sig",
-        graft.expressions.MinHashSig.of(col("sh"), numHashes))
+    minhashPairsFromSketch(
+      docs.select(col(idCol).as("id"),
+        sort_array(array_distinct(transform(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleN),
+          s => xxhash64(s)))).as("sh"))
+        .withColumn("sig",
+          graft.expressions.MinHashSig.of(col("sh"), numHashes)),
+      threshold, numHashes, bands)
+  }
+
+  /** The band/prefilter/verify pipeline of [[minhashPairs]] over a
+    * PREPARED sketch `(id, sh: sorted-distinct array<bigint>, sig:
+    * array<bigint>)` — the hash family is the caller's choice. The
+    * production path ([[minhashPairs]]) supplies xxhash64 shingles +
+    * the codegen'd MinHashSig; the driver's oracle query supplies an
+    * md5-derived family an external SQL engine can replay bit-exactly,
+    * so THIS machinery (banding, candidate equi-join, signature
+    * prefilter, exact verify) is what the DuckDB hash-compare
+    * certifies — the same promotion pattern as simhash's
+    * [[hammingPairs]]. */
+  def minhashPairsFromSketch(sketchDf: DataFrame, threshold: Double,
+                             numHashes: Int, bands: Int): DataFrame = {
+    val sketch = sketchDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize the cache BEFORE the multi-branch join pipeline:
     // concurrent branches populating a lazy cache race and each

@@ -43,6 +43,22 @@ class FunctionsSpec extends SparkSpec {
     assert(fp(0) == fp(2) && fp(0) != fp(1))
   }
 
+  test("polyFingerprint: order-sensitive, bounded, hand-computed fold") {
+    val df = Seq("a b", "b a", "a b", "").toDF("t")
+    val fp = df.select(TextFunctions.polyFingerprint(col("t")).as("f"))
+      .as[Long].collect().toSeq
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+    assert(fp(3) == 0L)                      // empty fold = init
+    assert(fp.forall(v => v >= 0 && v < 2147483647L))
+    // pin one value against the definition computed locally
+    def h(t: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes)
+        .map("%02x".format(_)).mkString.take(7), 16)
+    val expected = Seq("a", "b").foldLeft(0L)((a, t) =>
+      (a * 31 + h(t)) % 2147483647L)
+    assert(fp(0) == expected)
+  }
+
   test("minhashSignature: subset property on identical sets") {
     val df = Seq(Seq("aa", "bb", "cc"), Seq("aa", "bb", "cc")).toDF("sh")
     val sigs = df.select(HashFunctions.minhashSignature(col("sh"), 8).as("s"))
