@@ -755,6 +755,98 @@ object SparkEntry {
             .cast("int").as("resnum"))
       sources.Xml.withRegions(residues, regions)
     }),
+    // the FULL parse_sifts_residues surface (sifts.py:141-310) in one
+    // oracle-checked roundtrip: render a complete SIFTS file (listDB
+    // header + region maps + residue lists with per-residue crossRefDb
+    // annotations) from nation/region/customer, parse it back via the
+    // named siftsResidues loader with addRegions + addDbs + an
+    // exclusion — exercising the non-PDB/UniProt field nulling, the
+    // interval enrichment and the header version join together
+    "q_sifts_residues" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("siftsresidues")
+      val nat = T(s, d, "nation")
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("entity"), col("n_nationkey").as("nk"),
+          concat(lit("SRC"), pmod(col("n_nationkey"), lit(3))).as("src"),
+          concat(lit("AC"), col("n_nationkey")).as("acc"))
+      val segs = Seq(1, 2).toDF("seg")
+      val rstart = col("nk") * 10 + (col("seg") - 1) * 5
+      def row6(ord: Int, e: Column, seg: Column, sub: Column, nk: Column,
+               ck: Column, v: Column) =
+        Seq(lit(ord).as("ord"), e.as("entity"), seg.as("seg"),
+          sub.as("sub"), nk.as("nk"), ck.as("ck"), v.as("value"))
+      val regionRows = nat.crossJoin(segs).select(row6(2, col("entity"),
+        col("seg"), lit(2), col("nk"), lit(0L),
+        concat(lit("      <mapRegion start=\""), rstart,
+          lit("\" end=\""), rstart + 9,
+          lit("\"><db dbSource=\""), col("src"),
+          lit("\" dbCoordSys=\"UniProt\" dbAccessionId=\""), col("acc"),
+          lit("\"/></mapRegion>"))): _*)
+      val resRows = T(s, d, "customer")
+        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey").as("ck"), col("r_name").as("entity"),
+          col("n_nationkey").as("nk"),
+          (col("n_nationkey") * 10 + pmod(col("c_custkey"), lit(20)) - 2)
+            .as("rn"))
+        .select(row6(2, col("entity"), lit(1), lit(5), col("nk"), col("ck"),
+          concat(lit("      <residue dbSource=\"PDBe\" dbCoordSys=\"PDBe\"" +
+              " dbResNum=\""), col("rn"),
+            lit("\" dbResName=\"ALA\"><crossRefDb dbSource=\"SRC"),
+            pmod(col("nk"), lit(3)),
+            lit("\" dbCoordSys=\"UniProt\" dbAccessionId=\"AC"), col("nk"),
+            lit("\" dbResNum=\""), col("rn") + 100,
+            lit("\" dbResName=\"VAL\" dbChainId=\"A\"/>" +
+              "<crossRefDb dbSource=\"UniProt\" dbCoordSys=\"UniProt\"" +
+              " dbAccessionId=\"P"), col("nk"),
+            lit("\" dbResNum=\""), col("rn") + 100,
+            lit("\" dbResName=\"V\"/></residue>"))): _*)
+      val entities = nat.select("entity").distinct()
+      def marker(ord: Int, seg: Int, sub: Int, text: String,
+                 onlySeg1: Boolean = false) = {
+        val base = if (onlySeg1) entities.crossJoin(Seq(1).toDF("seg"))
+          else entities.crossJoin(segs)
+        base.select(row6(ord, col("entity"),
+          if (seg < 0) col("seg") else lit(seg),
+          lit(sub), lit(0), lit(0L), lit(text)): _*)
+      }
+      val entOpenC = entities.select(row6(2, col("entity"), lit(0), lit(0),
+        lit(0), lit(0L), concat(lit("  <entity type=\"protein\"" +
+          " entityId=\""), col("entity"), lit("\">"))): _*)
+      val segOpenC = entities.crossJoin(segs).select(row6(2, col("entity"),
+        col("seg"), lit(0), lit(0), lit(0L),
+        concat(lit("    <segment segId=\""), col("entity"), lit("_s"),
+          col("seg"), lit("\">"))): _*)
+      val entCloseC = entities.select(row6(2, col("entity"), lit(9), lit(0),
+        lit(0), lit(0L), lit("  </entity>")): _*)
+      val header = Seq(
+        (0, "", 0, 0, 0, 0L, "<entry>"),
+        (1, "", 0, 0, 0, 0L,
+          "<listDB><db dbSource=\"SRC0\" dbCoordSys=\"UniProt\"" +
+          " dbVersion=\"v0\"/><db dbSource=\"SRC1\"" +
+          " dbCoordSys=\"UniProt\" dbVersion=\"v1\"/><db" +
+          " dbSource=\"SRC2\" dbCoordSys=\"UniProt\" dbVersion=\"v2\"/>" +
+          "<db dbSource=\"UniProt\" dbCoordSys=\"UniProt\"" +
+          " dbVersion=\"u1\"/></listDB>"),
+        (3, "", 0, 0, 0, 0L, "</entry>"))
+        .toDF("ord", "entity", "seg", "sub", "nk", "ck", "value")
+      val doc = header
+        .unionByName(entOpenC).unionByName(segOpenC)
+        .unionByName(marker(2, -1, 1, "      <listMapRegion>"))
+        .unionByName(regionRows)
+        .unionByName(marker(2, -1, 3, "      </listMapRegion>"))
+        .unionByName(marker(2, 1, 4, "      <listResidue>", onlySeg1 = true))
+        .unionByName(resRows)
+        .unionByName(marker(2, 1, 6, "      </listResidue>", onlySeg1 = true))
+        .unionByName(marker(2, -1, 7, "    </segment>"))
+        .unionByName(entCloseC)
+        .coalesce(1)
+        .sortWithinPartitions("ord", "entity", "seg", "sub", "nk", "ck")
+      TextRender.writeText(doc.select("value"), out)
+      sources.Xml.siftsResidues(s, out, addRegions = true, addDbs = true,
+        excluded = Seq("SRC2"))
+    }),
     // validation-XML roundtrip (validation.py:21 parse_validation_
     // residues + :142 filter_validation): render ModelledSubgroup
     // attribute rows from the part dim with all three icode cases
@@ -1565,6 +1657,57 @@ object SparkEntry {
         |ON res.entity = reg.entity AND res.src = reg.src AND res.acc = reg.acc
         |AND res.resnum BETWEEN reg.rstart AND reg.rend
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // re-derives the full residue-annotation long table: the two
+    // crossRefDb legs per residue (SRC leg excluded when SRC2, fields
+    // nulled; UniProt leg keeps fields), the region argmax per
+    // (entity, source, accession, resnum-in-range), and the listDB
+    // version map; grouping by the hidden ck key preserves row
+    // multiplicity across customers sharing a residue shape
+    "q_sifts_residues" ->
+      """WITH nat AS (
+        |SELECT r_name AS entity, n_nationkey AS nk,
+        |'SRC' || CAST(n_nationkey % 3 AS VARCHAR) AS src,
+        |'AC' || CAST(n_nationkey AS VARCHAR) AS acc
+        |FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |regions AS (
+        |SELECT entity, src, acc,
+        |nk * 10 + (seg - 1) * 5 AS rstart,
+        |nk * 10 + (seg - 1) * 5 + 9 AS rend,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY entity, src ORDER BY seg, nk) AS BIGINT) AS region_id
+        |FROM nat CROSS JOIN (SELECT unnest([1, 2]) AS seg) s
+        |WHERE src <> 'SRC2'),
+        |res AS (
+        |SELECT c_custkey AS ck, r_name AS entity, n_nationkey AS nk,
+        |n_nationkey * 10 + (c_custkey % 20) - 2 AS rn
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey),
+        |ann AS (
+        |SELECT ck, entity, rn, 'ALA' AS resName,
+        |'SRC' || CAST(nk % 3 AS VARCHAR) AS dbSource,
+        |'AC' || CAST(nk AS VARCHAR) AS acc2,
+        |CAST(NULL AS VARCHAR) AS dbResNum,
+        |CAST(NULL AS VARCHAR) AS dbResName,
+        |CAST(NULL AS VARCHAR) AS dbChainId
+        |FROM res WHERE nk % 3 <> 2
+        |UNION ALL
+        |SELECT ck, entity, rn, 'ALA', 'UniProt', 'P' || CAST(nk AS VARCHAR),
+        |CAST(rn + 100 AS VARCHAR), 'V', CAST(NULL AS VARCHAR)
+        |FROM res)
+        |SELECT ann.entity AS "entityId", ann.rn AS resnum,
+        |ann.resName AS "resName", ann.dbSource AS "dbSource",
+        |ann.acc2 AS "dbAccessionId", ann.dbResNum AS "dbResNum",
+        |ann.dbResName AS "dbResName", ann.dbChainId AS "dbChainId",
+        |max(reg.region_id) AS "regionId",
+        |arg_max(reg.rstart, reg.region_id) AS "regionStart",
+        |arg_max(reg.rend, reg.region_id) AS "regionEnd",
+        |CASE WHEN max(reg.region_id) IS NOT NULL THEN ann.rn END AS "regionResNum",
+        |CASE ann.dbSource WHEN 'SRC0' THEN 'v0' WHEN 'SRC1' THEN 'v1'
+        |WHEN 'UniProt' THEN 'u1' END AS "dbVersion"
+        |FROM ann LEFT JOIN regions reg
+        |ON ann.entity = reg.entity AND ann.dbSource = reg.src
+        |AND ann.acc2 = reg.acc AND ann.rn BETWEEN reg.rstart AND reg.rend
+        |GROUP BY ann.ck, ann.entity, ann.rn, ann.resName, ann.dbSource,
+        |ann.acc2, ann.dbResNum, ann.dbResName, ann.dbChainId""".stripMargin,
     "q_validation_roundtrip" ->
       """WITH src AS (
         |SELECT p_partkey, substr(p_brand, 8, 1) AS chain,

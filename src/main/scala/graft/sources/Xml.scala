@@ -140,6 +140,75 @@ object Xml {
       when(last("regionId").isNotNull, resnum).as("regionResNum")): _*)
   }
 
+  /** Explicit read schema for the residue walk (entity → segment →
+    * listResidue → residue → crossRefDb), every repeated level pinned
+    * to array<struct>. The residue-level dbResNum is integral (the
+    * reference's `int(v)`); crossRefDb resnums stay strings (PDB
+    * cross-references carry "null" for unobserved residues). */
+  val siftsResiduesSchema: StructType = StructType(Seq(
+    StructField("_entityId", StringType),
+    StructField("_type", StringType),
+    StructField("segment", ArrayType(StructType(Seq(
+      StructField("_segId", StringType),
+      StructField("listResidue", ArrayType(StructType(Seq(
+        StructField("residue", ArrayType(StructType(Seq(
+          StructField("_dbResNum", IntegerType),
+          StructField("_dbResName", StringType),
+          StructField("crossRefDb", ArrayType(StructType(Seq(
+            StructField("_dbSource", StringType),
+            StructField("_dbCoordSys", StringType),
+            StructField("_dbAccessionId", StringType),
+            StructField("_dbResNum", StringType),
+            StructField("_dbResName", StringType),
+            StructField("_dbChainId", StringType)))))))))))))))))))
+
+  /** The full `parse_sifts_residues` surface (sifts.py:141-310) as a
+    * named loader: one row per (residue, crossRefDb annotation) —
+    * long-form where the reference pivots sources into prefixed wide
+    * columns; the information content is identical and the long table
+    * is the joinable shape. Semantics carried over exactly:
+    * excluded dbSources are skipped; dbCoordSys is dropped from the
+    * output (the reference skips that attribute); sources other than
+    * PDB / UniProt null their dbResName / dbResNum / dbChainId (the
+    * reference skips those keys for such sources, sifts.py:259-263);
+    * `addRegions` appends the last-match-wins interval enrichment
+    * ([[withRegions]]); `addDbs` appends the listDB version
+    * ([[withDbVersions]]). */
+  def siftsResidues(spark: SparkSession, path: String,
+                    addRegions: Boolean = true, addDbs: Boolean = false,
+                    excluded: Seq[String] = DefaultExcludedDbs): DataFrame = {
+    val keepFields = col("dbSource").isin("PDB", "UniProt")
+    var res = spark.read.option("rowTag", "entity")
+      .schema(siftsResiduesSchema).xml(path)
+      .filter(col("_type") === "protein")
+      .select(col("_entityId").as("entityId"),
+        explode(col("segment")).as("seg"))
+      .select(col("entityId"), explode(col("seg.listResidue")).as("lr"))
+      .select(col("entityId"), explode(col("lr.residue")).as("r"))
+      .select(col("entityId"), col("r._dbResNum").as("resnum"),
+        col("r._dbResName").as("resName"),
+        explode(col("r.crossRefDb")).as("x"))
+      .filter(col("x._dbSource").isNotNull &&
+        !col("x._dbSource").isin(excluded: _*))
+      .select(col("entityId"), col("resnum"), col("resName"),
+        col("x._dbSource").as("dbSource"),
+        col("x._dbAccessionId").as("dbAccessionId"),
+        col("x._dbResNum").as("dbResNum"),
+        col("x._dbResName").as("dbResName"),
+        col("x._dbChainId").as("dbChainId"))
+      .withColumn("dbResNum", when(keepFields, col("dbResNum")))
+      .withColumn("dbResName", when(keepFields, col("dbResName")))
+      .withColumn("dbChainId", when(keepFields, col("dbChainId")))
+    if (addRegions)
+      res = withRegions(res, siftsRegions(spark, path, excluded),
+        entityCol = "entityId", sourceCol = "dbSource",
+        accessionCol = "dbAccessionId", resnumCol = "resnum")
+    if (addDbs)
+      res = withDbVersions(res, siftsDbs(spark, path, excluded),
+        sourceCol = "dbSource")
+    res
+  }
+
   /** Explode every array-of-struct column (nested repeated elements)
     * into one row per leaf element — parent attributes replicate onto
     * each row — then flatten remaining structs to `parent_child`

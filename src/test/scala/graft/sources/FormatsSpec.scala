@@ -294,6 +294,51 @@ class FormatsSpec extends SparkSpec {
       ("SCOP", 60, None, None, None, None)))
   }
 
+  test("siftsResidues: long-form parse_sifts_residues with both knobs") {
+    // the reference docstring's 2pah fragment shape (sifts.py:156):
+    // listDB header + one protein entity with a region map and two
+    // residues carrying PDB / UniProt / CATH / InterPro crossRefs
+    val xml =
+      "<entry><listDB>" +
+      "<db dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbVersion=\"3.5.0\"/>" +
+      "<db dbSource=\"UniProt\" dbCoordSys=\"UniProt\" dbVersion=\"2014.08\"/>" +
+      "<db dbSource=\"InterPro\" dbCoordSys=\"UniProt\" dbVersion=\"48.0\"/>" +
+      "</listDB><entity type=\"protein\" entityId=\"A\">" +
+      "<segment segId=\"2pah_A_1_335\" start=\"1\" end=\"335\">" +
+      "<listMapRegion><mapRegion start=\"1\" end=\"2\">" +
+      "<db dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10.800.10\"/>" +
+      "</mapRegion></listMapRegion>" +
+      "<listResidue>" +
+      "<residue dbSource=\"PDBe\" dbCoordSys=\"PDBe\" dbResNum=\"1\" dbResName=\"VAL\">" +
+      "<crossRefDb dbSource=\"PDB\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"2pah\" dbResNum=\"118\" dbResName=\"VAL\" dbChainId=\"A\"/>" +
+      "<crossRefDb dbSource=\"UniProt\" dbCoordSys=\"UniProt\" dbAccessionId=\"P00439\" dbResNum=\"118\" dbResName=\"V\"/>" +
+      "<crossRefDb dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10.800.10\" dbResNum=\"118\" dbResName=\"VAL\" dbChainId=\"A\"/>" +
+      "<crossRefDb dbSource=\"InterPro\" dbCoordSys=\"UniProt\" dbAccessionId=\"IPR001273\" dbResNum=\"118\" dbResName=\"V\"/>" +
+      "</residue>" +
+      "<residue dbSource=\"PDBe\" dbCoordSys=\"PDBe\" dbResNum=\"9\" dbResName=\"GLY\">" +
+      "<crossRefDb dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10.800.10\" dbResNum=\"126\" dbResName=\"GLY\" dbChainId=\"A\"/>" +
+      "</residue>" +
+      "</listResidue></segment></entity></entry>"
+    val path = writeTmp("residues.xml", xml)
+    val out = Xml.siftsResidues(spark, path, addRegions = true,
+      addDbs = true)
+    val rows = out.orderBy("resnum", "dbSource")
+      .select("entityId", "resnum", "dbSource", "dbAccessionId",
+        "dbResNum", "dbChainId", "regionId", "dbVersion")
+      .as[(String, Int, String, String, Option[String], Option[String],
+        Option[Long], Option[String])].collect().toSeq
+    // InterPro excluded by default; CATH keeps accession but nulls
+    // the res fields (not PDB/UniProt); residue 1 falls inside the
+    // CATH region [1,2], residue 9 outside; dbVersion rides along
+    // for sources present in listDB (PDB is not)
+    assert(rows == Seq(
+      ("A", 1, "CATH", "1.10.800.10", None, None, Some(1L), Some("3.5.0")),
+      ("A", 1, "PDB", "2pah", Some("118"), Some("A"), None, None),
+      ("A", 1, "UniProt", "P00439", Some("118"), None, None,
+        Some("2014.08")),
+      ("A", 9, "CATH", "1.10.800.10", None, None, None, Some("3.5.0"))))
+  }
+
   test("dsspResiduesWithBreaks keeps '!*' markers with 2-wide AA") {
     val pad = " " * 80
     val dssp =
