@@ -31,7 +31,13 @@ def main(spark_path, duck_path):
     only_s = sorted(k for k in spark if k not in duck)
     only_d = sorted(k for k in duck if k not in spark)
     if only_s:
-        print(f"spark-only (rows-only / no oracle): {', '.join(only_s)}")
+        # emit these as table rows too, so check_bench.py has an
+        # envelope entry for every query in a bench run
+        print("\nrows-only queries (no DuckDB leg; spark envelope only):\n")
+        print("| query | spark s | duckdb s | spark/duck |")
+        print("|---|---|---|---|")
+        for k in only_s:
+            print(f"| {k} | {spark[k]:.2f} | - | - |")
     if only_d:
         print(f"duck-only: {', '.join(only_d)}")
 
