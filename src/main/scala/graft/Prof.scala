@@ -101,6 +101,54 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_REGIONS=1 — withRegions' packed-array broadcast probe vs
+    // the naive broadcast range join + per-row dedup (the shape the
+    // packed design replaces): 5M residues against a 6k-interval
+    // metadata table, overlapping intervals so last-match-wins does
+    // real work. Feeds the BASELINE.md r9 note.
+    if (sys.env.get("PROF_REGIONS").contains("1")) {
+      val nRes = 5000000L
+      val residues = spark.range(nRes).select(
+        col("id").as("rid"),
+        lit("E").as("entityId"),
+        concat(lit("S"), pmod(col("id"), lit(3))).as("_dbSource"),
+        concat(lit("A"), pmod(col("id"), lit(1000))).as("_dbAccessionId"),
+        pmod(col("id"), lit(5000)).cast("int").as("resnum"))
+      val regions = spark.range(6000).select(
+        lit("E").as("entityId"),
+        concat(lit("S"), pmod(col("id"), lit(3))).as("dbSource"),
+        concat(lit("A"), pmod(col("id"), lit(1000))).as("dbAccessionId"),
+        (col("id") + 1).as("regionId"),
+        (pmod(col("id"), lit(40)) * 100).cast("int").as("start"),
+        (pmod(col("id"), lit(40)) * 100 + 150).cast("int").as("end"))
+      def naive(): Long = {
+        val reg = broadcast(regions.select(
+          col("entityId").as("__e"), col("dbSource").as("__s"),
+          col("dbAccessionId").as("__a"), col("regionId"),
+          col("start").as("regionStart"), col("end").as("regionEnd")))
+        val joined = residues.join(reg,
+          residues("entityId") === col("__e") &&
+            residues("_dbSource") === col("__s") &&
+            residues("_dbAccessionId") === col("__a") &&
+            residues("resnum").between(col("regionStart"),
+              col("regionEnd")), "left")
+        joined.groupBy(residues.columns.map(residues(_)): _*)
+          .agg(max(struct(col("regionId"), col("regionStart"),
+            col("regionEnd"))).as("r"))
+          .select(col("r.regionId")).filter(col("regionId").isNotNull)
+          .count()
+      }
+      def packed(): Long =
+        sources.Xml.withRegions(residues, regions)
+          .filter(col("regionId").isNotNull).count()
+      // one variant per JVM (PROF_REGIONS_MODE=naive|packed) — the
+      // documented in-JVM interleaving cross-contamination applies
+      val mode = sys.env.getOrElse("PROF_REGIONS_MODE", "packed")
+      for (round <- 1 to 3)
+        if (mode == "naive") time(s"r$round.naive.join+dedup")(naive())
+        else time(s"r$round.packed.broadcast-probe")(packed())
+      spark.stop(); return
+    }
     // PROF_DUMP=q_a,q_b — run queries, parquet to /tmp/graft_dump/<q>
     // (targeted oracle comparison without the full Verify sweep)
     if (sys.env.contains("PROF_DUMP")) {
