@@ -100,6 +100,18 @@ class PlanGuardSpec extends SparkSpec {
       s"hamming join degenerated to all-pairs:\n$p")
   }
 
+  test("q_sifts_residues: both enrichments broadcast, residue side never shuffles for them") {
+    val p = plan("q_sifts_residues")
+    // addRegions (packed interval array) and addDbs (listDB versions)
+    // both join broadcast; a SortMergeJoin on either key would move
+    // the residue fact side for metadata-sized tables
+    // the parse-side plan's only joins ARE the two enrichments
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected both enrichment joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"an enrichment join shuffled the residue side:\n$p")
+  }
+
   test("q_sifts_regions: region enrichment is a broadcast equi-join") {
     val p = plan("q_sifts_regions")
     // the packed interval table joins broadcast on the accession key;
