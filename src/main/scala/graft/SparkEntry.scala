@@ -450,11 +450,16 @@ object SparkEntry {
     }),
     // 4-bit × 8-table operating point: this corpus's true neighbours
     // sit at cos ≈ 0.3 (near-random), where 6-bit codes collide too
-    // rarely — recall math in Similarity.lshTopK scaladoc
+    // rarely — recall math in Similarity.lshTopK scaladoc. Runs the
+    // REAL lshTopK pipeline with the md5 hyperplane family
+    // (plan-identical to the murmur default — weights are plan-time
+    // constants either way) so DuckDB re-derives the hyperplanes and
+    // replays codes → candidate join → cosine → top-k exactly.
+    // Promoted rows-only -> oracle-green r9.
     "q_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64,
-        nBits = 4)
+        nBits = 4, weight = VectorFunctions.md5Weight)
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -1896,6 +1901,36 @@ object SparkEntry {
         |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
         |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
         |FROM p JOIN v c ON p.vec_id <> c.vec_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
+        |SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |FROM scored) WHERE rnk <= 5""".stripMargin,
+    // re-derives the md5 hyperplane family (weight(t,j,i) = md5 hex
+    // parse mod 1000, scaled), recomputes every vector's 4-bit code
+    // per table in element order, then replays candidate join,
+    // cosine and top-k — the full lshTopK pipeline
+    "q_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |codes AS (
+        |SELECT vec_id, t.t,
+        |list_sum(list_transform(range(0, 4), j -> CASE WHEN
+        |list_sum(list_transform(range(1, 65), i ->
+        |CAST(embedding[i] AS DOUBLE) *
+        |((CAST('0x' || substr(md5('hp_' || CAST(t.t AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5)
+        |)) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS code
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
+        |cands AS (
+        |SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        |FROM codes p JOIN codes c ON p.t = c.t AND p.code = c.code
+        |WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id),
+        |scored AS (
+        |SELECT cd.probe_id, cd.neighbor_id,
+        |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
+        |FROM cands cd JOIN v p ON cd.probe_id = p.vec_id
+        |JOIN v c ON cd.neighbor_id = c.vec_id)
         |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
         |SELECT probe_id, neighbor_id, cos,
         |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk

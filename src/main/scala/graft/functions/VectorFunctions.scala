@@ -49,19 +49,40 @@ object VectorFunctions {
       greatest(lit(-127), least(lit(127),
         floor(x.cast("double") * 127.0 / maxAbs + 0.5).cast("int"))))
 
+  /** The default hyperplane weight family: murmur3-derived
+    * deterministic pseudo-random in [-0.5, 0.5) — no RNG state,
+    * reproducible across executors. */
+  def murmurWeight(table: Int, j: Int, i: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3
+      .stringHash(s"graft-hp-$table-$j-$i")
+    (math.abs(h.toLong) % 1000L).toDouble / 1000.0 - 0.5
+  }
+
+  /** An md5-derived weight family with the same distribution — every
+    * step is standard-SQL-expressible (`md5` + hex parse + mod), so
+    * an external engine can re-derive the hyperplanes and replay the
+    * whole LSH pipeline (the oracle-checkable family; weights are
+    * plan-time constants either way, so the executed plan is
+    * identical to [[murmurWeight]]'s). */
+  def md5Weight(table: Int, j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${table}_${j}_${i}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 1000L).toDouble /
+      1000.0 - 0.5
+  }
+
   /** Random-hyperplane LSH code: `nBits` sign bits of dot products
-    * with deterministic pseudo-random hyperplanes (hash-derived, no
-    * RNG state — reproducible across executors). `table` salts the
-    * hyperplane family so multi-table LSH gets independent codes. */
+    * with deterministic hash-derived hyperplanes. `table` salts the
+    * hyperplane family so multi-table LSH gets independent codes;
+    * `weight` picks the family ([[murmurWeight]] default,
+    * [[md5Weight]] for engine-portable replay). */
   def hyperplaneCode(vec: Column, dim: Int, nBits: Int,
-                     table: Int = 0): Column = {
+                     table: Int = 0,
+                     weight: (Int, Int, Int) => Double = murmurWeight)
+  : Column = {
     val bits = (0 until nBits).map { j =>
-      val hp = (0 until dim).map { i =>
-        // deterministic pseudo-random in [-0.5, 0.5)
-        val h = scala.util.hashing.MurmurHash3
-          .stringHash(s"graft-hp-$table-$j-$i")
-        (math.abs(h.toLong) % 1000L).toDouble / 1000.0 - 0.5
-      }
+      val hp = (0 until dim).map(i => weight(table, j, i))
       val hpCol = typedlit(hp)
       val d = aggregate(
         zip_with(vec, hpCol, (x, y) => x.cast("double") * y),

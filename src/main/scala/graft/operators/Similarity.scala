@@ -90,13 +90,15 @@ object Similarity {
     * is one coded shuffle per table. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
               nBits: Int = 6, nTables: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              weight: (Int, Int, Int) => Double =
+                VectorFunctions.murmurWeight): DataFrame = {
     def codes(df: DataFrame, idAs: String) =
       df.select(col(idCol).as(idAs),
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("t"),
-            VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits, t)
-              .as("code"))): _*)).as("tc"))
+            VectorFunctions.hyperplaneCode(col(vecCol), dim, nBits, t,
+              weight).as("code"))): _*)).as("tc"))
     val cand = codes(corpus, "neighbor_id")
       .join(codes(probes, "probe_id"), Seq("tc"))
       .filter(col("probe_id") =!= col("neighbor_id"))
