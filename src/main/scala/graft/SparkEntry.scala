@@ -461,10 +461,19 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, dim = 64,
         nBits = 4, weight = VectorFunctions.md5Weight)
     }),
+    // the REAL IVF train+search pipeline with an md5 seed hash so
+    // DuckDB can replay training end-to-end: hash-ordered seed pick,
+    // two Lloyd rounds (ordered-fold squared-L2 argmin + exact
+    // decimal(28,9) means — double->decimal can never hit a rounding
+    // tie, so the centroids are bit-identical across engines), then
+    // inverted-file search, cosine, top-k. xxhash64 stays the
+    // production seed default. Promoted rows-only -> oracle-green r9.
     "q_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5,
-        nCells = 8, nProbe = 3)
+        nCells = 8, nProbe = 3,
+        seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
+          16, 10).cast("long"))
     }),
     // ANN quality harness: recall@5 of the LSH and IVF indexes vs
     // the brute-force exact result, per probe (approximate indexes →
@@ -1931,6 +1940,73 @@ object SparkEntry {
         |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
         |FROM cands cd JOIN v p ON cd.probe_id = p.vec_id
         |JOIN v c ON cd.neighbor_id = c.vec_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
+        |SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |FROM scored) WHERE rnk <= 5""".stripMargin,
+    // replays IVF TRAINING and search: md5-hash-ordered seed pick,
+    // two Lloyd rounds (ordered-fold squared-L2 argmin tie-broken by
+    // cell, exact decimal(28,9) means), empty cells keep the prior
+    // centroid, then inverted-file search (corpus -> 1 cell, probe ->
+    // 3 cells), cosine, top-5
+    "q_ann_ivf" ->
+      """WITH dv AS (
+        |SELECT vec_id, embedding,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |seed AS (
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) - 1 AS cell, v AS c
+        |FROM (SELECT vec_id, v,
+        |CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM dv)
+        |ORDER BY h LIMIT 8),
+        |a0 AS (
+        |SELECT vec_id, v, cell FROM (
+        |SELECT d.vec_id, d.v, s.cell,
+        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+        |FROM dv d CROSS JOIN seed s) WHERE rn = 1),
+        |m1 AS (
+        |SELECT cell, i.i AS pos,
+        |CAST(SUM(CAST(v[i.i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |FROM a0 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
+        |c1 AS (
+        |SELECT s.cell, COALESCE(mm.c, s.c) AS c
+        |FROM seed s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell) mm
+        |ON s.cell = mm.cell),
+        |a1 AS (
+        |SELECT vec_id, v, cell FROM (
+        |SELECT d.vec_id, d.v, s.cell,
+        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+        |FROM dv d CROSS JOIN c1 s) WHERE rn = 1),
+        |m2 AS (
+        |SELECT cell, i.i AS pos,
+        |CAST(SUM(CAST(v[i.i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |FROM a1 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
+        |c2 AS (
+        |SELECT s.cell, COALESCE(mm.c, s.c) AS c
+        |FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell) mm
+        |ON s.cell = mm.cell),
+        |cc AS (
+        |SELECT vec_id, cell FROM (
+        |SELECT d.vec_id, s.cell,
+        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+        |FROM dv d CROSS JOIN c2 s) WHERE rn = 1),
+        |pc AS (
+        |SELECT vec_id AS probe_id, cell FROM (
+        |SELECT d.vec_id, s.cell,
+        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+        |FROM dv d CROSS JOIN c2 s WHERE d.vec_id < 8) WHERE rn <= 3),
+        |scored AS (
+        |SELECT pc.probe_id, cc.vec_id AS neighbor_id,
+        |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
+        |FROM pc JOIN cc ON pc.cell = cc.cell AND pc.probe_id <> cc.vec_id
+        |JOIN dv p ON pc.probe_id = p.vec_id
+        |JOIN dv c ON cc.vec_id = c.vec_id)
         |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
         |SELECT probe_id, neighbor_id, cos,
         |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk

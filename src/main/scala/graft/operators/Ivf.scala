@@ -54,15 +54,20 @@ object Ivf {
 
   /** Train centroids: deterministic hash-seeded sample + Lloyd
     * refinement. Returns nCells × dim (some cells may repeat if the
-    * corpus is tiny). */
+    * corpus is tiny). `seedHash` picks the seed-ordering hash —
+    * xxhash64 default; an md5-derived hash for engine-portable
+    * replay (every other training step — ordered-fold distances,
+    * decimal-exact means — is already standard-SQL-expressible). */
   def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int = 2,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Seq[Seq[Double]] = {
+                     vecCol: String = "embedding",
+                     seedHash: Column => Column = c => xxhash64(c))
+  : Seq[Seq[Double]] = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
-    // seed: the nCells rows with smallest xxhash64(id) — deterministic,
+    // seed: the nCells rows with smallest seedHash(id) — deterministic,
     // uniformly spread, one small collect
     var centroids: Seq[Seq[Double]] = corpus
-      .select(col(idCol), dvec.as("v"), xxhash64(col(idCol)).as("h"))
+      .select(col(idCol), dvec.as("v"), seedHash(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nCells)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
@@ -94,10 +99,11 @@ object Ivf {
     * searcher. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seedHash: Column => Column = c => xxhash64(c)): DataFrame =
     ivfTopK(corpus, probes, k,
-      trainCentroids(corpus, nCells, lloydIters, idCol, vecCol), nProbe,
-      idCol, vecCol)
+      trainCentroids(corpus, nCells, lloydIters, idCol, vecCol, seedHash),
+      nProbe, idCol, vecCol)
 
   /** IVF top-k with PRE-TRAINED centroids — the production shape:
     * fit once, search many query batches against stable cells. */
