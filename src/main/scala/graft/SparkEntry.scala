@@ -901,6 +901,68 @@ object SparkEntry {
       sources.Validation.filterValidation(parsed,
         chains = Some(Seq("1", "3", "5")))
     }),
+    // mmCIF metadata-block roundtrip (structures.py:255 _mmcif_fields):
+    // render one mmCIF file carrying BOTH block forms from the nation
+    // dim — a key-value `_graft_summary.` block (pivots to one row)
+    // and a `loop_` `_graft_nation.` block (quoted tokens with
+    // embedded spaces: UNITED STATES) — parse each back and cross the
+    // 1-row summary onto the per-nation table; dtype inference makes
+    // the int columns long, matching the oracle's BIGINTs
+    "q_mmcif_fields" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("mmciffields")
+      val nat = T(s, d, "nation")
+      val static = Seq(
+        (0, 0L, "data_graft"), (0, 1L, "#"),
+        (1, 0L, "_graft_summary.src_table   nation"),
+        (1, 2L, "_graft_summary.source      'tpch testdata'"),
+        (2, 0L, "#"), (2, 1L, "loop_"),
+        (3, 0L, "_graft_nation.id"), (3, 1L, "_graft_nation.name"),
+        (3, 2L, "_graft_nation.region_key"), (3, 3L, "_graft_nation.tag"),
+        (5, 0L, "#")).toDF("k", "pk", "value")
+      val cnt = nat.agg(count(lit(1)).as("c"))
+        .select(lit(1).as("k"), lit(1L).as("pk"),
+          concat(lit("_graft_summary.n_rows      "), col("c")).as("value"))
+      val body = nat.select(lit(4).as("k"), col("n_nationkey").as("pk"),
+        concat(col("n_nationkey"), lit(" '"), col("n_name"), lit("' "),
+          col("n_regionkey"), lit(" '"), col("n_name"), lit(" "),
+          col("n_nationkey"), lit("'")).as("value"))
+      val doc = static.unionByName(cnt).unionByName(body)
+        .coalesce(1).sortWithinPartitions("k", "pk")
+      TextRender.writeText(doc.select("value"), out)
+      val loop = sources.StructureFormats.mmcifFields(s, out, "_graft_nation.")
+      val summary = sources.StructureFormats
+        .mmcifFields(s, out, "_graft_summary.")
+      loop.crossJoin(summary) // 1-row right side
+    }),
+    // the require_index leg: a loop_ block whose records span two
+    // physical lines, the indexed line rendered WITH a trailing space
+    // so the reference's no-separator join reassembles clean tokens
+    // (the quirk path — token merging — is pinned by the spec instead,
+    // where the oracle cannot express it)
+    "q_mmcif_oper" -> ((s, d) => {
+      import s.implicits._
+      val out = roundtripDir("mmcifoper")
+      val nat = T(s, d, "nation")
+      val static = Seq(
+        (0, 0L, "data_graft"), (0, 1L, "#"), (0, 2L, "loop_"),
+        (1, 0L, "_graft_oper.id"), (1, 1L, "_graft_oper.op"),
+        (1, 2L, "_graft_oper.axis"), (1, 3L, "_graft_oper.note"),
+        (5, 0L, "#")).toDF("k", "pk", "value")
+      val l1 = nat.select(lit(4).as("k"),
+        (col("n_nationkey") * 2).cast("long").as("pk"),
+        concat(col("n_nationkey") + 1, lit(" 'op "), col("n_name"),
+          lit("' ")).as("value"))
+      val l2 = nat.select(lit(4).as("k"),
+        (col("n_nationkey") * 2 + 1).cast("long").as("pk"),
+        concat(lit("ax_"), col("n_regionkey"), lit(" t"),
+          col("n_nationkey")).as("value"))
+      val doc = static.unionByName(l1).unionByName(l2)
+        .coalesce(1).sortWithinPartitions("k", "pk")
+      TextRender.writeText(doc.select("value"), out)
+      sources.StructureFormats.mmcifFields(s, out, "_graft_oper.",
+        requireIndex = true)
+    }),
     // hive-style partitioned parquet write + partition-pruned read:
     // the filter prunes to the lang=en directory at planning time
     // (PartitionFilters in the scan), the 100 TB layout primitive
@@ -1745,6 +1807,20 @@ object SparkEntry {
         |altcode AS validation_altcode,
         |resnum || CASE WHEN icode = 'A' THEN 'A' ELSE '' END AS validation_resnum_full
         |FROM src WHERE chain IN ('1', '3', '5')""".stripMargin,
+    "q_mmcif_fields" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |CAST(n_regionkey AS BIGINT) AS region_key,
+        |n_name || ' ' || CAST(n_nationkey AS VARCHAR) AS tag,
+        |'nation' AS src_table,
+        |(SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows,
+        |'tpch testdata' AS source
+        |FROM nation""".stripMargin,
+    "q_mmcif_oper" ->
+      """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id,
+        |'op ' || n_name AS op,
+        |'ax_' || CAST(n_regionkey AS VARCHAR) AS axis,
+        |'t' || CAST(n_nationkey AS VARCHAR) AS note
+        |FROM nation""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, CAST(1 AS BIGINT) AS n_rows FROM events GROUP BY user_id""",
     "q_dedup_exact" ->

@@ -427,6 +427,118 @@ class FormatsSpec extends SparkSpec {
     assert(out == Seq(("f", 1, "A"), ("f", 2, "B"), ("g", 1, "C")))
   }
 
+  // ---- mmcifFields (_mmcif_fields, structures.py:255) ------------------
+  // fixture mirroring the reference test file's block shapes
+  // (tests/test_structures.py:156-175): a key-value assembly block, a
+  // key-value assembly_gen block, and a loop_ oper_list block whose
+  // records span two physical lines (require_index)
+  private val mmcifMeta =
+    "data_test\n" +
+    "#\n" +
+    "_entry.id   TEST\n" +
+    "#\n" +
+    "_pdbx_struct_assembly.id                   1\n" +
+    "_pdbx_struct_assembly.details              author_and_software_defined_assembly\n" +
+    "_pdbx_struct_assembly.method_details       PISA,PQS\n" +
+    "_pdbx_struct_assembly.oligomeric_details   tetrameric\n" +
+    "_pdbx_struct_assembly.oligomeric_count     4\n" +
+    "#\n" +
+    "_pdbx_struct_assembly_gen.assembly_id       1\n" +
+    "_pdbx_struct_assembly_gen.oper_expression   1,2\n" +
+    "_pdbx_struct_assembly_gen.asym_id_list      A,C,B,D\n" +
+    "#\n" +
+    "loop_\n" +
+    "_pdbx_struct_oper_list.id\n" +
+    "_pdbx_struct_oper_list.type\n" +
+    "_pdbx_struct_oper_list.name\n" +
+    "_pdbx_struct_oper_list.symmetry_operation\n" +
+    "_pdbx_struct_oper_list.m1\n" +
+    "_pdbx_struct_oper_list.m2\n" +
+    "1 'identity operation'         1_555 x,y,z        1.0000000000\n" +
+    "0.0000000000\n" +
+    "2 'crystal symmetry operation' 4_555 -y,-x,-z+2/3 0.5000000000\n" +
+    "84.0000000000\n" +
+    "#\n"
+
+  test("mmcifFields key-value form: one pivoted row, pandas dtypes") {
+    val path = writeTmp("meta.cif", mmcifMeta)
+    val assembly = StructureFormats.mmcifFields(spark, path,
+      "_pdbx_struct_assembly.")
+    assert(assembly.columns.toSeq == Seq("id", "details", "method_details",
+      "oligomeric_details", "oligomeric_count"))
+    val row = assembly.head()
+    // the three reference assertions (test_structures.py:158-162)
+    assert(row.getAs[String]("details") ==
+      "author_and_software_defined_assembly")
+    assert(row.getAs[String]("oligomeric_details") == "tetrameric")
+    assert(row.getAs[Long]("oligomeric_count") == 4L)
+    val gen = StructureFormats.mmcifFields(spark, path,
+      "_pdbx_struct_assembly_gen.")
+    assert(gen.head().getAs[String]("asym_id_list") == "A,C,B,D")
+  }
+
+  test("mmcifFields loop_ form with requireIndex joins continuation lines") {
+    val path = writeTmp("meta2.cif", mmcifMeta)
+    val oper = StructureFormats.mmcifFields(spark, path,
+      "_pdbx_struct_oper_list.", requireIndex = true)
+    val rows = oper.orderBy("id").collect()
+    assert(rows.length == 2)
+    // the reference assertion (test_structures.py:174)
+    assert(rows(0).getAs[String]("type") == "identity operation")
+    assert(rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[String]("symmetry_operation") == "x,y,z")
+    // the faithful require_index quirk: the indexed line's last token
+    // merges with the continuation's first token (no separator), so
+    // m1 is the concatenated string and m2 is all-null (→ double)
+    assert(rows(0).getAs[String]("m1") == "1.00000000000.0000000000")
+    assert(rows(1).getAs[String]("m1") == "0.500000000084.0000000000")
+    assert(oper.schema("m2").dataType.typeName == "double")
+    assert(rows.forall(_.isNullAt(rows(0).fieldIndex("m2"))))
+  }
+
+  test("mmcifFields quoted tokens may contain spaces; ints with nulls → double") {
+    val cif =
+      "data_t\n#\nloop_\n" +
+      "_g.biol_id\n_g.type\n_g.value\n_g.details\n" +
+      "1 'ABSA (A^2)' 10460 ?\n" +
+      "1 \"SSA (A^2)\"  55710 ?\n" +
+      "1 MORE         -109  ?\n" +
+      "#\n"
+    val path = writeTmp("prop.cif", cif)
+    val out = StructureFormats.mmcifFields(spark, path, "_g.")
+    val rows = out.orderBy("value").collect()
+    // double-quoted strings are re-quoted to single (reference
+    // replaces '"' with "'"); quoted tokens keep embedded spaces
+    assert(rows.map(_.getAs[String]("type")).toSet ==
+      Set("ABSA (A^2)", "SSA (A^2)", "MORE"))
+    assert(rows.map(_.getAs[Long]("value")).toSeq == Seq(-109L, 10460L, 55710L))
+    assert(out.schema("biol_id").dataType.typeName == "long")
+    assert(out.schema("details").dataType.typeName == "string")
+    // short rows: missing trailing tokens are null cells, and an
+    // int column with missing values degrades to double (pandas)
+    val cif2 = "data_t\n#\nloop_\n_h.a\n_h.b\n1 2\n3\n#\n"
+    val out2 = StructureFormats.mmcifFields(spark, writeTmp("s.cif", cif2), "_h.")
+    assert(out2.schema("a").dataType.typeName == "long")
+    assert(out2.schema("b").dataType.typeName == "double")
+    assert(out2.orderBy("a").collect().map(r =>
+      if (r.isNullAt(1)) null else r.getDouble(1)).toSeq == Seq(2.0, null))
+  }
+
+  test("mmcifFields raises on absent category and unterminated blocks") {
+    val path = writeTmp("meta3.cif", mmcifMeta)
+    intercept[IllegalArgumentException](
+      StructureFormats.mmcifFields(spark, path, "_nope."))
+    // loop body missing its '#' terminator → the reference's
+    // StopIteration; mirrored as an error, never a silent partial read
+    val bad = "data_t\n#\nloop_\n_x.a\n_x.b\n1 2\n"
+    intercept[IllegalStateException](
+      StructureFormats.mmcifFields(spark, writeTmp("bad.cif", bad), "_x."))
+    // a key-value run ending at EOF is the same StopIteration shape
+    val bad2 = "data_t\n#\n_y.a 1\n_y.b 2"
+    intercept[IllegalStateException](
+      StructureFormats.mmcifFields(spark, writeTmp("bad2.cif", bad2), "_y."))
+  }
+
   test("getCoordinates projects the (N,3) coordinate matrix") {
     val atoms = Seq((1, 11.1, 6.1, -6.5), (2, 1.0, 2.0, 3.0))
       .toDF("id", "Cartn_x", "Cartn_y", "Cartn_z")
