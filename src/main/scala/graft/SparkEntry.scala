@@ -34,6 +34,10 @@ object SparkEntry {
 
   private val q1Filter = "l_shipdate <= timestamp'1998-09-02 00:00:00'"
 
+  /** 20 standard residue letters + 'X' (→ LNT, deliberately absent
+    * from the ASA tables) for q_rsa_methods' synthesized AA column. */
+  private val rsaAlphabet = "ARNDCQEGHILKMFPSTWYVX"
+
   private def roundtripDir(name: String) = s"/tmp/graft_roundtrip/$name"
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -84,6 +88,30 @@ object SparkEntry {
           .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
         "l_quantity", "l_returnflag",
         Map("A" -> 17.0, "N" -> 23.5, "R" -> 31.0), "qty_rsa")),
+    // ASA-table method dispatch (dssp.py:249 get_rsa over the three
+    // published max-ASA tables, library.py:249-272): DSSP-ish (AA, ACC)
+    // rows synthesized from lineitem drive all three constant tables
+    // plus the RSA class recode (dssp.py:289); the oracle replays the
+    // literal when-chains as CASE expressions GENERATED from the same
+    // Library maps, so the shipped constants are what the hash
+    // certifies. The 21st letter 'X' maps to LNT (no ASA entry) and
+    // exercises the null-RSA / '-'-class path.
+    "q_rsa_methods" -> ((s, d) => {
+      val syn = T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit(rsaAlphabet).substr(
+          (pmod(col("l_orderkey") + col("l_linenumber"),
+            lit(rsaAlphabet.length)) + 1).cast("int"), lit(1)).as("AA"),
+        col("l_quantity").cast("double").as("ACC"))
+      val withAll = StructureFilters.addRsa(
+        StructureFilters.addRsa(
+          StructureFilters.addRsa(syn, "Wilke"),
+          "Miller", as = "RSA_MILLER"),
+        "Sander", as = "RSA_SANDER")
+      StructureFilters.addRsaClass(withAll)
+        .select("l_orderkey", "l_linenumber", "AA", "ACC",
+          "RSA", "RSA_MILLER", "RSA_SANDER", "RSA_CLASS")
+    }),
     // ---- B. aggregation -------------------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
       Aggregations.pricingSummary(T(s, d, "lineitem").filter(expr(q1Filter)))),
@@ -1368,6 +1396,26 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |l_quantity / (CASE l_returnflag WHEN 'A' THEN CAST(17.0 AS DOUBLE) WHEN 'N' THEN CAST(23.5 AS DOUBLE) WHEN 'R' THEN CAST(31.0 AS DOUBLE) END) * CAST(100.0 AS DOUBLE) AS qty_rsa
         |FROM lineitem""".stripMargin,
+    "q_rsa_methods" -> {
+      // CASE chains generated from the SAME Library constant maps the
+      // operator compiles into its when-chains — the shipped ASA
+      // values are exactly what the hash compare certifies
+      def rsaCase(m: Map[String, Double], as: String): String =
+        "CASE AA " + sources.Library.aaCodes1to3Extended.toSeq.sortBy(_._1)
+          .flatMap { case (one, three) => m.get(three).map(one -> _) }
+          .map { case (l, v) =>
+            s"WHEN '$l' THEN ROUND(ACC / CAST($v AS DOUBLE) * 100, 3)" }
+          .mkString(" ") + s" ELSE NULL END AS $as"
+      s"""SELECT l_orderkey, l_linenumber, AA, ACC, RSA, RSA_MILLER, RSA_SANDER,
+         |CASE WHEN RSA IS NULL THEN '-' WHEN RSA >= 25.0 THEN 'Surface' WHEN RSA >= 5.0 THEN 'Part. Exposed' ELSE 'Core' END AS RSA_CLASS
+         |FROM (SELECT l_orderkey, l_linenumber, AA, ACC,
+         |${rsaCase(sources.Library.asaWilke, "RSA")},
+         |${rsaCase(sources.Library.asaMiller, "RSA_MILLER")},
+         |${rsaCase(sources.Library.asaSander, "RSA_SANDER")}
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |substring('$rsaAlphabet', CAST((l_orderkey + l_linenumber) % ${rsaAlphabet.length} AS INT) + 1, 1) AS AA,
+         |CAST(l_quantity AS DOUBLE) AS ACC FROM lineitem))""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

@@ -38,10 +38,64 @@ object Library {
     "LINE" -> IntegerType, "ACC" -> DoubleType,
     "PHI" -> DoubleType, "PSI" -> DoubleType)
 
-  /** Reduced secondary-structure recode (dssp.py:215): DSSP 8-state →
-    * helix/strand/coil, for RowOps.recodeByMap. */
+  /** Reduced secondary-structure recode (dssp.py:215
+    * _add_dssp_ss_reduced), for RowOps.recodeByMap. The reference
+    * keeps ONLY 'H' as helix and 'E' as strand; G/I (3-10 and pi
+    * helices) and B (beta bridge) land in the coil class with
+    * C/T/S/blank, and anything outside the DSSP alphabet maps to
+    * '-' (the default). */
   val reducedSsMap: Map[String, String] = Map(
-    "H" -> "H", "G" -> "H", "I" -> "H", // helices
-    "E" -> "E", "B" -> "E") // strands; everything else → coil default
-  val reducedSsDefault = "C"
+    "H" -> "H", // alpha helix only
+    "E" -> "E", // extended strand only
+    "G" -> "C", "I" -> "C", "B" -> "C", "C" -> "C", "T" -> "C",
+    "S" -> "C", "" -> "C", " " -> "C")
+  val reducedSsDefault = "-"
+
+  /** One-letter → three-letter amino-acid codes including the
+    * extended/ambiguity letters (library.py:208
+    * aa_codes_1to3_extended) — the lookup `get_rsa` routes a DSSP
+    * single-letter AA through before indexing the ASA tables. */
+  val aaCodes1to3Extended: Map[String, String] = Map(
+    "A" -> "ALA", "C" -> "CYS", "D" -> "ASP", "E" -> "GLU", "F" -> "PHE",
+    "G" -> "GLY", "H" -> "HIS", "K" -> "LYS", "I" -> "ILE", "L" -> "LEU",
+    "M" -> "MET", "N" -> "ASN", "P" -> "PRO", "Q" -> "GLN", "R" -> "ARG",
+    "S" -> "SER", "T" -> "THR", "V" -> "VAL", "Y" -> "TYR", "W" -> "TRP",
+    "X" -> "LNT", "B" -> "ASX", "Z" -> "GLX", "J" -> "XLE", "U" -> "SEC",
+    "O" -> "PYL", "-" -> "---")
+
+  /** Maximum accessible-surface-area reference tables (library.py:249
+    * ASA_Miller, :257 ASA_Wilke, :265 ASA_Sander — values published in
+    * Miller et al. 1987, Tien et al. 2013, Sander & Rost 1994). Keyed
+    * by three-letter residue code; divide a DSSP ACC by the residue's
+    * entry (×100) for RSA. */
+  val asaMiller: Map[String, Double] = Map(
+    "ALA" -> 113.0, "ARG" -> 241.0, "ASN" -> 158.0, "ASP" -> 151.0,
+    "CYS" -> 140.0, "GLN" -> 189.0, "GLU" -> 183.0, "GLY" -> 85.0,
+    "HIS" -> 194.0, "ILE" -> 182.0, "LEU" -> 180.0, "LYS" -> 211.0,
+    "MET" -> 204.0, "PHE" -> 218.0, "PRO" -> 143.0, "SER" -> 122.0,
+    "THR" -> 146.0, "TRP" -> 259.0, "TYR" -> 229.0, "VAL" -> 160.0)
+
+  val asaWilke: Map[String, Double] = Map(
+    "ALA" -> 129.0, "ARG" -> 274.0, "ASN" -> 195.0, "ASP" -> 193.0,
+    "CYS" -> 167.0, "GLN" -> 225.0, "GLU" -> 223.0, "GLY" -> 104.0,
+    "HIS" -> 224.0, "ILE" -> 197.0, "LEU" -> 201.0, "LYS" -> 236.0,
+    "MET" -> 224.0, "PHE" -> 240.0, "PRO" -> 159.0, "SER" -> 155.0,
+    "THR" -> 172.0, "TRP" -> 285.0, "TYR" -> 263.0, "VAL" -> 174.0)
+
+  val asaSander: Map[String, Double] = Map(
+    "ALA" -> 106.0, "ARG" -> 248.0, "ASN" -> 157.0, "ASP" -> 163.0,
+    "CYS" -> 135.0, "GLN" -> 198.0, "GLU" -> 194.0, "GLY" -> 84.0,
+    "HIS" -> 184.0, "ILE" -> 169.0, "LEU" -> 164.0, "LYS" -> 205.0,
+    "MET" -> 188.0, "PHE" -> 197.0, "PRO" -> 136.0, "SER" -> 130.0,
+    "THR" -> 142.0, "TRP" -> 227.0, "TYR" -> 222.0, "VAL" -> 142.0)
+
+  /** ASA table dispatch by method name, raising on an unknown method
+    * exactly like `get_rsa` (dssp.py:277). */
+  def asaTable(method: String): Map[String, Double] = method match {
+    case "Miller" => asaMiller
+    case "Wilke" => asaWilke
+    case "Sander" => asaSander
+    case other => throw new IllegalArgumentException(
+      s"Method $other is not implemented...")
+  }
 }

@@ -121,9 +121,13 @@ class FormatsSpec extends SparkSpec {
       atoms.filter(col("atom").isin(Library.backboneAtoms: _*)),
       Seq("res"), col("n_members") >= Library.backboneAtoms.size)
     assert(complete.select("res").as[Int].collect().toSeq == Seq(1))
-    val ss = RowOps.recodeByMap(Seq("G", "B", "S").toDF("SS"), "SS", "r",
+    // dssp.py:215: only H/E keep their class; G/I/B join the coils,
+    // anything outside the DSSP alphabet falls to '-'
+    val ss = RowOps.recodeByMap(
+      Seq("H", "E", "G", "B", "S", "?").toDF("SS"), "SS", "r",
       Library.reducedSsMap, Library.reducedSsDefault)
-    assert(ss.select("r").as[String].collect().toSeq == Seq("H", "E", "C"))
+    assert(ss.select("r").as[String].collect().toSeq ==
+      Seq("H", "E", "C", "C", "C", "-"))
   }
 
   test("attributeLines renders the defattr shape") {
