@@ -63,6 +63,7 @@ object Cli {
       .master(opts.getOrElse("master", "local[*]"))
       .appName("graft-cli")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     try {
       val dssp = opts.get("dssp").map(p =>

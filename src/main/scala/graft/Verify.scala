@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) — read as long nanos,
       // normalized to micros in sources.Tables.normalizeNanoTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // bucketed-table queries saveAsTable into the warehouse — keep
       // managed-table data out of the repo working tree
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

@@ -17,19 +17,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeNanoTs(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** Parquet TIMESTAMP(NANOS) columns arrive as LongType nanos when
-    * `spark.sql.legacy.parquet.nanosAsLong` is set (Spark has no
-    * native nanos type). Normalize to a microsecond TimestampType —
-    * `ns div 1000` floor-truncation, the same conversion DuckDB
-    * applies reading the same file, so oracle comparisons agree. */
+  /** Normalize the event-time column `ts` to a plain (UTC-instant)
+    * microsecond TimestampType regardless of how the parquet writer
+    * annotated it. Two historical shapes of the driver testdata:
+    *
+    *  - TIMESTAMP(NANOS): arrives as LongType nanos when
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set (Spark has no
+    *    native nanos type). `ns div 1000` floor-truncation — the same
+    *    conversion DuckDB applies reading the same file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which `unix_micros` / watermarks reject. Under
+    *    a UTC session the NTZ→TIMESTAMP cast is value-preserving and
+    *    matches DuckDB's read of the same column.
+    *
+    * Sessions we own also set
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` so inference
+    * never produces NTZ in the first place; this cast is the
+    * defense for externally-built sessions. */
   def normalizeNanoTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.schema.fields.filter(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .foldLeft(df) { (d, f) =>
-        d.withColumn(f.name,
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.name == "ts").foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType => d.withColumn(f.name,
           timestamp_micros(call_function("div", col(f.name), lit(1000L))))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
       }
+    }
   }
 
   /** Typed loaders — `Dataset[T]` with case-class encoders for
