@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.TableGenerator
-import graft.sources.StructureFormats
+import graft.operators.{Annotations, TableGenerator, TableMerger, Variants}
+import graft.sources.{StructureFormats, TextSources, Validation, Xml}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,13 @@ object Cli {
     """usage: graft.Cli --atoms <pdb-file-or-dir> --output <dir>
       |  [--input-format FMT]          pdb|mmcif atom records (default pdb)
       |  [--dssp <dssp-file-or-dir>]   merge DSSP per-residue records
+      |  [--sifts <sifts-xml>]         merge SIFTS cross-references (wide)
+      |  [--validation <validation-xml>] merge validation per-residue records
+      |  [--annotations <gff-file>]    merge aggregated UniProt GFF features
+      |                                (requires --sifts)
+      |  [--variants <json-file>]      merge variant records with accession +
+      |                                begin columns (requires --sifts)
+      |  [--uniprot ACC]               accession stamped onto --annotations
       |  [--chains A,B]                keep only these chain ids
       |  [--res 1,2,3]                 keep only these residue numbers
       |  [--atom-names CA,N]           keep only these atom names
@@ -77,8 +84,17 @@ object Cli {
         case other => throw new IllegalArgumentException(
           s"unknown --input-format '$other' (pdb|mmcif)\n$usage")
       }
-      val merged = TableGenerator.generate(
-        atoms,
+      // the reference CLI's remaining merge legs (main.py:26-32:
+      // --add_annotations/--add_validation/--add_variants), in
+      // table_merger's fixed ordering (mergers.py:403): validation
+      // attaches to the atom side, annotations/variants attach to
+      // SIFTS, then atoms ⋈ SIFTS stitches the halves
+      val needResFull =
+        opts.contains("sifts") || opts.contains("validation")
+      val atomsIn =
+        if (needResFull) StructureFormats.addResFull(atoms) else atoms
+      var merged = TableGenerator.generate(
+        atomsIn,
         dssp = dssp,
         chains = csv("chains"),
         res = csv("res").map(_.trim.toInt),
@@ -86,6 +102,36 @@ object Cli {
         removeAltlocs = !opts.contains("keep-altlocs"),
         dropPartialResidues = !opts.contains("keep-partial"),
         sequenceCheck = opts.getOrElse("sequence-check", "ignore"))
+      for (p <- opts.get("validation"))
+        merged = TableMerger.mmcifValidationMerger(merged,
+          Validation.filterValidation(
+            Validation.validationResidues(spark, p)))
+      val siftsSide = opts.get("sifts").map { p =>
+        var s = Xml.siftsResiduesWide(Xml.siftsResidues(spark, p))
+        for (g <- opts.get("annotations"))
+          s = TableMerger.siftsAnnotationMerger(s,
+            Annotations.annotationAggregation(
+              TextSources.gff(spark, g, withLineId = true).select(
+                col("line_id"), col("type").as("TYPE"),
+                col("start").as("START"), col("end").as("END"),
+                col("attr_map").getItem("Note").as("Note"),
+                col("attr_map").getItem("ID").as("ID")),
+              identifier = opts.get("uniprot")))
+        for (v <- opts.get("variants")) {
+          var vt = spark.read.json(v)
+          if (vt.columns.contains("annotation"))
+            vt = Variants.parseUniprotVariants(vt)
+          s = TableMerger.siftsVariantsMerger(s, vt)
+        }
+        s
+      }
+      if (siftsSide.isEmpty &&
+        (opts.contains("annotations") || opts.contains("variants")))
+        throw new IllegalArgumentException(
+          s"--annotations/--variants merge through SIFTS; add --sifts\n$usage")
+      for (s <- siftsSide)
+        merged = TableMerger.mmcifSiftsMerger(merged, s)
+      merged = TableMerger.pandasSuffixDuplicates(merged)
       val out = opts("output")
       opts.getOrElse("output-type", "csv") match {
         case "csv" => merged.write.mode("overwrite")

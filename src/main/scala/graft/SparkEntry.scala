@@ -112,6 +112,109 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "AA", "ACC",
           "RSA", "RSA_MILLER", "RSA_SANDER", "RSA_CLASS")
     }),
+    // UniProt-GFF annotation aggregation (annotation.py:67): range
+    // features synthesized from orders → per-residue expansion via
+    // explode(sequence) → file-order label concat; the oracle replays
+    // with unnest(generate_series) + ordered string_agg
+    "q_annotation_agg" -> ((s, d) => {
+      val feats = T(s, d, "orders").select(
+        col("o_orderkey").as("line_id"),
+        element_at(
+          array(lit("Domain"), lit("Active site"), lit("Helix"),
+            lit("Site"), lit("Chain"), lit("Region")),
+          (pmod(col("o_orderkey"), lit(6)) + 1).cast("int")).as("TYPE"),
+        (pmod(col("o_orderkey"), lit(97)) + 1).as("START"),
+        (pmod(col("o_orderkey"), lit(97)) + 1 +
+          pmod(col("o_orderkey"), lit(4))).as("END"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
+          .otherwise(concat(lit("note"), pmod(col("o_orderkey"), lit(7))))
+          .cast("string").as("Note"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          concat(lit("PRO_"), col("o_orderkey"))).cast("string").as("ID"))
+      Annotations.annotationAggregation(feats, identifier = Some("P12345"))
+    }),
+    // wide SIFTS pivot (sifts.py:141 parse_sifts_residues' frame
+    // shape): long residue×crossRef rows → one row per residue with
+    // {source}_{field} columns, region fills included; the long side
+    // is synthesized from nation so the oracle can replay the pivot
+    "q_sifts_wide" -> ((s, d) => {
+      import s.implicits._
+      val resnums = Seq(1, 2, 3, 4, 5, 6).toDF("resnum")
+        .select(col("resnum").cast("int").as("resnum"))
+      val base = T(s, d, "nation")
+        .select(col("n_name").as("entityId"), col("n_nationkey").as("nk"))
+        .crossJoin(resnums) // 25 × 6 synthesis rows — bounded dim
+      def nullStr = lit(null).cast("string")
+      def nullLong = lit(null).cast("long")
+      val pdb = base.select(col("entityId"), col("nk"), col("resnum"),
+        lit("PDB").as("dbSource"), lit("2pah").as("dbAccessionId"),
+        (col("resnum") + 100).cast("string").as("dbResNum"),
+        lit("VAL").as("dbResName"),
+        substring(col("entityId"), 1, 1).as("dbChainId"),
+        nullLong.as("regionId"), nullLong.as("regionStart"),
+        nullLong.as("regionEnd"), nullLong.as("regionResNum"))
+      val uni = base.select(col("entityId"), col("nk"), col("resnum"),
+        lit("UniProt").as("dbSource"),
+        concat(lit("AC"), col("nk")).as("dbAccessionId"),
+        (col("resnum") + 17).cast("string").as("dbResNum"),
+        lit("V").as("dbResName"), nullStr.as("dbChainId"),
+        lit(1L).as("regionId"), lit(1L).as("regionStart"),
+        lit(200L).as("regionEnd"),
+        col("resnum").cast("long").as("regionResNum"))
+      val cath = base.filter(col("resnum") <= 3)
+        .select(col("entityId"), col("nk"), col("resnum"),
+          lit("CATH").as("dbSource"),
+          concat(lit("1.10.800."), col("nk")).as("dbAccessionId"),
+          nullStr.as("dbResNum"), nullStr.as("dbResName"),
+          nullStr.as("dbChainId"),
+          nullLong.as("regionId"), nullLong.as("regionStart"),
+          nullLong.as("regionEnd"), nullLong.as("regionResNum"))
+      sources.Xml.siftsResiduesWide(
+        pdb.unionByName(uni).unionByName(cath).drop("nk"),
+        Seq("PDB", "UniProt", "CATH"))
+    }),
+    // table_merger (mergers.py:403): the full six-table merge chain —
+    // dssp+validation onto atoms, annotation+variants onto SIFTS,
+    // then atoms ⋈ SIFTS; tables synthesized per-residue so the
+    // oracle replays every join; the duplicate `accession` column
+    // (annotation + variants both carry it) is disambiguated
+    // positionally to pandas' _x/_y suffixes
+    "q_table_merger" -> ((s, d) => {
+      import s.implicits._
+      val chains = Seq("A", "B").toDF("ch")
+      val res = s.range(1, 41).select(col("id").cast("int").as("rn"))
+      val keys = chains.crossJoin(res)
+      val mmcif = keys.select(
+        col("ch").as("auth_asym_id"), col("rn").as("auth_seq_id"),
+        col("rn").cast("string").as("auth_seq_id_full"),
+        concat(lit("atom_"), col("ch"), lit("_"), col("rn")).as("atom_tag"))
+      val dssp = keys.filter(col("rn") <= 30).select(
+        col("rn").cast("string").as("RES_FULL"),
+        col("ch").as("CHAIN_FULL"),
+        element_at(array(lit("H"), lit("E"), lit("-")),
+          (pmod(col("rn"), lit(3)) + 1).cast("int")).as("SS"))
+      val validation = keys.filter(pmod(col("rn"), lit(2)) === 0).select(
+        col("rn").cast("string").as("validation_resnum_full"),
+        col("ch").as("validation_chain"),
+        (col("rn").cast("double") / lit(40.0)).as("validation_rsr"))
+      val sifts = keys.select(
+        col("rn").cast("string").as("PDB_dbResNum"),
+        col("ch").as("PDB_dbChainId"),
+        lit("P00439").as("UniProt_dbAccessionId"),
+        (col("rn") + 17).cast("string").as("UniProt_dbResNum"))
+      val annotation = res.filter(pmod(col("rn"), lit(3)) === 0).select(
+        lit("P00439").as("accession"),
+        (col("rn") + 17).cast("string").as("site"),
+        concat(lit("Domain (PRO_"), col("rn"), lit(")")).as("annotation"))
+      val variants = res.filter(pmod(col("rn"), lit(4)) === 0).select(
+        lit("P00439").as("accession"),
+        (col("rn") + 17).as("begin"), // numeric: the merger casts it
+        concat(lit("VAR_"), col("rn")).as("variant_id"))
+      TableMerger.pandasSuffixDuplicates(TableMerger.tableMerger(
+        mmcif = Some(mmcif), dssp = Some(dssp), sifts = Some(sifts),
+        validation = Some(validation), annotation = Some(annotation),
+        variants = Some(variants)))
+    }),
     // ---- B. aggregation -------------------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
       Aggregations.pricingSummary(T(s, d, "lineitem").filter(expr(q1Filter)))),
@@ -1396,6 +1499,102 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |l_quantity / (CASE l_returnflag WHEN 'A' THEN CAST(17.0 AS DOUBLE) WHEN 'N' THEN CAST(23.5 AS DOUBLE) WHEN 'R' THEN CAST(31.0 AS DOUBLE) END) * CAST(100.0 AS DOUBLE) AS qty_rsa
         |FROM lineitem""".stripMargin,
+    "q_annotation_agg" ->
+      """WITH feats AS (
+        |SELECT o_orderkey AS line_id,
+        |['Domain','Active site','Helix','Site','Chain','Region'][(o_orderkey % 6) + 1] AS t,
+        |o_orderkey % 97 + 1 AS s, o_orderkey % 97 + 1 + o_orderkey % 4 AS e,
+        |CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |ELSE 'note' || CAST(o_orderkey % 7 AS VARCHAR) END AS note,
+        |CASE WHEN o_orderkey % 5 = 0
+        |THEN 'PRO_' || CAST(o_orderkey AS VARCHAR) END AS id
+        |FROM orders),
+        |lab AS (
+        |SELECT line_id, s, e,
+        |CASE WHEN id IS NULL AND note IS NULL THEN t
+        |WHEN id IS NULL THEN t || ': ' || note
+        |WHEN note IS NULL THEN t || ' (' || id || ')'
+        |ELSE t || ': ' || note || ' (' || id || ')' END AS annotation
+        |FROM feats WHERE t NOT IN ('Helix','Beta strand','Turn','Chain')),
+        |expl AS (
+        |SELECT line_id, annotation, unnest(generate_series(s, e)) AS idx
+        |FROM lab)
+        |SELECT string_agg(annotation, ', ' ORDER BY line_id) AS annotation,
+        |CAST(idx AS VARCHAR) AS site, 'P12345' AS accession
+        |FROM expl GROUP BY idx""".stripMargin,
+    "q_sifts_wide" ->
+      """WITH base AS (
+        |SELECT n_name AS entity, n_nationkey AS nk, resnum
+        |FROM nation, (SELECT unnest(generate_series(1, 6)) AS resnum))
+        |SELECT
+        |'2pah' AS "PDB_dbAccessionId",
+        |CAST(resnum + 100 AS VARCHAR) AS "PDB_dbResNum",
+        |'VAL' AS "PDB_dbResName",
+        |substr(entity, 1, 1) AS "PDB_dbChainId",
+        |'-' AS "PDB_regionId",
+        |CAST(0 AS BIGINT) AS "PDB_regionStart",
+        |CAST(0 AS BIGINT) AS "PDB_regionEnd",
+        |CAST(NULL AS BIGINT) AS "PDB_regionResNum",
+        |'AC' || CAST(nk AS VARCHAR) AS "UniProt_dbAccessionId",
+        |CAST(resnum + 17 AS VARCHAR) AS "UniProt_dbResNum",
+        |'V' AS "UniProt_dbResName",
+        |CAST(NULL AS VARCHAR) AS "UniProt_dbChainId",
+        |'1' AS "UniProt_regionId",
+        |CAST(1 AS BIGINT) AS "UniProt_regionStart",
+        |CAST(200 AS BIGINT) AS "UniProt_regionEnd",
+        |CAST(resnum AS BIGINT) AS "UniProt_regionResNum",
+        |CASE WHEN resnum <= 3
+        |THEN '1.10.800.' || CAST(nk AS VARCHAR) END AS "CATH_dbAccessionId",
+        |'-' AS "CATH_regionId",
+        |CAST(0 AS BIGINT) AS "CATH_regionStart",
+        |CAST(0 AS BIGINT) AS "CATH_regionEnd",
+        |CAST(NULL AS BIGINT) AS "CATH_regionResNum",
+        |'Observed' AS "PDB_Annotation",
+        |entity AS "PDB_entityId"
+        |FROM base""".stripMargin,
+    "q_table_merger" ->
+      """WITH chains AS (SELECT * FROM (VALUES ('A'), ('B')) c(ch)),
+        |res AS (SELECT CAST(r AS INT) AS rn FROM range(1, 41) t(r)),
+        |ks AS (SELECT ch, rn FROM chains CROSS JOIN res),
+        |mmcif AS (SELECT ch AS auth_asym_id, rn AS auth_seq_id,
+        |CAST(rn AS VARCHAR) AS auth_seq_id_full,
+        |'atom_' || ch || '_' || CAST(rn AS VARCHAR) AS atom_tag FROM ks),
+        |dssp AS (SELECT CAST(rn AS VARCHAR) AS "RES_FULL",
+        |ch AS "CHAIN_FULL", ['H','E','-'][(rn % 3) + 1] AS "SS"
+        |FROM ks WHERE rn <= 30),
+        |vald AS (SELECT CAST(rn AS VARCHAR) AS validation_resnum_full,
+        |ch AS validation_chain, CAST(rn AS DOUBLE) / 40.0 AS validation_rsr
+        |FROM ks WHERE rn % 2 = 0),
+        |sifts AS (SELECT CAST(rn AS VARCHAR) AS "PDB_dbResNum",
+        |ch AS "PDB_dbChainId", 'P00439' AS "UniProt_dbAccessionId",
+        |CAST(rn + 17 AS VARCHAR) AS "UniProt_dbResNum" FROM ks),
+        |ann AS (SELECT 'P00439' AS accession,
+        |CAST(rn + 17 AS VARCHAR) AS site,
+        |'Domain (PRO_' || CAST(rn AS VARCHAR) || ')' AS annotation
+        |FROM res WHERE rn % 3 = 0),
+        |vars AS (SELECT 'P00439' AS accession, rn + 17 AS beg,
+        |'VAR_' || CAST(rn AS VARCHAR) AS variant_id
+        |FROM res WHERE rn % 4 = 0),
+        |sifts2 AS (SELECT s.*, a.accession AS accession_x, a.site,
+        |a.annotation FROM sifts s LEFT JOIN ann a
+        |ON s."UniProt_dbAccessionId" = a.accession
+        |AND s."UniProt_dbResNum" = a.site),
+        |sifts3 AS (SELECT s.*, v.accession AS accession_y,
+        |CAST(v.beg AS VARCHAR) AS "begin", v.variant_id
+        |FROM sifts2 s LEFT JOIN vars v
+        |ON s."UniProt_dbAccessionId" = v.accession
+        |AND s."UniProt_dbResNum" = CAST(v.beg AS VARCHAR)),
+        |mm2 AS (SELECT m.*, d."RES_FULL", d."CHAIN_FULL", d."SS"
+        |FROM mmcif m LEFT JOIN dssp d
+        |ON m.auth_seq_id_full = d."RES_FULL"
+        |AND m.auth_asym_id = d."CHAIN_FULL"),
+        |mm3 AS (SELECT m.*, v.validation_resnum_full, v.validation_chain,
+        |v.validation_rsr FROM mm2 m LEFT JOIN vald v
+        |ON m.auth_seq_id_full = v.validation_resnum_full
+        |AND m.auth_asym_id = v.validation_chain)
+        |SELECT m.*, s.* FROM mm3 m LEFT JOIN sifts3 s
+        |ON m.auth_seq_id_full = s."PDB_dbResNum"
+        |AND m.auth_asym_id = s."PDB_dbChainId"""".stripMargin,
     "q_rsa_methods" -> {
       // CASE chains generated from the SAME Library constant maps the
       // operator compiles into its when-chains — the shipped ASA

@@ -106,6 +106,35 @@ object RowOps {
     df.withColumn(as, col(valueCol) / lookup * scale)
   }
 
+  /** merge_tables' `drop_empty_cols` knob (mergers.py:385-400): drop
+    * every column whose non-null values collapse to ONE distinct
+    * value — unless that value is the '?' sentinel, which the
+    * reference keeps — returning the dropped constants alongside
+    * (the reference stashes them as frame attributes). The decision
+    * is ONE aggregation row (countDistinct + first per column), so
+    * the eager step is a bounded single-row collect; complex-typed
+    * columns are skipped like the reference's TypeError guard on
+    * list-likes. */
+  def dropConstantColumns(df: DataFrame): (DataFrame, Map[String, Any]) = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val simple = df.schema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType]).map(_.name)
+    if (simple.isEmpty) return (df, Map.empty)
+    val aggs = simple.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"__n_$c"),
+        first(col(c), ignoreNulls = true).as(s"__v_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+    val dropped = simple.zipWithIndex.flatMap { case (c, i) =>
+      val n = row.getLong(i * 2)
+      val v = row.get(i * 2 + 1)
+      if (n == 1 && v != "?") Some(c -> v) else None
+    }.toMap
+    (df.drop(dropped.keys.toSeq: _*), dropped)
+  }
+
   /** Diff two snapshots of a keyed table — the dataset-versioning
     * primitive (what changed between corpus v1 and v2?). One full
     * outer join on the key; payload comparison is null-safe (`<=>`)

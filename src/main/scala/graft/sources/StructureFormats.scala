@@ -159,6 +159,27 @@ object StructureFormats {
       .withColumn("auth_seq_id", col("auth_seq_id").cast("int"))
   }
 
+  /** Derive the `*_seq_id_full` merge keys — seq_id concatenated with
+    * the insertion code, '?' sentinel stripped (blank ins codes from
+    * PDB fixed-width parsing contribute nothing). Adds both label and
+    * auth variants when their seq_id is present, as the reference
+    * does. A codegen'd concat; Catalyst prunes the inputs if only the
+    * key survives. reference: proteofav/structures.py:320
+    * (_add_mmcif_res_full). */
+  def addResFull(df: DataFrame): DataFrame = {
+    def full(seq: String) = concat(col(seq).cast("string"),
+      regexp_replace(coalesce(col("pdbx_PDB_ins_code"), lit("")),
+        "\\?", ""))
+    var out = df
+    if (df.columns.contains("pdbx_PDB_ins_code")) {
+      if (df.columns.contains("label_seq_id"))
+        out = out.withColumn("label_seq_id_full", full("label_seq_id"))
+      if (df.columns.contains("auth_seq_id"))
+        out = out.withColumn("auth_seq_id_full", full("auth_seq_id"))
+    }
+    out
+  }
+
   // ---- record cleanup passes (structures.py:178-258, 340-364) ----
   // PDB-parsed records carry blanks where mmCIF expects sentinel
   // characters; all four fixes are pure column expressions so they

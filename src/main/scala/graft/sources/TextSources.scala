@@ -61,13 +61,31 @@ object TextSources {
 
   /** GFF-style reader: 9 tab-separated columns, `#` comment lines
     * dropped, attribute column exploded into a map.
+    * `withLineId` adds a `line_id` file-position column — the order
+    * key [[graft.operators.Annotations.annotationAggregation]] needs
+    * to reproduce the reference's file-order feature concatenation.
+    * It costs a zipWithIndex pass (see [[fixedWidth]]'s note); a
+    * single protein's GFF annotation file is metadata-sized, so the
+    * extra job is bounded.
     * reference: proteofav/annotation.py:35 (parse_gff_features). */
-  def gff(spark: SparkSession, path: String): DataFrame = {
+  def gff(spark: SparkSession, path: String,
+          withLineId: Boolean = false): DataFrame = {
     val names = Seq("seqid", "source", "type", "start", "end",
       "score", "strand", "phase", "attributes")
-    val df = spark.read.text(path).filter(!col("value").startsWith("#"))
+    var df = spark.read.text(path)
+    if (withLineId) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StringType => Str,
+        StructField, StructType}
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getString(0), i) }
+      df = spark.createDataFrame(rdd, StructType(Seq(
+        StructField("value", Str), StructField("line_id", LongType))))
+    }
+    val kept = df.filter(!col("value").startsWith("#"))
     val toks = split(col("value"), "\t")
-    df.select(names.zipWithIndex.map { case (n, i) =>
+    val idCols = if (withLineId) Seq(col("line_id")) else Nil
+    kept.select(idCols ++ names.zipWithIndex.map { case (n, i) =>
       toks.getItem(i).as(n)
     }: _*)
       .withColumn("start", col("start").cast("long"))

@@ -209,6 +209,61 @@ object Xml {
     res
   }
 
+  /** Pivot the long-form [[siftsResidues]] output into the
+    * reference's wide per-residue shape — one row per (entity,
+    * residue) with `{dbSource}_{field}` columns — the frame
+    * `parse_sifts_residues` (sifts.py:141-310) builds directly and
+    * the one the mergers and `filter_sifts` key on (`PDB_dbResNum`,
+    * `PDB_dbChainId`, `UniProt_dbAccessionId`, `UniProt_dbResNum`,
+    * `PDB_entityId`).
+    *
+    * One hash aggregation on (entityId, resnum) — conditional
+    * `max(when(dbSource = s, col))` per pivoted column, so the plan
+    * stays a single shuffle regardless of how many sources pivot.
+    * Faithful details: only PDB/UniProt carry dbResNum / dbResName /
+    * dbChainId wide columns (other sources' were already nulled in
+    * the long form, sifts.py:259-263); region columns take the
+    * reference's post-parse fills (`_regionId` → "-",
+    * `_regionStart/_regionEnd` → 0, sifts.py:335-339);
+    * `PDB_entityId` is the entity id (sifts.py:325-326) and
+    * `PDB_Annotation` is "Observed" (sifts.py:322-323 — the
+    * residueDetail Annotation path only fires for unobserved-residue
+    * details, which the crossRefDb walk does not surface). One
+    * deviation, documented: a source appearing twice on one residue
+    * (two CATH domains) list-accumulates in the reference; here the
+    * lexicographic max wins — scalar columns, deterministic.
+    */
+  def siftsResiduesWide(long: DataFrame,
+                        sources: Seq[String] = Seq("PDB", "UniProt"))
+  : DataFrame = {
+    val hasRegions = long.columns.contains("regionId")
+    def pick(src: String, c: String) =
+      max(when(col("dbSource") === src, col(c)))
+    val perSource = sources.flatMap { s =>
+      val core =
+        if (s == "PDB" || s == "UniProt")
+          Seq(pick(s, "dbAccessionId").as(s"${s}_dbAccessionId"),
+            pick(s, "dbResNum").as(s"${s}_dbResNum"),
+            pick(s, "dbResName").as(s"${s}_dbResName"),
+            pick(s, "dbChainId").as(s"${s}_dbChainId"))
+        else Seq(pick(s, "dbAccessionId").as(s"${s}_dbAccessionId"))
+      val regions =
+        if (hasRegions)
+          Seq(coalesce(pick(s, "regionId").cast("string"), lit("-"))
+            .as(s"${s}_regionId"),
+            coalesce(pick(s, "regionStart"), lit(0L)).as(s"${s}_regionStart"),
+            coalesce(pick(s, "regionEnd"), lit(0L)).as(s"${s}_regionEnd"),
+            pick(s, "regionResNum").as(s"${s}_regionResNum"))
+        else Nil
+      core ++ regions
+    }
+    long.groupBy(col("entityId"), col("resnum"))
+      .agg(perSource.head, perSource.tail: _*)
+      .withColumn("PDB_Annotation", lit("Observed"))
+      .withColumn("PDB_entityId", col("entityId"))
+      .drop("entityId", "resnum")
+  }
+
   /** Explode every array-of-struct column (nested repeated elements)
     * into one row per leaf element — parent attributes replicate onto
     * each row — then flatten remaining structs to `parent_child`

@@ -67,6 +67,59 @@ class CliSpec extends SparkSpec {
       == Seq(1))
   }
 
+  test("cli: sifts + validation + annotations + variants merge legs") {
+    val pdb = writePdb()
+    val dir = Files.createTempDirectory("graft_cli_legs")
+    def write(name: String, content: String): String = {
+      Files.writeString(dir.resolve(name), content); dir.resolve(name).toString
+    }
+    // chain A residue 1 cross-referenced to UniProt P00439 position 18
+    val sifts = write("s.xml",
+      "<entry><entity type=\"protein\" entityId=\"A\">" +
+      "<segment segId=\"s_A\" start=\"1\" end=\"1\"><listResidue>" +
+      "<residue dbSource=\"PDBe\" dbCoordSys=\"PDBe\" dbResNum=\"1\" dbResName=\"ALA\">" +
+      "<crossRefDb dbSource=\"PDB\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"2pah\" dbResNum=\"1\" dbResName=\"ALA\" dbChainId=\"A\"/>" +
+      "<crossRefDb dbSource=\"UniProt\" dbCoordSys=\"UniProt\" dbAccessionId=\"P00439\" dbResNum=\"18\" dbResName=\"A\"/>" +
+      "</residue></listResidue></segment></entity></entry>")
+    val validation = write("v.xml",
+      "<wwPDB-validation-information>" +
+      "<ModelledSubgroup model=\"1\" chain=\"A\" resnum=\"1\" " +
+      "resname=\"ALA\" icode=\" \" rsr=\"0.30\"/>" +
+      "</wwPDB-validation-information>")
+    val gff = write("a.gff",
+      "##gff-version 3\n" +
+      "P00439\tUniProtKB\tDomain\t10\t20\t.\t.\t.\tID=PRO_1;Note=ACT\t\n")
+    val variants = write("vars.json",
+      "{\"accession\":\"P00439\",\"begin\":18,\"variant_id\":\"VAR_001\"}")
+    val out = Files.createTempDirectory("graft_cli_legs_out").toString + "/pq"
+    Cli.main(Array("--atoms", pdb, "--output", out,
+      "--output-type", "parquet", "--sifts", sifts,
+      "--validation", validation, "--annotations", gff,
+      "--variants", variants, "--uniprot", "P00439"))
+    val back = spark.read.parquet(out)
+    val a = back.filter(col("auth_asym_id") === "A")
+    assert(a.count() == 4) // four chain-A atoms, all legs left-joined on
+    val row = a.select("validation_rsr", "UniProt_dbResNum", "annotation",
+      "variant_id", "accession_x", "accession_y").distinct().collect()
+    assert(row.length == 1)
+    assert(row.head.getDouble(0) == 0.30)
+    assert(row.head.getString(1) == "18")
+    assert(row.head.getString(2) == "Domain: ACT (PRO_1)")
+    assert(row.head.getString(3) == "VAR_001")
+    assert(row.head.getString(4) == "P00439" &&
+      row.head.getString(5) == "P00439")
+    // chain B atoms survive with null SIFTS legs
+    assert(back.filter(col("auth_asym_id") === "B")
+      .select("UniProt_dbResNum").distinct().collect().head.isNullAt(0))
+  }
+
+  test("cli: --annotations without --sifts is rejected") {
+    val e = intercept[IllegalArgumentException](Cli.main(Array(
+      "--atoms", writePdb(), "--output", "/tmp/graft_cli_bad2",
+      "--annotations", "whatever.gff")))
+    assert(e.getMessage.contains("--sifts"))
+  }
+
   test("cli: rejects missing required args and bad output type") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--atoms", "x")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--output")))

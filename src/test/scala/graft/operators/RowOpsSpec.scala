@@ -109,6 +109,24 @@ class RowOpsSpec extends SparkSpec {
       ("s1", 3) -> None, ("s2", 1) -> Some(5)))
   }
 
+  test("dropConstantColumns: single-valued cols drop, '?' and varying stay") {
+    val df = Seq(
+      (1, "x", "?", Some("c"), Seq(1)),
+      (2, "x", "?", None, Seq(2)),
+      (3, "y", "?", Some("c"), Seq(3)))
+      .toDF("id", "varies", "sentinel", "const_with_nulls", "arr")
+    val (out, dropped) = RowOps.dropConstantColumns(df)
+    // 'varies' has 2 values, '?' is the kept sentinel, the array
+    // column is skipped (reference's list-like TypeError guard);
+    // const_with_nulls collapses to one non-null value -> dropped
+    assert(out.columns.toSeq == Seq("id", "varies", "sentinel", "arr"))
+    assert(dropped == Map("const_with_nulls" -> "c"))
+    // all-null column: zero distinct values -> kept (not one value)
+    val df2 = Seq((1, None: Option[String]), (2, None)).toDF("id", "allnull")
+    assert(RowOps.dropConstantColumns(df2)._1.columns.toSeq ==
+      Seq("id", "allnull"))
+  }
+
   test("scaledRatio divides by the category constant, null if unmapped") {
     val df = Seq(("A", 34.0), ("N", 47.0), ("X", 1.0)).toDF("k", "v")
     val out = RowOps.scaledRatio(df, "v", "k",
