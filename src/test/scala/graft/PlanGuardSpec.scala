@@ -123,4 +123,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(!accLines.exists(_.contains("SortMergeJoin")),
       s"region join shuffled the residue side:\n$p")
   }
+
+  test("q_annotation_agg: one explode + one aggregation exchange, no joins") {
+    val p = plan("q_annotation_agg")
+    // the reference's driver-side per-residue row loop must stay a
+    // Generate (explode of sequence()) feeding ONE hash aggregation;
+    // a second exchange or any join means the expansion stopped
+    // being a single distributed pass
+    assert(p.contains("Generate"), s"sequence explode missing:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"annotation aggregation must be exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q_sifts_wide: the source pivot is ONE aggregation exchange") {
+    val p = plan("q_sifts_wide")
+    // conditional-max pivot: however many sources widen, the plan
+    // must stay a single aggregation over (entityId, resnum) with
+    // map-side partials — exactly one shuffle exchange (var-length
+    // string maxes put Spark on SortAggregate; the partial/final
+    // split is what matters). The synthesis cross-join with the
+    // 6-row resnum dim must broadcast, never shuffle.
+    assert(p.contains("Aggregate"), s"no aggregation:\n$p")
+    assert(p.contains("partial_max"), s"map-side combine missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"wide pivot must be exactly one shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"synthesis join shuffled:\n$p")
+  }
+
+  test("q_table_merger: dimension legs broadcast; only the fact stitch may shuffle") {
+    val p = plan("q_table_merger")
+    // dssp/validation/annotation/variants are per-residue dimension
+    // sides → all four must be BroadcastHashJoins. The final
+    // mmcif ⋈ sifts stitch is fact ⋈ fact: a shuffle pair there is
+    // the correct conservative static plan (AQE demotes it to
+    // broadcast at runtime when the sifts side is small), so allow
+    // exactly that one SortMergeJoin and its two exchanges.
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"dimension merge legs not broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"a dimension leg shuffled the fact side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"more shuffles than the single fact stitch:\n$p")
+  }
 }
