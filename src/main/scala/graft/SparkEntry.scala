@@ -2017,7 +2017,11 @@ object SparkEntry {
         |CAST(rn + 100 AS VARCHAR), 'V', CAST(NULL AS VARCHAR)
         |FROM res)
         |SELECT ann.entity AS "entityId", ann.rn AS resnum,
-        |ann.resName AS "resName", ann.dbSource AS "dbSource",
+        |ann.resName AS "resName",
+        |CAST(NULL AS VARCHAR) AS "ssCode",
+        |CAST(NULL AS VARCHAR) AS "ssName",
+        |CAST(NULL AS VARCHAR) AS "detailAnnotation",
+        |ann.dbSource AS "dbSource",
         |ann.acc2 AS "dbAccessionId", ann.dbResNum AS "dbResNum",
         |ann.dbResName AS "dbResName", ann.dbChainId AS "dbChainId",
         |max(reg.region_id) AS "regionId",

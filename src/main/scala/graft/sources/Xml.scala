@@ -160,7 +160,11 @@ object Xml {
             StructField("_dbAccessionId", StringType),
             StructField("_dbResNum", StringType),
             StructField("_dbResName", StringType),
-            StructField("_dbChainId", StringType)))))))))))))))))))
+            StructField("_dbChainId", StringType))))),
+          StructField("residueDetail", ArrayType(StructType(Seq(
+            StructField("_dbSource", StringType),
+            StructField("_property", StringType),
+            StructField("_VALUE", StringType)))))))))))))))))))
 
   /** The full `parse_sifts_residues` surface (sifts.py:141-310) as a
     * named loader: one row per (residue, crossRefDb annotation) —
@@ -178,6 +182,18 @@ object Xml {
                     addRegions: Boolean = true, addDbs: Boolean = false,
                     excluded: Seq[String] = DefaultExcludedDbs): DataFrame = {
     val keepFields = col("dbSource").isin("PDB", "UniProt")
+    // per-residue <residueDetail property="...">text</residueDetail>
+    // annotations (sifts.py:252-257 residue_detail handling): the
+    // reference surfaces them as PDB_{property} wide columns when
+    // 'PDB' is not excluded; here they ride along each long row and
+    // [[siftsResiduesWide]] pivots them back under those names
+    def detail(p: String): Column = {
+      val hits = filter(col("r.residueDetail"),
+        x => x.getField("_property") === p)
+      // size-guard: ANSI element_at raises on empty arrays
+      val v = when(size(hits) > 0, element_at(hits, 1).getField("_VALUE"))
+      if (excluded.contains("PDB")) lit(null).cast(StringType) else v
+    }
     var res = spark.read.option("rowTag", "entity")
       .schema(siftsResiduesSchema).xml(path)
       .filter(col("_type") === "protein")
@@ -187,10 +203,14 @@ object Xml {
       .select(col("entityId"), explode(col("lr.residue")).as("r"))
       .select(col("entityId"), col("r._dbResNum").as("resnum"),
         col("r._dbResName").as("resName"),
+        detail("codeSecondaryStructure").as("ssCode"),
+        detail("nameSecondaryStructure").as("ssName"),
+        detail("Annotation").as("detailAnnotation"),
         explode(col("r.crossRefDb")).as("x"))
       .filter(col("x._dbSource").isNotNull &&
         !col("x._dbSource").isin(excluded: _*))
       .select(col("entityId"), col("resnum"), col("resName"),
+        col("ssCode"), col("ssName"), col("detailAnnotation"),
         col("x._dbSource").as("dbSource"),
         col("x._dbAccessionId").as("dbAccessionId"),
         col("x._dbResNum").as("dbResNum"),
@@ -257,9 +277,24 @@ object Xml {
         else Nil
       core ++ regions
     }
-    long.groupBy(col("entityId"), col("resnum"))
-      .agg(perSource.head, perSource.tail: _*)
-      .withColumn("PDB_Annotation", lit("Observed"))
+    // per-residue residueDetail columns (when the long form carries
+    // them and PDB is a pivoted source): PDB_{property} names, and
+    // PDB_Annotation defaulting to "Observed" for residues without
+    // an explicit Not_Observed detail (sifts.py:322-323)
+    val hasDetails = long.columns.contains("ssCode") &&
+      sources.contains("PDB")
+    val detailAggs =
+      if (hasDetails)
+        Seq(max(col("ssCode")).as("PDB_codeSecondaryStructure"),
+          max(col("ssName")).as("PDB_nameSecondaryStructure"),
+          coalesce(max(col("detailAnnotation")), lit("Observed"))
+            .as("PDB_Annotation"))
+      else Nil
+    val aggs = perSource ++ detailAggs
+    val wide = long.groupBy(col("entityId"), col("resnum"))
+      .agg(aggs.head, aggs.tail: _*)
+    (if (hasDetails) wide else wide.withColumn("PDB_Annotation",
+      lit("Observed")))
       .withColumn("PDB_entityId", col("entityId"))
       .drop("entityId", "resnum")
   }

@@ -318,6 +318,8 @@ class FormatsSpec extends SparkSpec {
       "<crossRefDb dbSource=\"UniProt\" dbCoordSys=\"UniProt\" dbAccessionId=\"P00439\" dbResNum=\"118\" dbResName=\"V\"/>" +
       "<crossRefDb dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10.800.10\" dbResNum=\"118\" dbResName=\"VAL\" dbChainId=\"A\"/>" +
       "<crossRefDb dbSource=\"InterPro\" dbCoordSys=\"UniProt\" dbAccessionId=\"IPR001273\" dbResNum=\"118\" dbResName=\"V\"/>" +
+      "<residueDetail dbSource=\"PDBe\" property=\"codeSecondaryStructure\">T</residueDetail>" +
+      "<residueDetail dbSource=\"PDBe\" property=\"nameSecondaryStructure\">loop</residueDetail>" +
       "</residue>" +
       "<residue dbSource=\"PDBe\" dbCoordSys=\"PDBe\" dbResNum=\"9\" dbResName=\"GLY\">" +
       "<crossRefDb dbSource=\"CATH\" dbCoordSys=\"PDBresnum\" dbAccessionId=\"1.10.800.10\" dbResNum=\"126\" dbResName=\"GLY\" dbChainId=\"A\"/>" +
@@ -341,6 +343,22 @@ class FormatsSpec extends SparkSpec {
       ("A", 1, "UniProt", "P00439", Some("118"), None, None,
         Some("2014.08")),
       ("A", 9, "CATH", "1.10.800.10", None, None, None, Some("3.5.0"))))
+    // residueDetail annotations (sifts.py:252-257) ride along each
+    // long row of the residue that carries them; the wide pivot
+    // surfaces them under the reference's PDB_{property} names with
+    // the 'Observed' default for residues without an Annotation detail
+    val details = out.filter($"resnum" === 1)
+      .select("ssCode", "ssName").distinct()
+      .as[(String, String)].collect().toSeq
+    assert(details == Seq(("T", "loop")))
+    val wide = Xml.siftsResiduesWide(out, Seq("PDB", "UniProt", "CATH"))
+    val w1 = wide.filter($"PDB_dbResNum" === "118").collect().head
+    assert(w1.getAs[String]("PDB_codeSecondaryStructure") == "T")
+    assert(w1.getAs[String]("PDB_nameSecondaryStructure") == "loop")
+    assert(w1.getAs[String]("PDB_Annotation") == "Observed")
+    val w9 = wide.filter($"PDB_dbResNum".isNull).collect().head
+    assert(w9.getAs[String]("PDB_codeSecondaryStructure") == null)
+    assert(w9.getAs[String]("PDB_Annotation") == "Observed")
   }
 
   test("dsspResiduesWithBreaks keeps '!*' markers with 2-wide AA") {
