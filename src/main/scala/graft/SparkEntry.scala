@@ -215,6 +215,42 @@ object SparkEntry {
         validation = Some(validation), annotation = Some(annotation),
         variants = Some(variants)))
     }),
+    // filter_structures (structures.py:777), the full knob chain on a
+    // lineitem-synthesized atom table: models-first (1-row eager
+    // lookup) → res_full → hydrogen removal → partial-residue drop
+    // (aaDefaultAtoms inventory) → dense id reset → comps selection →
+    // centroid residue aggregation; the oracle replays every stage
+    "q_filter_structures" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_orderkey") <= 9999)
+      val atoms0 = li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        when(pmod(col("l_orderkey"), lit(13)) === 0, "HETATM")
+          .otherwise("ATOM").as("group_PDB"),
+        when(pmod(col("l_orderkey"), lit(5)) === 0, 2).otherwise(1)
+          .cast("int").as("pdbx_PDB_model_num"),
+        element_at(array(lit("A"), lit("B")),
+          (pmod(col("l_orderkey"), lit(2)) + 1).cast("int"))
+          .as("auth_asym_id"),
+        pmod(col("l_orderkey"), lit(97)).cast("int").as("auth_seq_id"),
+        when(pmod(col("l_orderkey"), lit(11)) === 0, "A").otherwise("?")
+          .as("pdbx_PDB_ins_code"),
+        element_at(array(lit("GLY"), lit("ALA"), lit("HOH")),
+          (pmod(pmod(col("l_orderkey"), lit(97)), lit(3)) + 1).cast("int"))
+          .as("auth_comp_id"),
+        element_at(array(lit("N"), lit("O"), lit("CA"), lit("C"),
+          lit("CB"), lit("H")),
+          (pmod(col("l_linenumber"), lit(6)) + 1).cast("int"))
+          .as("auth_atom_id"),
+        lit(".").as("label_alt_id"),
+        col("l_quantity").cast("double").as("Cartn_x"),
+        (col("l_extendedprice") / lit(1000)).cast("double").as("Cartn_y"),
+        (col("l_discount") * lit(100)).cast("double").as("Cartn_z"))
+      val atoms1 = atoms0.withColumn("type_symbol",
+        substring(col("auth_atom_id"), 1, 1))
+      StructureFilters.filterStructures(atoms1,
+        comps = Seq("GLY", "ALA"), removePartialRes = true,
+        residueAgg = true)
+    }),
     // ---- B. aggregation -------------------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
       Aggregations.pricingSummary(T(s, d, "lineitem").filter(expr(q1Filter)))),
@@ -1595,6 +1631,53 @@ object SparkEntry {
         |SELECT m.*, s.* FROM mm3 m LEFT JOIN sifts3 s
         |ON m.auth_seq_id_full = s."PDB_dbResNum"
         |AND m.auth_asym_id = s."PDB_dbChainId"""".stripMargin,
+    "q_filter_structures" ->
+      """WITH atoms0 AS (
+        |SELECT l_orderkey * 8 + l_linenumber AS id,
+        |CASE WHEN l_orderkey % 13 = 0 THEN 'HETATM' ELSE 'ATOM' END AS grp,
+        |CAST(CASE WHEN l_orderkey % 5 = 0 THEN 2 ELSE 1 END AS INT) AS model,
+        |['A','B'][(l_orderkey % 2) + 1] AS chain,
+        |CAST(l_orderkey % 97 AS INT) AS seq,
+        |CASE WHEN l_orderkey % 11 = 0 THEN 'A' ELSE '?' END AS icode,
+        |['GLY','ALA','HOH'][((l_orderkey % 97) % 3) + 1] AS comp,
+        |['N','O','CA','C','CB','H'][(l_linenumber % 6) + 1] AS atom,
+        |'.' AS alt,
+        |CAST(l_quantity AS DOUBLE) AS x,
+        |CAST(l_extendedprice AS DOUBLE) / 1000 AS y,
+        |CAST(l_discount AS DOUBLE) * 100 AS z
+        |FROM lineitem WHERE l_orderkey <= 9999),
+        |atoms1 AS (SELECT *, substr(atom, 1, 1) AS tsym FROM atoms0),
+        |m1 AS (SELECT * FROM atoms1
+        |WHERE model = (SELECT model FROM atoms1 ORDER BY id LIMIT 1)),
+        |rf AS (SELECT *,
+        |CAST(seq AS VARCHAR) || replace(icode, '?', '') AS seq_full
+        |FROM m1),
+        |noh AS (SELECT * FROM rf WHERE tsym <> 'H'),
+        |bad AS (SELECT chain, seq FROM noh
+        |WHERE grp = 'ATOM' AND comp IN ('GLY', 'ALA')
+        |GROUP BY chain, seq
+        |HAVING COUNT(DISTINCT atom) <
+        |MAX(CASE comp WHEN 'GLY' THEN 4 WHEN 'ALA' THEN 5 END)),
+        |kept AS (SELECT n.* FROM noh n
+        |WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |WHERE b.chain = n.chain AND b.seq = n.seq)),
+        |rst AS (SELECT * EXCLUDE (id),
+        |CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) AS id FROM kept),
+        |sel AS (SELECT * FROM rst WHERE comp IN ('GLY', 'ALA'))
+        |SELECT model AS "pdbx_PDB_model_num", chain AS auth_asym_id,
+        |seq AS auth_seq_id,
+        |MIN(id) AS id,
+        |ARG_MIN(grp, id) AS "group_PDB",
+        |ARG_MIN(icode, id) AS "pdbx_PDB_ins_code",
+        |ARG_MIN(comp, id) AS auth_comp_id,
+        |ARG_MIN(atom, id) AS auth_atom_id,
+        |ARG_MIN(alt, id) AS label_alt_id,
+        |CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x) AS "Cartn_x",
+        |CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS "Cartn_y",
+        |CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) / COUNT(z) AS "Cartn_z",
+        |ARG_MIN(tsym, id) AS type_symbol,
+        |ARG_MIN(seq_full, id) AS auth_seq_id_full
+        |FROM sel GROUP BY model, chain, seq""".stripMargin,
     "q_rsa_methods" -> {
       // CASE chains generated from the SAME Library constant maps the
       // operator compiles into its when-chains — the shipped ASA

@@ -43,6 +43,52 @@ object Aggregations {
     df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** residues_aggregation (structures.py:483), knob for knob: one
+    * row per (model, asym, seq) with the reference's per-method
+    * column treatment — 'centroid'/'mean' average the numeric
+    * columns (decimal-exact, order-independent) and keep the
+    * file-order-first value of object columns; 'backbone_centroid'
+    * restricts to backbone atoms first; 'first' keeps first-by-order
+    * everywhere; 'unique' collects distinct values per column
+    * (sorted — the reference keeps appearance order, which has no
+    * deterministic distributed analog); `id` always keeps its first
+    * value (the reference's columns_to_agg['id']='first'). Unknown
+    * method raises. One hash aggregation, single shuffle;
+    * "first-by-file-order" is min_by over the id column, so no sort
+    * and no window. */
+  def residuesAggregation(df: DataFrame, aggMethod: String = "centroid",
+                          category: String = "auth",
+                          idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val methods =
+      Seq("centroid", "first", "unique", "mean", "backbone_centroid")
+    if (!methods.contains(aggMethod)) throw new IllegalArgumentException(
+      s"Method $aggMethod is not currently implemented...")
+    var t = df
+    var m = aggMethod
+    if (m == "backbone_centroid") {
+      t = t.filter(col(s"${category}_atom_id")
+        .isin(graft.sources.Library.backboneAtoms: _*))
+      m = "centroid"
+    }
+    val numericMean = m == "centroid" || m == "mean"
+    val keys = Seq("pdbx_PDB_model_num", s"${category}_asym_id",
+      s"${category}_seq_id").filter(t.columns.contains)
+    def firstByOrder(c: String) =
+      min_by(col(c), when(col(c).isNotNull, col(idCol)))
+    val aggCols = t.columns.filterNot(keys.contains)
+    val aggs = aggCols.map { c =>
+      val isNum = t.schema(c).dataType.isInstanceOf[NumericType]
+      val e =
+        if (c == idCol) firstByOrder(c)
+        else if (m == "unique") array_sort(collect_set(col(c)))
+        else if (numericMean && isNum) decAvg(col(c), 6)
+        else firstByOrder(c)
+      e.as(c)
+    }
+    t.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
   /** Flagship pricing-summary aggregation (TPC-H Q1 shape): per
     * (returnflag, linestatus) decimal-exact sums, derived averages,
     * and row counts over lineitem. Single hash aggregation with

@@ -136,4 +136,37 @@ object RangeJoin {
       .select(col("pk").as(partitionKey), col("a_id"), col("b_id"),
         col("a_v"), col("b_v"))
   }
+
+  /** `_add_mmcif_contacts` (structures.py:382): a `contact_indexes`
+    * column holding the comma-joined ids of every atom within `dist`
+    * Å — including the atom itself, as cKDTree.query_ball_point
+    * does. The kd-tree becomes the [[contacts3D]] grid self-join;
+    * pairs are mirrored to both endpoints, the self-contact unions
+    * in, and one aggregation packs the per-atom list. Ids are sorted
+    * numerically (the reference joins the tree's arbitrary bucket
+    * order — no deterministic distributed analog). The reference's
+    * positional indexes correspond to `idCol` when atom ids were
+    * reset upstream (filter_structures' reset_atom_id). */
+  def withContactIndexes(df: DataFrame, partitionKey: String,
+                         idCol: String = "id",
+                         dist: Double = 5.0): DataFrame = {
+    val pairs = contacts3D(df, partitionKey, idCol,
+      "Cartn_x", "Cartn_y", "Cartn_z", dist)
+    val directed = pairs
+      .select(col(partitionKey), col("a_id").cast("long").as("src"),
+        col("b_id").cast("long").as("dst"))
+      .unionByName(pairs.select(col(partitionKey),
+        col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+      .unionByName(df.select(col(partitionKey),
+        col(idCol).cast("long").as("src"),
+        col(idCol).cast("long").as("dst")))
+    val lists = directed
+      .groupBy(col(partitionKey).as("__ci_pk"), col("src"))
+      .agg(array_join(transform(array_sort(collect_list(col("dst"))),
+        _.cast("string")), ",").as("contact_indexes"))
+    df.join(lists, df(partitionKey) === col("__ci_pk") &&
+        df(idCol).cast("long") === col("src"), "left")
+      .drop("__ci_pk", "src")
+  }
 }

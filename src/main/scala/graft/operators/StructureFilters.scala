@@ -97,6 +97,131 @@ object StructureFilters {
     t
   }
 
+  /** `filter_structures` (structures.py:777), knob for knob, over a
+    * parsed atom table ([[StructureFormats.pdbAtoms]] /
+    * [[StructureFormats.mmcifAtoms]] shape) — the third and largest
+    * of the reference's filter facades, stage order preserved
+    * exactly: exclude → models → chains → lines → add_res_full →
+    * add_atom_altloc → add_contacts → remove_hydrogens →
+    * remove_altloc (forces id reset, as the reference does) →
+    * remove_partial_res → reset_atom_id → res → res_full → comps →
+    * atoms (incl. the centroid/backbone_centroid dispatch) →
+    * residue_agg → raise-on-empty.
+    *
+    * Everything is one declarative plan except the reference-mandated
+    * raise-on-empty (a LIMIT-1 probe) and, when `models` is the
+    * literal "first", the first-row model lookup (a 1-row collect —
+    * the reference's `table[key].iloc[0]`).
+    *
+    * Semantics notes, each matching the named reference helper:
+    *  - remove_altloc (`_remove_multiple_altlocs`, structures.py:399):
+    *    the reference walks consecutive rows keeping the FIRST altloc
+    *    of each (atom) run and blanking its label_alt_id to '.'.
+    *    Relationally: keep the min-id row per (chain, seq, atom) among
+    *    altloc carriers — equivalent on well-formed files where
+    *    altlocs of one atom are consecutive — then blank the marker.
+    *  - remove_partial_res (`_remove_partial_residues`,
+    *    structures.py:430): drop ATOM residues of a standard amino
+    *    acid ([[graft.sources.Library.aaDefaultAtoms]]) missing any of
+    *    its default heavy atoms. (The reference's extra
+    *    duplicate-seq-id drop is subsumed by remove_altloc upstream,
+    *    its own stated origin for such duplicates.)
+    *  - reset_atom_id: a per-file (or global, for single-structure
+    *    tables — bounded by construction) dense re-numbering by the
+    *    prior id order. */
+  def filterStructures(table: DataFrame,
+                       excludedCols: Seq[String] = Nil,
+                       models: Seq[Any] = Seq("first"),
+                       chains: Seq[Any] = Nil,
+                       res: Seq[Any] = Nil,
+                       resFull: Seq[Any] = Nil,
+                       comps: Seq[Any] = Nil,
+                       atoms: Seq[Any] = Nil,
+                       lines: Seq[Any] = Nil,
+                       category: String = "auth",
+                       residueAgg: Boolean = false,
+                       aggMethod: String = "centroid",
+                       addResFull: Boolean = true,
+                       addAtomAltloc: Boolean = false,
+                       addContacts: Boolean = false,
+                       dist: Double = 5.0,
+                       resetAtomId: Boolean = true,
+                       removeAltloc: Boolean = false,
+                       removeHydrogens: Boolean = true,
+                       removePartialRes: Boolean = false,
+                       fileCol: String = "file"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var t = RowOps.excludeColumns(table, excludedCols)
+    val modelCol = "pdbx_PDB_model_num"
+    if (models.nonEmpty && t.columns.contains(modelCol)) {
+      if (models == Seq("first")) {
+        val first = t.orderBy(col("id")).select(modelCol).limit(1)
+          .collect().headOption.map(_.get(0))
+        for (v <- first) t = RowOps.rowSelector(t, modelCol, Seq(v))
+      } else t = RowOps.rowSelector(t, modelCol, models)
+    }
+    if (chains.nonEmpty)
+      t = RowOps.rowSelector(t, s"${category}_asym_id", chains)
+    if (lines.nonEmpty) t = RowOps.rowSelector(t, "group_PDB", lines)
+    if (addResFull) t = StructureFormats.addResFull(t)
+    if (addAtomAltloc) t = StructureFormats.addAtomAltloc(t)
+    if (addContacts) {
+      val pk = if (t.columns.contains(modelCol)) modelCol
+        else if (t.columns.contains(fileCol)) fileCol else "group_PDB"
+      t = RangeJoin.withContactIndexes(t, pk, "id", dist)
+    }
+    if (removeHydrogens)
+      t = RowOps.rowSelector(t, "type_symbol", Seq("H"), reverse = true)
+    var mustResetIds = resetAtomId
+    if (removeAltloc) {
+      t = WindowOps.keepBestPerKey(t,
+        Seq(s"${category}_asym_id", s"${category}_seq_id",
+          s"${category}_atom_id"),
+        Seq(col("id").asc))
+        .withColumn("label_alt_id", lit("."))
+      mustResetIds = true
+    }
+    if (removePartialRes) {
+      val std = graft.sources.Library.aaDefaultAtoms
+      val required = std.foldLeft(lit(null).cast("int")) {
+        case (other, (aa, atomsOf)) =>
+          when(col(s"${category}_comp_id") === aa,
+            lit(atomsOf.size)).otherwise(other)
+      }
+      val incomplete = t
+        .filter(col("group_PDB") === "ATOM" && required.isNotNull)
+        .groupBy(col(s"${category}_asym_id").as("__pr_chain"),
+          col(s"${category}_seq_id").as("__pr_seq"))
+        .agg(count_distinct(col(s"${category}_atom_id")).as("__pr_n"),
+          max(required).as("__pr_req"))
+        .filter(col("__pr_n") < col("__pr_req"))
+        .select("__pr_chain", "__pr_seq")
+      t = t.join(incomplete,
+        t(s"${category}_asym_id") === col("__pr_chain") &&
+          t(s"${category}_seq_id") === col("__pr_seq"), "left_anti")
+    }
+    if (mustResetIds) {
+      val part = if (t.columns.contains(fileCol)) Window.partitionBy(fileCol)
+        else Window.partitionBy()
+      t = t.withColumn("id", row_number().over(part.orderBy(col("id"))))
+    }
+    if (res.nonEmpty)
+      t = RowOps.rowSelector(t, s"${category}_seq_id", res)
+    if (resFull.nonEmpty)
+      t = RowOps.rowSelector(t, s"${category}_seq_id_full", resFull)
+    if (comps.nonEmpty)
+      t = RowOps.rowSelector(t, s"${category}_comp_id", comps)
+    if (atoms == Seq("centroid") || atoms == Seq("backbone_centroid"))
+      t = Aggregations.residuesAggregation(t,
+        atoms.head.toString, category)
+    else if (atoms.nonEmpty)
+      t = RowOps.rowSelector(t, s"${category}_atom_id", atoms)
+    if (residueAgg)
+      t = Aggregations.residuesAggregation(t, aggMethod, category)
+    requireNonEmpty(t)
+    t
+  }
+
   /** `filter_sifts` (sifts.py:378-420), knob for knob, over
     * `Xml.siftsResidues` output: column exclusion, then the five row
     * selections (entity chain, author chain, PDB residue, UniProt

@@ -23,6 +23,36 @@ object Library {
     * aa_default_atoms; structures.py:430). */
   val backboneAtoms: Seq[String] = Seq("CA", "N", "C", "O")
 
+  /** Full heavy-atom inventory per standard residue (library.py:221
+    * aa_default_atoms) — standard PDB chemistry; the completeness
+    * predicate `_remove_partial_residues` (structures.py:430) checks
+    * residues against. */
+  val aaDefaultAtoms: Map[String, Seq[String]] = Map(
+    "ALA" -> Seq("N", "O", "CA", "C", "CB"),
+    "CYS" -> Seq("N", "O", "CA", "C", "SG", "CB"),
+    "ASP" -> Seq("N", "O", "CA", "C", "CG", "OD2", "OD1", "CB"),
+    "GLU" -> Seq("N", "O", "CA", "C", "CD", "CG", "OE1", "CB", "OE2"),
+    "PHE" -> Seq("N", "O", "CA", "C", "CE1", "CD1", "CZ", "CG", "CB",
+      "CE2", "CD2"),
+    "GLY" -> Seq("N", "O", "CA", "C"),
+    "HIS" -> Seq("N", "O", "CA", "C", "CB", "CG", "ND1", "CD2", "CE1",
+      "NE2"),
+    "LYS" -> Seq("N", "O", "CA", "C", "NZ", "CD", "CE", "CG", "CB"),
+    "ILE" -> Seq("N", "O", "CA", "C", "CG2", "CD1", "CB", "CG1"),
+    "LEU" -> Seq("N", "O", "CA", "C", "CD2", "CD1", "CG", "CB"),
+    "MET" -> Seq("N", "O", "CA", "C", "SD", "CG", "CB", "CE"),
+    "ASN" -> Seq("N", "O", "CA", "C", "ND2", "OD1", "CB", "CG"),
+    "PRO" -> Seq("N", "O", "CA", "C", "CD", "CG", "CB"),
+    "GLN" -> Seq("N", "O", "CA", "C", "CD", "NE2", "OE1", "CB", "CG"),
+    "ARG" -> Seq("N", "O", "CA", "C", "CZ", "CD", "NE", "CG", "CB"),
+    "SER" -> Seq("N", "O", "CA", "C", "CB", "OG"),
+    "THR" -> Seq("N", "O", "CA", "C", "OG1", "CG2", "CB"),
+    "VAL" -> Seq("N", "O", "CA", "C", "CB", "CG2", "CG1"),
+    "TYR" -> Seq("N", "O", "CA", "C", "CE1", "CD1", "CZ", "CG", "CB",
+      "CE2", "CD2"),
+    "TRP" -> Seq("N", "O", "CA", "C", "NE1", "CZ3", "CD1", "CE3", "CG",
+      "CB", "CZ2", "CE2", "CD2"))
+
   /** mmCIF atom_site column type constraints (library.py:392
     * _pdbx_types → library.py:560), for
     * RowOps.constrainColumnTypes. */

@@ -136,4 +136,108 @@ class StructureFiltersSpec extends SparkSpec {
       StructureFilters.filterSifts(siftsTable, uniprot = Seq("P999"))
     }
   }
+
+  // (group_PDB, id, model, chain, seq, icode, comp, atom, alt, x, type)
+  private def structAtoms = {
+    import sqlImplicits._
+    Seq(
+      // model-1 chain A residue 1: complete GLY + one H + an altloc
+      // pair on CA (ids 3 and 4)
+      ("ATOM", 1, 1, "A", 1, "?", "GLY", "N", ".", 1.0, "N"),
+      ("ATOM", 2, 1, "A", 1, "?", "GLY", "O", ".", 2.0, "O"),
+      ("ATOM", 3, 1, "A", 1, "?", "GLY", "CA", "A", 3.0, "C"),
+      ("ATOM", 4, 1, "A", 1, "?", "GLY", "CA", "B", 5.0, "C"),
+      ("ATOM", 5, 1, "A", 1, "?", "GLY", "C", ".", 4.0, "C"),
+      ("ATOM", 6, 1, "A", 1, "?", "GLY", "H", ".", 9.0, "H"),
+      // model-1 chain A residue 2: GLY missing C -> partial
+      ("ATOM", 7, 1, "A", 2, "A", "GLY", "N", ".", 1.0, "N"),
+      ("ATOM", 8, 1, "A", 2, "A", "GLY", "O", ".", 2.0, "O"),
+      ("ATOM", 9, 1, "A", 2, "A", "GLY", "CA", ".", 3.0, "C"),
+      // water HETATM: not a standard residue, survives partial check
+      ("HETATM", 10, 1, "A", 90, "?", "HOH", "O", ".", 8.0, "O"),
+      // model 2 copy, dropped by models='first'
+      ("ATOM", 11, 2, "A", 1, "?", "GLY", "N", ".", 1.0, "N"))
+      .toDF("group_PDB", "id", "pdbx_PDB_model_num", "auth_asym_id",
+        "auth_seq_id", "pdbx_PDB_ins_code", "auth_comp_id",
+        "auth_atom_id", "label_alt_id", "Cartn_x", "type_symbol")
+  }
+
+  test("filterStructures: models-first, hydrogens, res_full, reset ids") {
+    import sqlImplicits._
+    val out = StructureFilters.filterStructures(structAtoms)
+    // model 2 gone, H gone; ids re-numbered densely over id order
+    assert(out.count() == 9)
+    assert(out.select("pdbx_PDB_model_num").distinct()
+      .as[Int].collect().toSeq == Seq(1))
+    assert(out.filter($"type_symbol" === "H").isEmpty)
+    assert(out.orderBy("id").select("id").as[Int].collect().toSeq ==
+      (1 to 9))
+    // res_full: seq + ins code with '?' stripped
+    assert(out.filter($"auth_seq_id" === 2)
+      .select("auth_seq_id_full").distinct().as[String].head() == "2A")
+  }
+
+  test("filterStructures: remove_altloc keeps first, remove_partial_res drops incomplete") {
+    import sqlImplicits._
+    val out = StructureFilters.filterStructures(structAtoms,
+      removeAltloc = true, removePartialRes = true)
+    // altloc pair -> one CA (id 3's value), marker blanked
+    val ca = out.filter($"auth_seq_id" === 1 && $"auth_atom_id" === "CA")
+    assert(ca.count() == 1)
+    assert(ca.select("Cartn_x").as[Double].head() == 3.0)
+    assert(ca.select("label_alt_id").as[String].head() == ".")
+    // partial residue 2 dropped entirely; HOH survives
+    assert(out.filter($"auth_seq_id" === 2).isEmpty)
+    assert(out.filter($"auth_comp_id" === "HOH").count() == 1)
+  }
+
+  test("filterStructures: comps/atoms selections and centroid aggregation") {
+    import sqlImplicits._
+    val out = StructureFilters.filterStructures(structAtoms,
+      comps = Seq("GLY"), residueAgg = true)
+    // residue 1 (model 1): mean x over N,O,CA(A),CA(B),C after H drop
+    val r1 = out.filter($"auth_seq_id" === 1)
+    assert(r1.count() == 1)
+    assert(r1.select("Cartn_x").as[Double].head() == 3.0) // (1+2+3+5+4)/5
+    assert(r1.select("auth_atom_id").as[String].head() == "N") // first
+    // backbone_centroid via the atoms knob
+    val bb = StructureFilters.filterStructures(structAtoms,
+      comps = Seq("GLY"), atoms = Seq("backbone_centroid"))
+    assert(bb.filter($"auth_seq_id" === 1)
+      .select("Cartn_x").as[Double].head() == 3.0) // N,O,CA,CA,C all backbone
+    intercept[IllegalArgumentException] {
+      StructureFilters.filterStructures(structAtoms, residueAgg = true,
+        aggMethod = "nope")
+    }
+    intercept[IllegalStateException] {
+      StructureFilters.filterStructures(structAtoms, chains = Seq("Z"))
+    }
+  }
+
+  test("residuesAggregation: unique and first methods") {
+    import sqlImplicits._
+    val df = Seq(
+      (1, 1, "A", 1, "GLY", 1.0), (2, 1, "A", 1, "GLY", 3.0),
+      (3, 1, "A", 2, "ALA", 5.0))
+      .toDF("id", "pdbx_PDB_model_num", "auth_asym_id", "auth_seq_id",
+        "auth_comp_id", "Cartn_x")
+    val uniq = Aggregations.residuesAggregation(df, "unique")
+    val u1 = uniq.filter($"auth_seq_id" === 1).collect().head
+    assert(u1.getAs[scala.collection.Seq[Double]]("Cartn_x")
+      .toSeq == Seq(1.0, 3.0))
+    assert(u1.getAs[Int]("id") == 1) // id always keeps its first value
+    val first = Aggregations.residuesAggregation(df, "first")
+    assert(first.filter($"auth_seq_id" === 1)
+      .select("Cartn_x").as[Double].head() == 1.0)
+  }
+
+  test("withContactIndexes matches ball-point neighborhoods incl. self") {
+    import sqlImplicits._
+    val pts = Seq((1, 1, 0.0, 0.0, 0.0), (1, 2, 1.0, 0.0, 0.0),
+      (1, 3, 2.0, 0.0, 0.0))
+      .toDF("pk", "id", "Cartn_x", "Cartn_y", "Cartn_z")
+    val out = RangeJoin.withContactIndexes(pts, "pk", "id", dist = 1.5)
+      .orderBy("id").select("contact_indexes").as[String].collect().toSeq
+    assert(out == Seq("1,2", "1,2,3", "2,3"))
+  }
 }
