@@ -563,6 +563,34 @@ object SparkEntry {
       Dedup.minhashPairsFromSketch(sketch, threshold = 0.9,
         numHashes = 32, bands = 2)
     }),
+    // incremental (daily-batch) near-dup detection: docs with
+    // doc_id % 5 == 4 play the arriving batch, the rest the stored
+    // corpus — the batch is probed against the corpus band index
+    // without re-pairing the corpus (the 100 TB shape: O(batch) new
+    // work + key-lookup joins). Same md5-portable family as
+    // q_dedup_minhash_lsh so DuckDB replays sketch → asymmetric band
+    // probe → 24-of-32 prefilter → exact jaccard verify bit-exactly.
+    // The ONE sketch pipeline is localCheckpoint'd before the split:
+    // that is the stored-sketch production shape (compute once, every
+    // probe branch re-reads materialized blocks, not the md5 tree).
+    "q_dedup_incremental" -> ((s, d) => {
+      def md5int15(c: Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val sh = sort_array(array_distinct(transform(
+        TextFunctions.tokens(col("text")), t => md5int15(t))))
+      val sketch = T(s, d, "documents")
+        .select(col("doc_id").as("id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", transform(sequence(lit(0), lit(31)),
+          j => array_min(transform(col("sh"), v =>
+            md5int15(concat(v.cast("string"), lit("_"),
+              j.cast("string")))))))
+        .localCheckpoint()
+      Dedup.incrementalMinhashPairs(
+        sketch.filter(pmod(col("id"), lit(5)) === 4),
+        sketch.filter(pmod(col("id"), lit(5)) < 4),
+        threshold = 0.9, numHashes = 32, bands = 2)
+    }),
     // hamming-banded near-dup pairs over codes BOTH engines derive
     // identically (md5 hex-char parity bits — the production
     // simhash's xxhash64 mixing is not SQL-expressible; that path is
@@ -2210,6 +2238,39 @@ object SparkEntry {
         |JOIN sigs sb ON c.q = sb.doc_id
         |WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 24)
         |SELECT p AS a_id, q AS b_id,
+        |CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
+        |FROM pre
+        |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.9""".stripMargin,
+    // the incremental probe: same md5 family, but the band join is
+    // ASYMMETRIC — batch (doc_id % 5 = 4) against corpus (the rest)
+    "q_dedup_incremental" ->
+      """WITH mtoks AS (
+        |SELECT doc_id, list_sort(list_distinct(list_transform(
+        |list_filter(string_split(text, ' '), t -> t <> ''),
+        |t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS sh
+        |FROM documents),
+        |nz AS (SELECT * FROM mtoks WHERE len(sh) > 0),
+        |sigs AS (
+        |SELECT doc_id, sh, list_transform(range(0, 32), j ->
+        |list_min(list_transform(sh, v ->
+        |CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))) AS sig
+        |FROM nz),
+        |banded AS (
+        |SELECT doc_id, s.band_no, CAST(sig[s.band_no*16+1:(s.band_no+1)*16] AS VARCHAR) AS bkey
+        |FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band_no) s),
+        |cands AS (
+        |SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM banded n JOIN banded c
+        |ON n.band_no = c.band_no AND n.bkey = c.bkey
+        |AND n.doc_id % 5 = 4 AND c.doc_id % 5 < 4),
+        |pre AS (
+        |SELECT c.new_id, c.corpus_id, sa.sh AS a_sh, sb.sh AS b_sh
+        |FROM cands c JOIN sigs sa ON c.new_id = sa.doc_id
+        |JOIN sigs sb ON c.corpus_id = sb.doc_id
+        |WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 24)
+        |SELECT new_id, corpus_id,
         |CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
         |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
         |FROM pre

@@ -208,12 +208,7 @@ object Dedup {
     // merge-walk jaccard (one sort per DOC buys an allocation-free
     // O(n) loop per candidate PAIR)
     minhashPairsFromSketch(
-      docs.select(col(idCol).as("id"),
-        sort_array(array_distinct(transform(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), shingleN),
-          s => xxhash64(s)))).as("sh"))
-        .withColumn("sig",
-          graft.expressions.MinHashSig.of(col("sh"), numHashes)),
+      minhashSketch(docs, numHashes, shingleN, idCol, textCol),
       threshold, numHashes, bands)
   }
 
@@ -264,6 +259,98 @@ object Dedup {
         .select(col("a_id"), col("b_id"), col("jaccard")),
       sketch)
   }
+
+  /** The (id, sh, sig) MinHash sketch [[minhashPairs]] builds — split
+    * out so a production pipeline can compute it ONCE, write it to a
+    * parquet table, and run both self-dedup ([[minhashPairsFromSketch]])
+    * and incremental probes ([[incrementalMinhashPairs]]) against the
+    * stored sketch without re-shingling the corpus. */
+  def minhashSketch(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      sort_array(array_distinct(transform(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), shingleN),
+        s => xxhash64(s)))).as("sh"))
+      .withColumn("sig",
+        graft.expressions.MinHashSig.of(col("sh"), numHashes))
+
+  /** Incremental near-dup detection — the daily-batch production
+    * shape: a small NEW batch is probed against the stored corpus
+    * sketch instead of re-pairing the whole corpus (self-dedup of
+    * corpus ∪ batch redoes O(corpus) sketch + band work per day;
+    * this does O(batch) + a key-lookup join).
+    *
+    * Both inputs are `(id, sh: sorted-distinct array<bigint>, sig:
+    * array<bigint>)` sketches ([[minhashSketch]], or any
+    * engine-portable family — the driver's oracle replays the md5
+    * family end-to-end). Returns `(new_id, corpus_id, jaccard)` —
+    * each verified near-duplicate of the corpus in the new batch.
+    *
+    * Scale shape (100 TB corpus, GB-scale daily batch):
+    *  - the corpus side is read THREE times (band projection,
+    *    signature fetch, shingle fetch) but each branch prunes to the
+    *    2-3 columns it needs — three columnar scans of a stored
+    *    sketch table, never a re-shingle of the raw corpus;
+    *  - the band probe is an equi-join on `bk`; store the corpus band
+    *    projection bucketed by `bk` (see BucketingSpec's pattern) and
+    *    the probe shuffles ONLY the batch side;
+    *  - candidate pairs are LSH-sparse, so the two verify fetches are
+    *    small-⋈-big key lookups AQE resolves to broadcast of the
+    *    candidate side; storing the sketch bucketed by `id` removes
+    *    even that shuffle;
+    *  - only the BATCH sketch is persisted (it drives two probe
+    *    branches and is batch-sized); the corpus is never cached. */
+  def incrementalMinhashPairs(newSketch: DataFrame, corpusSketch: DataFrame,
+                              threshold: Double, numHashes: Int = 16,
+                              bands: Int = 4): DataFrame = {
+    val batch = newSketch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count() // materialize before the multi-branch fan-out (see
+                  // minhashPairsFromSketch: lazy caches race)
+    val rows = numHashes / bands
+    def bandKeysOf(df: DataFrame, idAs: String) = df.select(
+      col("id").as(idAs),
+      explode(HashFunctions.bandKeys(col("sig"), bands, rows)).as("bk"))
+    val cands = bandKeysOf(batch, "new_id")
+      .join(bandKeysOf(corpusSketch, "corpus_id"), "bk")
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val minAgree = math.max(0, math.ceil((threshold - 0.15) * numHashes)).toInt
+    val agree = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m))
+    val prefiltered = cands
+      .join(batch.select(col("id").as("new_id"), col("sig").as("a_sig")),
+        "new_id")
+      .join(corpusSketch.select(col("id").as("corpus_id"),
+        col("sig").as("b_sig")), "corpus_id")
+      .filter(agree >= minAgree)
+      .select(col("new_id"), col("corpus_id"))
+    CacheOps.materializeAndRelease(
+      prefiltered
+        .join(batch.select(col("id").as("new_id"), col("sh").as("a_sh")),
+          "new_id")
+        .join(corpusSketch.select(col("id").as("corpus_id"),
+          col("sh").as("b_sh")), "corpus_id")
+        .withColumn("jaccard",
+          graft.expressions.SortedIntersect.jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("corpus_id"), col("jaccard")),
+      batch)
+  }
+
+  /** Text-level convenience over [[incrementalMinhashPairs]] with the
+    * production xxhash64 + codegen'd-MinHashSig family. */
+  def incrementalMinhash(newDocs: DataFrame, corpus: DataFrame,
+                         threshold: Double, numHashes: Int = 16,
+                         bands: Int = 4, shingleN: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    incrementalMinhashPairs(
+      minhashSketch(newDocs, numHashes, shingleN, idCol, textCol),
+      minhashSketch(corpus, numHashes, shingleN, idCol, textCol),
+      threshold, numHashes, bands)
 
   /** Per-doc 64-bit SimHash + hamming band keys (always non-empty);
     * near-dup pairs via [[simhashPairs]]. */

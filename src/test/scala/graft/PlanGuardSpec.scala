@@ -100,6 +100,14 @@ class PlanGuardSpec extends SparkSpec {
       s"hamming join degenerated to all-pairs:\n$p")
   }
 
+  test("q_dedup_incremental: asymmetric probe keyed on the band key, never all-pairs") {
+    val p = plan("q_dedup_incremental")
+    assert("""Join \[bk#\d+\], \[bk#\d+\]""".r.findFirstIn(p).isDefined,
+      s"band key missing from the probe join's equality keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"incremental probe degenerated to all-pairs:\n$p")
+  }
+
   test("q_sifts_residues: both enrichments broadcast, residue side never shuffles for them") {
     val p = plan("q_sifts_residues")
     // addRegions (packed interval array) and addDbs (listDB versions)

@@ -194,6 +194,73 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhash equals full minhashPairs restricted to batch x corpus") {
+    // 10 triples: a base text, a near-dup twin (one extra token), and
+    // an unrelated doc. ids with % 3 == 0 play the arriving batch, so
+    // each (base, twin) near-dup pair crosses the batch/corpus split.
+    // Same hash family on both paths => the asymmetric probe must
+    // produce EXACTLY the self-join's cross pairs, reoriented to
+    // (new_id, corpus_id) — LSH band keys, the signature prefilter
+    // and the jaccard verify are all identical per pair.
+    val texts = (0 until 10).flatMap { i =>
+      val base = (0 until 10).map(k => s"w${i}_$k").mkString(" ")
+      Seq((i * 3 + 0L, base), (i * 3 + 1L, base + s" extra$i"),
+        (i * 3 + 2L, (0 until 8).map(k => s"other${i}_$k").mkString(" ")))
+    }
+    val all = texts.toDF("doc_id", "text")
+    val batch = all.filter(col("doc_id") % 3 === 0)
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+    val full = Dedup.minhashPairs(all, threshold = 0.7,
+        numHashes = 16, bands = 4)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val expected = full.collect {
+      case (a, b, j) if a % 3 == 0 && b % 3 != 0 => (a, b, j)
+      case (a, b, j) if a % 3 != 0 && b % 3 == 0 => (b, a, j)
+    }.toSet
+    val got = Dedup.incrementalMinhash(batch, corpus, threshold = 0.7,
+        numHashes = 16, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: no cross pairs planted")
+    assert(got == expected)
+  }
+
+  test("incremental probe against a bucketed corpus band index shuffles only the batch side") {
+    // the 100 TB shape the operator's scaladoc points at: the corpus
+    // band projection is STORED bucketed by the band key, so the
+    // daily probe equi-join shuffles only the (small) batch side —
+    // exactly one hash exchange in the executed plan.
+    spark.sql("DROP TABLE IF EXISTS graft_band_index_b")
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, (0 until 6).map(k => s"c${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, (0 until 6).map(k => s"c1_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    def bandCols(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSketch(df, numHashes = 16)
+        .select(col("id"), explode(graft.functions.HashFunctions
+          .bandKeys(col("sig"), 4, 4)).as("bk"))
+        .select(col("id"),
+          xxhash64(col("bk.band"), col("bk.key")).as("bandkey"))
+    Bucketing.writeBucketed(bandCols(corpus), "graft_band_index_b",
+      Seq("bandkey"), 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = bandCols(batch)
+      val cands = spark.table("graft_band_index_b").alias("c")
+        .join(probe.alias("n"), col("c.bandkey") === col("n.bandkey"))
+        .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      // the batch doc copies corpus doc 1's text → all 4 bands agree
+      assert(cands.count() >= 1)
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(cands.queryExecution.executedPlan.toString).length
+      assert(exchanges == 1,
+        s"expected only the batch-side exchange, got $exchanges:\n" +
+          cands.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")
