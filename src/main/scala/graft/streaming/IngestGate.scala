@@ -89,11 +89,15 @@ object IngestGate {
           val sketch = Dedup
             .minhashSketch(docs, numHashes, shingleN, idCol, textCol)
           // 1. in-batch dedup (greedy: larger id of any pair falls)
-          val inBatchDrops = Dedup
+          val inBatchPairs = Dedup
             .minhashPairsFromSketch(sketch, threshold, numHashes, bands)
-            .select(col("b_id").as("id")).distinct()
-          val batchSketch = sketch
-            .join(inBatchDrops, Seq("id"), "left_anti")
+          // localCheckpoint: the probe, the admit semi-join and the
+          // index append below all reuse the surviving sketch; the
+          // checkpoint materializes it ONCE (the operator releases
+          // its own cache before the later consumers run)
+          val batchSketch = sketch.join(
+            inBatchPairs.select(col("b_id").as("id")).distinct(),
+            Seq("id"), "left_anti").localCheckpoint()
           // 2. probe the survivors against the accumulated index;
           //    `batch` is a partition-discovery column, not sketch data
           val corpus = spark.read.parquet(sketchDir).drop("batch")
@@ -101,6 +105,11 @@ object IngestGate {
             batchSketch, corpus, threshold, numHashes, bands)
           dupPairs.write.mode("overwrite")
             .parquet(s"$quarantineDir/batch=$batchId")
+          // the two operators cache their (small) pair results for
+          // reuse; an always-on gate must drop them per batch or the
+          // executor cache grows by two tables every micro-batch
+          inBatchPairs.unpersist(false)
+          dupPairs.unpersist(false)
           // 3. admit everything not quarantined; grow the index.
           //    The quarantine parquet just written is re-read rather
           //    than recomputed: the probe pipeline ran once.
