@@ -225,6 +225,35 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incremental probe equals restricted self-join on random corpora") {
+    // dense random corpora (12-token vocab, heavy overlap): the
+    // equality with the self-join's cross pairs must hold wherever
+    // the LSH bands land, not just on planted twins
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val vocab = (0 until 12).map(i => s"t$trial-$i")
+      val docs = (0 until 30).map { i =>
+        val n = 4 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val full = Dedup.minhashPairs(df, threshold = 0.5,
+          numHashes = 16, bands = 4)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      val expected = full.collect {
+        case (a, b, j) if a % 3 == 0 && b % 3 != 0 => (a, b, j)
+        case (a, b, j) if a % 3 != 0 && b % 3 == 0 => (b, a, j)
+      }.toSet
+      val got = Dedup.incrementalMinhash(
+          df.filter(col("doc_id") % 3 === 0),
+          df.filter(col("doc_id") % 3 =!= 0),
+          threshold = 0.5, numHashes = 16, bands = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("incremental probe against a bucketed corpus band index shuffles only the batch side") {
     // the 100 TB shape the operator's scaladoc points at: the corpus
     // band projection is STORED bucketed by the band key, so the
