@@ -316,6 +316,57 @@ object Dedup {
       .join(bandKeysOf(corpusSketch, "corpus_id"), "bk")
       .select(col("new_id"), col("corpus_id"))
       .distinct()
+    verifyIncrementalCandidates(cands, batch, corpusSketch,
+      threshold, numHashes)
+  }
+
+  /** `(id, bandkey: bigint)` band-index projection of a sketch — the
+    * STORABLE form of the LSH candidate index. `bandkey` folds the
+    * band ordinal into the hash so cross-band collisions can't pair
+    * (a hash collision only adds a candidate the verify stage
+    * discards). Write it with [[Bucketing.writeBucketed]] on
+    * `bandkey` and the daily probe join shuffles only the batch side
+    * ([[incrementalMinhashPairsIndexed]]). */
+  def sketchBandIndex(sketch: DataFrame, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame =
+    sketch.select(col("id"),
+        explode(HashFunctions.bandKeys(col("sig"), bands,
+          numHashes / bands)).as("bk"))
+      .select(col("id"),
+        xxhash64(col("bk.band"), col("bk.key")).as("bandkey"))
+
+  /** [[incrementalMinhashPairs]] with candidate generation driven by
+    * a PRE-BUILT corpus band index `(id, bandkey)` — at corpus scale
+    * the index lives as a bucketed-by-`bandkey` table
+    * ([[sketchBandIndex]] + [[Bucketing.writeBucketed]]), so the band
+    * probe exchanges ONLY the batch side; the corpus sketch is still
+    * consulted for the signature/shingle verify fetches, which are
+    * candidate-sized key lookups. */
+  def incrementalMinhashPairsIndexed(newSketch: DataFrame,
+                                     corpusSketch: DataFrame,
+                                     corpusBandIndex: DataFrame,
+                                     threshold: Double, numHashes: Int = 16,
+                                     bands: Int = 4): DataFrame = {
+    val batch = newSketch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count()
+    val cands = sketchBandIndex(batch, numHashes, bands)
+      .withColumnRenamed("id", "new_id")
+      .join(corpusBandIndex.select(col("id").as("corpus_id"),
+        col("bandkey")), "bandkey")
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    verifyIncrementalCandidates(cands, batch, corpusSketch,
+      threshold, numHashes)
+  }
+
+  /** Shared verify tail of the incremental probes: signature-agreement
+    * prefilter, then the exact sorted-merge jaccard over shingle
+    * hashes. Releases `batch`'s persist. */
+  private def verifyIncrementalCandidates(cands: DataFrame, batch: DataFrame,
+                                          corpusSketch: DataFrame,
+                                          threshold: Double,
+                                          numHashes: Int): DataFrame = {
     val minAgree = math.max(0, math.ceil((threshold - 0.15) * numHashes)).toInt
     val agree = size(filter(
       zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Bucketing, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -25,17 +25,41 @@ import org.apache.spark.sql.streaming.Trigger
   * certifies (q_dedup_incremental), and the per-batch index append
   * is a parquet write the next batch's probe scans.
   *
+  * Restart-safe: invoking the gate again with the same `outDir` +
+  * `checkpointDir` RESUMES — the streaming checkpoint skips files
+  * already committed, and the probe picks up the accumulated
+  * `sketch/` index (the `seedSketch` argument is ignored on resume;
+  * it only seeds a cold start). Destroying prior state is opt-in via
+  * `reset = true`; a non-empty `outDir` that is NOT prior gate state
+  * fails fast instead of being silently overwritten.
+  *
   * Exactly-once: every per-batch output lands under a
   * `batch=<batchId>/` directory written with overwrite mode, so a
   * crashed-and-retried micro-batch rewrites the same paths instead
   * of double-appending.
   *
+  * Index compaction: an always-on gate otherwise grows `sketch/` by
+  * one directory per micro-batch and re-lists all of them every
+  * probe. Every `compactEvery` batches the gate folds all
+  * `sketch/batch=*` directories into a single `batch=c<id>`
+  * directory (dir count stays ≤ compactEvery) and — when
+  * `indexTable` is set — rebuilds a bucketed-by-`bandkey` managed
+  * table from it, after which candidate generation probes the STORED
+  * index and exchanges only the batch side
+  * ([[graft.operators.Dedup.incrementalMinhashPairsIndexed]];
+  * IngestGateSpec pins the one-exchange plan). The fold renames the
+  * compacted directory in BEFORE deleting the originals, and
+  * compaction dedups by id, so a crash mid-swap costs duplicate pair
+  * evidence for a window, never lost index entries.
+  *
   * Scale notes (100 TB corpus, GB-scale daily batches):
   *  - per batch the corpus side costs pruned columnar scans of the
   *    stored sketch, never a re-shingle (see
-  *    [[graft.operators.Dedup.minhashSketch]]); at corpus scale the
-  *    index lives bucketed by band key so the probe shuffles only
-  *    the batch side (DedupSpec pins that plan);
+  *    [[graft.operators.Dedup.minhashSketch]]);
+  *  - with `indexTable` set, the band probe against the compacted
+  *    corpus is exchange-free on the corpus side; only the
+  *    not-yet-compacted recent batches (≤ compactEvery, each
+  *    batch-sized) derive band keys in-flight;
   *  - in-batch dedup uses the conservative greedy rule — any doc
   *    paired with a smaller in-batch id is dropped. On A~B~C chains
   *    this may over-drop (C falls even if its only dup B fell
@@ -48,14 +72,15 @@ object IngestGate {
   /** Drive every parquet file under `docsDir` through the gate one
     * micro-batch per file (availableNow). `seedSketch` is the
     * pre-existing corpus index — pass a sketch of the current corpus,
-    * or an empty sketch for a cold start.
+    * or an empty sketch for a cold start (ignored when resuming).
     *
     * Output layout under `outDir`:
     *  - `admitted/batch=<id>/`  — gated documents, full input schema
     *  - `quarantine/batch=<id>/` — (new_id, corpus_id, jaccard) pair
     *    evidence for every rejected document
     *  - `sketch/batch=<id>/`   — admitted docs' (id, sh, sig), the
-    *    index later batches probe (seeded from `seedSketch`)
+    *    index later batches probe (seeded from `seedSketch`);
+    *    periodically folded into `batch=c<id>` (see compaction notes)
     *
     * Returns (admitted, quarantine) as batch DataFrames. */
   def nearDupGate(spark: SparkSession, docsDir: String,
@@ -63,17 +88,33 @@ object IngestGate {
                   checkpointDir: String, threshold: Double = 0.9,
                   numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text",
-                  fileGlob: String = "*.parquet"): (DataFrame, DataFrame) = {
+                  fileGlob: String = "*.parquet",
+                  reset: Boolean = false,
+                  compactEvery: Int = 16,
+                  indexTable: Option[String] = None,
+                  indexBuckets: Int = 16): (DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    Seq(outDir, checkpointDir).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(hp)) fs.delete(hp, true)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val sketchDir = s"$outDir/sketch"
+    val sketchPath = new org.apache.hadoop.fs.Path(sketchDir)
+    if (reset) {
+      Seq(outDir, checkpointDir).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      indexTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+    val resuming = fs.exists(sketchPath)
+    if (!resuming) {
+      if (fs.exists(outPath) && fs.listStatus(outPath).nonEmpty)
+        throw new IllegalArgumentException(
+          s"outDir '$outDir' is non-empty and not prior gate state " +
+            "(no sketch/ index); pass reset = true to overwrite it")
+      seedSketch.write.parquet(s"$sketchDir/batch=seed")
     }
     val admittedDir = s"$outDir/admitted"
     val quarantineDir = s"$outDir/quarantine"
-    val sketchDir = s"$outDir/sketch"
-    seedSketch.write.parquet(s"$sketchDir/batch=seed")
 
     val schema = spark.read
       .option("pathGlobFilter", fileGlob).parquet(docsDir).schema
@@ -101,8 +142,26 @@ object IngestGate {
           // 2. probe the survivors against the accumulated index;
           //    `batch` is a partition-discovery column, not sketch data
           val corpus = spark.read.parquet(sketchDir).drop("batch")
-          val dupPairs = Dedup.incrementalMinhashPairs(
-            batchSketch, corpus, threshold, numHashes, bands)
+          val dupPairs = indexTable match {
+            case Some(t) if spark.catalog.tableExists(t) =>
+              // stored bucketed index covers the compacted batch=c*
+              // fold; the ≤ compactEvery recent batch dirs derive
+              // their band keys in-flight (each is batch-sized)
+              val stored = spark.table(t).select("id", "bandkey")
+              val recent = fs.listStatus(sketchPath)
+                .filter(_.isDirectory).map(_.getPath)
+                .filterNot(_.getName.startsWith("batch=c"))
+                .map(_.toString).toSeq
+              val recentIdx =
+                if (recent.isEmpty) stored.limit(0)
+                else Dedup.sketchBandIndex(
+                  spark.read.parquet(recent: _*), numHashes, bands)
+              Dedup.incrementalMinhashPairsIndexed(batchSketch, corpus,
+                stored.unionByName(recentIdx), threshold, numHashes, bands)
+            case _ =>
+              Dedup.incrementalMinhashPairs(
+                batchSketch, corpus, threshold, numHashes, bands)
+          }
           dupPairs.write.mode("overwrite")
             .parquet(s"$quarantineDir/batch=$batchId")
           // the two operators cache their (small) pair results for
@@ -124,6 +183,12 @@ object IngestGate {
             .join(rejected, Seq("id"), "left_anti")
             .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
           docs.unpersist()
+          // 4. periodic compaction: bound sketch dir growth and keep
+          //    the stored candidate index covering the whole corpus
+          if (compactEvery > 0 &&
+              fs.listStatus(sketchPath).count(_.isDirectory) >= compactEvery)
+            compactSketchIndex(spark, outDir, batchId,
+              numHashes, bands, indexTable, indexBuckets)
           ()
         }
         .option("checkpointLocation", checkpointDir)
@@ -133,5 +198,49 @@ object IngestGate {
     }
     (spark.read.parquet(admittedDir).drop("batch"),
       spark.read.parquet(quarantineDir).drop("batch"))
+  }
+
+  /** Fold every `sketch/batch=*` directory into one `batch=c<id>`
+    * directory and rebuild the bucketed band index table (when
+    * configured). The step order makes every crash window safe:
+    *
+    *  1. write the full id-deduped fold to a temp dir;
+    *  2. rebuild the bucketed index FROM THE TEMP FOLD — from here the
+    *     stored index covers the whole corpus;
+    *  3. rename the fold in as `batch=c<id>`;
+    *  4. delete the original directories.
+    *
+    * A crash after 1 orphans a temp dir the next compaction clears;
+    * after 2 or 3 the corpus is (at worst) double-represented —
+    * duplicate candidate pairs for a window, never lost entries, and
+    * the next compaction's id-dedup heals it. A crash DURING the
+    * index rebuild (table dropped, not yet rewritten) demotes the
+    * probe to the derive-in-flight path over the still-intact
+    * originals until the next compaction. On an in-memory catalog
+    * the table does not survive a JVM restart at all — same demotion,
+    * same self-heal (see [[Bucketing.writeBucketed]]'s notes). */
+  private def compactSketchIndex(spark: SparkSession, outDir: String,
+                                 batchId: Long, numHashes: Int, bands: Int,
+                                 indexTable: Option[String],
+                                 indexBuckets: Int): Unit = {
+    val sketchDir = s"$outDir/sketch"
+    val sketchPath = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = sketchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/sketch_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(sketchDir).drop("batch")
+      .dropDuplicates("id")
+      .coalesce(indexBuckets)
+      .write.parquet(tmp.toString)
+    indexTable.foreach { t =>
+      Bucketing.writeBucketed(
+        Dedup.sketchBandIndex(spark.read.parquet(tmp.toString),
+          numHashes, bands),
+        t, Seq("bandkey"), indexBuckets)
+    }
+    val originals = fs.listStatus(sketchPath)
+      .filter(_.isDirectory).map(_.getPath)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$sketchDir/batch=c$batchId"))
+    originals.foreach(p => fs.delete(p, true))
   }
 }

@@ -290,6 +290,33 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("indexed incremental probe matches the derive-in-flight probe") {
+    // the stored-index candidate path (bandkey = xxhash64(band, key))
+    // must produce exactly the pairs of the struct-key path on dense
+    // random corpora — same LSH family, same prefilter, same verify
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 12).map(i => s"x$trial-$i")
+      val docsR = (0 until 30).map { i =>
+        val n = 4 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docsR.toDF("doc_id", "text")
+      val batchSk = Dedup.minhashSketch(df.filter(col("doc_id") % 3 === 0),
+        numHashes = 16)
+      val corpusSk = Dedup.minhashSketch(df.filter(col("doc_id") % 3 =!= 0),
+        numHashes = 16)
+      val plain = Dedup.incrementalMinhashPairs(batchSk, corpusSk,
+          threshold = 0.5, numHashes = 16, bands = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      val indexed = Dedup.incrementalMinhashPairsIndexed(batchSk, corpusSk,
+          Dedup.sketchBandIndex(corpusSk, numHashes = 16, bands = 4),
+          threshold = 0.5, numHashes = 16, bands = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed == plain, s"trial $trial")
+    }
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")

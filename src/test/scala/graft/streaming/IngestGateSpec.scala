@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 class IngestGateSpec extends SparkSpec {
   import sqlImplicits._
@@ -57,5 +58,121 @@ class IngestGateSpec extends SparkSpec {
     val pairs = quarantine.select("new_id", "corpus_id")
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((10L, 1L), (20L, 11L)))
+  }
+
+  test("kill-and-restart: a restarted gate resumes the checkpoint and the accumulated index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_rs").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    val corpusDocs = Seq((1L, words("c1"))).toDF("doc_id", "text")
+    val seed = Dedup.minhashSketch(corpusDocs, numHashes = 16)
+    val novelA = words("a")
+    val t0 = System.currentTimeMillis() - 60000
+    // run 1: day1 only — 10 dups the seed corpus, 11 is novel
+    writeOneFile(Seq((10L, words("c1") + " tail10"), (11L, novelA))
+      .toDF("doc_id", "text"), s"$docsDir/day1.parquet", t0)
+    IngestGate.nearDupGate(spark, docsDir, seed, s"$tmp/gate", s"$tmp/ckpt",
+      threshold = 0.8, numHashes = 16, bands = 8)
+    // the gate "dies" (availableNow drained); day2 lands: 20 dups doc
+    // 11 — admitted by the PRE-restart run, so only the recovered
+    // accumulated index can catch it. The seed argument is an empty
+    // frame to prove resume ignores it.
+    writeOneFile(Seq((20L, novelA + " tail20"), (21L, words("b")))
+      .toDF("doc_id", "text"), s"$docsDir/day2.parquet", t0 + 10000)
+    val (admitted, quarantine) = IngestGate.nearDupGate(spark, docsDir,
+      seed.limit(0), s"$tmp/gate", s"$tmp/ckpt",
+      threshold = 0.8, numHashes = 16, bands = 8)
+    // had the checkpoint been wiped, day1 would re-run against an
+    // index already containing doc 11 and quarantine 11 against
+    // itself — admitted containing 11 proves the resume
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 21L))
+    assert(quarantine.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet == Set((10L, 1L), (20L, 11L)))
+  }
+
+  test("non-gate outDir fails fast without reset; reset=true overwrites") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_ff").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    writeOneFile(Seq((1L, words("a"))).toDF("doc_id", "text"),
+      s"$docsDir/d.parquet", System.currentTimeMillis() - 60000)
+    val outDir = s"$tmp/existing"
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(outDir, "precious.txt"), "not gate state")
+    val seed = Dedup.minhashSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), numHashes = 16)
+    intercept[IllegalArgumentException] {
+      IngestGate.nearDupGate(spark, docsDir, seed, outDir, s"$tmp/ckpt",
+        threshold = 0.8, numHashes = 16, bands = 8)
+    }
+    assert(new java.io.File(outDir, "precious.txt").exists())
+    val (admitted, _) = IngestGate.nearDupGate(spark, docsDir, seed, outDir,
+      s"$tmp/ckpt", threshold = 0.8, numHashes = 16, bands = 8, reset = true)
+    assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("compaction bounds the sketch dirs and the stored bucketed index probes with one exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_cp").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    val corpusDocs = Seq((1L, words("c1"))).toDF("doc_id", "text")
+    val novelA = words("a"); val novelB = words("b"); val novelC = words("cc")
+    val t0 = System.currentTimeMillis() - 60000
+    // day1: 10 dups seed, 11 novel.   day2: 20 novel → then compaction
+    // (dirs seed,0,1 = 3 ≥ compactEvery) folds the index + builds the
+    // bucketed table.   day3: 30 dups 11 — only reachable through the
+    // STORED index; 31 novel.   day4: 40 dups 31 (a NOT-yet-compacted
+    // recent admit → the stored ∪ recent union), 41 dups 20 (stored).
+    writeOneFile(Seq((10L, words("c1") + " t10"), (11L, novelA))
+      .toDF("doc_id", "text"), s"$docsDir/day1.parquet", t0)
+    writeOneFile(Seq((20L, novelB)).toDF("doc_id", "text"),
+      s"$docsDir/day2.parquet", t0 + 10000)
+    writeOneFile(Seq((30L, novelA + " t30"), (31L, novelC))
+      .toDF("doc_id", "text"), s"$docsDir/day3.parquet", t0 + 20000)
+    writeOneFile(Seq((40L, novelC + " t40"), (41L, novelB + " t41"))
+      .toDF("doc_id", "text"), s"$docsDir/day4.parquet", t0 + 30000)
+
+    val (admitted, quarantine) = IngestGate.nearDupGate(spark, docsDir,
+      Dedup.minhashSketch(corpusDocs, numHashes = 16),
+      s"$tmp/gate", s"$tmp/ckpt", threshold = 0.8, numHashes = 16, bands = 8,
+      compactEvery = 3, indexTable = Some("graft_gate_idx"))
+
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 20L, 31L))
+    assert(quarantine.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+      == Set((10L, 1L), (30L, 11L), (40L, 31L), (41L, 20L)))
+    // dir growth is bounded: batch3's post-write compaction folded
+    // everything into the single batch=c3 directory
+    val sketchDirs = new java.io.File(s"$tmp/gate/sketch").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(sketchDirs == Seq("batch=c3"))
+    // the compacted index covers every admitted doc + the seed corpus
+    assert(spark.read.parquet(s"$tmp/gate/sketch").select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 11L, 20L, 31L))
+    // the 100 TB plan pin (DedupSpec's shape, against the table the
+    // GATE built): probing the stored bucketed index exchanges only
+    // the batch side
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.sketchBandIndex(
+        Dedup.minhashSketch(Seq((100L, novelA + " t100"))
+          .toDF("doc_id", "text"), numHashes = 16), numHashes = 16, bands = 8)
+      val cands = spark.table("graft_gate_idx").alias("c")
+        .join(probe.alias("n"), col("c.bandkey") === col("n.bandkey"))
+        .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      assert(cands.count() >= 1)
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(cands.queryExecution.executedPlan.toString).length
+      assert(exchanges == 1,
+        s"expected only the batch-side exchange, got $exchanges:\n" +
+          cands.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 }
