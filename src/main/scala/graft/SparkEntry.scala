@@ -1684,7 +1684,10 @@ object SparkEntry {
         |bad AS (SELECT chain, seq FROM noh
         |WHERE grp = 'ATOM' AND comp IN ('GLY', 'ALA')
         |GROUP BY chain, seq
-        |HAVING COUNT(DISTINCT atom) <
+        |HAVING COUNT(DISTINCT CASE
+        |WHEN comp = 'GLY' AND atom IN ('N','O','CA','C') THEN atom
+        |WHEN comp = 'ALA' AND atom IN ('N','O','CA','C','CB') THEN atom
+        |END) <
         |MAX(CASE comp WHEN 'GLY' THEN 4 WHEN 'ALA' THEN 5 END)),
         |kept AS (SELECT n.* FROM noh n
         |WHERE NOT EXISTS (SELECT 1 FROM bad b

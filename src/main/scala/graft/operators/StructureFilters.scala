@@ -155,9 +155,22 @@ object StructureFilters {
     val modelCol = "pdbx_PDB_model_num"
     if (models.nonEmpty && t.columns.contains(modelCol)) {
       if (models == Seq("first")) {
-        val first = t.orderBy(col("id")).select(modelCol).limit(1)
-          .collect().headOption.map(_.get(0))
-        for (v <- first) t = RowOps.rowSelector(t, modelCol, Seq(v))
+        if (t.columns.contains(fileCol)) {
+          // per-file "first": the reference's iloc[0] lookup is
+          // per-structure; a multi-file table scopes it per file.
+          // One row per file — broadcast semi-join, no collect.
+          val firstModels = t.withColumn("__m_rn", row_number().over(
+              Window.partitionBy(fileCol).orderBy(col("id"))))
+            .filter(col("__m_rn") === 1)
+            .select(col(fileCol).as("__m_file"), col(modelCol).as("__m_model"))
+          t = t.join(broadcast(firstModels),
+            t(fileCol) === col("__m_file") &&
+              t(modelCol) === col("__m_model"), "left_semi")
+        } else {
+          val first = t.orderBy(col("id")).select(modelCol).limit(1)
+            .collect().headOption.map(_.get(0))
+          for (v <- first) t = RowOps.rowSelector(t, modelCol, Seq(v))
+        }
       } else t = RowOps.rowSelector(t, modelCol, models)
     }
     if (chains.nonEmpty)
@@ -172,10 +185,15 @@ object StructureFilters {
     }
     if (removeHydrogens)
       t = RowOps.rowSelector(t, "type_symbol", Seq("H"), reverse = true)
+    // altloc dedup and the completeness check are both PER STRUCTURE:
+    // when several models survive (models=Seq(1,2) / Nil) or several
+    // files share the table, the model/file columns join the keys so
+    // one structure's atoms never collapse or complete another's
+    def structureScope = Seq(modelCol, fileCol).filter(t.columns.contains)
     var mustResetIds = resetAtomId
     if (removeAltloc) {
       t = WindowOps.keepBestPerKey(t,
-        Seq(s"${category}_asym_id", s"${category}_seq_id",
+        structureScope ++ Seq(s"${category}_asym_id", s"${category}_seq_id",
           s"${category}_atom_id"),
         Seq(col("id").asc))
         .withColumn("label_alt_id", lit("."))
@@ -183,22 +201,35 @@ object StructureFilters {
     }
     if (removePartialRes) {
       val std = graft.sources.Library.aaDefaultAtoms
+      val compId = col(s"${category}_comp_id")
+      val atomId = col(s"${category}_atom_id")
       val required = std.foldLeft(lit(null).cast("int")) {
         case (other, (aa, atomsOf)) =>
-          when(col(s"${category}_comp_id") === aa,
-            lit(atomsOf.size)).otherwise(other)
+          when(compId === aa, lit(atomsOf.size)).otherwise(other)
       }
+      // completeness = every atom of the residue's own default
+      // inventory observed (_remove_partial_residues checks
+      // set(default) - set(observed)); atoms OUTSIDE the inventory —
+      // OXT on C-terminal residues, hydrogens when
+      // removeHydrogens=false, nonstandard names — must not count,
+      // or they mask a missing default atom
+      val isDefaultAtom = std.foldLeft(lit(false)) {
+        case (other, (aa, atomsOf)) =>
+          when(compId === aa,
+            atomId.isin(atomsOf.map(a => a: Any): _*)).otherwise(other)
+      }
+      val grpCols = structureScope ++
+        Seq(s"${category}_asym_id", s"${category}_seq_id")
       val incomplete = t
         .filter(col("group_PDB") === "ATOM" && required.isNotNull)
-        .groupBy(col(s"${category}_asym_id").as("__pr_chain"),
-          col(s"${category}_seq_id").as("__pr_seq"))
-        .agg(count_distinct(col(s"${category}_atom_id")).as("__pr_n"),
+        .groupBy(grpCols.map(c => col(c).as(s"__pr_$c")): _*)
+        .agg(count_distinct(when(isDefaultAtom, atomId)).as("__pr_n"),
           max(required).as("__pr_req"))
         .filter(col("__pr_n") < col("__pr_req"))
-        .select("__pr_chain", "__pr_seq")
+        .drop("__pr_n", "__pr_req")
       t = t.join(incomplete,
-        t(s"${category}_asym_id") === col("__pr_chain") &&
-          t(s"${category}_seq_id") === col("__pr_seq"), "left_anti")
+        grpCols.map(c => t(c) === incomplete(s"__pr_$c")).reduce(_ && _),
+        "left_anti")
     }
     if (mustResetIds) {
       val part = if (t.columns.contains(fileCol)) Window.partitionBy(fileCol)

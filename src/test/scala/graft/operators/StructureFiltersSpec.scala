@@ -214,6 +214,56 @@ class StructureFiltersSpec extends SparkSpec {
     }
   }
 
+  test("filterStructures: per-model scoping and inventory-only completeness") {
+    import sqlImplicits._
+    // models=Seq(1,2): model 2's copy of residue 1 must keep its own
+    // atoms under remove_altloc (per-structure scope, not one winner
+    // across models) and complete from its OWN atom set; residue 3's
+    // OXT must not mask its missing CA (set(default)-set(observed))
+    val atoms = Seq(
+      ("ATOM", 1, 1, "A", 1, "?", "GLY", "N", ".", 1.0, "N"),
+      ("ATOM", 2, 1, "A", 1, "?", "GLY", "O", ".", 2.0, "O"),
+      ("ATOM", 3, 1, "A", 1, "?", "GLY", "CA", "A", 3.0, "C"),
+      ("ATOM", 4, 1, "A", 1, "?", "GLY", "CA", "B", 5.0, "C"),
+      ("ATOM", 5, 1, "A", 1, "?", "GLY", "C", ".", 4.0, "C"),
+      // GLY 3: N,O,C,OXT — 4 distinct atoms but CA missing
+      ("ATOM", 6, 1, "A", 3, "?", "GLY", "N", ".", 1.0, "N"),
+      ("ATOM", 7, 1, "A", 3, "?", "GLY", "O", ".", 2.0, "O"),
+      ("ATOM", 8, 1, "A", 3, "?", "GLY", "C", ".", 4.0, "C"),
+      ("ATOM", 9, 1, "A", 3, "?", "GLY", "OXT", ".", 6.0, "O"),
+      // model 2: complete copy of residue 1
+      ("ATOM", 11, 2, "A", 1, "?", "GLY", "N", ".", 10.0, "N"),
+      ("ATOM", 12, 2, "A", 1, "?", "GLY", "O", ".", 20.0, "O"),
+      ("ATOM", 13, 2, "A", 1, "?", "GLY", "CA", "A", 30.0, "C"),
+      ("ATOM", 14, 2, "A", 1, "?", "GLY", "C", ".", 40.0, "C"))
+      .toDF("group_PDB", "id", "pdbx_PDB_model_num", "auth_asym_id",
+        "auth_seq_id", "pdbx_PDB_ins_code", "auth_comp_id",
+        "auth_atom_id", "label_alt_id", "Cartn_x", "type_symbol")
+    val out = StructureFilters.filterStructures(atoms, models = Seq(1, 2),
+      removeAltloc = true, removePartialRes = true)
+    assert(out.filter($"auth_atom_id" === "CA").count() == 2)
+    assert(out.filter($"pdbx_PDB_model_num" === 2).count() == 4)
+    assert(out.filter($"auth_seq_id" === 3).isEmpty)
+  }
+
+  test("filterStructures: models-first resolves per file") {
+    import sqlImplicits._
+    // f1's first model is 1, f2's is 3 — a global first-row lookup
+    // would empty f2 out entirely
+    val atoms = Seq(
+      ("ATOM", 1, 1, "A", 1, "?", "GLY", "N", ".", 1.0, "N", "f1"),
+      ("ATOM", 2, 2, "A", 1, "?", "GLY", "N", ".", 2.0, "N", "f1"),
+      ("ATOM", 3, 3, "A", 1, "?", "GLY", "N", ".", 3.0, "N", "f2"),
+      ("ATOM", 4, 4, "A", 1, "?", "GLY", "N", ".", 4.0, "N", "f2"))
+      .toDF("group_PDB", "id", "pdbx_PDB_model_num", "auth_asym_id",
+        "auth_seq_id", "pdbx_PDB_ins_code", "auth_comp_id",
+        "auth_atom_id", "label_alt_id", "Cartn_x", "type_symbol", "file")
+    val out = StructureFilters.filterStructures(atoms)
+      .select("file", "pdbx_PDB_model_num")
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("f1", 1), ("f2", 3)))
+  }
+
   test("residuesAggregation: unique and first methods") {
     import sqlImplicits._
     val df = Seq(
