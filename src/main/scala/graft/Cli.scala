@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 /** Command-line entry point — the Spark-native analog of the
   * reference's CLI (proteofav/main.py:15-66): select inputs, merge
   * through the one-call [[TableGenerator]] facade, write the merged
-  * table. Differences are deliberate: output is a DISTRIBUTED
-  * csv/json/parquet directory write (the reference streams a single
+  * table. Option defaults can come from an INI config file
+  * ([[Config]], the reference's `Defaults`). Differences are
+  * deliberate: output is a DISTRIBUTED
+  * csv/tab/json/parquet directory write (the reference streams a single
   * pandas to_csv through the driver — at 100 TB the driver must
   * never hold the table), and inputs are paths to already-fetched
   * files (no network layer in a no-egress engine).
@@ -27,13 +29,17 @@ object Cli {
       |  [--variants <json-file>]      merge variant records with accession +
       |                                begin columns (requires --sifts)
       |  [--uniprot ACC]               accession stamped onto --annotations
+      |                                (required by --annotations)
       |  [--chains A,B]                keep only these chain ids
       |  [--res 1,2,3]                 keep only these residue numbers
       |  [--atom-names CA,N]           keep only these atom names
       |  [--keep-altlocs]              skip max-occupancy altloc collapse
       |  [--keep-partial]              skip partial-residue drop
       |  [--sequence-check MODE]       ignore|warn|raise (default ignore)
-      |  [--output-type TYPE]          csv|json|parquet (default csv)
+      |  [--output-type TYPE]          csv|json|tab|parquet (default csv)
+      |  [--config FILE]               INI file supplying option defaults
+      |                                (any option name as key; db_root
+      |                                prefixes relative paths; CLI args win)
       |  [--master URL]                spark master (default local[*])
       |""".stripMargin
 
@@ -54,10 +60,18 @@ object Cli {
         case bad => throw new IllegalArgumentException(
           s"unparseable argument(s): ${bad.mkString(" ")}\n$usage")
       }
-    val m = loop(args.toList, Map.empty)
+    val cli = loop(args.toList, Map.empty)
+    // config supplies DEFAULTS (the reference's Defaults object,
+    // config.py:42); explicit CLI arguments override them
+    val m = cli.get("config")
+      .map(p => Config.cliDefaults(Config.load(p)) ++ cli).getOrElse(cli)
     for (req <- Seq("atoms", "output"))
       if (!m.contains(req)) throw new IllegalArgumentException(
         s"--$req is required\n$usage")
+    if (m.contains("annotations") && !m.contains("uniprot"))
+      throw new IllegalArgumentException(
+        "--annotations stamps the --uniprot accession onto the " +
+          s"annotation table; add --uniprot\n$usage")
     m
   }
 
@@ -136,10 +150,12 @@ object Cli {
       opts.getOrElse("output-type", "csv") match {
         case "csv" => merged.write.mode("overwrite")
           .option("header", "true").csv(out)
+        case "tab" => merged.write.mode("overwrite")
+          .option("header", "true").option("sep", "\t").csv(out)
         case "json" => merged.write.mode("overwrite").json(out)
         case "parquet" => merged.write.mode("overwrite").parquet(out)
         case other => throw new IllegalArgumentException(
-          s"unknown --output-type '$other' (csv|json|parquet)\n$usage")
+          s"unknown --output-type '$other' (csv|json|tab|parquet)\n$usage")
       }
     } finally if (!preexisting) spark.stop()
   }

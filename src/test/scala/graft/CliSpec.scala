@@ -120,6 +120,52 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--sifts"))
   }
 
+  test("cli: --annotations without --uniprot is rejected") {
+    // without the accession the annotation table's join key is null
+    // and every annotation column would silently come back null
+    val e = intercept[IllegalArgumentException](Cli.parseArgs(
+      Seq("--atoms", "x", "--output", "y",
+        "--sifts", "s.xml", "--annotations", "a.gff")))
+    assert(e.getMessage.contains("--uniprot"))
+  }
+
+  test("cli: config file supplies defaults, db_root resolves paths, CLI overrides") {
+    val dir = Files.createTempDirectory("graft_cli_cfg")
+    val cfg = dir.resolve("config.ini")
+    Files.writeString(cfg,
+      s"""# graft config (reference config.ini shape)
+         |[Global]
+         |db_root = ${dir.toString}
+         |db_pdb = ...
+         |atoms = pdbin
+         |output = outdir
+         |output_type = tab
+         |chains = A
+         |""".stripMargin)
+    val parsed = Cli.parseArgs(Seq("--config", cfg.toString))
+    assert(parsed("atoms") == dir.resolve("pdbin").toString)
+    assert(parsed("output") == dir.resolve("outdir").toString)
+    assert(parsed("output-type") == "tab")
+    // CLI args override config defaults
+    val over = Cli.parseArgs(Seq("--config", cfg.toString,
+      "--output-type", "parquet"))
+    assert(over("output-type") == "parquet")
+    // db* placeholder resolves to the temp dir (config.py:85)
+    assert(Config.load(cfg.toString)("db_pdb")
+      == System.getProperty("java.io.tmpdir"))
+    // end-to-end: the config alone drives a tab-separated run
+    val pdb = writePdb()
+    java.nio.file.Files.move(java.nio.file.Path.of(pdb),
+      dir.resolve("pdbin"))
+    Cli.main(Array("--config", cfg.toString))
+    val back = spark.read.option("header", "true").option("sep", "\t")
+      .csv(dir.resolve("outdir").toString)
+    assert(back.count() == 4)
+    assert(back.columns.length > 1) // the tab delimiter actually split
+    assert(back.select("auth_asym_id").distinct()
+      .as[String].collect().toSeq == Seq("A"))
+  }
+
   test("cli: rejects missing required args and bad output type") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--atoms", "x")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--output")))
