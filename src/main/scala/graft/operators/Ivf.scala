@@ -91,6 +91,34 @@ object Ivf {
     centroids
   }
 
+  /** Persist trained centroids as a parquet model table
+    * `(cell: int, centroid: array<double>)` — "train once, search
+    * many batches" (the advice on [[ivfTopK]]) made durable across
+    * session boundaries: a training job writes the model, every later
+    * search session [[loadCentroids]] and drives the pre-trained
+    * overload. The table is O(nCells × dim) — driver-bounded by
+    * construction, one file. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] model table back into the in-memory
+    * centroid matrix, cell order restored. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Double]] = {
+    val byCell = spark.read.parquet(path).select("cell", "centroid")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    require(byCell.keySet == (0 until byCell.size).toSet,
+      s"centroid table at $path is not dense in [0, n): " +
+        s"cells ${byCell.keySet.toSeq.sorted.take(5)}...")
+    (0 until byCell.size).map(byCell).toIndexedSeq
+  }
+
   /** IVF top-k: probe each query's nProbe nearest cells, exact cosine
     * within them, k-capped top-k aggregation. Trains on the corpus
     * first; at 100 TB call [[trainCentroids]] once (on a sample) and

@@ -65,6 +65,29 @@ class IvfSpec extends SparkSpec {
     assert(pre == self) // same (deterministic) training -> same search
   }
 
+  test("centroid model table roundtrips and drives the pre-trained search") {
+    val cents = Ivf.trainCentroids(corpus, nCells = 2, lloydIters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_model").toString + "/centroids"
+    Ivf.saveCentroids(spark, cents, path)
+    val loaded = Ivf.loadCentroids(spark, path)
+    assert(loaded == cents) // bit-exact roundtrip, cell order restored
+    val probes = corpus.filter(col("vec_id") <= 4)
+    val fromDisk = Ivf.ivfTopK(corpus, probes, 3, loaded, nProbe = 2,
+        "vec_id", "embedding").orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val inMem = Ivf.ivfTopK(corpus, probes, 3, cents, nProbe = 2,
+        "vec_id", "embedding").orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromDisk == inMem)
+    // a corrupted (non-dense) model table is rejected, not mis-indexed
+    val bad = path + "_bad"
+    Ivf.saveCentroids(spark, cents, bad)
+    spark.read.parquet(bad).filter(col("cell") === 1)
+      .write.mode("overwrite").parquet(bad + "2")
+    intercept[IllegalArgumentException](Ivf.loadCentroids(spark, bad + "2"))
+  }
+
   test("ivfTopK with nProbe=1 stays within the probe's own cluster") {
     val probes = corpus.filter(col("vec_id") === 2) // +5 cluster
     val out = Ivf.ivfTopK(corpus, probes, k = 5, nCells = 2, nProbe = 1)
