@@ -591,6 +591,20 @@ object SparkEntry {
         sketch.filter(pmod(col("id"), lit(5)) < 4),
         threshold = 0.9, numHashes = 32, bands = 2)
     }),
+    // span-level exact-substring dedup (the Lee et al. 2022 signal):
+    // every duplicated 8-token window, unioned per doc into covered-
+    // token counts — count-over-partition(window hash), no self-join
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.duplicatedSpanProfile(T(s, d, "documents"), k = 8)),
+    // unigram-LM quality filter (CCNet fit-then-transform shape):
+    // corpus token counts → per-doc mean token probability + hapax
+    // rate, exact-rational so both engines hash-match
+    "q_lm_score" -> ((s, d) => Corpus.lmScore(T(s, d, "documents"))),
+    // deterministic training-export sharding: md5 shard assignment +
+    // in-shard content-hash rank (the no-rand() global shuffle)
+    "q_export_shards" -> ((s, d) =>
+      Sampling.exportShards(
+        T(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)),
     // hamming-banded near-dup pairs over codes BOTH engines derive
     // identically (md5 hex-char parity bits — the production
     // simhash's xxhash64 mixing is not SQL-expressible; that path is
@@ -2279,6 +2293,46 @@ object SparkEntry {
         |FROM pre
         |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
         |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.9""".stripMargin,
+    // duplicated 8-token spans: window hash occurrence counts, then a
+    // per-doc sorted interval union (all spans share length 8, so the
+    // union is least(8, start - prev_start) after an ORDER BY start)
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |w AS (SELECT doc_id, toks, unnest(generate_series(0, n_tokens - 8)) AS start FROM b WHERE n_tokens >= 8),
+        |h AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS wh FROM w),
+        |o AS (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY wh) AS occ FROM h),
+        |d AS (SELECT doc_id, start, lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM o WHERE occ >= 2),
+        |c AS (SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE least(8, start - prev) END) AS BIGINT) AS dup FROM d GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, CAST(COALESCE(c.dup, 0) AS BIGINT) AS dup_span_tokens,
+        |CASE WHEN b.n_tokens = 0 THEN 0.0 ELSE CAST(COALESCE(c.dup, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) END AS dup_span_frac
+        |FROM b LEFT JOIN c USING (doc_id)""".stripMargin,
+    // unigram-LM scoring: every aggregate stays an exact integer;
+    // the two output scores are each ONE IEEE division, so Spark and
+    // DuckDB produce bit-identical doubles
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        |pdt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok)
+        |SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
+        |CAST(CAST(SUM(p.tf * c.cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) * t.total AS DOUBLE) AS avg_tok_p,
+        |CAST(CAST(SUM(CASE WHEN c.cnt = 1 THEN p.tf ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) AS DOUBLE) AS hapax_frac
+        |FROM pdt p JOIN cnt c USING (tok) CROSS JOIN tot t
+        |GROUP BY p.doc_id, t.total""".stripMargin,
+    // export sharding: the md5Bucket16 nibble replay (q_corpus_mix
+    // pattern) mod nShards, rank by (md5 hex, id) within the shard
+    "q_export_shards" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents),
+        |s AS (SELECT doc_id, hex,
+        |CAST(((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 8 AS INTEGER) AS shard
+        |FROM h)
+        |SELECT doc_id, shard,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shard_rank
+        |FROM s""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

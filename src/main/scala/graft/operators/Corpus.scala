@@ -151,6 +151,52 @@ object Corpus {
           .as("chunk_text"))
   }
 
+  /** Unigram-LM quality scoring — the fit-then-transform shape of
+    * the CCNet/KenLM perplexity filter, with an exact-arithmetic
+    * score. FIT: one pass counts every token over the corpus (the
+    * language model). TRANSFORM: each document is scored by its mean
+    * token probability sum(tf·cnt) / (n_doc_tokens · total_tokens)
+    * — a document of common tokens scores high, one of rare/garbled
+    * tokens scores low — plus its hapax rate (fraction of token
+    * instances whose corpus count is 1, the "never seen elsewhere"
+    * tail). Both scores are a single IEEE division over exact long
+    * integrals, so results hash-match across engines (no
+    * order-dependent float summation, no log).
+    *
+    * Scale shape: the model is the token-count table — broadcast
+    * here (raw-token vocab is MBs even at web scale after a min-df
+    * floor); set broadcastModel=false to fall back to a shuffle join
+    * when the vocabulary genuinely can't broadcast. The corpus-side
+    * work is one explode + two map-side-combined aggregations.
+    * Documents with zero tokens have no defined mean and are not
+    * emitted. Note: p_num = Σ tf·cnt stays exact in a long up to
+    * ~9e18; at extreme corpus sizes the double cast rounds, equally
+    * in any engine. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              broadcastModel: Boolean = true): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val model = if (broadcastModel) broadcast(counts) else counts
+    // total token instances from the (small) count table, not a
+    // second corpus scan
+    val total = broadcast(counts.agg(sum("cnt").as("total")))
+    tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(model, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("cnt")).cast("long").as("p_num"),
+        sum(when(col("cnt") === 1L, col("tf")).otherwise(lit(0L)))
+          .cast("long").as("hapax"))
+      .crossJoin(total) // 1-row scalar join
+      .select(col("doc_id"), col("n_tokens"),
+        (col("p_num").cast("double") /
+          (col("n_tokens") * col("total")).cast("double")).as("avg_tok_p"),
+        (col("hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_frac"))
+  }
+
   /** Corpus length profile per grouping key: docs, total/mean token
     * counts — the cheap first look at a new 100 TB crawl. */
   def lengthProfile(docs: DataFrame, keys: Seq[String],

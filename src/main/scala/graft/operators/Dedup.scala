@@ -615,6 +615,60 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Exact duplicated-SPAN coverage per document — the span-level
+    * exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") at k-token window
+    * granularity. Every k-token window of every document is hashed;
+    * a window whose hash occurs ≥ 2 times anywhere in the corpus
+    * (another document OR a repeat inside the same one) is a
+    * duplicated span. Per document the report is the union of its
+    * duplicated-window intervals: how many token positions sit
+    * inside at least one duplicated span, and the fraction of the
+    * document that is. Downstream a pipeline drops documents above a
+    * coverage threshold or clips the spans themselves.
+    *
+    * Scale shape: the costly step is one shuffle of O(total tokens)
+    * window hashes for the occurrence count — done as
+    * count-over-partition(hash), NOT a self-join — followed by one
+    * shuffle on doc id for the interval sweep. A suffix-array build
+    * (the paper's single-node structure) has no distributed
+    * equivalent at this cost; window hashing is the standard
+    * cluster-scale approximation and is exact at span granularity k.
+    * Interval union exploits that all intervals share length k, so
+    * after sorting by start the running coverage is
+    * min(k, start − prev_start) with no running-max state. */
+  def duplicatedSpanProfile(docs: DataFrame, k: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("toks"), k)))
+      .select(col("doc_id"), col("pos").as("start"),
+        md5(col("col")).as("wh"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    val covered = wins
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .filter(col("occ") >= 2)
+      .withColumn("prev", lag(col("start"), 1).over(sweep))
+      .withColumn("contrib", when(col("prev").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), col("start") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(sum("contrib").cast("long").as("dup_span_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_span_tokens", coalesce(col("dup_span_tokens"), lit(0L)))
+      .withColumn("dup_span_frac",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("dup_span_tokens").cast("double") /
+            col("n_tokens").cast("double")))
+  }
+
   /** Pair-set recall harness: how many of the exact near-dup pairs
     * does an approximate (LSH/simhash) pair set recover? The quality
     * number that justifies running the sketch instead of the exact

@@ -122,6 +122,43 @@ object Sampling {
       .drop("__g", "__thresh")
   }
 
+  /** Deterministic training-export sharding — the "global shuffle"
+    * a training run wants from its corpus, without rand(). Each row
+    * gets shard = md5Bucket16(id) % nShards (uniform, stable across
+    * runs/retries/engines) and a dense in-shard rank ordered by
+    * (md5 hex of id, id): within a shard the read order is a content
+    * hash, i.e. shuffled with respect to any source ordering, and
+    * ties are impossible for a unique id. One window shuffle on the
+    * shard key — nShards partitions of ~|rows|/nShards each; the
+    * row_number is the only per-shard sequential state. Pair with
+    * writeShards for the on-disk layout. */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard",
+        (md5Bucket16(col(idCol)) % nShards).cast("int"))
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+  }
+
+  /** Write the sharded export: one directory per shard
+    * (partitionBy), rows laid down in shard_rank order, file sizes
+    * bounded by maxRecordsPerFile so a reader can stream fixed-size
+    * pieces. repartition on the shard column co-locates each shard
+    * into one task before the partitioned write — without it every
+    * task writes a sliver of every shard (tasks × shards small
+    * files). */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+                  path: String, maxRecordsPerFile: Long = 1000000L): Unit =
+    exportShards(df, idCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "shard_rank")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
     * window shuffle; at 100 TB pre-aggregate a per-group count to

@@ -51,6 +51,28 @@ class CorpusSpec extends SparkSpec {
       (1L, 2L, 1L, "t4")))
   }
 
+  test("lmScore: exact mean token probability and hapax rate") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1; total=5
+    val out = Corpus.lmScore(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: p_num = 2*3 + 1*1 = 7 → 7/(3*5); hapax = 1 (the b) / 3
+    assert(out(1L) == ((3L, 7.0 / 15, 1.0 / 3)))
+    // doc 2: p_num = 3 + 1 = 4 → 4/(2*5); hapax = 1 (the c) / 2
+    assert(out(2L) == ((2L, 4.0 / 10, 1.0 / 2)))
+  }
+
+  test("lmScore broadcastModel=false matches the broadcast plan") {
+    val docs = Seq((1L, "u v u w"), (2L, "v v z"), (3L, "u z z q"))
+      .toDF("doc_id", "text")
+    val a = Corpus.lmScore(docs).as[(Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    val b = Corpus.lmScore(docs, broadcastModel = false)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("partitioned write + filtered read prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")

@@ -317,6 +317,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpanProfile: cross-doc, within-doc, and overlap union") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shares run "a b c d" with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r s t u"),   // unique — zero coverage
+      (4L, "m n o m n o m n"), // period-3 self repeat — full coverage
+      (5L, "a b")            // shorter than k — zero windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanProfile(docs, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: dup windows at starts 0,1 ("a b c","b c d") → union [0,4)
+    assert(out(1L) == ((6L, 4L, 4.0 / 6)))
+    assert(out(2L) == ((6L, 4L, 4.0 / 6)))
+    assert(out(3L) == ((6L, 0L, 0.0)))
+    // doc 4: every window repeats within the doc → all 8 tokens covered
+    assert(out(4L) == ((8L, 8L, 1.0)))
+    assert(out(5L) == ((2L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpanProfile counts a window shared at the same start") {
+    // identical docs: every window duplicated, coverage = n_tokens
+    val docs = Seq((1L, "q w e r t"), (2L, "q w e r t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanProfile(docs, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall(r => r._2 == 5L && r._3 == 5L && r._4 == 1.0))
+  }
+
   test("pairRecall: orientation-normalized hit counting") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 7L))
       .toDF("a_id", "b_id")

@@ -99,4 +99,46 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(out == Set(("a", 1), ("a", 2), ("b", 5), ("b", 7)))
   }
+
+  test("exportShards: uniform-ish shards, dense deterministic ranks") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val out = Sampling.exportShards(df, "id", nShards = 8)
+      .select("id", "shard", "shard_rank")
+      .as[(Long, Int, Long)].collect()
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // ranks are dense 1..count within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // content-hash assignment: identical on re-run
+    val again = Sampling.exportShards(df, "id", nShards = 8)
+      .select("id", "shard", "shard_rank")
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // no shard starved at this size
+    assert(out.groupBy(_._2).size == 8)
+  }
+
+  test("writeShards: per-shard dirs, bounded files, faithful roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (1 to 400).map(i => (i.toLong, s"payload_$i")).toDF("id", "txt")
+    Sampling.writeShards(df, "id", nShards = 4, path = dir,
+      maxRecordsPerFile = 25L)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    // every data file respects the record bound
+    for (sd <- shardDirs;
+         pf <- sd.listFiles().filter(_.getName.endsWith(".parquet"))) {
+      val n = spark.read.parquet(pf.getAbsolutePath).count()
+      assert(n <= 25L, s"${pf.getName}: $n rows > maxRecordsPerFile")
+    }
+    val back = spark.read.parquet(dir)
+      .select("id", "txt", "shard", "shard_rank")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    val expect = Sampling.exportShards(df, "id", 4)
+      .select("id", "txt", "shard", "shard_rank")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    assert(back.sameElements(expect))
+  }
 }

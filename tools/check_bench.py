@@ -40,6 +40,14 @@ def main(detail_path, factor=2.0, baseline_path=None):
         return 2
     detail = json.load(open(detail_path))
     queries = detail.get("queries", detail)
+    if not (isinstance(queries, dict)
+            and all(isinstance(v, (int, float)) for v in queries.values())):
+        # driver-captured BENCH_r*.json wraps only the summary line —
+        # the per-query map lives in graft.Bench's target/bench_detail.json
+        print(f"{detail_path} has no per-query map; point this at a "
+              "graft.Bench detail file (target/bench_detail.json)",
+              file=sys.stderr)
+        return 2
     # sub-second envelope entries are fixed plan/launch overhead where
     # 2x is noise by construction; use an absolute floor as well
     floor = 1.0
