@@ -63,6 +63,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == ((2L, 4.0 / 10, 1.0 / 2)))
   }
 
+  test("lmScore equals an exact-rational reference on random corpora") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 5) {
+      val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+      val docs = (0 until 20).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(6))).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }
+      val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = cnt.values.sum
+      val expect = toks.map { case (id, ts) =>
+        val n = ts.length.toLong
+        val pNum = ts.map(cnt).sum
+        val hapax = ts.count(t => cnt(t) == 1L).toLong
+        id -> ((n, pNum.toDouble / (n * total).toDouble,
+          hapax.toDouble / n.toDouble))
+      }.toMap
+      val got = Corpus.lmScore(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("lmScore broadcastModel=false matches the broadcast plan") {
     val docs = Seq((1L, "u v u w"), (2L, "v v z"), (3L, "u z z q"))
       .toDF("doc_id", "text")

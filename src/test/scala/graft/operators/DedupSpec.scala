@@ -337,6 +337,57 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, 0.0)))
   }
 
+  test("duplicatedSpanProfile equals a position-set reference on random corpora") {
+    // reference: mark every token position covered by ANY window whose
+    // text occurs >= 2 times in the corpus; coverage = |position set|.
+    // The operator's sorted-sweep interval union must agree exactly.
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 5) {
+      val vocab = Vector("aa", "bb", "cc", "dd") // tiny → forced repeats
+      val docs = (0 until 25).map { i =>
+        val n = rnd.nextInt(16)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(4))).mkString(" "))
+      }
+      val k = 3
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }
+      val wins = toks.flatMap { case (id, ts) =>
+        (0 to ts.length - k).map(s => (id, s, ts.slice(s, s + k).mkString(" ")))
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val dupPos = wins.filter(w => occ(w._3) >= 2).groupBy(_._1)
+        .view.mapValues(_.flatMap(w => w._2 until w._2 + k).toSet).toMap
+      val expect = toks.map { case (id, ts) =>
+        id -> ((ts.length.toLong, dupPos.getOrElse(id, Set.empty[Int]).size.toLong))
+      }.toMap
+      val got = Dedup.duplicatedSpanProfile(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("duplicatedSpanProfile shuffles on hash and doc id, never on pairs") {
+    // scale pin: one exchange for the window-hash occurrence count,
+    // one for the per-doc sweep (reused by the groupBy), one for the
+    // base side of the coverage join — and NO join on the window hash
+    // (count-over-partition replaces the candidate self-join).
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 10).map(j => s"t${(i + j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.duplicatedSpanProfile(docs, k = 3)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("duplicatedSpanProfile counts a window shared at the same start") {
     // identical docs: every window duplicated, coverage = n_tokens
     val docs = Seq((1L, "q w e r t"), (2L, "q w e r t"))
