@@ -605,6 +605,15 @@ object SparkEntry {
     "q_export_shards" -> ((s, d) =>
       Sampling.exportShards(
         T(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)),
+    // token-budget mixture sampling: per source keep the hash-order
+    // prefix of docs whose running token total starts under budget
+    // (training mixes are token splits, not doc splits)
+    "q_token_budget_mix" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 800L)),
     // hamming-banded near-dup pairs over codes BOTH engines derive
     // identically (md5 hex-char parity bits — the production
     // simhash's xxhash64 mixing is not SQL-expressible; that path is
@@ -2333,6 +2342,14 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shard_rank
         |FROM s""".stripMargin,
+    // token-budget mix: running token sum BEFORE each doc in
+    // (md5 hex, id) order per source; keep while it starts < budget
+    "q_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |FROM d)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 800""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

@@ -122,6 +122,33 @@ object Sampling {
       .drop("__g", "__thresh")
   }
 
+  /** Token-budget mixture sampling: per group (training-mix source),
+    * keep documents in content-hash order until the group's TOKEN
+    * budget is exhausted — the budget a training mixture is actually
+    * specified in (a 30%-web / 20%-code mix is a token split, not a
+    * doc split; capPerGroup counts docs, temperatureSample sets
+    * rates — neither hits a token target). A document is kept iff
+    * the running token total BEFORE it is < budget, so selection is
+    * a prefix of the deterministic hash order: stable across runs,
+    * engines, and retries, and each group keeps at least one
+    * document when its budget is > 0. One window shuffle per the
+    * group key; the running sum is the only sequential state —
+    * range-partitionable at scale exactly like packSequences. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+                        nTokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__cum_before",
+        coalesce(sum(col(nTokensCol))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("__cum_before") < budget)
+      .drop("__cum_before")
+  }
+
   /** Deterministic training-export sharding — the "global shuffle"
     * a training run wants from its corpus, without rand(). Each row
     * gets shard = md5Bucket16(id) % nShards (uniform, stable across

@@ -100,6 +100,41 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(("a", 1), ("a", 2), ("b", 5), ("b", 7)))
   }
 
+  test("tokenBudgetSample keeps the hash-order prefix per group") {
+    val df = (1 to 60).map(i =>
+      (i.toLong, s"g${i % 3}", 10L + (i % 7))).toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSample(df, "g", "id", "n", budget = 50L)
+      .as[(Long, String, Long)].collect()
+    // reference: per group, sort by (md5 hex of id, id), keep while
+    // the running total BEFORE the doc is < budget
+    def hex(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = (1 to 60).map(i => (i.toLong, s"g${i % 3}", 10L + (i % 7)))
+      .groupBy(_._2).values.flatMap { rows =>
+        val sorted = rows.sortBy(r => (hex(r._1), r._1))
+        val cum = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cum).collect { case (r, before) if before < 50L => r }
+      }.toSet
+    assert(out.toSet == expect)
+    // every group keeps at least one doc and stays under budget + max doc
+    val perGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(perGroup.keySet == Set("g0", "g1", "g2"))
+    assert(perGroup.values.forall(t => t < 50L + 16L))
+  }
+
+  test("tokenBudgetSample: a first doc larger than budget is still kept") {
+    val df = Seq((1L, "g", 100L), (2L, "g", 5L)).toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSample(df, "g", "id", "n", budget = 10L)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    // md5("1") = c4ca… < md5("2") = c81e… → doc 1 leads the order:
+    // kept (starts at 0 < 10) and fills the budget; doc 2 starts at
+    // 100 ≥ 10 and is dropped
+    assert(out == Set(1L))
+  }
+
   test("exportShards: uniform-ish shards, dense deterministic ranks") {
     val df = (1 to 1000).map(_.toLong).toDF("id")
     val out = Sampling.exportShards(df, "id", nShards = 8)
