@@ -51,6 +51,57 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_SPANS=1 — the duplicatedSpanProfile design experiment:
+    // occurrence counting via count-over-partition(window hash) vs
+    // the naive self-join on the window hash, on a synthetic corpus
+    // where 5% of docs share one 16-token boilerplate block (the
+    // hot-window shape real web corpora have). The self-join's
+    // candidate volume is Σ occ² per window — quadratic in the
+    // duplication degree — while the window plan shuffles each
+    // window exactly once. Feeds the SURVEY §6 r12 note.
+    if (sys.env.get("PROF_SPANS").contains("1")) {
+      val nDocs = sys.env.getOrElse("PROF_SPANS_DOCS", "100000").toInt
+      val k = 8
+      val boiler = (0 until 16).map(i => s"bp$i").mkString(" ")
+      def rndTok(j: Int) =
+        concat(lit("w"), pmod(xxhash64(col("doc_id") * 53 + lit(j * 7919)),
+          lit(50000)))
+      val text = concat_ws(" ",
+        ((0 until 24).map(rndTok) :+
+          when(pmod(col("doc_id"), lit(20)) === 0, lit(boiler))
+            .otherwise(concat_ws(" ", (24 until 40).map(rndTok): _*))) ++
+          (40 until 64).map(rndTok): _*)
+      val docsS = spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text", text)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("synth.count")(docsS.count())
+      val wins = docsS.select(col("doc_id"),
+          posexplode(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), k)))
+        .select(col("doc_id"), col("pos").as("start"), md5(col("col")).as("wh"))
+      time("windows.count")(wins.count())
+      // shipped: one shuffle, each window carried once. Force the
+      // coverage column — a bare count() lets the distinct-keys
+      // optimizer eliminate the (unique-keyed) coverage join and
+      // would time only the base scan.
+      time("shipped.countOverPartition")(
+        operators.Dedup.duplicatedSpanProfile(docsS, k)
+          .agg(sum("dup_span_tokens")).collect()(0).getLong(0))
+      time("shipped.again")(
+        operators.Dedup.duplicatedSpanProfile(docsS, k)
+          .agg(sum("dup_span_tokens")).collect()(0).getLong(0))
+      // naive: candidate pairs via self-join on the window hash
+      time("naive.selfJoin.pairs")(
+        wins.select(col("doc_id").as("a_id"), col("start").as("a_s"),
+            col("wh"))
+          .join(wins.select(col("doc_id").as("b_id"),
+            col("start").as("b_s"), col("wh")), "wh")
+          .filter(col("a_id") < col("b_id") ||
+            (col("a_id") === col("b_id") && col("a_s") < col("b_s")))
+          .count())
+      docsS.unpersist()
+      spark.stop(); return
+    }
     // PROF_SKEW=1 — plain vs salted join wall-time on a synthetic
     // hot-key table (1% of keys = 50% of rows), broadcast disabled so
     // the shuffle path is exercised. Feeds the BASELINE.md skew note.
