@@ -49,15 +49,25 @@ object Config {
     "chains", "res", "atom-names", "sequence-check", "output-type",
     "master", "keep-altlocs", "keep-partial")
 
+  /** CLI options that are presence-only flags downstream (Cli tests
+    * `opts.contains`, never the value) — the config must interpret
+    * their VALUE here, or `keep_altlocs = false` would enable the
+    * flag by mere key presence. */
+  private val flagOpts = Set("keep-altlocs", "keep-partial")
+
+  private def truthy(v: String): Boolean =
+    Set("true", "yes", "on", "1")(v.trim.toLowerCase)
+
   /** Project a loaded config onto CLI option defaults: normalize
     * `_` → `-`, keep only known option names (the reference config's
     * api/fetch URLs have no meaning to a no-egress engine), resolve
-    * relative path options under `db_root` when set. */
+    * relative path options under `db_root` when set, and drop flag
+    * options whose value is falsy (downstream checks key presence). */
   def cliDefaults(cfg: Map[String, String]): Map[String, String] = {
     val norm = cfg.map { case (k, v) => k.replace('_', '-') -> v }
     val root = norm.get("db-root")
     norm.collect {
-      case (k, v) if knownOpts(k) =>
+      case (k, v) if knownOpts(k) && (!flagOpts(k) || truthy(v)) =>
         k -> (root match {
           case Some(r) if pathOpts(k) && !new java.io.File(v).isAbsolute =>
             new java.io.File(r, v).getPath

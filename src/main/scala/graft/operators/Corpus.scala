@@ -177,19 +177,23 @@ object Corpus {
               broadcastModel: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // total token instances ride ON the count table via a global
+    // window over the already-aggregated vocab rows — a separate
+    // counts.agg(...) branch would re-execute the whole corpus
+    // tokenize+aggregate a third time (fit + total + transform);
+    // this keeps it at the natural two passes (fit, transform)
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val model = if (broadcastModel) broadcast(counts) else counts
-    // total token instances from the (small) count table, not a
-    // second corpus scan
-    val total = broadcast(counts.agg(sum("cnt").as("total")))
     tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .join(model, "tok")
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         sum(col("tf") * col("cnt")).cast("long").as("p_num"),
         sum(when(col("cnt") === 1L, col("tf")).otherwise(lit(0L)))
-          .cast("long").as("hapax"))
-      .crossJoin(total) // 1-row scalar join
+          .cast("long").as("hapax"),
+        max(col("total")).cast("long").as("total"))
       .select(col("doc_id"), col("n_tokens"),
         (col("p_num").cast("double") /
           (col("n_tokens") * col("total")).cast("double")).as("avg_tok_p"),

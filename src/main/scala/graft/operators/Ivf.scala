@@ -110,9 +110,15 @@ object Ivf {
     * centroid matrix, cell order restored. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[Seq[Double]] = {
-    val byCell = spark.read.parquet(path).select("cell", "centroid")
+    val rows = spark.read.parquet(path).select("cell", "centroid")
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+    val byCell = rows.toMap
+    // toMap silently collapses duplicate cells (a double-written or
+    // append-mode table) to an arbitrary winner — reject instead
+    require(rows.length == byCell.size,
+      s"centroid table at $path has duplicate cell rows: " +
+        s"${rows.length} rows for ${byCell.size} distinct cells")
     require(byCell.keySet == (0 until byCell.size).toSet,
       s"centroid table at $path is not dense in [0, n): " +
         s"cells ${byCell.keySet.toSeq.sorted.take(5)}...")

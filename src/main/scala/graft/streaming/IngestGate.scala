@@ -93,6 +93,10 @@ object IngestGate {
                   compactEvery: Int = 16,
                   indexTable: Option[String] = None,
                   indexBuckets: Int = 16): (DataFrame, DataFrame) = {
+    indexTable.foreach(t => require(!t.contains("."),
+      s"indexTable '$t' must be a single-part table name " +
+        "(written via saveAsTable into the current database); a " +
+        "qualified name would abort the stream at the first compaction"))
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
@@ -111,6 +115,19 @@ object IngestGate {
         throw new IllegalArgumentException(
           s"outDir '$outDir' is non-empty and not prior gate state " +
             "(no sketch/ index); pass reset = true to overwrite it")
+      // a stale checkpoint with a fresh outDir is the inverse hazard:
+      // the stream would mark every already-committed input file as
+      // done and silently skip it, leaving the rebuilt index missing
+      // those documents
+      val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+      val ckptFs = ckptPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (ckptFs.exists(ckptPath) && ckptFs.listStatus(ckptPath).nonEmpty)
+        throw new IllegalArgumentException(
+          s"checkpointDir '$checkpointDir' has streaming state but " +
+            s"outDir '$outDir' has no sketch index — a cold start here " +
+            "would skip every already-committed input file; pass " +
+            "reset = true to start clean")
       seedSketch.write.parquet(s"$sketchDir/batch=seed")
     }
     val admittedDir = s"$outDir/admitted"
@@ -162,7 +179,13 @@ object IngestGate {
               Dedup.incrementalMinhashPairs(
                 batchSketch, corpus, threshold, numHashes, bands)
           }
-          dupPairs.write.mode("overwrite")
+          // a crashed-then-replayed micro-batch probes an index that
+          // already contains its own docs (sketch/batch=<id> or a
+          // compacted fold of it): a doc is never a duplicate of its
+          // own id, so drop self-pairs or the whole replayed batch
+          // self-matches at jaccard 1.0 and is quarantined
+          dupPairs.filter(col("new_id") =!= col("corpus_id"))
+            .write.mode("overwrite")
             .parquet(s"$quarantineDir/batch=$batchId")
           // the two operators cache their (small) pair results for
           // reuse; an always-on gate must drop them per batch or the
@@ -238,9 +261,20 @@ object IngestGate {
           numHashes, bands),
         t, Seq("bandkey"), indexBuckets)
     }
+    val dest = new org.apache.hadoop.fs.Path(s"$sketchDir/batch=c$batchId")
     val originals = fs.listStatus(sketchPath)
       .filter(_.isDirectory).map(_.getPath)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$sketchDir/batch=c$batchId"))
+      .filterNot(_.getName == s"batch=c$batchId")
+    // a crash between a previous retry's rename and its delete leaves
+    // the fold already in place; the tmp fold (built from the full
+    // dir listing, dest included) covers it, so replace it
+    if (fs.exists(dest)) fs.delete(dest, true)
+    // rename failure must NOT reach the delete below — the originals
+    // would then be the only copy of the index
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"sketch compaction rename $tmp -> $dest failed; " +
+          "original batch directories left intact")
     originals.foreach(p => fs.delete(p, true))
   }
 }

@@ -166,6 +166,23 @@ class CliSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("A"))
   }
 
+  test("cli: falsy flag values in a config do not enable the flag") {
+    val dir = Files.createTempDirectory("graft_cli_flag")
+    val cfg = dir.resolve("config.ini")
+    Files.writeString(cfg,
+      """[Global]
+        |atoms = /in.pdb
+        |output = /out
+        |keep_altlocs = false
+        |keep_partial = true
+        |""".stripMargin)
+    val parsed = Cli.parseArgs(Seq("--config", cfg.toString))
+    // Cli tests flag PRESENCE — `keep_altlocs = false` must not
+    // smuggle the key in and silently skip altloc collapse
+    assert(!parsed.contains("keep-altlocs"))
+    assert(parsed.contains("keep-partial"))
+  }
+
   test("cli: rejects missing required args and bad output type") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--atoms", "x")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("--output")))

@@ -88,6 +88,16 @@ class IvfSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ivf.loadCentroids(spark, bad + "2"))
   }
 
+  test("loadCentroids rejects duplicate cell rows instead of picking one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dup").toString
+    Seq((0, Seq(0.0, 1.0)), (0, Seq(0.1, 0.9)), (1, Seq(1.0, 0.0)))
+      .toDF("cell", "centroid").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.loadCentroids(spark, dir)
+    }
+    assert(e.getMessage.contains("duplicate cell"))
+  }
+
   test("ivfTopK with nProbe=1 stays within the probe's own cluster") {
     val probes = corpus.filter(col("vec_id") === 2) // +5 cluster
     val out = Ivf.ivfTopK(corpus, probes, k = 5, nCells = 2, nProbe = 1)

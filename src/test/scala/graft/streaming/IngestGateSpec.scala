@@ -92,6 +92,72 @@ class IngestGateSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((10L, 1L), (20L, 11L)))
   }
 
+  test("lost checkpoint: replayed batches do not self-quarantine") {
+    // the checkpoint volume dies but the gate state survives: every
+    // batch replays against an index that already contains its own
+    // admitted docs. The self-pair guard must re-admit them — without
+    // it the whole corpus quarantines against itself at jaccard 1.0
+    // and admitted/ is overwritten empty (permanent data loss).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_sq").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    val corpusDocs = Seq((1L, words("c1"))).toDF("doc_id", "text")
+    val seed = Dedup.minhashSketch(corpusDocs, numHashes = 16)
+    writeOneFile(Seq((10L, words("c1") + " tail10"), (11L, words("a")))
+      .toDF("doc_id", "text"), s"$docsDir/day1.parquet",
+      System.currentTimeMillis() - 60000)
+    IngestGate.nearDupGate(spark, docsDir, seed, s"$tmp/gate", s"$tmp/ckpt",
+      threshold = 0.8, numHashes = 16, bands = 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$tmp/ckpt"))
+    val (admitted, quarantine) = IngestGate.nearDupGate(spark, docsDir,
+      seed.limit(0), s"$tmp/gate", s"$tmp/ckpt",
+      threshold = 0.8, numHashes = 16, bands = 8)
+    // doc 11 is in the index from run 1 — replay must not pair it
+    // with itself; doc 10 still quarantines against corpus doc 1
+    assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(quarantine.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet == Set((10L, 1L)))
+  }
+
+  test("stale checkpoint with a fresh outDir fails fast") {
+    // the inverse hazard: outDir wiped, checkpoint kept — a cold
+    // start would mark every input file already-committed and build
+    // an index silently missing those documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_sc").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    writeOneFile(Seq((1L, words("a"))).toDF("doc_id", "text"),
+      s"$docsDir/d.parquet", System.currentTimeMillis() - 60000)
+    val seed = Dedup.minhashSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), numHashes = 16)
+    IngestGate.nearDupGate(spark, docsDir, seed, s"$tmp/gate", s"$tmp/ckpt",
+      threshold = 0.8, numHashes = 16, bands = 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$tmp/gate"))
+    intercept[IllegalArgumentException] {
+      IngestGate.nearDupGate(spark, docsDir, seed, s"$tmp/gate",
+        s"$tmp/ckpt", threshold = 0.8, numHashes = 16, bands = 8)
+    }
+    // reset = true clears both and reprocesses everything
+    val (admitted, _) = IngestGate.nearDupGate(spark, docsDir, seed,
+      s"$tmp/gate", s"$tmp/ckpt", threshold = 0.8, numHashes = 16,
+      bands = 8, reset = true)
+    assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("a database-qualified indexTable is rejected at entry, not mid-stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_it").toString
+    intercept[IllegalArgumentException] {
+      IngestGate.nearDupGate(spark, s"$tmp/docs",
+        Dedup.minhashSketch(
+          Seq.empty[(Long, String)].toDF("doc_id", "text"), numHashes = 16),
+        s"$tmp/gate", s"$tmp/ckpt", indexTable = Some("mydb.gate_idx"))
+    }
+  }
+
   test("non-gate outDir fails fast without reset; reset=true overwrites") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gate_ff").toString
     val docsDir = s"$tmp/docs"
