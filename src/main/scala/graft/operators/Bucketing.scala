@@ -25,17 +25,20 @@ object Bucketing {
     * table and any leftover directory first. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
-    // single-part names only: the orphan-location cleanup below maps
-    // name → <warehouse>/<name>, which is wrong for db-qualified
-    // tables (<warehouse>/<db>.db/<name>), and backtick-quoting a
-    // dotted name would DROP a different identifier
+    // single-part names only: backtick-quoting a dotted name would
+    // DROP a different identifier than saveAsTable writes
     require(!table.contains("."),
       s"writeBucketed takes a single-part table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // resolve the managed location through the catalog — it accounts
+    // for the CURRENT database (<warehouse>/<db>.db/<name>); deriving
+    // <warehouse>/<name> by hand is only right under `default` and
+    // under any other current database would delete an unrelated
+    // table's directory
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
@@ -56,8 +59,15 @@ object Bucketing {
     l.join(r, cond, how)
   }
 
-  /** True if the executed plan contains any shuffle exchange —
-    * the thing bucketing exists to eliminate. */
+  /** True if the executed plan contains any shuffle exchange — the
+    * thing bucketing exists to eliminate. Matches every shuffle
+    * flavor (hashpartitioning, rangepartitioning, SinglePartition,
+    * RoundRobin) while NOT matching BroadcastExchange, whose node
+    * name embeds the substring "Exchange " — a bare contains() check
+    * would count broadcasts as shuffles, and the old
+    * hashpartitioning-only check missed range/single-partition
+    * shuffles entirely. */
   def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    "(?<![A-Za-z])Exchange ".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
 }

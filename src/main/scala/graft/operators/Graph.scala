@@ -64,17 +64,24 @@ object Graph {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    // labels only decrease, so sum(comp) is a monotone convergence
-    // metric — one cheap agg per round instead of a change-count
-    // join. Summed as DECIMAL(38,0): a double sum would lose ULPs at
-    // ~1e12 nodes and could declare convergence one round early.
-    // Empty input sums to null → normalize to 0 (and the loop below
-    // then converges immediately on the empty fixpoint).
+    // Convergence check. For NUMERIC ids: labels only decrease, so
+    // sum(comp) is a monotone metric — one cheap agg per round
+    // instead of a change-count join. Summed as DECIMAL(38,0): a
+    // double sum would lose ULPs at ~1e12 nodes and could declare
+    // convergence one round early. Empty input sums to null →
+    // normalize to 0 (the loop then converges immediately on the
+    // empty fixpoint). For NON-numeric ids (the doc promises string
+    // ids) the decimal cast yields null for every row and the sum
+    // metric would freeze at 0 — declaring convergence after ONE
+    // round and silently splitting clusters — so those use an exact
+    // changed-row join per round instead.
+    val numericComp = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericComp) labelSum(labels) else null
     var iter = 0
     var converged = labels.isEmpty
     while (iter < maxIter && !converged) {
@@ -83,10 +90,16 @@ object Graph {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true) // materializes + truncates lineage
-      val nextSum = labelSum(next)
+      converged =
+        if (numericComp) {
+          val nextSum = labelSum(next)
+          val same = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+          same
+        } else next.select(col("id"), col("comp").as("__n"))
+          .join(labels.select(col("id"), col("comp").as("__o")), Seq("id"))
+          .where(col("__n") =!= col("__o")).isEmpty
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       iter += 1
     }
     sym.unpersist(false)
@@ -94,7 +107,10 @@ object Graph {
     // they were excluded from every propagation round; append them
     // here with comp = own id. One anti-join, once, instead of
     // dragging the whole corpus through every iteration's shuffles.
-    val allNodes = nodes.select(col(idCol).as("id"))
+    // distinct: duplicate rows in `nodes` must not duplicate label
+    // rows (and keeps the output cardinality contract identical to
+    // connectedComponentsStars, which q_dedup_cluster[_stars] pins)
+    val allNodes = nodes.select(col(idCol).as("id")).distinct()
     val singletons = allNodes
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
@@ -146,9 +162,14 @@ object Graph {
       (r.getLong(0),
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
+    // edge endpoints materialized ONCE: the loop filter below drops
+    // self-loops, but an id appearing ONLY in a self-loop edge must
+    // still reach the output (connectedComponents initializes from
+    // raw endpoints and keeps it; the id-coverage contract matches)
+    val raw = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
     // canonical direction child -> parent (u > v means u points at v)
-    var cur = nonLoopDistinct(
-      edges.select(col(aCol).as("u"), col(bCol).as("v")))
+    var cur = nonLoopDistinct(raw)
       .localCheckpoint(true)
     var sig = signature(cur)
     var iter = 0
@@ -191,6 +212,8 @@ object Graph {
     // endpoints).
     val labels = cur.select(col("u").as("id"), col("v").as("comp"))
     val allIds = nodes.select(col(idCol).as("id"))
+      .unionByName(raw.select(col("u").as("id")))
+      .unionByName(raw.select(col("v").as("id")))
       .unionByName(labels.select(col("comp").as("id")))
       .distinct()
     val roots = allIds

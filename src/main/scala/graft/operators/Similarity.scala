@@ -14,13 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Precomputed-norm cosine over (probe_id, neighbor_id) pairs
+    * carrying both vectors — the one scoring implementation both
+    * the brute and LSH paths share (recallAtK compares the two
+    * against each other; a scoring fix must reach both). */
+  private def cosineScore: org.apache.spark.sql.Column = {
+    val denom = col("p_nrm") * col("c_nrm")
+    when(denom === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
+  }
+
   /** Brute-force cosine top-k: broadcast `probes` (must be small)
     * against `corpus`, then a per-probe top-k AGGREGATION — partial
     * top-k lists merge map-side, so the shuffle carries only
     * |probes| × k rows and there is no global sort of the scored
     * probe×corpus set (a window row_number here would shuffle and
     * sort the whole cross product — the 100 TB killer).
-    * Deterministic ties: score desc, then neighbor id asc. */
+    * Deterministic ties: score desc, then neighbor id asc.
+    *
+    * Id-space contract (here and in [[lshTopK]]): probe and corpus
+    * ids are assumed to SHARE one id space — a pair with
+    * probe_id == neighbor_id is the vector matched against itself
+    * and is excluded. Probing a corpus with an unrelated id space
+    * must re-key one side first (e.g. offset the probe ids), or a
+    * corpus vector that happens to share a probe's id is silently
+    * dropped from that probe's candidates. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -29,12 +47,8 @@ object Similarity {
       VectorFunctions.norm(col(vecCol)).as("p_nrm"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"), VectorFunctions.norm(col(vecCol)).as("c_nrm"))
-    val denom = col("p_nrm") * col("c_nrm")
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        when(denom === 0.0, lit(0.0))
-          .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
-          .as("cos"))
+      .select(col("probe_id"), col("neighbor_id"), cosineScore.as("cos"))
     topKPerGroup(scored, "probe_id", k)
   }
 
@@ -107,14 +121,10 @@ object Similarity {
     def side(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         VectorFunctions.norm(col(vecCol)).as(nrm))
-    val denom = col("p_nrm") * col("c_nrm")
     val scored = cand
       .join(side(corpus, "neighbor_id", "c_vec", "c_nrm"), "neighbor_id")
       .join(side(probes, "probe_id", "p_vec", "p_nrm"), "probe_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        when(denom === 0.0, lit(0.0))
-          .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)
-          .as("cos"))
+      .select(col("probe_id"), col("neighbor_id"), cosineScore.as("cos"))
     topKPerGroup(scored, "probe_id", k)
   }
 }

@@ -17,17 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt derived from the whole row's hash —
-    * stable across retries (no rand(), which breaks task replay). */
+  /** Per-row salt: whole-row hash mixed with the row's position
+    * (monotonically_increasing_id). The position term matters on
+    * duplicate-heavy hot keys — a pre-dedup table can hold millions
+    * of BYTE-IDENTICAL rows for one hot key, and a pure content hash
+    * would send every copy to the same bucket, recreating the exact
+    * single-reducer hotspot salting exists to break. Join
+    * correctness never depends on WHICH salt a row gets (the small
+    * side carries every salt value), so positional mixing is safe. */
   private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int")
+    pmod(xxhash64(
+      df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
+      lit(buckets)).cast("int")
 
-  /** Inner/left equi-join with a salted key: `big` is salted, `small`
-    * is replicated buckets×. Result equals the unsalted join. */
+  /** Inner/left-family equi-join with a salted key: `big` is salted,
+    * `small` is replicated buckets×. Result equals the unsalted
+    * join FOR inner/left/left_semi/left_anti only — a right/full
+    * outer join would emit each unmatched small-side row once per
+    * replica, so those types are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  keys: Seq[(String, String)], buckets: Int,
                  how: String = "inner"): DataFrame = {
     require(buckets > 0)
+    val okHow = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+    require(okHow(how.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
+      s"saltedJoin is only correct for inner/left-family joins; '$how' " +
+        "would duplicate every unmatched replicated small-side row " +
+        "buckets times")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename the input column")
     val b = big.withColumn("__salt", salt(big, buckets))
     val s = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))

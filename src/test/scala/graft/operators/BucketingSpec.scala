@@ -41,4 +41,20 @@ class BucketingSpec extends SparkSpec {
     agg.count()
     assert(!Bucketing.hasShuffle(agg))
   }
+
+  test("hasShuffle sees range shuffles and ignores broadcasts") {
+    val df = spark.range(1000).toDF("id")
+    // orderBy on a DERIVED column (range is already ordered by id,
+    // so orderBy("id") is eliminated) plans Exchange
+    // rangepartitioning — the flavor the old hashpartitioning-only
+    // check missed
+    val sorted = df.withColumn("m", col("id") % 7).orderBy("m")
+    sorted.count()
+    assert(Bucketing.hasShuffle(sorted))
+    // a broadcast join has a BroadcastExchange but NO shuffle
+    val small = spark.range(10).toDF("id")
+    val bj = df.join(org.apache.spark.sql.functions.broadcast(small), "id")
+    bj.count()
+    assert(!Bucketing.hasShuffle(bj))
+  }
 }

@@ -33,4 +33,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("string ids resolve correctly on a diameter-3 chain") {
+    // regression: the decimal-cast sum metric nulled out on
+    // non-numeric ids and declared convergence after one round,
+    // silently splitting any cluster of diameter >= 2
+    val nodes = Seq("doc_a", "doc_b", "doc_c", "doc_d", "doc_z").toDF("id")
+    val edges = Seq(("doc_a", "doc_b"), ("doc_b", "doc_c"),
+      ("doc_c", "doc_d")).toDF("a_id", "b_id")
+    val out = Graph.connectedComponents(nodes, edges)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
+      "doc_c" -> "doc_a", "doc_d" -> "doc_a", "doc_z" -> "doc_z"))
+  }
+
+  test("self-loop-only ids and duplicate node rows: both impls agree") {
+    // id 9 exists only as a self-loop edge; node 7 is listed twice
+    val nodes = Seq(7L, 7L, 8L).toDF("id")
+    val edges = Seq((9L, 9L)).toDF("a_id", "b_id")
+    val a = Graph.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Graph.connectedComponentsStars(nodes, edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == Seq((7L, 7L), (8L, 8L), (9L, 9L)))
+    assert(b == a)
+  }
 }

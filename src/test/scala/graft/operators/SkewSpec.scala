@@ -83,6 +83,36 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin rejects outer types and reserved-column collisions") {
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val small = Seq((1L, "d")).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k" -> "k"), 4, how = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k" -> "k"), 4, how = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big.withColumn("__salt", col("k")), small,
+        Seq("k" -> "k"), 4)
+    }
+  }
+
+  test("byte-identical duplicate rows of a hot key spread across buckets") {
+    // a pure content hash sends every identical copy to ONE bucket —
+    // the positional term in the salt must spread them
+    val big = spark.range(10000).select(lit(0L).as("k"), lit("same").as("v"))
+    val small = Seq((0L, "dim")).toDF("k", "d")
+    val out = Skew.saltedJoin(big, small, Seq("k" -> "k"), 16)
+    assert(out.count() == 10000L)
+    // count distinct salts actually assigned on the big side
+    val salts = big.withColumn("__s",
+        pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()),
+          lit(16)))
+      .select("__s").distinct().count()
+    assert(salts >= 12, s"identical rows landed on only $salts/16 buckets")
+  }
+
   test("hotKeys finds heavy hitters") {
     val df = (Seq.fill(100)("hot") ++ Seq("a", "b")).toDF("k")
     val hot = Skew.hotKeys(df, Seq("k"), minCount = 50)
