@@ -591,6 +591,29 @@ object SparkEntry {
         sketch.filter(pmod(col("id"), lit(5)) < 4),
         threshold = 0.9, numHashes = 32, bands = 2)
     }),
+    // normalized near-exact dedup: case/punct/whitespace-insensitive
+    // hash-groupBy — the first rung of the fuzzy ladder at exact cost
+    "q_dedup_normalized" -> ((s, d) =>
+      Dedup.normalizedExact(T(s, d, "documents"))),
+    // Gopher rule gate: the full Rae-et-al heuristic battery as one
+    // scan-stage column block (minTokens lowered to split this corpus)
+    "q_gopher_rules" -> ((s, d) =>
+      Corpus.gopherRules(T(s, d, "documents"), minTokens = 30)),
+    // exact stratified sample: largest-remainder allocation of 100
+    // rows over languages, per-stratum content-hash-order prefix
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(T(s, d, "documents"), "lang", "doc_id", 100L)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    // BM25 retrieval: fixed-point per-term contributions (floored
+    // 1e-6 ticks sum exactly in any order) over the inverted index
+    "q_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1, "spark query data"), (2, "window agg sort"),
+        (3, "customer table join"), (4, "fast stream merge"))
+        .toDF("query_id", "query_text")
+      Corpus.bm25TopK(T(s, d, "documents"), queries, k = 10)
+    }),
     // span-level exact-substring dedup (the Lee et al. 2022 signal):
     // every duplicated 8-token window, unioned per doc into covered-
     // token counts — count-over-partition(window hash), no self-join
@@ -2302,6 +2325,84 @@ object SparkEntry {
         |FROM pre
         |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
         |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.9""".stripMargin,
+    // normalized dedup: the exact normalization chain (explicit char
+    // classes — RE2 \s excludes \x0B, Java's includes it, so neither
+    // side uses \s), then the same hash-groupBy as exact dedup
+    "q_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, text,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g')) AS norm
+        |FROM documents)
+        |SELECT md5(norm) AS norm_hash, min(doc_id) AS keeper_doc_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
+        |FROM n GROUP BY md5(norm)""".stripMargin,
+    // Gopher rules: every count is an exact integer, every ratio ONE
+    // IEEE division; '...' counting via non-overlapping replace
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+        |FROM documents),
+        |c AS (SELECT doc_id,
+        |CAST(len(toks) AS BIGINT) AS n_tok,
+        |CAST(len(lines) AS BIGINT) AS n_lines,
+        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
+        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
+        |FROM t)
+        |SELECT doc_id, n_tok AS n_tokens,
+        |CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_tok_len,
+        |CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS symbol_ratio,
+        |CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
+        |CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
+        |CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS alpha_tok_frac,
+        |stop_hits AS n_stop_hits,
+        |(n_tok >= 30 AND n_tok <= 100000
+        | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
+        | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
+        | AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
+        | AND CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
+        | AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
+        | AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
+        | AND stop_hits >= 2) AS keep
+        |FROM c""".stripMargin,
+    // stratified sample: integer largest-remainder apportionment over
+    // the strata table, then the per-stratum md5-order prefix
+    "q_stratified_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |g AS (SELECT lang, n, CAST(SUM(n) OVER () AS BIGINT) AS nn FROM c),
+        |a AS (SELECT lang, n, (100 * n) // nn AS base, (100 * n) % nn AS rem,
+        |CAST(100 - SUM((100 * n) // nn) OVER () AS BIGINT) AS extra FROM g),
+        |r AS (SELECT lang, base, extra, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk FROM a),
+        |al AS (SELECT lang, base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc FROM r),
+        |p AS (SELECT d.doc_id, d.lang, d.source,
+        |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
+        |al.alloc FROM documents d JOIN al USING (lang))
+        |SELECT doc_id, lang, source FROM p WHERE rk <= alloc""".stripMargin,
+    // BM25: the per-term double expression tree is written token-for-
+    // token as the Spark side (IEEE ops are individually correctly
+    // rounded, so identical trees give identical bits), floored to
+    // 1e-6 ticks; tick longs sum exactly in any order
+    "q_bm25_topk" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |(1, 'spark query data'), (2, 'window agg sort'),
+        |(3, 'customer table join'), (4, 'fast stream merge')),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT query_id, unnest(list_distinct(list_filter(string_split(query_text, ' '), x -> x <> ''))) AS tok FROM q),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |CAST(floor(CAST(1000000.0 AS DOUBLE) * (((st.n_docs - dft.df + CAST(0.5 AS DOUBLE)) / (dft.df + CAST(0.5 AS DOUBLE))) * ((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))) AS BIGINT) AS c
+        |FROM tf JOIN qt USING (tok) JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp FROM contrib GROUP BY 1, 2),
+        |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank, doc_id, score_fp FROM sc)
+        |SELECT query_id, rank, doc_id, score_fp FROM rk WHERE rank <= 10""".stripMargin,
     // duplicated 8-token spans: window hash occurrence counts, then a
     // per-doc sorted interval union (all spans share length 8, so the
     // union is least(8, start - prev_start) after an ORDER BY start)

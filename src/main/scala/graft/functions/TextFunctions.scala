@@ -156,6 +156,19 @@ object TextFunctions {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       LongNumRe, "<NUM>")
 
+  /** Aggressive text normalization for near-exact dedup: lowercase,
+    * strip everything outside [a-z0-9] + whitespace, collapse
+    * whitespace runs, trim. Catches the re-encoded / re-punctuated /
+    * case-shifted copies exact dedup misses, at zero pair-join cost.
+    * The character classes are written out explicitly (no \s): Java
+    * regex \s includes \x0B, RE2 (DuckDB/Go) does not — the explicit
+    * class makes every engine rewrite identically. */
+  def normalizeText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 \n\t\r]", " "),
+        "[ \n\t\r]+", " "))
+
   /** Order-sensitive rolling document fingerprint over tokens:
     * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
     * overflow, ANSI-safe, deterministic. The fast production default

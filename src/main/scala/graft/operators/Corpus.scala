@@ -201,6 +201,136 @@ object Corpus {
           .as("hapax_frac"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Table A1
+    * shape): per-document word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (# and ... marks), bullet-start and
+    * ellipsis-end line fractions, fraction of words containing an
+    * alphabetic character, and a required-stopword presence count —
+    * `keep` is the conjunction. Pure column expressions over one scan
+    * (no shuffle, no UDF): the rule set runs inside the same stage as
+    * tokenization, which is what lets a 100 TB crawl be gated at read
+    * throughput. Every ratio is ONE IEEE division over exact integer
+    * counts (engine-portable); the '...' count uses non-overlapping
+    * left-to-right matching, identical to plain substring replace. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFunctions.tokens(t)
+    val lines = filter(split(t, "\n"), l => l =!= lit(""))
+    val nTok = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    // exact integer counts; each ratio below is a single division
+    val charSum = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllipsis =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("long")
+    val nEllipsisEnd = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, x => lower(x))),
+      array(RequiredStopwords.map(lit): _*))).cast("long")
+    def ratio(num: Column) =
+      num.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    docs.select(col(idCol), nTok.as("n_tokens"),
+        ratio(charSum).as("mean_tok_len"),
+        ratio(nHash + nEllipsis).as("symbol_ratio"),
+        (nBullet.cast("double") / greatest(nLines, lit(1L)).cast("double"))
+          .as("bullet_frac"),
+        (nEllipsisEnd.cast("double") / greatest(nLines, lit(1L)).cast("double"))
+          .as("ellipsis_frac"),
+        ratio(nAlpha).as("alpha_tok_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_tok_len") >= minMeanLen &&
+          col("mean_tok_len") <= maxMeanLen &&
+          col("symbol_ratio") < maxSymbolRatio &&
+          col("bullet_frac") < maxBulletFrac &&
+          col("ellipsis_frac") < maxEllipsisFrac &&
+          col("alpha_tok_frac") > minAlphaFrac &&
+          col("n_stop_hits") >= minStopHits)
+  }
+
+  /** The Gopher required-stopword list (Rae et al. 2021 §A1.1: a doc
+    * must contain >= 2 of these to pass the rule gate). */
+  private val RequiredStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "is")
+
+  /** BM25 top-k retrieval over the corpus — term-at-a-time scoring on
+    * the inverted index, with FIXED-POINT per-term contributions so
+    * results hash-match across engines. Floating sums are
+    * order-dependent (a+b+c reassociates across partitions); instead
+    * each (query term, doc) contribution is computed as a double with
+    * a FIXED expression tree — IEEE ops are individually correctly
+    * rounded, so any engine evaluating the same tree gets the same
+    * bits — then floored to a scaled long (1e6 ticks). Longs sum
+    * exactly in any order; `score_fp` is the ranking key with
+    * (doc_id) tie-break. idf is the raw Robertson odds
+    * (N − df + 0.5)/(df + 0.5) rather than its log: log is
+    * libm-dependent (not correctly rounded), the odds ratio is one
+    * subtraction and one division. Monotone per term in df, the
+    * standard saturation in tf.
+    *
+    * Scale shape: queries are the tiny side — their distinct terms
+    * broadcast onto the (doc, term, tf) inverted index (a hash probe
+    * inside the scan stage, no corpus shuffle); df and the 1-row
+    * corpus stats broadcast the same way; the only corpus-keyed
+    * shuffle is the (query, doc) partial-sum aggregation, and the
+    * final top-k window partitions by query. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "query_text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // tokenize once: tf feeds df, dl, stats, and the probe
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_tokens"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(TextFunctions.tokenSet(col(queryTextCol))).as("tok"))
+    // fixed expression tree — mirrored token-for-token in the oracle
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    val contrib = floor(lit(1000000.0) * (idf * tfn)).cast("long")
+    // attach df to the query terms FIRST: |qdf| = |query terms|, so
+    // the corpus probe broadcasts one tiny table — broadcasting dfTab
+    // itself would ship the full vocabulary
+    val qdf = qTerms.join(dfTab, "tok")
+    val scored = tf.join(broadcast(qdf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib_fp"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    CacheOps.materializeAndRelease(
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp")),
+      tf)
+  }
+
   /** Corpus length profile per grouping key: docs, total/mean token
     * counts — the cheap first look at a new 100 TB crawl. */
   def lengthProfile(docs: DataFrame, keys: Seq[String],

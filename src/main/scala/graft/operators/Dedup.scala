@@ -23,6 +23,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Normalized near-exact dedup: [[TextFunctions.normalizeText]]
+    * (lowercase / strip punctuation / collapse whitespace) before the
+    * hash-groupBy — the standard first rung of the fuzzy-dedup ladder
+    * (catches case-shifted, re-punctuated, re-wrapped copies) at
+    * exact-dedup cost: one map-side-combined aggregation on the
+    * normalized hash, no pair join. `n_variants` counts the DISTINCT
+    * raw texts merged into each group — >1 is exactly the signal
+    * byte-exact dedup would have missed. */
+  def normalizedExact(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_hash",
+        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")))
+      .groupBy(col("norm_hash"))
+      .agg(min(col(idCol)).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col(textCol)).as("n_variants"))
+
   /** Shared prefix-filtered inverted-index scaffolding for the
     * set-similarity joins: tokenize once (persisted), df-rank tokens
     * globally, keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens as

@@ -186,6 +186,58 @@ object Sampling {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Exact stratified sample: allocate `totalN` rows across strata
+    * proportionally to stratum size by the largest-remainder
+    * (Hamilton) method, then keep each stratum's content-hash-order
+    * prefix of its allocation. Unlike rate-based sampling
+    * (temperatureSample) the OUTPUT SIZE is exact — Σ alloc_g =
+    * totalN always — which is what an eval-set or annotation-budget
+    * draw needs. All integer arithmetic: base_g = ⌊totalN·n_g/N⌋,
+    * remainder_g = (totalN·n_g) mod N; the (totalN − Σ base) leftover
+    * seats go to the largest remainders (stratum-key tie-break), so
+    * any engine reproduces the allocation bit-exactly — no float
+    * quotas. totalN ≤ N guarantees alloc_g ≤ n_g.
+    *
+    * Plan shape: one map-side-combined count per stratum; the
+    * allocation runs as windows over the STRATA table (|strata| rows
+    * — a single-reducer global window over a table that is tiny by
+    * construction); the allocation broadcasts back onto the corpus;
+    * one per-stratum window takes the hash-order prefix. The corpus
+    * shuffles once, on the stratum key. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    val reserved = df.columns.toSet.intersect(Set(
+      "__g", "__n", "__tot", "__base", "__rem", "__extra", "__alloc", "__rk"))
+    require(reserved.isEmpty,
+      s"stratifiedSample reserves column name(s) ${reserved.mkString(", ")}")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val global = org.apache.spark.sql.expressions.Window.partitionBy()
+    val remW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(stratumCol).asc)
+    val alloc = counts
+      // "__tot", not "__N": withColumn resolves case-insensitively
+      // by default, so "__N" would silently REPLACE "__n"
+      .withColumn("__tot", sum(col("__n")).over(global))
+      // `div` (not `/`): Column./ on longs is a DOUBLE divide, and
+      // floor(double) misrounds once totalN·n_g exceeds 2^53
+      .withColumn("__base",
+        call_function("div", lit(totalN) * col("__n"), col("__tot")))
+      .withColumn("__rem", (lit(totalN) * col("__n")) % col("__tot"))
+      .withColumn("__extra", lit(totalN) - sum(col("__base")).over(global))
+      .withColumn("__alloc",
+        col("__base") + when(row_number().over(remW) <= col("__extra"), 1L)
+          .otherwise(0L))
+      .select(col(stratumCol).as("__g"), col("__alloc"))
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc), col(stratumCol) <=> col("__g"))
+      .withColumn("__rk", row_number().over(prefixW))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__g", "__alloc", "__rk")
+  }
+
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
     * window shuffle; at 100 TB pre-aggregate a per-group count to

@@ -109,4 +109,71 @@ class CorpusSpec extends SparkSpec {
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("lang"))
   }
+
+  test("gopherRules: each rule trips on its crafted offender") {
+    val good = ("the data table is fast and the query is small with " +
+      "good rows ") * 5                                   // passes all
+    val short = "the data is small"                       // < minTokens
+    val symbols = ("### ### " + "the data is ok with " * 10).trim // symbol ratio
+    val bullets = (1 to 10).map(i => s"- item $i the of and").mkString("\n")
+    val ellipsis = (1 to 10).map(i => s"line $i the of and...").mkString("\n")
+    val numeric = ("1 2 3 4 5 6 7 8 9 0 " * 5).trim       // alpha frac 0
+    val noStop = ("data table query scan row " * 10).trim  // no stopwords
+    val docs = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
+      (5L, ellipsis), (6L, numeric), (7L, noStop)).toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, minTokens = 20)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "good doc must pass")
+    assert(!out(2L), "short doc must fail the token bound")
+    assert(!out(3L), "symbol-heavy doc must fail the symbol ratio")
+    assert(!out(4L), "bullet lines must fail the bullet fraction")
+    assert(!out(5L), "ellipsis-ended lines must fail that fraction")
+    assert(!out(6L), "numeric doc must fail the alpha fraction")
+    assert(!out(7L), "stopword-free doc must fail the stopword rule")
+  }
+
+  test("gopherRules columns carry the expected exact ratios") {
+    val docs = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val r = Corpus.gopherRules(docs).select("n_tokens", "mean_tok_len",
+      "symbol_ratio", "alpha_tok_frac", "n_stop_hits")
+      .as[(Long, Double, Double, Double, Long)].head()
+    assert(r == ((4L, 2.0, 0.0, 1.0, 0L)))
+  }
+
+  test("bm25TopK ranks rarer and denser term matches higher") {
+    // d1 has the rare term twice, d2 once, d3 only the common term,
+    // d4 nothing relevant; filler keeps df(common) high
+    val docs = Seq(
+      (1L, "rare rare common filler1"),
+      (2L, "rare common filler2 filler2"),
+      (3L, "common filler3 filler3 filler3"),
+      (4L, "filler4 filler4 filler4 filler4"),
+      (5L, "common filler5 x y"),
+      (6L, "common filler6 x y")).toDF("doc_id", "text")
+    val queries = Seq((1, "rare common")).toDF("query_id", "query_text")
+    val out = Corpus.bm25TopK(docs, queries, k = 3)
+      .orderBy("rank").as[(Int, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    // ranks are 1..3, scores non-increasing, rare-term docs lead
+    assert(out.map(_._2).sameElements(Array(1L, 2L, 3L)))
+    assert(out.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    assert(out(0)._3 == 1L && out(1)._3 == 2L)
+    // doc 4 (no query term) scores nowhere
+    val all = Corpus.bm25TopK(docs, queries, k = 10)
+      .select("doc_id").as[Long].collect()
+    assert(!all.contains(4L))
+  }
+
+  test("bm25TopK is deterministic and caps at k per query") {
+    val docs = (1 to 30).map(i => (i.toLong,
+      s"term${i % 3} shared text body")).toDF("doc_id", "text")
+    val queries = Seq((1, "term0 shared"), (2, "term1")).toDF(
+      "query_id", "query_text")
+    val a = Corpus.bm25TopK(docs, queries, k = 5)
+      .as[(Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val b = Corpus.bm25TopK(docs, queries, k = 5)
+      .as[(Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b))
+    assert(a.count(_._1 == 1) == 5 && a.count(_._1 == 2) == 5)
+  }
 }

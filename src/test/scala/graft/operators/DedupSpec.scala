@@ -406,4 +406,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(out == ((4L, 3L, 2L, 0.5, 2.0 / 3)))
   }
+
+  test("normalizedExact merges case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(docs)
+      .select("keeper_doc_id", "n_copies", "n_variants")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.sameElements(Array((1L, 3L, 3L), (4L, 1L, 1L))))
+  }
+
+  test("normalizeText: explicit class, collapse, trim") {
+    val df = Seq(("  Foo!!  BAR\t42--baz  ",
+      "foo bar 42 baz")).toDF("raw", "want")
+    val got = df.select(graft.functions.TextFunctions
+      .normalizeText(col("raw")).as("n"), col("want"))
+      .as[(String, String)].head()
+    assert(got._1 == got._2)
+  }
 }

@@ -176,4 +176,44 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Int, Long)].collect().sortBy(_._1)
     assert(back.sameElements(expect))
   }
+
+  test("stratifiedSample: exact totalN, largest-remainder allocation") {
+    // strata 60/25/15 of 100 rows; totalN=7 → quotas 4.2/1.75/1.05,
+    // bases 4/1/1, one leftover seat → largest remainder (b: .75)
+    val df = ((1 to 60).map((_, "a")) ++ (61 to 85).map((_, "b")) ++
+      (86 to 100).map((_, "c"))).map { case (i, g) => (i.toLong, g) }
+      .toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, "g", "id", 7L)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(out.length == 7)
+    val per = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(per == Map("a" -> 4, "b" -> 2, "c" -> 1))
+    // deterministic: the same prefix on re-run
+    val again = Sampling.stratifiedSample(df, "g", "id", 7L)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("stratifiedSample edge cases: totalN = N keeps all, 0 keeps none") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g")
+    assert(Sampling.stratifiedSample(df, "g", "id", 3L).count() == 3)
+    assert(Sampling.stratifiedSample(df, "g", "id", 0L).count() == 0)
+    // reserved internal names are rejected loudly
+    val clash = Seq((1L, "x", 9L)).toDF("id", "g", "__alloc")
+    val e = intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(clash, "g", "id", 1L))
+    assert(e.getMessage.contains("__alloc"))
+  }
+
+  test("stratifiedSample allocation never exceeds a stratum size") {
+    // heavy skew: 97/2/1 split, totalN=50 → a gets 48.5 → 48+seat,
+    // b 1, c 0|1; no stratum may be asked for more rows than it has
+    val df = ((1 to 97).map((_, "a")) ++ Seq((98, "b"), (99, "b"),
+      (100, "c"))).map { case (i, g) => (i.toLong, g) }.toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, "g", "id", 50L)
+      .select("g").as[String].collect()
+    assert(out.length == 50)
+    val per = out.groupBy(identity).view.mapValues(_.length).toMap
+    assert(per.getOrElse("b", 0) <= 2 && per.getOrElse("c", 0) <= 1)
+  }
 }
