@@ -175,4 +175,41 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"more shuffles than the single fact stitch:\n$p")
   }
+
+  test("q_gopher_rules runs shuffle-free in the scan stage") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Exchange"),
+      s"the rule gate must stay a pure scan-stage column block:\n$p")
+  }
+
+  test("q_dedup_normalized: the distinct-agg pair of exchanges, no joins") {
+    val p = plan("q_dedup_normalized")
+    // count_distinct(text) plans as the standard two-phase distinct
+    // aggregate: partial agg on (hash, text) → exchange → merge →
+    // final agg on hash → exchange. Both phases are map-side
+    // combined; the second exchange carries one row per distinct
+    // (hash, text) — that pair IS the aggregation, so 2 exchanges is
+    // the floor, not a regression.
+    assert("Exchange".r.findAllIn(p).length == 2,
+      s"normalized dedup grew beyond the distinct-agg exchange pair:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
+  test("q_bm25_topk broadcasts the query-term probe onto the tf index") {
+    val p = plan("q_bm25_topk")
+    // the (query term x df) table broadcasts; the corpus never
+    // shuffle-joins against the query side
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune map-side before the per-query window:\n$p")
+  }
+
+  test("q_stratified_sample broadcasts the allocation; corpus shuffles once on the stratum key") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"allocation table not broadcast back onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join appeared:\n$p")
+  }
 }
