@@ -637,6 +637,31 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long")
             .as("n_tokens")),
         "source", "doc_id", "n_tokens", budget = 800L)),
+    // quality classifier (GPT-3 filter shape): fit NB-style class
+    // odds on curated-vs-rest, score every doc in fixed-point ticks
+    "q_quality_classifier" -> ((s, d) =>
+      Corpus.qualityClassifier(T(s, d, "documents"),
+        col("source").isin("src0", "src1", "src2", "src3"))),
+    // DSIR importance weights: hashed-bigram likelihood ratio vs the
+    // target slice, deterministic top-N selection
+    "q_dsir_weights" -> ((s, d) =>
+      Corpus.dsirWeights(T(s, d, "documents"),
+        col("lang") === "en", selectN = 200L, nBuckets = 256)),
+    // CCNet bucketing: unigram-LM fit → per-language head/middle/
+    // tail terciles (the standard crawl partition)
+    "q_ccnet_buckets" -> ((s, d) =>
+      Corpus.perplexityBuckets(T(s, d, "documents"))),
+    // SemDeDup: cluster-scoped semantic dedup — nearest-seed cell
+    // assignment (seeds = the 8 lowest vec_ids, a bounded collect of
+    // model state), within-cell cosine pairs, keep = no smaller-id
+    // near-dup neighbor in the cell
+    "q_semdedup" -> ((s, d) => {
+      val embs = T(s, d, "embeddings")
+      val centroids = embs.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      Dedup.semDeDup(embs, centroids, 0.35)
+    }),
     // hamming-banded near-dup pairs over codes BOTH engines derive
     // identically (md5 hex-char parity bits — the production
     // simhash's xxhash64 mixing is not SQL-expressible; that path is
@@ -2451,6 +2476,88 @@ object SparkEntry {
         |COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |FROM d)
         |SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 800""".stripMargin,
+    // quality classifier: the smoothed class-odds double tree is
+    // written token-for-token as the Spark side (each factor cast to
+    // double BEFORE the multiply), floored to 1e-6 ticks; tick longs
+    // sum exactly in any order
+    "q_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, (source IN ('src0','src1','src2','src3')) AS is_pos,
+        |unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, is_pos, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+        |m AS (SELECT tok,
+        |CAST(SUM(CASE WHEN is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_pos,
+        |CAST(SUM(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_neg
+        |FROM tf GROUP BY tok),
+        |mm AS (SELECT tok, cnt_pos, cnt_neg,
+        |CAST(SUM(cnt_pos) OVER () AS BIGINT) AS tot_pos,
+        |CAST(SUM(cnt_neg) OVER () AS BIGINT) AS tot_neg,
+        |CAST(COUNT(*) OVER () AS BIGINT) AS vocab FROM m),
+        |c AS (SELECT tf.doc_id, tf.tf,
+        |tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(mm.cnt_pos + 1 AS DOUBLE) * CAST(mm.tot_neg + mm.vocab AS DOUBLE)) / (CAST(mm.cnt_neg + 1 AS DOUBLE) * CAST(mm.tot_pos + mm.vocab AS DOUBLE)))) AS BIGINT) AS contrib
+        |FROM tf JOIN mm USING (tok))
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |CAST(SUM(contrib) AS BIGINT) AS score_fp,
+        |CAST(SUM(contrib) AS BIGINT) >= CAST(SUM(tf) AS BIGINT) * 1000000 AS keep
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // DSIR: md5-nibble bucket replay (q_export_shards idiom) mod 256,
+    // smoothed target/raw likelihood ratio in the same fixed tree
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id, is_t, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t WHERE len(toks) >= 2),
+        |h AS (SELECT doc_id, is_t, md5(bigram) AS hex FROM bg),
+        |b AS (SELECT doc_id, is_t,
+        |CAST(((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 256 AS BIGINT) AS bucket FROM h),
+        |tf AS (SELECT doc_id, is_t, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2, 3),
+        |m AS (SELECT bucket,
+        |CAST(SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS cnt_t,
+        |CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY bucket),
+        |mm AS (SELECT bucket, cnt_t, cnt_r,
+        |CAST(SUM(cnt_t) OVER () AS BIGINT) AS tot_t,
+        |CAST(SUM(cnt_r) OVER () AS BIGINT) AS tot_r FROM m),
+        |c AS (SELECT tf.doc_id, tf.tf,
+        |tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(mm.cnt_t + 1 AS DOUBLE) * CAST(mm.tot_r + 256 AS DOUBLE)) / (CAST(mm.cnt_r + 1 AS DOUBLE) * CAST(mm.tot_t + 256 AS DOUBLE)))) AS BIGINT) AS contrib
+        |FROM tf JOIN mm USING (bucket)),
+        |wgt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, CAST(SUM(contrib) AS BIGINT) AS weight_fp FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, weight_fp,
+        |(ROW_NUMBER() OVER (ORDER BY weight_fp DESC, doc_id ASC)) <= 200 AS selected FROM wgt""".stripMargin,
+    // CCNet terciles: the q_lm_score exact-rational score + lang join
+    // + ntile(3) over the engine-identical (avg_tok_p desc, id) order
+    "q_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        |pdt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+        |sc AS (SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
+        |CAST(CAST(SUM(p.tf * c.cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) * t.total AS DOUBLE) AS avg_tok_p
+        |FROM pdt p JOIN cnt c USING (tok) CROSS JOIN tot t
+        |GROUP BY p.doc_id, t.total),
+        |j AS (SELECT s.doc_id, d.lang, s.n_tokens, s.avg_tok_p FROM sc s JOIN documents d USING (doc_id)),
+        |tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_tok_p DESC, doc_id ASC) AS tile FROM j)
+        |SELECT doc_id, lang, n_tokens, avg_tok_p,
+        |CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tl""".stripMargin,
+    // SemDeDup: seeds = the 8 lowest vec_ids (cell = seed rank),
+    // ordered-fold squared-L2 assignment with (d2, cell) tie-break,
+    // within-cell cosine pairs, keep = no smaller-id near neighbor
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id AS seed, v AS sv, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, s.cell,
+        |list_sum(list_transform(list_zip(e.v, s.sv), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk FROM d),
+        |asg AS (SELECT vec_id, cell FROM a WHERE rk = 1),
+        |v AS (SELECT asg.vec_id, asg.cell, emb.embedding,
+        |sqrt(list_sum(list_transform(emb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM asg JOIN embeddings emb USING (vec_id)),
+        |drp AS (SELECT DISTINCT b.vec_id AS vec_id
+        |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) END) >= 0.35)
+        |SELECT v.vec_id, v.cell, (drp.vec_id IS NULL) AS keep
+        |FROM v LEFT JOIN drp USING (vec_id)""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

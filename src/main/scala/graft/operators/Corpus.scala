@@ -341,4 +341,163 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).as("total_tokens"),
         (sum(col("__n")).cast("double") / count(col("__n"))).as("mean_tokens"))
+
+  /** Quality-classifier scoring — the GPT-3/PaLM "looks like the
+    * curated set" filter as a fit-then-transform pair, with the same
+    * engine-portable arithmetic as [[bm25TopK]]. FIT: one tokenize
+    * pass counts each token's instances in the positive class
+    * (`posExpr` true — e.g. the curated sources) and the negative
+    * class; class totals and the vocabulary size ride ON the model
+    * rows via a global window (no third corpus pass). TRANSFORM: each
+    * token contributes tf × the Laplace-smoothed class odds
+    * (cnt_pos+1)(tot_neg+V) / (cnt_neg+1)(tot_pos+V) — the naive-
+    * Bayes likelihood ratio with the odds kept raw instead of logged
+    * (log is libm-dependent; the ratio is two multiplies and a
+    * divide), floored to 1e-6 fixed-point ticks so per-doc sums are
+    * exact longs in any order. `keep` = mean odds ≥ 1, i.e. the doc's
+    * tokens look more positive-class than negative-class on average.
+    *
+    * Scale shape: the model is the per-token count table — broadcast
+    * by default (vocab is MBs after a min-df floor even at web
+    * scale), shuffle-join fallback via broadcastModel=false. Corpus
+    * work is one explode + two map-side-combined aggregations + the
+    * model probe; zero-token docs are not emitted (no defined mean).
+    * Null posExpr rows count as negative. */
+  def qualityClassifier(docs: DataFrame, posExpr: Column,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        broadcastModel: Boolean = true): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(posExpr, lit(false)).as("is_pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "is_pos", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // tokenize once: tf feeds the model fit AND the probe
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = tf.groupBy("tok")
+      .agg(sum(when(col("is_pos"), col("tf")).otherwise(lit(0L)))
+          .cast("long").as("cnt_pos"),
+        sum(when(!col("is_pos"), col("tf")).otherwise(lit(0L)))
+          .cast("long").as("cnt_neg"))
+      .withColumn("tot_pos", sum(col("cnt_pos")).over(w).cast("long"))
+      .withColumn("tot_neg", sum(col("cnt_neg")).over(w).cast("long"))
+      .withColumn("vocab", count(lit(1)).over(w).cast("long"))
+    val model = if (broadcastModel) broadcast(counts) else counts
+    // fixed double tree over exact longs (each factor cast to double
+    // BEFORE multiplying — the long product could overflow at web
+    // scale, the double one cannot), mirrored token-for-token by the
+    // oracle; floor to 1e-6 ticks → order-independent long sums
+    val odds = ((col("cnt_pos") + lit(1L)).cast("double") *
+        (col("tot_neg") + col("vocab")).cast("double")) /
+      ((col("cnt_neg") + lit(1L)).cast("double") *
+        (col("tot_pos") + col("vocab")).cast("double"))
+    val tick = floor(lit(1000000.0) * odds).cast("long")
+    CacheOps.materializeAndRelease(
+      tf.join(model, "tok")
+        .select(col("doc_id"), col("tf"), (col("tf") * tick).as("contrib_fp"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          sum(col("contrib_fp")).cast("long").as("score_fp"))
+        .withColumn("keep",
+          col("score_fp") >= col("n_tokens") * lit(1000000L)),
+      tf)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023 shape): score every raw
+    * document by how much its hashed-bigram profile looks like a
+    * TARGET distribution (`targetExpr` — e.g. the wiki-like sources),
+    * then keep the top `selectN` — importance RESAMPLING as a
+    * deterministic top-N instead of a random draw. Features are
+    * hashed shingles: bucket = md5(bigram) mod nBuckets (engine-
+    * portable, fixed model width — the hashing trick that keeps the
+    * model O(nBuckets) however large the vocabulary grows). FIT: one
+    * shingle pass counts each bucket's instances under the target
+    * slice and the full raw corpus; totals ride on the model rows.
+    * TRANSFORM: per-bucket importance = Laplace-smoothed
+    * (cnt_t+1)(tot_r+B) / (cnt_r+1)(tot_t+B) — the likelihood ratio
+    * with raw odds instead of logs (libm-free), floored to 1e-6
+    * ticks; per-doc weight = exact long sum of tf × tick.
+    *
+    * Scale shape: the model is nBuckets rows — always broadcastable
+    * by construction. Corpus work is one explode + two map-side-
+    * combined aggregations + one broadcast probe; the only full
+    * shuffle is the per-doc aggregation. The top-N selection is a
+    * single global sort on (weight desc, id) — at 100 TB replace
+    * with an approx-quantile weight cutoff + boundary tie-sweep
+    * (same output, no single-reducer sort). Docs with <2 tokens have
+    * no bigrams and are not emitted. */
+  def dsirWeights(docs: DataFrame, targetExpr: Column, selectN: Long,
+                  nBuckets: Int = 1024, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      "nBuckets must be in 1..65536 (md5Bucket16 range)")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(targetExpr, lit(false)).as("is_target"),
+        explode(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+      .select(col("doc_id"), col("is_target"),
+        (Sampling.md5Bucket16(col("bigram")) % nBuckets).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // shingle once: tf feeds the model fit AND the probe
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val model = broadcast(tf.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("tf")).otherwise(lit(0L)))
+          .cast("long").as("cnt_t"),
+        sum(col("tf")).cast("long").as("cnt_r"))
+      .withColumn("tot_t", sum(col("cnt_t")).over(w).cast("long"))
+      .withColumn("tot_r", sum(col("cnt_r")).over(w).cast("long")))
+    val ratio = ((col("cnt_t") + lit(1L)).cast("double") *
+        (col("tot_r") + lit(nBuckets.toLong)).cast("double")) /
+      ((col("cnt_r") + lit(1L)).cast("double") *
+        (col("tot_t") + lit(nBuckets.toLong)).cast("double"))
+    val tick = floor(lit(1000000.0) * ratio).cast("long")
+    val weighted = tf.join(model, "bucket")
+      .select(col("doc_id"), col("tf"), (col("tf") * tick).as("contrib_fp"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("contrib_fp")).cast("long").as("weight_fp"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_fp").desc, col("doc_id").asc)
+    CacheOps.materializeAndRelease(
+      weighted
+        .withColumn("selected", row_number().over(rk) <= selectN)
+        .select(col("doc_id"), col("n_bigrams"), col("weight_fp"),
+          col("selected")),
+      tf)
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * unigram LM ([[lmScore]]) and cut each language into head /
+    * middle / tail terciles by model fit — the standard crawl
+    * partition (keep head+middle, drop or re-filter tail). Ordering
+    * is (avg_tok_p desc, id): avg_tok_p is a single IEEE division
+    * over exact integers, so the total order — and therefore every
+    * ntile boundary — is identical across engines.
+    *
+    * Scale shape: lmScore's two corpus passes + one doc-keyed join to
+    * recover the group column + one window partitioned by language.
+    * The per-language window is the exact form; at 100 TB languages
+    * are few and huge, so derive the two tercile BOUNDARY scores per
+    * language first (approx_percentile or a two-pass exact count)
+    * and bucket with a scan-stage comparison instead — same output,
+    * no single-partition-per-language sort. */
+  def perplexityBuckets(docs: DataFrame, groupCol: String = "lang",
+                        idCol: String = "doc_id", textCol: String = "text")
+  : DataFrame = {
+    val scored = lmScore(docs, idCol, textCol)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("avg_tok_p").desc, col("doc_id").asc)
+    scored
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+      .withColumn("tile", ntile(3).over(rk))
+      .withColumn("bucket",
+        when(col("tile") === 1, lit("head"))
+          .when(col("tile") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        col("avg_tok_p"), col("bucket"))
+  }
 }

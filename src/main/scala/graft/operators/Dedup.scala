@@ -590,6 +590,53 @@ object Dedup {
       v)
   }
 
+  /** SemDeDup (Abbas et al. 2023 shape): cluster-scoped semantic
+    * dedup — assign every embedding to its nearest centroid (the
+    * same argmin-over-broadcast-matrix assignment as [[Ivf]]), then
+    * compare pairs ONLY within a cell and drop every member that has
+    * a smaller-id neighbor at cosine ≥ `threshold` (the paper keeps
+    * one representative per near-dup group; we pick the minimum id —
+    * deterministic — where the paper picks the least-centroid-like).
+    * Output: one row per vector with its cell and `keep` flag.
+    *
+    * Scale shape: this is THE production semantic-dedup form for
+    * corpora where the exact tiled self-join
+    * ([[embeddingCosinePairs]]) is too big even blocked — candidate
+    * generation becomes an equi-join on the cell id, so pair volume
+    * is Σ cell² instead of n², tuned by nCentroids (the paper runs
+    * k ≈ 0.1% of n). Centroids come in PRE-TRAINED
+    * ([[Ivf.trainCentroids]] once / [[Ivf.loadCentroids]] from the
+    * model table) — the matrix is O(k × dim) broadcast state, and
+    * the assignment is a scan-stage fold. The within-cell pair join
+    * inherits the skew caveat of any blocked self-join: a degenerate
+    * cell (all vectors identical) re-creates the n² problem, which
+    * is what the Lloyd refit distributes away. */
+  def semDeDup(embs: DataFrame, centroids: Seq[Seq[Double]],
+               threshold: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorFunctions.norm(col(vecCol)).as("nrm"),
+        Ivf.nearestCell(dvec, centroids).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count() // assign once: feeds both join sides and the output
+    val denom = col("a_nrm") * col("b_nrm")
+    val dropped = v.select(col("cell"), col("id").as("a_id"),
+        col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+      .join(v.select(col("cell"), col("id").as("b_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_nrm")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", when(denom === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(col("a_vec"), col("b_vec")) / denom))
+      .filter(col("cos") >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    CacheOps.materializeAndRelease(
+      v.join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+        .select(col("id").as(idCol), col("cell"),
+          coalesce(!col("__drop"), lit(true)).as("keep")),
+      v)
+  }
+
   /** One-call dedup deliverable: near-dup pair generation (by
     * `method`) → connected-components clustering → the SURVIVING
     * rows (minimum id per cluster, original columns preserved via a

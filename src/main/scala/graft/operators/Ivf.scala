@@ -48,8 +48,9 @@ object Ivf {
   }
 
   /** argmin over the broadcast centroid literal: returns the 0-based
-    * index of the nearest centroid (squared-L2). */
-  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    * index of the nearest centroid (squared-L2). Package-visible:
+    * [[Dedup.semDeDup]] reuses the same assignment. */
+  private[operators] def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
     array_min(cellScores(vec, centroids)).getField("cell")
 
   /** Train centroids: deterministic hash-seeded sample + Lloyd

@@ -212,4 +212,39 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus-side shuffle join appeared:\n$p")
   }
+
+  test("q_quality_classifier broadcasts the class-odds model onto the tf table") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle-join against the model:\n$p")
+  }
+
+  test("q_dsir_weights broadcasts the bucket model; no corpus-side shuffle join") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle-join against the model:\n$p")
+  }
+
+  test("q_ccnet_buckets: lm model broadcasts; the lang join keys on doc id") {
+    val p = plan("q_ccnet_buckets")
+    // lmScore's count-table probe broadcasts; only the doc-keyed
+    // lang-recovery join and the tercile window may shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"lm count-table probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join appeared:\n$p")
+  }
+
+  test("q_semdedup: candidates equi-join on the cell id, never all-pairs") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster-scoped dedup degenerated to all-pairs:\n$p")
+    assert(p.contains("cell"), s"cell key missing from the plan:\n$p")
+  }
 }

@@ -176,4 +176,76 @@ class CorpusSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.count(_._1 == 1) == 5 && a.count(_._1 == 2) == 5)
   }
+
+  test("qualityClassifier: hand-computed smoothed class-odds ticks") {
+    val docs = Seq(
+      (1L, "hi", "a a b"), // positive class
+      (2L, "lo", "c c b")) // negative class
+      .toDF("doc_id", "src", "text")
+    val out = Corpus.qualityClassifier(docs, col("src") === "hi")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: a(2,0) b(1,1) c(0,2); tot_pos=tot_neg=3, V=3
+    // odds a = (3*6)/(1*6)=3 → 3_000_000; b = 1 → 1_000_000;
+    // c = (1*6)/(3*6)=1/3 → 333_333
+    assert(out(1L) == ((3L, 2 * 3000000L + 1000000L, true)))
+    assert(out(2L) == ((3L, 2 * 333333L + 1000000L, false)))
+  }
+
+  test("qualityClassifier: null posExpr is negative; empty docs drop") {
+    val docs = Seq(
+      (1L, Some("hi"), "w w"), (2L, None: Option[String], "w z"),
+      (3L, Some("lo"), ""))
+      .toDF("doc_id", "src", "text")
+    val out = Corpus.qualityClassifier(docs, col("src") === "hi")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // empty doc not emitted
+    // w: cnt_pos=2 cnt_neg=1; z: 0,1; tot_pos=2 tot_neg=2 V=2
+    // odds w = (3*4)/(2*4) = 1.5 → doc1 keep (mean 1.5 >= 1)
+    assert(out(1L)._4)
+  }
+
+  test("dsirWeights: same-content docs tie, disjoint content ranks below") {
+    val docs = Seq(
+      (1L, true, "x y x y x"),  // the target slice
+      (2L, false, "x y x y x"), // raw doc, identical profile
+      (3L, false, "p q p q p")) // raw doc, disjoint profile
+      .toDF("doc_id", "is_t", "text")
+    val out = Corpus.dsirWeights(docs, col("is_t"), selectN = 2L,
+        nBuckets = 256)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_._1 == 4L)) // 4 bigrams each
+    assert(out(1L)._2 == out(2L)._2, "identical content must tie")
+    assert(out(3L)._2 < out(1L)._2, "disjoint content must rank below")
+    assert(out(1L)._3 && out(2L)._3 && !out(3L)._3) // top-2 selected
+  }
+
+  test("dsirWeights: short docs have no bigrams and are not emitted") {
+    val docs = Seq((1L, true, "a b c"), (2L, false, "solo"))
+      .toDF("doc_id", "is_t", "text")
+    val ids = Corpus.dsirWeights(docs, col("is_t"), selectN = 5L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("perplexityBuckets: terciles follow the lmScore order per language") {
+    // 6 en docs + 1 fr doc; en scores ordered by construction is not
+    // assumed — buckets are checked against the operator's own score
+    // order, which pins the ntile wiring + group join
+    val docs = Seq(
+      (1L, "en", "a a a a"), (2L, "en", "a a a b"), (3L, "en", "a a b b"),
+      (4L, "en", "a b b c"), (5L, "en", "b c c d"), (6L, "en", "d e f g"),
+      (7L, "fr", "a a"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.perplexityBuckets(docs)
+      .select("doc_id", "lang", "avg_tok_p", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    val en = out.filter(_._2 == "en").sortBy(r => (-r._3, r._1))
+    assert(en.map(_._4).sameElements(
+      Array("head", "head", "middle", "middle", "tail", "tail")))
+    // a 1-row language is its own head
+    assert(out.find(_._2 == "fr").get._4 == "head")
+  }
 }

@@ -427,4 +427,35 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].head()
     assert(got._1 == got._2)
   }
+
+  test("semDeDup: cell assignment, within-cell drop, cross-cell blind") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // cell 0
+      (1L, Array(0.9f, 0.1f)),   // cell 0, cos(v0,v1)≈0.994 → dropped
+      (2L, Array(0.0f, 1.0f)),   // cell 1
+      (3L, Array(0.1f, 0.9f)),   // cell 1, cos(v2,v3)≈0.994 → dropped
+      (4L, Array(-1.0f, 0.1f)))  // cell 1 (closer to (0,1)), dissimilar
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(embs,
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), threshold = 0.9)
+      .as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      0L -> ((0, true)), 1L -> ((0, false)),
+      2L -> ((1, true)), 3L -> ((1, false)), 4L -> ((1, true))))
+  }
+
+  test("semDeDup: near-identical vectors in DIFFERENT cells both survive") {
+    // the cluster-scoped tradeoff the paper accepts: candidates are
+    // generated within a cell only, so a boundary-straddling pair is
+    // invisible — pin that this is the operator's contract
+    val embs = Seq(
+      (0L, Array(0.71f, 0.70f)),  // just inside cell 0
+      (1L, Array(0.70f, 0.71f))) // just inside cell 1, cos≈1 with v0
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(embs,
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), threshold = 0.9)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(0L -> true, 1L -> true))
+  }
 }
