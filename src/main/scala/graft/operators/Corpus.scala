@@ -166,8 +166,10 @@ object Corpus {
     * Scale shape: the model is the token-count table — broadcast
     * here (raw-token vocab is MBs even at web scale after a min-df
     * floor); set broadcastModel=false to fall back to a shuffle join
-    * when the vocabulary genuinely can't broadcast. The corpus-side
-    * work is one explode + two map-side-combined aggregations.
+    * when the vocabulary genuinely can't broadcast (that path
+    * shuffles token instances — pre-aggregate (doc, tok, tf) first
+    * if you take it at scale). The corpus-side work is one explode
+    * + two map-side-combined aggregations.
     * Documents with zero tokens have no defined mean and are not
     * emitted. Note: p_num = Σ tf·cnt stays exact in a long up to
     * ~9e18; at extreme corpus sizes the double cast rounds, equally
@@ -186,12 +188,16 @@ object Corpus {
       .withColumn("total", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
     val model = if (broadcastModel) broadcast(counts) else counts
-    tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .join(model, "tok")
+    // probe per token INSTANCE — a (doc, tok, tf) pre-aggregation
+    // would full-shuffle the token stream to save broadcast-probe
+    // work that costs nothing; the per-instance integer sums below
+    // (Σ cnt ≡ Σ tf·cnt, Σ [cnt=1] ≡ Σ tf·[cnt=1]) are exactly the
+    // grouped ones, and the per-doc aggregation compresses map-side
+    tok.join(model, "tok")
       .groupBy("doc_id")
-      .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        sum(col("tf") * col("cnt")).cast("long").as("p_num"),
-        sum(when(col("cnt") === 1L, col("tf")).otherwise(lit(0L)))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("cnt")).cast("long").as("p_num"),
+        sum(when(col("cnt") === 1L, lit(1L)).otherwise(lit(0L)))
           .cast("long").as("hapax"),
         max(col("total")).cast("long").as("total"))
       .select(col("doc_id"), col("n_tokens"),
@@ -366,18 +372,23 @@ object Corpus {
   def qualityClassifier(docs: DataFrame, posExpr: Column,
                         idCol: String = "doc_id", textCol: String = "text",
                         broadcastModel: Boolean = true): DataFrame = {
-    val tf = docs
+    // instance-level token table, NOT a (doc, tok, tf) pre-
+    // aggregation: both consumers compress map-side anyway (the fit
+    // to |vocab| partials, the per-doc score to |docs| partials), so
+    // the (doc, tok) groupBy would be a full shuffle bought only to
+    // make the broadcast hash probe marginally cheaper — and
+    // Σ tf·tick ≡ Σ per-instance tick exactly (integer arithmetic)
+    val inst = docs
       .select(col(idCol).as("doc_id"),
         coalesce(posExpr, lit(false)).as("is_pos"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "is_pos", "tok").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // tokenize once: tf feeds the model fit AND the probe
+    inst.count() // tokenize once: feeds the model fit AND the probe
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val counts = tf.groupBy("tok")
-      .agg(sum(when(col("is_pos"), col("tf")).otherwise(lit(0L)))
+    val counts = inst.groupBy("tok")
+      .agg(sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_pos"),
-        sum(when(!col("is_pos"), col("tf")).otherwise(lit(0L)))
+        sum(when(!col("is_pos"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_neg"))
       .withColumn("tot_pos", sum(col("cnt_pos")).over(w).cast("long"))
       .withColumn("tot_neg", sum(col("cnt_neg")).over(w).cast("long"))
@@ -393,14 +404,13 @@ object Corpus {
         (col("tot_pos") + col("vocab")).cast("double"))
     val tick = floor(lit(1000000.0) * odds).cast("long")
     CacheOps.materializeAndRelease(
-      tf.join(model, "tok")
-        .select(col("doc_id"), col("tf"), (col("tf") * tick).as("contrib_fp"))
+      inst.join(model, "tok")
         .groupBy("doc_id")
-        .agg(sum(col("tf")).cast("long").as("n_tokens"),
-          sum(col("contrib_fp")).cast("long").as("score_fp"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(tick).cast("long").as("score_fp"))
         .withColumn("keep",
           col("score_fp") >= col("n_tokens") * lit(1000000L)),
-      tf)
+      inst)
   }
 
   /** DSIR importance weights (Xie et al. 2023 shape): score every raw
@@ -431,21 +441,26 @@ object Corpus {
                   textCol: String = "text"): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536,
       "nBuckets must be in 1..65536 (md5Bucket16 range)")
-    val tf = docs
+    // instance-level table, NOT a (doc, bucket, tf) pre-aggregation:
+    // hashed bigrams are mostly distinct within a doc, so that
+    // groupBy would shuffle ~|instances| rows for no compression —
+    // whereas both consumers below compress map-side (the model fit
+    // to nBuckets partials, the per-doc sum to |docs| partials) and
+    // Σ tf·tick ≡ Σ per-instance tick exactly (integer arithmetic)
+    val inst = docs
       .select(col(idCol).as("doc_id"),
         coalesce(targetExpr, lit(false)).as("is_target"),
         explode(TextFunctions.shingles(
           TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
       .select(col("doc_id"), col("is_target"),
         (Sampling.md5Bucket16(col("bigram")) % nBuckets).as("bucket"))
-      .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // shingle once: tf feeds the model fit AND the probe
+    inst.count() // shingle once: feeds the model fit AND the probe
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val model = broadcast(tf.groupBy("bucket")
-      .agg(sum(when(col("is_target"), col("tf")).otherwise(lit(0L)))
+    val model = broadcast(inst.groupBy("bucket")
+      .agg(sum(when(col("is_target"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_t"),
-        sum(col("tf")).cast("long").as("cnt_r"))
+        count(lit(1)).cast("long").as("cnt_r"))
       .withColumn("tot_t", sum(col("cnt_t")).over(w).cast("long"))
       .withColumn("tot_r", sum(col("cnt_r")).over(w).cast("long")))
     val ratio = ((col("cnt_t") + lit(1L)).cast("double") *
@@ -453,11 +468,10 @@ object Corpus {
       ((col("cnt_r") + lit(1L)).cast("double") *
         (col("tot_t") + lit(nBuckets.toLong)).cast("double"))
     val tick = floor(lit(1000000.0) * ratio).cast("long")
-    val weighted = tf.join(model, "bucket")
-      .select(col("doc_id"), col("tf"), (col("tf") * tick).as("contrib_fp"))
+    val weighted = inst.join(model, "bucket")
       .groupBy("doc_id")
-      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        sum(col("contrib_fp")).cast("long").as("weight_fp"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(tick).cast("long").as("weight_fp"))
     val rk = org.apache.spark.sql.expressions.Window
       .orderBy(col("weight_fp").desc, col("doc_id").asc)
     CacheOps.materializeAndRelease(
@@ -465,7 +479,7 @@ object Corpus {
         .withColumn("selected", row_number().over(rk) <= selectN)
         .select(col("doc_id"), col("n_bigrams"), col("weight_fp"),
           col("selected")),
-      tf)
+      inst)
   }
 
   /** CCNet-style perplexity bucketing: score every document with the
