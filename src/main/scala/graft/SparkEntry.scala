@@ -651,6 +651,51 @@ object SparkEntry {
     // tail terciles (the standard crawl partition)
     "q_ccnet_buckets" -> ((s, d) =>
       Corpus.perplexityBuckets(T(s, d, "documents"))),
+    // line-level boilerplate dedup (C4/RefinedWeb): lines appearing
+    // in >= 2 distinct docs are removed, docs reassembled in order.
+    // The corpus has no newlines, so pseudo-lines (10-token
+    // segments) are synthesized deterministically first — both
+    // engines replay the same segmentation.
+    "q_dedup_lines" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val lined = T(s, d, "documents")
+        .filter(size(toks) >= 1)
+        .select(col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0),
+                ceil(size(toks) / lit(10.0)).cast("int") - 1),
+              g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
+            "\n").as("text"))
+      Dedup.dedupLines(lined, minDf = 2)
+    }),
+    // bloom-prefiltered semi join: result identical to the exact
+    // semi join (the oracle), but the probe side is cut by the
+    // build side's bloom sketch BEFORE the join shuffle
+    "q_bloom_join" -> ((s, d) =>
+      Joins.bloomSemiJoin(
+          T(s, d, "lineitem"),
+          T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          Seq("l_orderkey" -> "o_orderkey"), expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))),
+    // URL-level dedup: canonicalize (case/www/port/tracking/fragment/
+    // trailing slash, sorted params) and keep min id per canonical.
+    // URLs are synthesized in four variant classes per 4-doc group;
+    // the three https variants merge, the http one stays distinct.
+    "q_dedup_url" -> ((s, d) => {
+      val item = concat(lit("/articles/item-"),
+        floor(col("doc_id") / 4).cast("long").cast("string"))
+      val v = col("doc_id") % 4
+      Dedup.urlDedup(T(s, d, "documents").select(col("doc_id"),
+        when(v === 0, concat(lit("https://Example.COM"), item))
+          .when(v === 1,
+            concat(lit("https://www.example.com"), item, lit("/")))
+          .when(v === 2, concat(lit("https://example.com:443"), item,
+            lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(concat(lit("http://example.com"), item,
+            lit("?b=2&a=1#section"))).as("url")))
+    }),
     // SemDeDup: cluster-scoped semantic dedup — nearest-seed cell
     // assignment (seeds = the 8 lowest vec_ids, a bounded collect of
     // model state), within-cell cosine pairs, keep = no smaller-id
@@ -2538,6 +2583,57 @@ object SparkEntry {
         |tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_tok_p DESC, doc_id ASC) AS tile FROM j)
         |SELECT doc_id, lang, n_tokens, avg_tok_p,
         |CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tl""".stripMargin,
+    // line-level boilerplate dedup: replay the 10-token pseudo-line
+    // synthesis, count DISTINCT docs per line, remove df>=2 lines,
+    // reassemble with string_agg ordered by line position
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 1),
+        |g AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
+        |ln AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g),
+        |df AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM ln GROUP BY line),
+        |j AS (SELECT ln.doc_id, ln.pos, ln.line, df.line_df FROM ln JOIN df USING (line))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // bloom semi join: the oracle is the EXACT semi join — the bloom
+    // prefilter must be invisible in the result
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN
+        |(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    // URL dedup: replay the synthesis + every canonicalization rule
+    // (fragment, tracking params, sorted query, scheme/host case,
+    // www, default ports, trailing slash) with engine-portable
+    // string ops, then the keep-min-id groupBy
+    "q_dedup_url" ->
+      """WITH docs AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END AS url
+        |FROM documents),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM docs),
+        |bq AS (SELECT doc_id, url, split_part(u, '?', 1) AS base,
+        |CASE WHEN contains(u, '?') THEN substring(u, len(split_part(u, '?', 1)) + 2) ELSE '' END AS query FROM nf),
+        |pr AS (SELECT doc_id, url, base,
+        |COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid=') OR p = ''))), '&'), '') AS cq FROM bq),
+        |hp AS (SELECT doc_id, url, cq, split_part(base, '//', 1) AS scheme,
+        |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
+        |h2 AS (SELECT doc_id, url, cq, scheme, split_part(hostpath, '/', 1) AS host0,
+        |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
+        |cn AS (SELECT doc_id, url,
+        |lower(scheme) || '//' ||
+        |regexp_replace(regexp_replace(lower(host0), '^www\.', ''), ':(80|443)$', '') ||
+        |regexp_replace(path, '/$', '') ||
+        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h2)
+        |SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |CAST(COUNT(DISTINCT url) AS BIGINT) AS n_url_variants
+        |FROM cn GROUP BY canonical_url""".stripMargin,
     // SemDeDup: seeds = the 8 lowest vec_ids (cell = seed rank),
     // ordered-fold squared-L2 assignment with (d2, cell) tie-break,
     // within-cell cosine pairs, keep = no smaller-id near neighbor

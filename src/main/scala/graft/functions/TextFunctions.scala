@@ -169,6 +169,43 @@ object TextFunctions {
         regexp_replace(lower(text), "[^a-z0-9 \n\t\r]", " "),
         "[ \n\t\r]+", " "))
 
+  /** URL canonicalization — the first rung of Common-Crawl-style
+    * dedup, where most duplication is the SAME page re-crawled under
+    * cosmetically different URLs. Normalizations applied (each a
+    * standard canonicalizer rule): drop the fragment; lowercase
+    * scheme and host; strip a leading `www.`; strip the default
+    * ports `:80`/`:443`; strip one trailing slash from the path;
+    * drop tracking parameters (`utm_*`, `ref=`, `fbclid=`); sort the
+    * surviving query parameters. Scheme differences (http vs https)
+    * are PRESERVED — they can serve different content.
+    *
+    * Pure codegen'd string/array ops (split / filter / array_sort /
+    * anchored regexp_replace with no backrefs), chosen so an
+    * external SQL engine replays the same bytes — the same
+    * portability contract as [[normalizeText]]. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val baseAndQuery = split(noFrag, "\\?", 2)
+    val base = element_at(baseAndQuery, 1)
+    val query = when(size(baseAndQuery) > 1, element_at(baseAndQuery, 2))
+      .otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("ref=") ||
+        p.startsWith("fbclid=") || p === "")))
+    val schemeAndRest = split(base, "//", 2)
+    val scheme = element_at(schemeAndRest, 1)
+    val hostPath = element_at(schemeAndRest, 2)
+    val host0 = element_at(split(hostPath, "/", 2), 1)
+    val path = hostPath.substr(length(host0) + 1, length(hostPath))
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
+    val canonBase = concat(lower(scheme), lit("//"), host,
+      regexp_replace(path, "/$", ""))
+    val canonQuery = array_join(params, "&")
+    when(canonQuery === "", canonBase)
+      .otherwise(concat(canonBase, lit("?"), canonQuery))
+  }
+
   /** Order-sensitive rolling document fingerprint over tokens:
     * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
     * overflow, ANSI-safe, deterministic. The fast production default

@@ -41,6 +41,26 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         count_distinct(col(textCol)).as("n_variants"))
 
+  /** URL-level dedup — the crawl pipeline's cheapest and
+    * highest-yield rung, run BEFORE any content dedup: canonicalize
+    * each document's URL ([[TextFunctions.canonicalizeUrl]] — case,
+    * www, default ports, tracking params, fragments, trailing slash)
+    * and keep the minimum doc id per canonical URL. One map-side-
+    * combined hash aggregation on the canonical string; no pair
+    * join, no text read — at 100 TB this collapses re-crawls without
+    * touching the document bodies. `n_url_variants` counts the
+    * distinct raw spellings each canonical absorbed (>1 = the
+    * duplication raw-URL dedup would have missed). */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("canonical_url",
+        TextFunctions.canonicalizeUrl(col(urlCol)))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col(urlCol)).as("n_url_variants"))
+
   /** Shared prefix-filtered inverted-index scaffolding for the
     * set-similarity joins: tokenize once (persisted), df-rank tokens
     * globally, keep each doc's ⌊sz − ceil(τ·sz)⌋ + 1 rarest tokens as
@@ -732,6 +752,54 @@ object Dedup {
         when(col("n_tokens") === 0L, lit(0.0))
           .otherwise(col("dup_span_tokens").cast("double") /
             col("n_tokens").cast("double")))
+  }
+
+  /** Line-level boilerplate dedup (the C4 / RefinedWeb rung of the
+    * dedup ladder): a line that appears in `minDf`-or-more DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is removed from every document that carries it;
+    * each document is then reassembled from its surviving lines in
+    * original order. This is a corpus-wide TRANSFORM — unlike the
+    * span profile above it rewrites the text — and the df threshold
+    * counts documents, not occurrences, so a line repeated inside
+    * one document is not boilerplate by itself.
+    *
+    * Scale shape: no pair join anywhere. One shuffle of O(total
+    * lines) on the line hash builds the document-frequency table
+    * (distinct-per-doc reduce first, so a million-document boilerplate
+    * line still contributes one row per document, combined map-side);
+    * the df verdict comes back via an equi-join on the same hash; one
+    * shuffle on doc id reassembles. Duplication degree never appears
+    * in any term — the hot-line blowup that kills a self-join shape
+    * (§6 r12 measurement) cannot occur.
+    *
+    * Output: doc_id, n_lines, n_removed, kept_text (surviving lines
+    * re-joined with `delim`, empty string when everything was
+    * boilerplate). */
+  def dedupLines(docs: DataFrame, minDf: Long = 2,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 delim: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col").cast("binary")).as("lh"))
+    // document frequency: reduce to one (doc, line) row BEFORE the
+    // count so the shuffle and the count are both degree-independent
+    val df_ = lines.select("doc_id", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_df"))
+    // collect_list skips nulls, so the boilerplate lines vanish from
+    // the reassembly struct without a second filtered branch
+    lines.join(df_, "lh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("line_df") < minDf, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          delim).as("kept_text"))
   }
 
   /** Pair-set recall harness: how many of the exact near-dup pairs

@@ -80,4 +80,53 @@ object Joins {
     val cond = keys.map { case (l, r) => left(l) === ids(r) }.reduce(_ && _)
     left.join(ids, cond, "left_anti")
   }
+
+  /** Bloom prefilter for a big-probe semi join: build a bloom filter
+    * over the build side's keys (Spark's own Catalyst
+    * `BloomFilterAggregate`, merged tree-wise like any partial
+    * aggregate), then keep only probe rows whose key MIGHT be in it
+    * (`BloomFilterMightContain`, codegen'd, zero false negatives).
+    *
+    * This is the runtime-filter shape Catalyst's InjectRuntimeFilter
+    * produces for selective joins, exposed as an explicit operator:
+    * at 100 TB the win is that the probe side is cut to ~selectivity
+    * BEFORE its shuffle, and the build side ships as one
+    * O(numBits/8) sketch (a few MB for 100M keys at 3% fpp) where a
+    * broadcast hash join would need the full key set and a shuffled
+    * semi join would move every probe row. The sketch is bounded
+    * driver state (the Ivf-centroid precedent): collecting it is
+    * exactly the materialization Catalyst's ScalarSubquery performs.
+    *
+    * False positives survive — callers needing exact semantics use
+    * [[bloomSemiJoin]], which chains the exact semi join on the
+    * (already tiny) prefiltered probe. */
+  def bloomPrefilter(probe: DataFrame, build: DataFrame,
+                     keys: Seq[(String, String)],
+                     expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(keys.nonEmpty, "bloomPrefilter needs at least one key pair")
+    val buildHash = xxhash64(keys.map { case (_, r) => build(r) }: _*)
+    val agg = new BloomFilterAggregate(expression(buildHash), expectedItems)
+    val sketch = build
+      .select(column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probeHash = xxhash64(keys.map { case (l, _) => probe(l) }: _*)
+    probe.filter(column(BloomFilterMightContain(
+      Literal.create(sketch, org.apache.spark.sql.types.BinaryType),
+      expression(probeHash))))
+  }
+
+  /** Exact semi join with a bloom prefilter on the probe side:
+    * result is IDENTICAL to [[semiJoin]] (the exact join clears the
+    * bloom's false positives; the bloom has no false negatives), but
+    * the probe side entering the join shuffle is already reduced to
+    * roughly the matching fraction. The shape for "keep the 0.1% of
+    * a 100 TB fact table whose key appears in a 100M-row build side
+    * that is too big to broadcast as a hash relation". */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
+                    keys: Seq[(String, String)],
+                    expectedItems: Long = 1000000L): DataFrame =
+    semiJoin(bloomPrefilter(probe, build, keys, expectedItems), build, keys)
 }

@@ -458,4 +458,75 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
     assert(out == Map(0L -> true, 1L -> true))
   }
+
+  test("dedupLines removes cross-doc boilerplate, keeps in-doc repeats") {
+    val lined = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nunique alpha\nbody one"),
+      (2L, "COOKIE BANNER\nbody two"),
+      (3L, "body three\nCOOKIE BANNER"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(lined, minDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the banner (df=3) goes everywhere; "unique alpha" repeats only
+    // WITHIN doc 1 (df=1) so both copies stay, in original order
+    assert(out(1L) == ((4L, 1L, "unique alpha\nunique alpha\nbody one")))
+    assert(out(2L) == ((2L, 1L, "body two")))
+    assert(out(3L) == ((2L, 1L, "body three")))
+  }
+
+  test("dedupLines: all-boilerplate doc survives with empty text") {
+    val lined = Seq((1L, "dup line"), (2L, "dup line"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(lined, minDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((1L, "")) && out(2L) == ((1L, "")))
+    assert(out(3L) == ((0L, "solo")))
+  }
+
+  test("dedupLines plans no pair join (degree-independent shape)") {
+    val lined = (0 until 30).map(i =>
+      (i.toLong, s"SHARED HEADER\nbody $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(lined, minDf = 2)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("canonicalizeUrl folds cosmetic variants, preserves real ones") {
+    import graft.functions.TextFunctions
+    val urls = Seq(
+      "https://Example.COM/a/b",
+      "https://www.example.com/a/b/",
+      "https://example.com:443/a/b?utm_source=x&utm_medium=y",
+      "https://example.com/a/b?z=1&a=2#frag",
+      "http://example.com/a/b",      // scheme differs: distinct
+      "https://example.com/a/B")     // path case differs: distinct
+      .toDF("url")
+    val canon = urls.select(
+        TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(canon(0) == "https://example.com/a/b")
+    assert(canon(1) == "https://example.com/a/b")
+    assert(canon(2) == "https://example.com/a/b")
+    assert(canon(3) == "https://example.com/a/b?a=2&z=1")
+    assert(canon(4) == "http://example.com/a/b")
+    assert(canon(5) == "https://example.com/a/B")
+  }
+
+  test("urlDedup keeps min id per canonical with variant counts") {
+    val docs = Seq(
+      (5L, "https://A.com/x"),
+      (9L, "https://a.com/x/"),
+      (7L, "https://a.com/x?utm_source=s"),
+      (3L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val out = Dedup.urlDedup(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("https://a.com/x") == ((5L, 3L, 3L)))
+    assert(out("https://a.com/y") == ((3L, 1L, 1L)))
+  }
 }

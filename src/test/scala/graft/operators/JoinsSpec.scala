@@ -68,4 +68,37 @@ class JoinsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("fallback"))
   }
+
+  test("bloomPrefilter: zero false negatives, prefilter in the plan") {
+    // spark.range probe (not a LocalRelation) so Catalyst can't
+    // constant-fold the might_contain filter out of the plan
+    val probe = spark.range(1, 2001).select(col("id").as("k"),
+      concat(lit("p"), col("id")).as("pv"))
+    val build = (1 to 2000 by 40).map(i => (i.toLong, "b")).toDF("bk", "bv")
+    val pre = Joins.bloomPrefilter(probe, build, Seq("k" -> "bk"),
+      expectedItems = 64L)
+    // every true match survives the bloom (no false negatives) …
+    val exact = Joins.semiJoin(probe, build, Seq("k" -> "bk"))
+    assert(exact.join(pre, Seq("k"), "left_anti").count() == 0)
+    // … and the sketch actually cuts the probe side (50 of 2000 keys
+    // match; fpp at these sizes keeps survivors well under a quarter)
+    val survivors = pre.count()
+    assert(survivors >= exact.count() && survivors < 500,
+      s"survivors=$survivors")
+    // the prefilter is a codegen'd might_contain in the scan stage,
+    // not a join
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("bloomSemiJoin is exactly the semi join") {
+    val probe = (1 to 500).map(i => (i.toLong, i % 7)).toDF("k", "v")
+    val build = (1 to 500 by 3).map(i => (i.toLong, "x")).toDF("bk", "bv")
+    val bloom = Joins.bloomSemiJoin(probe, build, Seq("k" -> "bk"),
+      expectedItems = 256L)
+    val exact = Joins.semiJoin(probe, build, Seq("k" -> "bk"))
+    assert(bloom.columns.toSeq == probe.columns.toSeq)
+    assert(bloom.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet)
+  }
 }
