@@ -786,6 +786,19 @@ object SparkEntry {
         seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
           16, 10).cast("long"))
     }),
+    // PQ-ADC search (the FAISS memory-compression path): m=4
+    // per-subspace codebooks trained with the replayable md5 seed of
+    // q_ann_ivf + fixed-point tick Lloyd means; routing = label (the
+    // coarse cell a production IVF-PQ derives via Ivf.nearestCell);
+    // scoring = the fixed-order ADC sum over the 4 codes — the
+    // oracle replays training, encoding, and scoring bit-exactly
+    "q_ann_pq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = Pq.trainCodebooks(emb, m = 4, k = 8, lloydIters = 1,
+        seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
+          16, 10).cast("long"))
+      Pq.pqTopK(emb, emb.filter(col("vec_id") < 4), 5, cb, "label")
+    }),
     // ANN quality harness: recall@5 of the LSH and IVF indexes vs
     // the brute-force exact result, per probe (approximate indexes →
     // rows-only; the recall VALUE is the deliverable)
@@ -1640,10 +1653,63 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_len"))
     }))
 
+  /** Oracle for q_ann_pq, generated because the four subspaces are
+    * mechanical repeats: per subspace — seed slice (same 8
+    * hash-ordered rows as q_ann_ivf), one Lloyd round (ordered-fold
+    * squared-L2 argmin + DECIMAL(28,9) means), encode; then ADC =
+    * the four per-subspace d2 terms summed in subspace order and the
+    * per-probe top-5 over label-routed candidates. */
+  private def annPqOracle: String = {
+    val m = 4; val sub = 16
+    def d2(vec: String, cent: String, s: Int): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"($vec[${s * sub}+i] - $cent[i]) * ($vec[${s * sub}+i] - $cent[i])))"
+    val perSub = (0 until m).map { s =>
+      s"""seed_$s AS (SELECT cell, c[${s * sub + 1}:${s * sub + sub}] AS c FROM seed),
+         |a0_$s AS (SELECT vec_id, v, cell FROM (
+         |SELECT d.vec_id, d.v, s.cell,
+         |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY ${d2("d.v", "s.c", s)}, s.cell) AS rn
+         |FROM dv d CROSS JOIN seed_$s s) WHERE rn = 1),
+         |m1_$s AS (SELECT cell, i.i AS pos,
+         |CAST(SUM(CAST(floor(v[${s * sub}+i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+         |FROM a0_$s CROSS JOIN generate_series(1, $sub) i(i) GROUP BY cell, i.i),
+         |cb_$s AS (SELECT s.cell, COALESCE(mm.c, s.c) AS c FROM seed_$s s
+         |LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m1_$s GROUP BY cell) mm
+         |ON s.cell = mm.cell),
+         |code_$s AS (SELECT vec_id, cell AS code FROM (
+         |SELECT d.vec_id, s.cell,
+         |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY ${d2("d.v", "s.c", s)}, s.cell) AS rn
+         |FROM dv d CROSS JOIN cb_$s s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(s =>
+      s"JOIN code_$s k$s ON k$s.vec_id = cand.neighbor_id " +
+        s"JOIN cb_$s b$s ON b$s.cell = k$s.code").mkString("\n")
+    val adcSum = (0 until m).map(s => d2("cand.pv", s"b$s.c", s))
+      .mkString(" + ")
+    s"""WITH dv AS (SELECT vec_id, label,
+       |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) - 1 AS cell, v AS c
+       |FROM (SELECT vec_id, v,
+       |CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM dv)
+       |ORDER BY h LIMIT 8),
+       |$perSub,
+       |cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, p.v AS pv
+       |FROM dv p JOIN dv c ON p.label = c.label AND p.vec_id <> c.vec_id
+       |WHERE p.vec_id < 4),
+       |scored AS (SELECT cand.probe_id, cand.neighbor_id, $adcSum AS adc
+       |FROM cand
+       |$codeJoins)
+       |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, adc FROM (
+       |SELECT probe_id, neighbor_id, adc,
+       |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc ASC, neighbor_id) AS rnk
+       |FROM scored) WHERE rnk <= 5""".stripMargin
+  }
+
   /** DuckDB oracle SQL per SQL-expressible query (driver runs these
     * on the same parquet tables and hash-compares). Omitted keys get
     * the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_pq" -> annPqOracle,
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -41,7 +41,7 @@ object Ivf {
     * and stalls the analyzer long before that. Struct comparison
     * orders by (d2, cell), so min/sort tie-break on the lower cell
     * id, exactly as before. */
-  private def cellScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[operators] def cellScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
     transform(cents, (c, i) =>
       struct(d2(vec, c).as("d2"), i.as("cell")))
@@ -62,8 +62,22 @@ object Ivf {
   def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int = 2,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     seedHash: Column => Column = c => xxhash64(c))
+                     seedHash: Column => Column = c => xxhash64(c),
+                     tickScale: Option[Long] = None)
   : Seq[Seq[Double]] = {
+    // mean per (cell, dim): decimal-exact by default; with tickScale
+    // a fixed-point tick mean — floor(v·scale) longs sum exactly in
+    // any order and the ONE final IEEE division is bit-identical in
+    // every engine, whereas a double→decimal cast's rounding point
+    // is engine-specific (DuckDB rounds v·10⁹ computed in doubles,
+    // Spark rounds the exact binary value — they disagree ~1e-9
+    // often enough to break hash-exact replay at scale)
+    val meanOf: Column => Column = tickScale match {
+      case None => c => Aggregations.decAvg(c, scale = 9)
+      case Some(t) => c =>
+        sum(floor(c * t.toDouble).cast("long")).cast("double") /
+          (count(c).cast("double") * t.toDouble)
+    }
     val dvec = transform(col(vecCol), x => x.cast("double"))
     // seed: the nCells rows with smallest seedHash(id) — deterministic,
     // uniformly spread, one small collect
@@ -81,7 +95,7 @@ object Ivf {
       val updated = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(Aggregations.decAvg(col("col"), scale = 9).as("m"))
+        .agg(meanOf(col("col")).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))

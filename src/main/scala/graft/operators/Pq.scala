@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.expressions.BoundedTopK
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) approximate nearest neighbour — the
+  * memory-compression scale path for embedding search (Jégou et al.
+  * 2011, the FAISS IVF-PQ workhorse).
+  *
+  * Train: split the `dim`-d space into `m` subspaces of dim/m and run
+  * an independent k-means in each ([[Ivf.trainCentroids]] on the
+  * sliced corpus — same deterministic hash seeding, fixed-point tick
+  * Lloyd means by default). The model is m codebooks of k
+  * sub-centroids: O(m × k × dim/m) = O(k × dim) driver state however
+  * large the corpus.
+  *
+  * Encode: each vector becomes `m` small integers (its nearest
+  * sub-centroid per subspace) — at m=16, k=256 that is 16 bytes per
+  * vector instead of dim×4 float bytes. At 100 TB THIS is why PQ
+  * exists: the inverted file carries codes, not vectors, so the
+  * search working set shrinks ~50-100× and survives in memory.
+  *
+  * Search (asymmetric distance computation, ADC): the query stays
+  * exact; each candidate's distance is the sum over subspaces of the
+  * exact squared-L2 between the query's subvector and the candidate's
+  * assigned sub-centroid. Candidates come from an explicit routing
+  * column (`cellCol` — at scale the IVF coarse cell via
+  * [[Ivf.nearestCell]]; composition = IVF-PQ), so candidate
+  * generation stays an equi-join — never a cross join.
+  */
+object Pq {
+
+  /** Train the m per-subspace codebooks. Returns
+    * codebooks(s)(j) = sub-centroid j of subspace s (each dim/m
+    * wide). Every subspace seeds from the SAME hash-ordered corpus
+    * rows (the seed is picked by row id, then sliced), so the whole
+    * training is replayable from the row hashes alone. The default
+    * tickScale trains with fixed-point tick means (floor(v·10⁶)
+    * longs + ONE final IEEE division) — order-independent AND
+    * engine-portable, unlike a double→decimal cast whose rounding
+    * point differs between engines (the §5 determinism rule). */
+  def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
+                     lloydIters: Int = 1,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     seedHash: Column => Column = c => xxhash64(c),
+                     tickScale: Option[Long] = Some(1000000L))
+  : Seq[Seq[Seq[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must be divisible by m=$m")
+    val sub = dim / m
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    (0 until m).map { s =>
+      val proj = corpus.select(col(idCol),
+        slice(dvec, s * sub + 1, sub).as("__sub"))
+      Ivf.trainCentroids(proj, k, lloydIters, idCol, "__sub", seedHash,
+        tickScale)
+    }
+  }
+
+  /** PQ code array for a double-vector column: element s is the
+    * 0-based nearest sub-centroid of subspace s (ties to the lower
+    * code, like [[Ivf.nearestCell]]). */
+  def encode(dvec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.size
+    array(codebooks.indices.map(s =>
+      Ivf.nearestCell(slice(dvec, s * sub + 1, sub), codebooks(s))): _*)
+  }
+
+  /** ADC distance between an exact query vector and a PQ code array:
+    * Σ_s d2(query subvector s, codebook_s[code_s]), summed in fixed
+    * subspace order (a deterministic IEEE expression tree — the same
+    * bits in any engine that replays it). */
+  def adc(queryVec: Column, codes: Column,
+          codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.size
+    codebooks.indices.map { s =>
+      val cb = typedlit(codebooks(s).map(_.toIndexedSeq).toIndexedSeq)
+      val centroid = element_at(cb, element_at(codes, s + 1) + 1)
+      aggregate(
+        zip_with(slice(queryVec, s * sub + 1, sub), centroid,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+  }
+
+  /** PQ top-k search: encode the corpus once, route probes to
+    * candidates via equality on `cellCol` (IVF coarse cell, label,
+    * shard — any bounded-fanout routing key), score candidates by
+    * ADC against their codes only, rank with the k-capped
+    * [[BoundedTopK]] aggregate (ascending distance, ties to the
+    * lower neighbor id). The corpus side of the join carries
+    * (id, cell, m codes) — the raw vectors never move. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             codebooks: Seq[Seq[Seq[Double]]], cellCol: String,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      col(cellCol).as("cell"), encode(dvec, codebooks).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(cellCol).as("cell"), dvec.as("p_vec"))
+    val scored = coded.join(p, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        adc(col("p_vec"), col("codes"), codebooks).as("adc"))
+    scored.groupBy(col("probe_id"))
+      .agg(BoundedTopK.boundedTopK(-col("adc"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("adc"))
+  }
+
+  /** IVF-PQ: the FAISS production composition — coarse-route with
+    * [[Ivf.nearestCell]] (probes replicated to their nProbe nearest
+    * cells), then PQ-ADC scoring within the routed cells. Train both
+    * models once ([[Ivf.trainCentroids]], [[trainCodebooks]]) and
+    * reuse across query batches. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                coarse: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]], nProbe: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.nearestCell(dvec, coarse).as("cell"),
+      encode(dvec, codebooks).as("codes"))
+    val cellsRanked =
+      slice(array_sort(Ivf.cellScores(dvec, coarse)), 1, nProbe)
+    val p = probes.select(col(idCol).as("probe_id"), dvec.as("p_vec"),
+      explode(cellsRanked.getField("cell")).as("cell"))
+    val scored = coded.join(p, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        adc(col("p_vec"), col("codes"), codebooks).as("adc"))
+    scored.groupBy(col("probe_id"))
+      .agg(BoundedTopK.boundedTopK(-col("adc"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("adc"))
+  }
+}

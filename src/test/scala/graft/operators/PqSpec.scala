@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // two well-separated clusters in each 2-dim subspace (dim=4, m=2):
+  // subspace codebooks must learn the per-subspace cluster structure
+  private def corpus = {
+    val rnd = new scala.util.Random(11)
+    (1 to 80).map { i =>
+      val a = if (i % 2 == 0) 4.0f else -4.0f
+      val b = if (i % 3 == 0) 4.0f else -4.0f
+      (i.toLong, i % 4,
+        Array(a + rnd.nextFloat() * 0.1f, rnd.nextFloat(),
+          b + rnd.nextFloat() * 0.1f, rnd.nextFloat()))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("trainCodebooks: m codebooks of k sub-centroids, dim/m wide") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2, lloydIters = 2)
+    assert(cb.size == 2 && cb.forall(_.size == 2) &&
+      cb.forall(_.forall(_.size == 2)))
+    // each subspace's codebook separates its own ±4 cluster axis
+    assert(cb(0).map(_.head).sorted.head < -2 &&
+      cb(0).map(_.head).sorted.last > 2)
+    assert(cb(1).map(_.head).sorted.head < -2 &&
+      cb(1).map(_.head).sorted.last > 2)
+    // non-divisible dim is a loud error
+    val err = intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(corpus, m = 3, k = 2)
+    }
+    assert(err.getMessage.contains("divisible"))
+  }
+
+  test("encode: codes in [0, k), deterministic") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
+    val dvec = transform(col("embedding"), x => x.cast("double"))
+    val codes = corpus.select(Pq.encode(dvec, cb).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 2)))
+    val again = corpus.select(Pq.encode(dvec, cb).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.toSeq == again.toSeq)
+  }
+
+  test("pqTopK matches a local ADC reference") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
+    val out = Pq.pqTopK(corpus, corpus.filter(col("vec_id") <= 3), k = 4,
+        cb, cellCol = "label")
+      .select("probe_id", "rank", "neighbor_id", "adc")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // local reference: encode + ADC + sort computed driver-side
+    val rows = corpus.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def codeOf(v: Seq[Double]): Seq[Int] = (0 until 2).map { s =>
+      val sub = v.slice(s * 2, s * 2 + 2)
+      cb(s).zipWithIndex.minBy { case (c, i) =>
+        (c.zip(sub).map { case (x, y) => (y - x) * (y - x) }.sum, i)
+      }._2
+    }
+    def adcOf(q: Seq[Double], code: Seq[Int]): Double =
+      (0 until 2).map { s =>
+        val c = cb(s)(code(s))
+        q.slice(s * 2, s * 2 + 2).zip(c)
+          .foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }.reduce(_ + _)
+    for (p <- rows.filter(_._1 <= 3)) {
+      val expect = rows
+        .filter(r => r._2 == p._2 && r._1 != p._1)
+        .map(r => (adcOf(p._3, codeOf(r._3)), r._1))
+        .sorted.take(4).zipWithIndex
+        .map { case ((d, id), i) => (p._1, i + 1) -> ((id, d)) }.toMap
+      for ((k_, v) <- expect) assert(out(k_) == v, s"probe/rank $k_")
+    }
+  }
+
+  test("ivfPqTopK: exhaustive probing recovers brute-force order on coarse structure") {
+    // with well-separated clusters, IVF-PQ's top neighbors should
+    // agree with exact brute force on WHICH cluster they come from;
+    // assert recall of the exact top-3 at ADC top-5 is high
+    val coarse = Ivf.trainCentroids(corpus, nCells = 2, lloydIters = 2)
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 4)
+    val probes = corpus.filter(col("vec_id") <= 4)
+    val pq = Pq.ivfPqTopK(corpus, probes, k = 5, coarse, cb, nProbe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, ex) =>
+      ex.intersect(pq.getOrElse(p, Set.empty)).size.toDouble / ex.size
+    }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("pqTopK candidate generation is an equi-join on the cell") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
+    val out = Pq.pqTopK(corpus, corpus.filter(col("vec_id") <= 3), k = 3,
+      cb, cellCol = "label")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("tick mean: floor-scaled longs, one final division") {
+    // 3 identical vectors → mean = floor(v*1e6)/1e6 exactly
+    val one = Seq.fill(3)((1L, Array(0.1234567891f, -0.5f)))
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val c = Ivf.trainCentroids(one, nCells = 1, lloydIters = 1,
+      tickScale = Some(1000000L))
+    val v0 = 0.1234567891f.toDouble
+    assert(c.head.head == math.floor(v0 * 1e6) / 1e6)
+    assert(c.head(1) == -0.5)
+  }
+}
