@@ -651,6 +651,21 @@ object SparkEntry {
     // tail terciles (the standard crawl partition)
     "q_ccnet_buckets" -> ((s, d) =>
       Corpus.perplexityBuckets(T(s, d, "documents"))),
+    // BPE tokenizer fitting, round-1 statistics: the weighted
+    // adjacent symbol-pair counts over the distinct-word vocabulary
+    // (the aggregation every trainMerges round repeats), top-20
+    // deterministic (cnt desc, a, b). The iterative trainer itself
+    // is BpeSpec-verified against the sequential reference.
+    "q_bpe_pair_counts" -> ((s, d) => {
+      val words = Bpe.wordFreqs(T(s, d, "documents"))
+        .select(Bpe.charSymbols(col("word")).as("symbols"), col("freq"))
+      Bpe.pairCounts(words)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("a"), col("b"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("a"), col("b"), col("cnt"))
+    }),
     // line-level boilerplate dedup (C4/RefinedWeb): lines appearing
     // in >= 2 distinct docs are removed, docs reassembled in order.
     // The corpus has no newlines, so pseudo-lines (10-token
@@ -2649,6 +2664,17 @@ object SparkEntry {
         |tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_tok_p DESC, doc_id ASC) AS tile FROM j)
         |SELECT doc_id, lang, n_tokens, avg_tok_p,
         |CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tl""".stripMargin,
+    // BPE round-1 pair counts: distinct-word freqs, per-position
+    // char pairs via correlated generate_series, weighted sum, and
+    // the deterministic top-20
+    "q_bpe_pair_counts" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+        |px AS (SELECT word, freq, unnest(generate_series(1, len(word) - 1)) AS i FROM wf WHERE len(word) >= 2),
+        |c AS (SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM px GROUP BY 1, 2)
+        |SELECT rank, a, b, cnt FROM (
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank, a, b, cnt FROM c)
+        |WHERE rank <= 20""".stripMargin,
     // line-level boilerplate dedup: replay the 10-token pseudo-line
     // synthesis, count DISTINCT docs per line, remove df>=2 lines,
     // reassemble with string_agg ordered by line position

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING over a corpus — the
+  * tokenizer-fitting stage of an LLM data pipeline (Sennrich et al.
+  * 2016), Spark-first.
+  *
+  * The working set is never the corpus: one scan reduces it to the
+  * distinct-word frequency table (the standard BPE trick — a 100 TB
+  * corpus has a vocabulary orders of magnitude smaller), and every
+  * merge iteration is one weighted pair-count aggregation plus one
+  * per-word array fold over THAT table. The driver holds only the
+  * ordered merge list, O(nMerges).
+  *
+  * Scale notes: each iteration shuffles O(vocab) pair rows keyed on
+  * the pair — map-side combined, degree-independent. The iterative
+  * lineage is truncated every few merges (localCheckpoint, the
+  * connected-components precedent). When the word-frequency table
+  * fits one machine, a local heap trainer on the collected counts is
+  * cheaper past a few hundred merges — this operator is the path for
+  * when it does NOT, and for keeping the whole fit inside the same
+  * plan-auditable engine as the rest of the pipeline.
+  */
+object Bpe {
+
+  /** Distinct-word frequency table: (word, freq). The ONE corpus
+    * scan; everything after works on vocabulary rows. */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Character symbol array for a word (empty symbols dropped). */
+  def charSymbols(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Weighted adjacent-pair counts over a (symbols, freq) table:
+    * Σ freq per (a, b) occurrence — each occurrence counts, so
+    * "aaa" contributes (a,a) twice. One map-side-combined shuffle
+    * keyed on the pair. */
+  def pairCounts(words: DataFrame, symCol: String = "symbols",
+                 freqCol: String = "freq"): DataFrame = {
+    val s = col(symCol)
+    words
+      .select(col(freqCol),
+        explode(zip_with(
+          slice(s, lit(1), size(s) - 1),
+          slice(s, lit(2), size(s) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col(freqCol)).as("cnt"))
+  }
+
+  /** One left-to-right NON-OVERLAPPING merge of the pair (a, b) in a
+    * symbol array: "aaa" under (a,a) becomes ["aa","a"], not
+    * ["aa","aa"]. A single codegen'd fold with (emitted, carry)
+    * struct state — the carry is the one-symbol lookahead the
+    * non-overlap rule needs. */
+  def mergePair(symbols: Column, a: String, b: String): Column = {
+    val merged = a + b
+    def st(out: Column, carry: Column) =
+      struct(out.as("out"), carry.as("carry"))
+    aggregate(
+      symbols,
+      st(array().cast("array<string>"), lit(null).cast("string")),
+      (acc, s) =>
+        when(acc.getField("carry").isNull, st(acc.getField("out"), s))
+          .when(acc.getField("carry") === a && s === b,
+            st(concat(acc.getField("out"), array(lit(merged))),
+              lit(null).cast("string")))
+          .otherwise(
+            st(concat(acc.getField("out"), array(acc.getField("carry"))), s)),
+      acc =>
+        when(acc.getField("carry").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"),
+            array(acc.getField("carry")))))
+  }
+
+  /** Train `nMerges` BPE merges on the corpus. Each round picks the
+    * globally most frequent adjacent pair — ties broken (cnt desc,
+    * a asc, b asc), fully deterministic — and rewrites the
+    * vocabulary table with [[mergePair]]. Stops early when no pair
+    * occurs at least `minCount` times. Returns the ordered merge
+    * list (the tokenizer model). */
+  def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+                  textCol: String = "text"): Seq[(String, String)] = {
+    var words = wordFreqs(docs, textCol)
+      .select(charSymbols(col("word")).as("symbols"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (i <- 1 to nMerges if !done) {
+      val best = pairCounts(words)
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        words = words.select(
+          mergePair(col("symbols"), a, b).as("symbols"), col("freq"))
+        // truncate the grown lineage periodically (CC precedent) so
+        // the per-iteration plan stays O(1), not O(i)
+        if (i % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize a text column with a trained merge list: whitespace
+    * words → char symbols → the merges replayed IN TRAINING ORDER
+    * (the BPE apply rule). The expression is a fixed chain of
+    * nMerges folds — fine for the modest merge counts a
+    * feature-hashing pipeline uses; a production encoder with a 32k
+    * vocabulary would collect the merge RANKS into a longest-match
+    * table instead (same model, different apply kernel). */
+  def applyMerges(text: Column,
+                  merges: Seq[(String, String)]): Column =
+    transform(TextFunctions.tokens(text), w =>
+      merges.foldLeft(charSymbols(w)) { case (syms, (a, b)) =>
+        mergePair(syms, a, b)
+      })
+}
