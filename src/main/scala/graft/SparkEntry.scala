@@ -2717,11 +2717,15 @@ object SparkEntry {
         |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
         |h2 AS (SELECT doc_id, url, cq, scheme, split_part(hostpath, '/', 1) AS host0,
         |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
+        |h3 AS (SELECT doc_id, url, cq, scheme, path,
+        |regexp_replace(lower(host0), '^www\.', '') AS hw FROM h2),
         |cn AS (SELECT doc_id, url,
         |lower(scheme) || '//' ||
-        |regexp_replace(regexp_replace(lower(host0), '^www\.', ''), ':(80|443)$', '') ||
+        |CASE WHEN lower(scheme) = 'http:' THEN regexp_replace(hw, ':80$', '')
+        |WHEN lower(scheme) = 'https:' THEN regexp_replace(hw, ':443$', '')
+        |ELSE hw END ||
         |regexp_replace(path, '/$', '') ||
-        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h2)
+        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h3)
         |SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,
         |CAST(COUNT(*) AS BIGINT) AS n_copies,
         |CAST(COUNT(DISTINCT url) AS BIGINT) AS n_url_variants

@@ -173,8 +173,9 @@ object TextFunctions {
     * dedup, where most duplication is the SAME page re-crawled under
     * cosmetically different URLs. Normalizations applied (each a
     * standard canonicalizer rule): drop the fragment; lowercase
-    * scheme and host; strip a leading `www.`; strip the default
-    * ports `:80`/`:443`; strip one trailing slash from the path;
+    * scheme and host; strip a leading `www.`; strip the scheme's OWN
+    * default port (`:80` for http, `:443` for https — never
+    * cross-scheme); strip one trailing slash from the path;
     * drop tracking parameters (`utm_*`, `ref=`, `fbclid=`); sort the
     * surviving query parameters. Scheme differences (http vs https)
     * are PRESERVED — they can serve different content.
@@ -194,16 +195,30 @@ object TextFunctions {
         p.startsWith("fbclid=") || p === "")))
     val schemeAndRest = split(base, "//", 2)
     val scheme = element_at(schemeAndRest, 1)
-    val hostPath = element_at(schemeAndRest, 2)
+    // every sub-expression below is TOTAL (no ANSI-throwing
+    // element_at on a maybe-short array): a non-hierarchical input
+    // ("mailto:…", a relative path, garbage) flows through as empty
+    // strings and the final selector returns it untouched
+    val hostPath = when(size(schemeAndRest) > 1, element_at(schemeAndRest, 2))
+      .otherwise(lit(""))
     val host0 = element_at(split(hostPath, "/", 2), 1)
     val path = hostPath.substr(length(host0) + 1, length(hostPath))
-    val host = regexp_replace(
-      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
-    val canonBase = concat(lower(scheme), lit("//"), host,
+    val lscheme = lower(scheme)
+    // default-port strip is scheme-conditional: :80 is only http's
+    // default and :443 only https's — "http://h:443/x" serves a
+    // DIFFERENT endpoint than "http://h/x" and must stay distinct
+    val hostNoWww = regexp_replace(lower(host0), "^www\\.", "")
+    val host = when(lscheme === "http:", regexp_replace(hostNoWww, ":80$", ""))
+      .when(lscheme === "https:", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
+    val canonBase = concat(lscheme, lit("//"), host,
       regexp_replace(path, "/$", ""))
     val canonQuery = array_join(params, "&")
-    when(canonQuery === "", canonBase)
+    val canon = when(canonQuery === "", canonBase)
       .otherwise(concat(canonBase, lit("?"), canonQuery))
+    // no "//" → not a hierarchical URL: pass through opaque (only
+    // the fragment stripped) rather than fabricating a scheme
+    when(size(schemeAndRest) > 1, canon).otherwise(noFrag)
   }
 
   /** Order-sensitive rolling document fingerprint over tokens:

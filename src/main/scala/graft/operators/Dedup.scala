@@ -780,17 +780,22 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  delim: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // persisted: the split/explode/md5 scan feeds BOTH the df branch
+    // and the join probe — unpersisted it would run twice (the
+    // prefixIndex tokenize-once discipline above)
     val lines = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col").cast("binary")).as("lh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lines.count() // complete the cache before the two branch reads
     // document frequency: reduce to one (doc, line) row BEFORE the
     // count so the shuffle and the count are both degree-independent
     val df_ = lines.select("doc_id", "lh").distinct()
       .groupBy("lh").agg(count(lit(1)).as("line_df"))
     // collect_list skips nulls, so the boilerplate lines vanish from
     // the reassembly struct without a second filtered branch
-    lines.join(df_, "lh")
+    val out = lines.join(df_, "lh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
@@ -800,6 +805,7 @@ object Dedup {
               when(col("line_df") < minDf, struct(col("pos"), col("line"))))),
             s => s.getField("line")),
           delim).as("kept_text"))
+    CacheOps.materializeAndRelease(out, lines)
   }
 
   /** Pair-set recall harness: how many of the exact near-dup pairs

@@ -63,7 +63,8 @@ object Ivf {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      seedHash: Column => Column = c => xxhash64(c),
-                     tickScale: Option[Long] = None)
+                     tickScale: Option[Long] = None,
+                     init: Option[Seq[Seq[Double]]] = None)
   : Seq[Seq[Double]] = {
     // mean per (cell, dim): decimal-exact by default; with tickScale
     // a fixed-point tick mean — floor(v·scale) longs sum exactly in
@@ -80,12 +81,16 @@ object Ivf {
     }
     val dvec = transform(col(vecCol), x => x.cast("double"))
     // seed: the nCells rows with smallest seedHash(id) — deterministic,
-    // uniformly spread, one small collect
-    var centroids: Seq[Seq[Double]] = corpus
+    // uniformly spread, one small collect. `init` skips the seed job
+    // entirely for callers that already hold the seed vectors
+    // (Pq.trainCodebooks collects the shared seed rows ONCE and
+    // slices them per subspace instead of re-sorting the corpus m
+    // times).
+    var centroids: Seq[Seq[Double]] = init.getOrElse(corpus
       .select(col(idCol), dvec.as("v"), seedHash(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nCells)
       .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq)
     for (_ <- 1 to lloydIters) {
       // per-(cell, dim) mean via posexplode — partial-aggregation
       // state stays O(cells × dim) regardless of corpus size (a

@@ -107,6 +107,16 @@ object Joins {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(keys.nonEmpty, "bloomPrefilter needs at least one key pair")
+    // xxhash64 hashes e.g. Int and Long inputs DIFFERENTLY and no
+    // coercion is inserted for hash children — mismatched key types
+    // would silently hash build and probe keys onto disjoint values
+    // and drop every true match. Fail loud instead.
+    for ((l, r) <- keys) {
+      val (lt, rt) = (probe.schema(l).dataType, build.schema(r).dataType)
+      require(lt == rt,
+        s"bloom key type mismatch: probe '$l' is $lt, build '$r' is $rt " +
+          "— cast the columns to a common type first")
+    }
     val buildHash = xxhash64(keys.map { case (_, r) => build(r) }: _*)
     val agg = new BloomFilterAggregate(expression(buildHash), expectedItems)
     val sketch = build

@@ -47,16 +47,26 @@ object Pq {
                      seedHash: Column => Column = c => xxhash64(c),
                      tickScale: Option[Long] = Some(1000000L))
   : Seq[Seq[Seq[Double]]] = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    // ONE seed job for all subspaces: every subspace seeds from the
+    // SAME k hash-ordered rows, so collect the full vectors once and
+    // slice driver-side — not m corpus sorts (plus it supplies dim,
+    // saving the separate probe job)
+    val seedRows = corpus
+      .select(col(idCol), dvec.as("v"), seedHash(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(seedRows.nonEmpty, "trainCodebooks: empty corpus")
+    val dim = seedRows.head.size
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must be divisible by m=$m")
     val sub = dim / m
-    val dvec = transform(col(vecCol), x => x.cast("double"))
     (0 until m).map { s =>
       val proj = corpus.select(col(idCol),
         slice(dvec, s * sub + 1, sub).as("__sub"))
       Ivf.trainCentroids(proj, k, lloydIters, idCol, "__sub", seedHash,
-        tickScale)
+        tickScale, init = Some(seedRows.map(_.slice(s * sub, s * sub + sub))))
     }
   }
 

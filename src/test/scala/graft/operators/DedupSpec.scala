@@ -503,7 +503,11 @@ class DedupSpec extends SparkSpec {
       "https://example.com:443/a/b?utm_source=x&utm_medium=y",
       "https://example.com/a/b?z=1&a=2#frag",
       "http://example.com/a/b",      // scheme differs: distinct
-      "https://example.com/a/B")     // path case differs: distinct
+      "https://example.com/a/B",     // path case differs: distinct
+      "http://example.com:443/a/b",  // 443 is NOT http's default: kept
+      "http://example.com:80/a/b",   // 80 IS http's default: stripped
+      "mailto:user@example.com#x",   // non-hierarchical: opaque
+      "/relative/path")              // no scheme: opaque
       .toDF("url")
     val canon = urls.select(
         TextFunctions.canonicalizeUrl(col("url")).as("c"))
@@ -514,6 +518,10 @@ class DedupSpec extends SparkSpec {
     assert(canon(3) == "https://example.com/a/b?a=2&z=1")
     assert(canon(4) == "http://example.com/a/b")
     assert(canon(5) == "https://example.com/a/B")
+    assert(canon(6) == "http://example.com:443/a/b")
+    assert(canon(7) == "http://example.com/a/b")
+    assert(canon(8) == "mailto:user@example.com") // fragment stripped only
+    assert(canon(9) == "/relative/path")
   }
 
   test("urlDedup keeps min id per canonical with variant counts") {
