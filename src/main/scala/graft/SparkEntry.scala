@@ -814,6 +814,13 @@ object SparkEntry {
           16, 10).cast("long"))
       Pq.pqTopK(emb, emb.filter(col("vec_id") < 4), 5, cb, "label")
     }),
+    // hard-negative mining (contrastive-training negatives): per
+    // probe the top-5 most-similar vectors with a DIFFERENT label —
+    // the similar-but-wrong band the loss needs
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), 5)
+    }),
     // ANN quality harness: recall@5 of the LSH and IVF indexes vs
     // the brute-force exact result, per probe (approximate indexes →
     // rows-only; the recall VALUE is the deliverable)
@@ -1725,6 +1732,21 @@ object SparkEntry {
     * the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,
+    // hard negatives: the brute-force cosine replay + the
+    // different-label predicate on the candidate join
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |p AS (SELECT * FROM v WHERE vec_id < 8),
+        |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
+        |FROM p JOIN v c ON p.vec_id <> c.vec_id AND p.label <> c.label)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
+        |SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |FROM scored) WHERE rnk <= 5""".stripMargin,
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

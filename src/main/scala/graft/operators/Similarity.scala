@@ -52,6 +52,34 @@ object Similarity {
     topKPerGroup(scored, "probe_id", k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training — the
+    * negative-sampling stage of a retrieval-training pipeline: per
+    * probe, the top-k MOST similar corpus vectors whose `labelCol`
+    * DIFFERS from the probe's. Random negatives are too easy to
+    * carry gradient signal and same-label vectors are (proxy)
+    * positives; the similar-but-wrong band in between is what the
+    * loss needs. Same broadcast-probes + k-capped-aggregation shape
+    * as [[bruteForceTopK]] (the label predicate rides the same join;
+    * the shuffle still carries only |probes| × k rows); at 100 TB
+    * swap the candidate source for the LSH/IVF index — the mismatch
+    * predicate composes with any candidate generator. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("p_lab"), col(vecCol).as("p_vec"),
+      VectorFunctions.norm(col(vecCol)).as("p_nrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("c_lab"), col(vecCol).as("c_vec"),
+      VectorFunctions.norm(col(vecCol)).as("c_nrm"))
+    val scored = c.join(broadcast(p),
+        col("probe_id") =!= col("neighbor_id") &&
+          col("p_lab") =!= col("c_lab"))
+      .select(col("probe_id"), col("neighbor_id"), cosineScore.as("cos"))
+    topKPerGroup(scored, "probe_id", k)
+  }
+
   /** Per-group top-k via the custom [[graft.expressions.BoundedTopK]]
     * aggregate: partial state is a k-capped heap, so map-side combine
     * emits <= k entries per group per task and the shuffle carries

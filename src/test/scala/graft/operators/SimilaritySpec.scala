@@ -53,4 +53,21 @@ class SimilaritySpec extends SparkSpec {
     val ranks = out.orderBy("rank").select("rank").as[Int].collect().toSeq
     assert(ranks == (1 to ranks.size))
   }
+
+  test("hardNegatives: most-similar DIFFERENT-label vectors only") {
+    val labeled = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f)),   // same label as probe: excluded
+      (3L, 1, Array(0.8f, 0.2f)),   // different label, very similar
+      (4L, 1, Array(0.0f, 1.0f)),   // different label, orthogonal
+      (5L, 2, Array(-1.0f, 0.0f)))  // different label, opposite
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter(col("vec_id") === 1L), k = 3)
+      .orderBy("rank").select("rank", "neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    // 2 (the nearest overall) is a positive — filtered; hardest
+    // negative is 3, then 4, then 5
+    assert(out == Seq((1, 3L), (2, 4L), (3, 5L)))
+  }
 }
