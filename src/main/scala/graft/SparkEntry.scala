@@ -814,6 +814,22 @@ object SparkEntry {
           16, 10).cast("long"))
       Pq.pqTopK(emb, emb.filter(col("vec_id") < 4), 5, cb, "label")
     }),
+    // range-sorted layout + pruned read: write events sorted by ts
+    // (narrow per-row-group min/max bands), read back through a
+    // one-day ts filter — the scan skips row groups via footer
+    // stats (bytes-read win measured in LayoutSpec); result must
+    // equal the same filter+agg on the raw table
+    "q_layout_prune" -> ((s, d) => {
+      val out = roundtripDir("layout_sorted")
+      graft.sinks.ParquetSink.writeRangeSorted(
+        T(s, d, "events"), out, Seq("ts"), nFiles = 8)
+      s.read.parquet(out)
+        .filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min("value").as("min_value"), max("value").as("max_value"))
+    }),
     // hard-negative mining (contrastive-training negatives): per
     // probe the top-5 most-similar vectors with a DIFFERENT label —
     // the similar-but-wrong band the loss needs
@@ -1732,6 +1748,15 @@ object SparkEntry {
     * the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,
+    // layout prune: the write is layout-only, so the oracle is the
+    // same filter+agg straight off the raw table (min/max are
+    // order-independent — no double sums)
+    "q_layout_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY event_type""".stripMargin,
     // hard negatives: the brute-force cosine replay + the
     // different-label predicate on the candidate join
     "q_hard_negatives" ->
