@@ -43,11 +43,15 @@ object Bpe {
   def pairCounts(words: DataFrame, symCol: String = "symbols",
                  freqCol: String = "freq"): DataFrame = {
     val s = col(symCol)
+    // greatest(…, 0): a 0/1-symbol word has no pairs — without the
+    // clamp slice throws on the negative length instead of yielding
+    // an empty array
+    val n = greatest(size(s) - 1, lit(0))
     words
       .select(col(freqCol),
         explode(zip_with(
-          slice(s, lit(1), size(s) - 1),
-          slice(s, lit(2), size(s) - 1),
+          slice(s, lit(1), n),
+          slice(s, lit(2), n),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col(freqCol)).as("cnt"))
@@ -103,7 +107,11 @@ object Bpe {
         words = words.select(
           mergePair(col("symbols"), a, b).as("symbols"), col("freq"))
         // truncate the grown lineage periodically (CC precedent) so
-        // the per-iteration plan stays O(1), not O(i)
+        // the per-iteration plan stays O(1), not O(i). Superseded
+        // checkpoint blocks are reclaimed by the ContextCleaner once
+        // the rebinding drops the last reference (Dataset.unpersist
+        // would NOT free them — localCheckpoint storage lives on the
+        // RDD, not in the cache manager), same as the CC loop.
         if (i % 8 == 0) words = words.localCheckpoint()
       }
     }

@@ -86,6 +86,8 @@ object Ivf {
     // (Pq.trainCodebooks collects the shared seed rows ONCE and
     // slices them per subspace instead of re-sorting the corpus m
     // times).
+    for (seeds <- init) require(seeds.size == nCells,
+      s"init has ${seeds.size} seed centroids but nCells=$nCells")
     var centroids: Seq[Seq[Double]] = init.getOrElse(corpus
       .select(col(idCol), dvec.as("v"), seedHash(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nCells)

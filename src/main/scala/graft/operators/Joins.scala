@@ -112,7 +112,11 @@ object Joins {
     // would silently hash build and probe keys onto disjoint values
     // and drop every true match. Fail loud instead.
     for ((l, r) <- keys) {
-      val (lt, rt) = (probe.schema(l).dataType, build.schema(r).dataType)
+      // resolve through select (the session's resolver — honors
+      // case-insensitivity and qualified names), not a case-sensitive
+      // StructType lookup that would reject names probe(l) accepts
+      val lt = probe.select(probe(l)).schema.head.dataType
+      val rt = build.select(build(r)).schema.head.dataType
       require(lt == rt,
         s"bloom key type mismatch: probe '$l' is $lt, build '$r' is $rt " +
           "— cast the columns to a common type first")

@@ -65,6 +65,14 @@ class BpeSpec extends SparkSpec {
       counts(("o", "l")) == 3L)
   }
 
+  test("pairCounts: empty and 1-symbol words contribute zero pairs") {
+    val words = Seq((Seq.empty[String], 5L), (Seq("x"), 3L),
+      (Seq("a", "b"), 2L)).toDF("symbols", "freq")
+    val counts = Bpe.pairCounts(words)
+      .as[(String, String, Long)].collect()
+    assert(counts.toSeq == Seq(("a", "b", 2L)))
+  }
+
   test("trainMerges equals the sequential reference") {
     val docs = Seq(
       "low low low lower lower newest newest newest newest widest",

@@ -91,6 +91,19 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("bloom key guard: resolver-consistent names pass, type mismatch fails") {
+    val probe = Seq((1L, "x")).toDF("k", "v")
+    val build = Seq((1L, "y")).toDF("bk", "w")
+    // case-insensitive resolution (the session default) must work in
+    // the guard exactly as it does in the join itself
+    assert(Joins.bloomSemiJoin(probe, build, Seq("K" -> "BK")).count() == 1)
+    val intBuild = Seq((1, "y")).toDF("bk", "w")
+    val err = intercept[IllegalArgumentException] {
+      Joins.bloomPrefilter(probe, intBuild, Seq("k" -> "bk"))
+    }
+    assert(err.getMessage.contains("type mismatch"))
+  }
+
   test("bloomSemiJoin is exactly the semi join") {
     val probe = (1 to 500).map(i => (i.toLong, i % 7)).toDF("k", "v")
     val build = (1 to 500 by 3).map(i => (i.toLong, "x")).toDF("bk", "bv")
