@@ -102,6 +102,45 @@ object Prof {
       docsS.unpersist()
       spark.stop(); return
     }
+    // PROF_BLOOM=1 — the bloomSemiJoin design experiment: on a
+    // probe >> build semi join where the build side cannot broadcast
+    // (autoBroadcastJoinThreshold=-1 stands in for "too big"),
+    // measure probe-side shuffle volume and wall time, plain vs
+    // bloom-prefiltered. PROF_BLOOM_MODE=plain|bloom picks ONE
+    // variant per JVM (fair cold runs); PROF_BLOOM_ROWS sizes the
+    // probe (default 20M), selectivity is fixed at 1/97.
+    if (sys.env.get("PROF_BLOOM").contains("1")) {
+      import java.util.concurrent.atomic.AtomicLong
+      val nRows = sys.env.getOrElse("PROF_BLOOM_ROWS", "20000000").toLong
+      val mode = sys.env.getOrElse("PROF_BLOOM_MODE", "plain")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffleBytes = new AtomicLong; val shuffleRecs = new AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            }
+          }
+        })
+      val probe = spark.range(nRows).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val build = spark.range(0L, nRows, 97L).select(col("id").as("bk"))
+      val out = mode match {
+        case "bloom" => operators.Joins.bloomSemiJoin(
+          probe, build, Seq("k" -> "bk"), expectedItems = nRows / 97 + 1)
+        case _ => operators.Joins.semiJoin(probe, build, Seq("k" -> "bk"))
+      }
+      val n = time(s"bloom.$mode.count")(
+        out.write.mode("overwrite").format("noop").save())
+      Thread.sleep(2000) // drain the listener bus
+      println(s"[prof] bloom.$mode rows=$nRows matched-writeout done " +
+        s"shuffleBytes=${shuffleBytes.get} shuffleRecords=${shuffleRecs.get}")
+    }
+
     // PROF_SKEW=1 — plain vs salted join wall-time on a synthetic
     // hot-key table (1% of keys = 50% of rows), broadcast disabled so
     // the shuffle path is exercised. Feeds the BASELINE.md skew note.
