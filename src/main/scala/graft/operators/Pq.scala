@@ -70,6 +70,40 @@ object Pq {
     }
   }
 
+  /** Persist trained codebooks as a parquet model table
+    * `(subspace: int, cell: int, centroid: array<double>)` — the
+    * [[Ivf.saveCentroids]] discipline for PQ: a training job writes
+    * the model once, every later encode/search session loads it.
+    * O(m × k × dim/m) — bounded, one file. */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("subspace", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebooks]] model table, validating density in
+    * both dimensions (every subspace 0..m-1 present with the same k
+    * cells 0..k-1, no duplicates — an append-mode double write must
+    * fail loud, not silently pick winners). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+    val byKey = rows.toMap
+    require(rows.length == byKey.size,
+      s"codebook table at $path has duplicate (subspace, cell) rows")
+    val m = byKey.keySet.map(_._1).max + 1
+    val k = byKey.keySet.map(_._2).max + 1
+    require(byKey.size == m * k,
+      s"codebook table at $path is not dense: ${byKey.size} rows " +
+        s"for m=$m × k=$k")
+    (0 until m).map(s => (0 until k).map(j => byKey((s, j))))
+  }
+
   /** PQ code array for a double-vector column: element s is the
     * 0-based nearest sub-centroid of subspace s (ties to the lower
     * code, like [[Ivf.nearestCell]]). */

@@ -109,6 +109,29 @@ class PqSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("codebook model table roundtrips and drives the same search") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Pq.saveCodebooks(spark, cb, dir)
+    val back = Pq.loadCodebooks(spark, dir)
+    assert(back == cb)
+    val probes = corpus.filter(col("vec_id") <= 2)
+    val a = Pq.pqTopK(corpus, probes, 3, cb, "label")
+      .collect().map(_.toSeq).toSet
+    val b = Pq.pqTopK(corpus, probes, 3, back, "label")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // append-mode double write → duplicate rows → loud error
+    Pq.saveCodebooks(spark, cb, dir + "2")
+    import sqlImplicits._
+    Seq((0, 0, Seq(9.0, 9.0))).toDF("subspace", "cell", "centroid")
+      .write.mode("append").parquet(dir + "2")
+    val err = intercept[IllegalArgumentException] {
+      Pq.loadCodebooks(spark, dir + "2")
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
   test("tick mean: floor-scaled longs, one final division") {
     // 3 identical vectors → mean = floor(v*1e6)/1e6 exactly
     val one = Seq.fill(3)((1L, Array(0.1234567891f, -0.5f)))
