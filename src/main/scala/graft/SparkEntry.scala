@@ -651,6 +651,34 @@ object SparkEntry {
     // tail terciles (the standard crawl partition)
     "q_ccnet_buckets" -> ((s, d) =>
       Corpus.perplexityBuckets(T(s, d, "documents"))),
+    // crawl-prepare facade capstone: URL dedup → normalized-exact
+    // dedup → line boilerplate removal → Gopher gate on the
+    // REWRITTEN text, over the same synthesized URL variants and
+    // pseudo-lines as q_dedup_url / q_dedup_lines — every stage
+    // individually oracle-green, here chained and replayed end-to-end
+    "q_crawl_prepare" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val item = concat(lit("/articles/item-"),
+        floor(col("doc_id") / 4).cast("long").cast("string"))
+      val v = col("doc_id") % 4
+      val synth = T(s, d, "documents")
+        .filter(size(toks) >= 1)
+        .select(col("doc_id"),
+          when(v === 0, concat(lit("https://Example.COM"), item))
+            .when(v === 1,
+              concat(lit("https://www.example.com"), item, lit("/")))
+            .when(v === 2, concat(lit("https://example.com:443"), item,
+              lit("?utm_source=feed&utm_campaign=x")))
+            .otherwise(concat(lit("http://example.com"), item,
+              lit("?b=2&a=1#section"))).as("url"),
+          array_join(
+            transform(
+              sequence(lit(0),
+                ceil(size(toks) / lit(10.0)).cast("int") - 1),
+              g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
+            "\n").as("text"))
+      CorpusPipeline.crawlPrepare(synth, minTokens = 20)
+    }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
     // (the aggregation every trainMerges round repeats), top-20
@@ -2538,7 +2566,7 @@ object SparkEntry {
     // IEEE division; '...' counting via non-overlapping replace
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text,
-        |list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |list_filter(string_split_regex(text, '[ \n]'), x -> x <> '') AS toks,
         |list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
         |FROM documents),
         |c AS (SELECT doc_id,
@@ -2711,6 +2739,77 @@ object SparkEntry {
         |tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_tok_p DESC, doc_id ASC) AS tile FROM j)
         |SELECT doc_id, lang, n_tokens, avg_tok_p,
         |CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tl""".stripMargin,
+    // crawl-prepare: the four stages chained as one CTE pipeline —
+    // pseudo-line + URL synthesis, canonical-URL keepers, normalized
+    // keepers, line df + reassembly, Gopher battery on the rewritten
+    // text (minTokens=20)
+    "q_crawl_prepare" ->
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t0 WHERE len(toks) >= 1),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
+        |ld AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g0),
+        |d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ld GROUP BY doc_id),
+        |du AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END AS url FROM d),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM du),
+        |bq AS (SELECT doc_id, split_part(u, '?', 1) AS base,
+        |CASE WHEN contains(u, '?') THEN substring(u, len(split_part(u, '?', 1)) + 2) ELSE '' END AS query FROM nf),
+        |pr AS (SELECT doc_id, base,
+        |COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid=') OR p = ''))), '&'), '') AS cq FROM bq),
+        |hp AS (SELECT doc_id, cq, split_part(base, '//', 1) AS scheme,
+        |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
+        |h2 AS (SELECT doc_id, cq, scheme, split_part(hostpath, '/', 1) AS host0,
+        |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
+        |h3 AS (SELECT doc_id, cq, scheme, path, regexp_replace(lower(host0), '^www\.', '') AS hw FROM h2),
+        |cn AS (SELECT doc_id,
+        |lower(scheme) || '//' ||
+        |CASE WHEN lower(scheme) = 'http:' THEN regexp_replace(hw, ':80$', '')
+        |WHEN lower(scheme) = 'https:' THEN regexp_replace(hw, ':443$', '')
+        |ELSE hw END ||
+        |regexp_replace(path, '/$', '') ||
+        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h3),
+        |uk AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canonical_url),
+        |s1 AS (SELECT d.doc_id, d.text FROM d JOIN uk USING (doc_id)),
+        |nn AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g'))) AS nh FROM s1),
+        |nk AS (SELECT MIN(doc_id) AS doc_id FROM nn GROUP BY nh),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN nk USING (doc_id)),
+        |l1 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2),
+        |l2 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l1),
+        |lr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ls[i] AS line FROM l2),
+        |df2 AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM lr GROUP BY line),
+        |lj AS (SELECT lr.doc_id, lr.pos, lr.line, df2.line_df FROM lr JOIN df2 USING (line)),
+        |lined AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
+        |FROM lj GROUP BY doc_id),
+        |gt AS (SELECT doc_id, n_lines, n_removed, kept_text AS text,
+        |list_filter(string_split_regex(kept_text, '[ \n]'), x -> x <> '') AS toks,
+        |list_filter(string_split(kept_text, chr(10)), x -> x <> '') AS lines FROM lined),
+        |gc AS (SELECT doc_id, n_lines, n_removed,
+        |CAST(len(toks) AS BIGINT) AS n_tok,
+        |CAST(len(lines) AS BIGINT) AS g_lines,
+        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
+        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
+        |FROM gt)
+        |SELECT doc_id, n_lines, n_removed, n_tok AS n_tokens,
+        |(n_tok >= 20 AND n_tok <= 100000
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
+        |AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
+        |AND CAST(n_bullet AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
+        |AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
+        |AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
+        |AND stop_hits >= 2) AS keep
+        |FROM gc""".stripMargin,
     // BPE round-1 pair counts: distinct-word freqs, per-position
     // char pairs via correlated generate_series, weighted sum, and
     // the deterministic top-20

@@ -81,4 +81,42 @@ object CorpusPipeline {
     }
     t
   }
+
+  /** The CRAWL front half of the pipeline — the rungs that run
+    * before [[prepare]]'s content stages, in their production order
+    * and cost order (cheapest and highest-yield first):
+    *
+    *   1. URL dedup ([[Dedup.urlDedup]]) — collapse re-crawls by
+    *      canonical URL; never reads the text.
+    *   2. normalized-exact dedup ([[Dedup.normalizedExact]]) —
+    *      case/punct/whitespace copies at hash-groupBy cost.
+    *   3. line-level boilerplate removal ([[Dedup.dedupLines]]) —
+    *      corpus-wide df over lines, docs REWRITTEN without their
+    *      boilerplate.
+    *   4. Gopher rule gate ([[Corpus.gopherRules]]) scored on the
+    *      REWRITTEN text — rules fire on content, not on the nav
+    *      bars stage 3 just removed.
+    *
+    * Every stage is a survivors semi join or a rewrite — no pair
+    * joins anywhere; the only shuffles are the three keeper
+    * aggregations and the line reassembly. Output: one row per
+    * stage-1/2 survivor with the rewrite profile and the final keep
+    * verdict (doc_id, n_lines, n_removed, n_tokens, keep). */
+  def crawlPrepare(docs: DataFrame, urlCol: String = "url",
+                   idCol: String = "doc_id", textCol: String = "text",
+                   lineMinDf: Long = 2, minTokens: Long = 20): DataFrame = {
+    val urlKeepers = Dedup.urlDedup(docs, urlCol, idCol)
+      .select(col("keeper_doc_id").as(idCol))
+    val s1 = docs.join(urlKeepers, Seq(idCol), "left_semi")
+    val normKeepers = Dedup.normalizedExact(s1, idCol, textCol)
+      .select(col("keeper_doc_id").as(idCol))
+    val s2 = s1.join(normKeepers, Seq(idCol), "left_semi")
+    val lined = Dedup.dedupLines(s2, lineMinDf, idCol, textCol)
+    val gated = Corpus.gopherRules(
+      lined.select(col("doc_id"), col("kept_text").as("text")),
+      "doc_id", "text", minTokens = minTokens)
+    lined.join(gated.select(col("doc_id"), col("n_tokens"), col("keep")),
+        Seq("doc_id"))
+      .select("doc_id", "n_lines", "n_removed", "n_tokens", "keep")
+  }
 }

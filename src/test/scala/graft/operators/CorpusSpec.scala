@@ -248,4 +248,29 @@ class CorpusSpec extends SparkSpec {
     // a 1-row language is its own head
     assert(out.find(_._2 == "fr").get._4 == "head")
   }
+
+  test("crawlPrepare: stage interlock — df counts survivors only") {
+    // docs 1 and 2 share a canonical URL → 2 dropped at stage 1.
+    // The BANNER line appears in docs 1, 2, 3 — but after URL dedup
+    // only 1 and 3 survive, and the line is STILL boilerplate
+    // (df=2 over survivors). Doc 4's banner-free text passes
+    // through; doc 5 duplicates doc 4's normalized text (case
+    // shift) → dropped at stage 2, and its copy of "solo line x"
+    // must NOT make that line boilerplate for doc 4.
+    val docs = Seq(
+      (1L, "https://A.com/p", "BANNER L\nbody one two"),
+      (2L, "https://a.com/p/", "BANNER L\nother body"),
+      (3L, "https://a.com/q", "BANNER L\nbody three"),
+      (4L, "https://a.com/r", "solo line x\nbody four"),
+      (5L, "https://a.com/s", "SOLO LINE X\nBODY FOUR"))
+      .toDF("doc_id", "url", "text")
+    val out = CorpusPipeline.crawlPrepare(docs, minTokens = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // survivors: 1 (url keeper), 3, 4 (5's normalized dup drops it)
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out(1L) == ((2L, 1L))) // banner removed (df=2 over 1,3)
+    assert(out(3L) == ((2L, 1L)))
+    assert(out(4L) == ((2L, 0L))) // "solo line x" df=1: kept
+  }
 }
