@@ -134,11 +134,12 @@ object Prof {
           probe, build, Seq("k" -> "bk"), expectedItems = nRows / 97 + 1)
         case _ => operators.Joins.semiJoin(probe, build, Seq("k" -> "bk"))
       }
-      val n = time(s"bloom.$mode.count")(
+      time(s"bloom.$mode.write")(
         out.write.mode("overwrite").format("noop").save())
       Thread.sleep(2000) // drain the listener bus
-      println(s"[prof] bloom.$mode rows=$nRows matched-writeout done " +
+      println(s"[prof] bloom.$mode rows=$nRows " +
         s"shuffleBytes=${shuffleBytes.get} shuffleRecords=${shuffleRecs.get}")
+      spark.stop(); return
     }
 
     // PROF_SKEW=1 — plain vs salted join wall-time on a synthetic

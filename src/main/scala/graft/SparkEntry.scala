@@ -24,6 +24,29 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     sources.Tables.load(s, dir, name)
 
+  /** Shared synthesis fixtures — q_dedup_url, q_dedup_lines, and the
+    * q_crawl_prepare facade must derive the SAME URL variants and
+    * pseudo-line segmentation, or the facade query silently diverges
+    * from the stage queries it chains (each oracle replays these). */
+  private def synthUrl: Column = {
+    val item = concat(lit("/articles/item-"),
+      floor(col("doc_id") / 4).cast("long").cast("string"))
+    val v = col("doc_id") % 4
+    when(v === 0, concat(lit("https://Example.COM"), item))
+      .when(v === 1, concat(lit("https://www.example.com"), item, lit("/")))
+      .when(v === 2, concat(lit("https://example.com:443"), item,
+        lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("http://example.com"), item,
+        lit("?b=2&a=1#section")))
+  }
+
+  private def synthPseudoLines(toks: Column): Column =
+    array_join(
+      transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
+      "\n")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggregations.pricingSummary(
@@ -658,25 +681,10 @@ object SparkEntry {
     // individually oracle-green, here chained and replayed end-to-end
     "q_crawl_prepare" -> ((s, d) => {
       val toks = TextFunctions.tokens(col("text"))
-      val item = concat(lit("/articles/item-"),
-        floor(col("doc_id") / 4).cast("long").cast("string"))
-      val v = col("doc_id") % 4
       val synth = T(s, d, "documents")
         .filter(size(toks) >= 1)
-        .select(col("doc_id"),
-          when(v === 0, concat(lit("https://Example.COM"), item))
-            .when(v === 1,
-              concat(lit("https://www.example.com"), item, lit("/")))
-            .when(v === 2, concat(lit("https://example.com:443"), item,
-              lit("?utm_source=feed&utm_campaign=x")))
-            .otherwise(concat(lit("http://example.com"), item,
-              lit("?b=2&a=1#section"))).as("url"),
-          array_join(
-            transform(
-              sequence(lit(0),
-                ceil(size(toks) / lit(10.0)).cast("int") - 1),
-              g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
-            "\n").as("text"))
+        .select(col("doc_id"), synthUrl.as("url"),
+          synthPseudoLines(toks).as("text"))
       CorpusPipeline.crawlPrepare(synth, minTokens = 20)
     }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
@@ -703,13 +711,7 @@ object SparkEntry {
       val toks = TextFunctions.tokens(col("text"))
       val lined = T(s, d, "documents")
         .filter(size(toks) >= 1)
-        .select(col("doc_id"),
-          array_join(
-            transform(
-              sequence(lit(0),
-                ceil(size(toks) / lit(10.0)).cast("int") - 1),
-              g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
-            "\n").as("text"))
+        .select(col("doc_id"), synthPseudoLines(toks).as("text"))
       Dedup.dedupLines(lined, minDf = 2)
     }),
     // bloom-prefiltered semi join: result identical to the exact
@@ -726,19 +728,9 @@ object SparkEntry {
     // trailing slash, sorted params) and keep min id per canonical.
     // URLs are synthesized in four variant classes per 4-doc group;
     // the three https variants merge, the http one stays distinct.
-    "q_dedup_url" -> ((s, d) => {
-      val item = concat(lit("/articles/item-"),
-        floor(col("doc_id") / 4).cast("long").cast("string"))
-      val v = col("doc_id") % 4
-      Dedup.urlDedup(T(s, d, "documents").select(col("doc_id"),
-        when(v === 0, concat(lit("https://Example.COM"), item))
-          .when(v === 1,
-            concat(lit("https://www.example.com"), item, lit("/")))
-          .when(v === 2, concat(lit("https://example.com:443"), item,
-            lit("?utm_source=feed&utm_campaign=x")))
-          .otherwise(concat(lit("http://example.com"), item,
-            lit("?b=2&a=1#section"))).as("url")))
-    }),
+    "q_dedup_url" -> ((s, d) =>
+      Dedup.urlDedup(T(s, d, "documents")
+        .select(col("doc_id"), synthUrl.as("url")))),
     // SemDeDup: cluster-scoped semantic dedup — nearest-seed cell
     // assignment (seeds = the 8 lowest vec_ids, a bounded collect of
     // model state), within-cell cosine pairs, keep = no smaller-id

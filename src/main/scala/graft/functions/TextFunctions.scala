@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empties removed. */
+  /** Whitespace tokens with empties removed. (Space-separated only —
+    * the corpus tables' convention; for multiline text use
+    * [[tokensMultiline]] or tokens adjoining a line break merge.) */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
+
+  /** Tokens split on space OR newline — for multiline text (line
+    * dedup output, crawl extracts), where the space-only split would
+    * merge the tokens adjoining every line break. */
+  def tokensMultiline(text: Column): Column =
+    filter(split(text, "[ \n]"), t => t =!= lit(""))
 
   /** Distinct whitespace tokens (set semantics, for Jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))

@@ -228,10 +228,10 @@ object Corpus {
                   minAlphaFrac: Double = 0.8,
                   minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
-    // split on space OR newline: the gate runs on multiline text
+    // multiline tokenizer: the gate runs on multiline text
     // (crawlPrepare feeds it line-dedup'd docs) and a space-only
-    // tokenizer would merge the tokens adjoining every line break
-    val toks = filter(split(t, "[ \n]"), x => x =!= lit(""))
+    // split would merge the tokens adjoining every line break
+    val toks = TextFunctions.tokensMultiline(t)
     val lines = filter(split(t, "\n"), l => l =!= lit(""))
     val nTok = size(toks).cast("long")
     val nLines = size(lines).cast("long")

@@ -105,11 +105,26 @@ object CorpusPipeline {
   def crawlPrepare(docs: DataFrame, urlCol: String = "url",
                    idCol: String = "doc_id", textCol: String = "text",
                    lineMinDf: Long = 2, minTokens: Long = 20): DataFrame = {
-    val urlKeepers = Dedup.urlDedup(docs, urlCol, idCol)
+    // null hygiene up front, or rows fall through the cracks instead
+    // of being GATED: a null text would vanish in dedupLines'
+    // posexplode (no row, no verdict) — coalesce to "" so it flows
+    // to a keep=false. Docs with no URL cannot be URL-duplicates of
+    // anything — they all pass stage 1 (grouping them under one
+    // null/empty canonical would silently drop all but one).
+    val d = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val hasUrl = col(urlCol).isNotNull && col(urlCol) =!= ""
+    val urlKeepers = Dedup.urlDedup(d.filter(hasUrl), urlCol, idCol)
       .select(col("keeper_doc_id").as(idCol))
-    val s1 = docs.join(urlKeepers, Seq(idCol), "left_semi")
+    val s1 = d.filter(hasUrl).join(urlKeepers, Seq(idCol), "left_semi")
+      .unionByName(d.filter(!hasUrl))
     val normKeepers = Dedup.normalizedExact(s1, idCol, textCol)
       .select(col("keeper_doc_id").as(idCol))
+    // NOTE on caching: docs and s1 each feed two branches (keeper
+    // aggregation + survivor probe). The recompute is a re-SCAN of
+    // the source — at 100 TB that is the right trade; persisting the
+    // near-full corpus is not (the prefixIndex discipline persists
+    // COMPACT derived tables, which dedupLines below does for its
+    // line table).
     val s2 = s1.join(normKeepers, Seq(idCol), "left_semi")
     val lined = Dedup.dedupLines(s2, lineMinDf, idCol, textCol)
     val gated = Corpus.gopherRules(

@@ -94,8 +94,11 @@ object Pq {
       .select("subspace", "cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
     val byKey = rows.toMap
+    require(rows.nonEmpty, s"codebook table at $path is empty")
     require(rows.length == byKey.size,
       s"codebook table at $path has duplicate (subspace, cell) rows")
+    require(byKey.keySet.forall { case (s, j) => s >= 0 && j >= 0 },
+      s"codebook table at $path has negative subspace/cell indices")
     val m = byKey.keySet.map(_._1).max + 1
     val k = byKey.keySet.map(_._2).max + 1
     require(byKey.size == m * k,

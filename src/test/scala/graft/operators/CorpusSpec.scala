@@ -273,4 +273,19 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L)))
     assert(out(4L) == ((2L, 0L))) // "solo line x" df=1: kept
   }
+
+  test("crawlPrepare: null text is GATED, null url is not deduped") {
+    val docs = Seq(
+      (1L, "https://a.com/1", null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String], "real body text one"),
+      (3L, null.asInstanceOf[String], "real body text two"))
+      .toDF("doc_id", "url", "text")
+    val out = CorpusPipeline.crawlPrepare(docs, minTokens = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // doc 1's null text must surface as a keep=false row, not
+    // vanish; docs 2 and 3 share "no URL" but are NOT URL-duplicates
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(!out(1L))
+  }
 }
