@@ -714,6 +714,12 @@ object SparkEntry {
         .select(col("doc_id"), synthPseudoLines(toks).as("text"))
       Dedup.dedupLines(lined, minDf = 2)
     }),
+    // winnowing fingerprints (MOSS): per doc, the rightmost-tie
+    // window minima over k-gram hashes — the position-aware bounded
+    // sketch whose guarantee (shared run >= w+k-1 => shared
+    // fingerprint) the spec property-tests
+    "q_winnow_fingerprints" -> ((s, d) =>
+      Dedup.winnowFingerprints(T(s, d, "documents"), k = 4, w = 5)),
     // bloom-prefiltered semi join: result identical to the exact
     // semi join (the oracle), but the probe side is cut by the
     // build side's bloom sketch BEFORE the join shuffle
@@ -2827,6 +2833,23 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
         |FROM j GROUP BY doc_id""".stripMargin,
+    // winnowing: the string-key trick replays exactly — md5 hex ‖
+    // zero-padded descending position makes "min hash, rightmost
+    // tie" a plain MIN over a frame window in any engine
+    "q_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 4),
+        |g AS (SELECT doc_id, unnest(generate_series(0, n - 4)) AS pos, toks FROM b),
+        |h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1 : pos+4], ' ')) AS h FROM g),
+        |kx AS (SELECT doc_id, pos, h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key FROM h),
+        |s AS (SELECT doc_id, pos,
+        |MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+        |COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt
+        |FROM kx)
+        |SELECT DISTINCT doc_id,
+        |CAST(999999999 - CAST(substring(sel, 33, 9) AS BIGINT) AS INT) AS fp_pos,
+        |substring(sel, 1, 32) AS fp_hash
+        |FROM s WHERE cnt = 5""".stripMargin,
     // bloom semi join: the oracle is the EXACT semi join — the bloom
     // prefilter must be invisible in the result
     "q_bloom_join" ->

@@ -808,6 +808,55 @@ object Dedup {
     CacheOps.materializeAndRelease(out, lines)
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the
+    * MOSS local fingerprinting scheme): hash every k-token window,
+    * then in each run of `w` consecutive window hashes select the
+    * minimum (ties to the RIGHTMOST position — the paper's robust
+    * winnowing rule), and dedup the selections. The guarantee: any
+    * shared token run of length ≥ w + k − 1 between two documents
+    * yields at least one shared fingerprint, while the fingerprint
+    * density stays ~2/(w+1) of the windows — the position-aware,
+    * bounded-size sketch for copy detection that plain MinHash (a
+    * whole-document sketch) cannot provide.
+    *
+    * Plan shape: one shuffle on doc id for the two frame-window
+    * passes (selection + the count guard), one aggregation for the
+    * dedup — O(total tokens), no pair join. The min-with-rightmost-
+    * tie is ONE window min over a sortable string key (md5 hex ‖
+    * zero-padded descending position), so any SQL engine replays the
+    * selection bit-identically — no struct-comparison semantics to
+    * align. Fingerprint comparison across docs is then an equi-join
+    * on fp_hash, the same degree-independent shape as every other
+    * candidate generator here. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val wins = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), k)))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col").cast("binary")).as("h"))
+      // sortable selection key: hash asc, then POSITION DESC via the
+      // 9-digit descending complement — the rightmost-tie rule as a
+      // plain string min (positions < 1e9 by construction: a single
+      // document's token count)
+      .withColumn("key", concat(col("h"),
+        lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    wins
+      .withColumn("sel", min(col("key")).over(frame))
+      .withColumn("full", count(lit(1)).over(frame) === w)
+      .filter(col("full")) // only complete windows select
+      .select(col("doc_id"),
+        (lit(999999999) - substring(col("sel"), 33, 9).cast("int"))
+          .as("fp_pos"),
+        substring(col("sel"), 1, 32).as("fp_hash"))
+      .distinct()
+  }
+
   /** Pair-set recall harness: how many of the exact near-dup pairs
     * does an approximate (LSH/simhash) pair set recover? The quality
     * number that justifies running the sketch instead of the exact

@@ -537,4 +537,63 @@ class DedupSpec extends SparkSpec {
     assert(out("https://a.com/x") == ((5L, 3L, 3L)))
     assert(out("https://a.com/y") == ((3L, 1L, 1L)))
   }
+
+  // local winnowing reference (the sequential textbook algorithm,
+  // rightmost-tie robust winnowing)
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refWinnow(tokens: Seq[String], k: Int, w: Int)
+  : Set[(Int, String)] = {
+    val hs = tokens.sliding(k).map(g => md5hex(g.mkString(" ")))
+      .toIndexedSeq
+    if (hs.size < w) Set.empty
+    else (0 to hs.size - w).map { j =>
+      val win = j until j + w
+      val minH = win.map(hs).min
+      val pos = win.filter(i => hs(i) == minH).max // rightmost tie
+      (pos, hs(pos))
+    }.toSet
+  }
+
+  test("winnowFingerprints equals the sequential reference") {
+    val rnd = new scala.util.Random(17)
+    val corpora = Seq(
+      // handcrafted: repeats force ties, short docs hit boundaries
+      Seq("a a a a a a a a", "x y z x y z x y", "p q"),
+      // random low-vocab docs
+      (1 to 10).map(_ => (1 to 12 + rnd.nextInt(8))
+        .map(_ => s"t${rnd.nextInt(4)}").mkString(" ")))
+    for (texts <- corpora) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> refWinnow(t.split(" ").toSeq, 3, 4)
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want)
+    }
+  }
+
+  test("winnowing guarantee: shared run >= w+k-1 shares a fingerprint") {
+    val rnd = new scala.util.Random(23)
+    val k = 3; val w = 4
+    val shared = (1 to (w + k - 1)).map(_ => s"s${rnd.nextInt(3)}")
+    def noise(n: Int) = (1 to n).map(_ => s"n${rnd.nextInt(5)}")
+    val docs = (0 until 6).map { i =>
+      val t = (noise(3 + rnd.nextInt(5)) ++ shared ++ noise(3 + rnd.nextInt(5)))
+        .mkString(" ")
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k, w)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // every pair of docs embeds the same (w+k-1)-token run → every
+    // pair must share at least one fingerprint hash
+    for (a <- 0L until 6L; b <- (a + 1) until 6L)
+      assert(fps(a).intersect(fps(b)).nonEmpty, s"pair ($a,$b)")
+  }
 }
