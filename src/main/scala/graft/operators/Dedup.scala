@@ -811,8 +811,12 @@ object Dedup {
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the
     * MOSS local fingerprinting scheme): hash every k-token window,
     * then in each run of `w` consecutive window hashes select the
-    * minimum (ties to the RIGHTMOST position — the paper's robust
-    * winnowing rule), and dedup the selections. The guarantee: any
+    * minimum, ties to the RIGHTMOST position, and dedup the
+    * selections. (This is basic winnowing with the rightmost-min
+    * tie; the paper's "robust" variant additionally prefers the
+    * PREVIOUSLY selected hash on ties, emitting fewer fingerprints
+    * on low-entropy runs — a sequential rule with no stateless
+    * per-window form.) The guarantee: any
     * shared token run of length ≥ w + k − 1 between two documents
     * yields at least one shared fingerprint, while the fingerprint
     * density stays ~2/(w+1) of the windows — the position-aware,

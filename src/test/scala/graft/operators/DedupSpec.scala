@@ -539,13 +539,16 @@ class DedupSpec extends SparkSpec {
   }
 
   // local winnowing reference (the sequential textbook algorithm,
-  // rightmost-tie robust winnowing)
+  // rightmost-min tie rule)
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def refWinnow(tokens: Seq[String], k: Int, w: Int)
   : Set[(Int, String)] = {
+    // match shingles(): fewer than k tokens means NO windows —
+    // sliding(k) would emit one undersized group and hash it
+    if (tokens.size < k) return Set.empty
     val hs = tokens.sliding(k).map(g => md5hex(g.mkString(" ")))
       .toIndexedSeq
     if (hs.size < w) Set.empty
