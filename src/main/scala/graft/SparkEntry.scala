@@ -714,6 +714,11 @@ object SparkEntry {
         .select(col("doc_id"), synthPseudoLines(toks).as("text"))
       Dedup.dedupLines(lined, minDf = 2)
     }),
+    // exact-substring dedup transform (Lee et al. ExactSubstr): every
+    // duplicated 8-token window keeps its globally-first occurrence,
+    // all other occurrences' tokens are cut, docs reassembled
+    "q_dedup_substring_cut" -> ((s, d) =>
+      Dedup.cutDuplicatedSpans(T(s, d, "documents"), k = 8)),
     // winnowing fingerprints (MOSS): per doc, the rightmost-tie
     // window minima over k-gram hashes — the position-aware bounded
     // sketch whose guarantee (shared run >= w+k-1 => shared
@@ -2833,6 +2838,30 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
         |FROM j GROUP BY doc_id""".stripMargin,
+    // substring cut: rank-over-partition picks the global first
+    // occurrence per window hash; cut marks explode to 8 token
+    // indices; anti join + ordered string_agg reassembles
+    "q_dedup_substring_cut" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |w AS (SELECT doc_id, toks, unnest(generate_series(0, n_tokens - 8)) AS start FROM b WHERE n_tokens >= 8),
+        |h AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS wh FROM w),
+        |o AS (SELECT doc_id, start,
+        |COUNT(*) OVER (PARTITION BY wh) AS occ,
+        |ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rn FROM h),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS idx
+        |FROM o WHERE occ >= 2 AND rn > 1),
+        |tok AS (SELECT doc_id, n_tokens, unnest(generate_series(1, CAST(n_tokens AS BIGINT))) AS i, toks FROM b),
+        |tk AS (SELECT doc_id, n_tokens, i - 1 AS idx, toks[i] AS tok FROM tok),
+        |kept AS (SELECT tk.* FROM tk LEFT JOIN cov
+        |ON tk.doc_id = cov.doc_id AND tk.idx = cov.idx WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+        |CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |string_agg(tok, ' ' ORDER BY idx) AS kept_text FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |CAST(b.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |COALESCE(agg.kept_text, '') AS kept_text
+        |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
     // winnowing: the string-key trick replays exactly — md5 hex ‖
     // zero-padded descending position makes "min hash, rightmost
     // tie" a plain MIN over a frame window in any engine

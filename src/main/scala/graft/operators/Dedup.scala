@@ -808,6 +808,72 @@ object Dedup {
     CacheOps.materializeAndRelease(out, lines)
   }
 
+  /** Exact-substring dedup as a TRANSFORM (Lee et al. 2022 §4.1's
+    * ExactSubstr policy: keep ONE occurrence of every duplicated
+    * span, cut the rest): each duplicated k-token window keeps its
+    * globally-first occurrence (min (doc, start) — deterministic)
+    * and marks every other occurrence's k tokens for removal; each
+    * document is reassembled from its surviving tokens in order.
+    * The companion of [[duplicatedSpanProfile]] (which only scores).
+    *
+    * Scale shape: the same degree-independent skeleton as the
+    * profile — count/rank-over-partition on the window hash (each
+    * window shuffles ONCE regardless of duplication degree), then
+    * the cut marks explode to k rows each (k × duplicate-occurrences,
+    * linear), an anti join on (doc, token index) drops the covered
+    * tokens, and one groupBy per doc reassembles. No pair join.
+    *
+    * Output: doc_id, n_tokens, n_removed, kept_text. */
+  def cutDuplicatedSpans(docs: DataFrame, k: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // feeds the window pass AND the reassembly join
+    val wins = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("toks"), k)))
+      .select(col("doc_id"), col("pos").as("start"),
+        md5(col("col").cast("binary")).as("wh"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    val firstOcc = byHash.orderBy(col("doc_id"), col("start"))
+    // non-first occurrences of duplicated windows → their k token
+    // indices are cut (bounded explode: k rows per cut occurrence)
+    val covered = wins
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .withColumn("rn", row_number().over(firstOcc))
+      .filter(col("occ") >= 2 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
+      .distinct()
+    val toks = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(col("toks"))).select(
+      col("doc_id"), col("n_tokens"), col("pos").as("idx"),
+      col("col").as("tok"))
+    val out = toks
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            s => s.getField("tok")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        col("kept_text"))
+    // fully-cut docs vanish from the anti join — restore them with
+    // empty text, and empty docs pass through
+    val restored = base.select(col("doc_id"), col("n_tokens"))
+      .join(out.select(col("doc_id").as("__d")), col("doc_id") === col("__d"),
+        "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").as("n_removed"), lit("").as("kept_text"))
+    CacheOps.materializeAndRelease(out.unionByName(restored), base)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the
     * MOSS local fingerprinting scheme): hash every k-token window,
     * then in each run of `w` consecutive window hashes select the

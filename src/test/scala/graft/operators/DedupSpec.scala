@@ -538,6 +538,49 @@ class DedupSpec extends SparkSpec {
     assert(out("https://a.com/y") == ((3L, 1L, 1L)))
   }
 
+  test("cutDuplicatedSpans keeps the first occurrence, cuts the rest") {
+    // identical docs: doc 1 keeps everything, doc 2 is fully cut
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 0L, "a b c d e")))
+    assert(out(2L) == ((5L, 5L, "")))
+    assert(out(3L) == ((5L, 0L, "x y z w v")))
+  }
+
+  test("cutDuplicatedSpans: partial overlap cuts only covered tokens") {
+    // doc 2 embeds doc 1's 4-token run with unique flanks: exactly
+    // the duplicated window's k tokens go; in-doc self-repeat keeps
+    // its first window's tokens only
+    val docs = Seq(
+      (1L, "p q r s"),
+      (2L, "u1 p q r s u2"),
+      (3L, "m m m m m m"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((0L, "p q r s")))
+    assert(out(2L) == ((4L, "u1 u2")))
+    // "m m m m m m": windows at 0,1,2 share a hash; keeper start=0,
+    // cuts cover idx 1..5 → first token survives
+    assert(out(3L) == ((5L, "m")))
+  }
+
+  test("cutDuplicatedSpans: short docs pass through untouched") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // no window of length 4 exists → nothing is duplicated
+    assert(out(1L) == ((2L, 0L, "a b")) && out(2L) == ((2L, 0L, "a b")))
+  }
+
   // local winnowing reference (the sequential textbook algorithm,
   // rightmost-min tie rule)
   private def md5hex(s: String): String =
