@@ -725,6 +725,10 @@ object SparkEntry {
     // fingerprint) the spec property-tests
     "q_winnow_fingerprints" -> ((s, d) =>
       Dedup.winnowFingerprints(T(s, d, "documents"), k = 4, w = 5)),
+    // winnowing copy-detection pairs: shared-fingerprint counts per
+    // doc pair after the stop-fingerprint df cap
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(T(s, d, "documents"), k = 4, w = 5, maxDf = 10)),
     // bloom-prefiltered semi join: result identical to the exact
     // semi join (the oracle), but the probe side is cut by the
     // build side's bloom sketch BEFORE the join shuffle
@@ -2879,6 +2883,23 @@ object SparkEntry {
         |CAST(999999999 - CAST(substring(sel, 33, 9) AS BIGINT) AS INT) AS fp_pos,
         |substring(sel, 1, 32) AS fp_hash
         |FROM s WHERE cnt = 5""".stripMargin,
+    // winnowing pairs: the fingerprint CTE + df cap + self join
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 4),
+        |g AS (SELECT doc_id, unnest(generate_series(0, n - 4)) AS pos, toks FROM b),
+        |h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1 : pos+4], ' ')) AS h FROM g),
+        |kx AS (SELECT doc_id, pos, h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key FROM h),
+        |s AS (SELECT doc_id,
+        |MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+        |COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt
+        |FROM kx),
+        |fp AS (SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp_hash FROM s WHERE cnt = 5),
+        |rare AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN
+        |(SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 10) ok USING (fp_hash))
+        |SELECT a.doc_id AS a_id, c.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM rare a JOIN rare c ON a.fp_hash = c.fp_hash AND a.doc_id < c.doc_id
+        |GROUP BY a.doc_id, c.doc_id""".stripMargin,
     // bloom semi join: the oracle is the EXACT semi join — the bloom
     // prefilter must be invisible in the result
     "q_bloom_join" ->

@@ -927,6 +927,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing copy-detection pairs: equi-join the
+    * [[winnowFingerprints]] sketches on the fingerprint hash and
+    * count shared fingerprints per document pair — the MOSS match
+    * score. Fingerprints shared by more than `maxDf` documents are
+    * dropped first (the standard stop-fingerprint rule: a license
+    * header's fingerprint in a million docs is noise, and joining it
+    * would cost occ² pairs — the cap makes the join volume
+    * ≤ maxDf²/2 per fingerprint, degree-bounded by construction).
+    * Output: a_id, b_id (a < b), n_shared. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+                  maxDf: Long = 10, minShared: Long = 1,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select("doc_id", "fp_hash").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // feeds the df filter AND both join sides
+    val rare = fps.join(
+      fps.groupBy("fp_hash").agg(count(lit(1)).as("fp_df"))
+        .filter(col("fp_df") <= maxDf)
+        .select("fp_hash"),
+      "fp_hash")
+    val out = rare.select(col("fp_hash"), col("doc_id").as("a_id"))
+      .join(rare.select(col("fp_hash"), col("doc_id").as("b_id")), "fp_hash")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    CacheOps.materializeAndRelease(out, fps)
+  }
+
   /** Pair-set recall harness: how many of the exact near-dup pairs
     * does an approximate (LSH/simhash) pair set recover? The quality
     * number that justifies running the sketch instead of the exact

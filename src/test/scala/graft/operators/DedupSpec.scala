@@ -624,6 +624,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: match counts, stop-fingerprint cap") {
+    // docs 1 and 2 are identical → every fingerprint shared; doc 3
+    // is unrelated. With maxDf=10 nothing is capped here; with
+    // maxDf=1 EVERYTHING shared is capped → zero pairs.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, k = 3, w = 4, maxDf = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 1L)
+    assert(Dedup.winnowPairs(docs, k = 3, w = 4, maxDf = 1).isEmpty)
+  }
+
   test("winnowing guarantee: shared run >= w+k-1 shares a fingerprint") {
     val rnd = new scala.util.Random(23)
     val k = 3; val w = 4
