@@ -2843,8 +2843,9 @@ object SparkEntry {
         |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
         |FROM j GROUP BY doc_id""".stripMargin,
     // substring cut: rank-over-partition picks the global first
-    // occurrence per window hash; cut marks explode to 8 token
-    // indices; anti join + ordered string_agg reassembles
+    // occurrence per window hash; its tokens are PROTECTED; other
+    // occurrences' tokens are cut unless protected; ordered
+    // string_agg reassembles
     "q_dedup_substring_cut" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
         |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
@@ -2853,8 +2854,12 @@ object SparkEntry {
         |o AS (SELECT doc_id, start,
         |COUNT(*) OVER (PARTITION BY wh) AS occ,
         |ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rn FROM h),
-        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS idx
+        |prot AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS idx
+        |FROM o WHERE occ >= 2 AND rn = 1),
+        |cov0 AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS idx
         |FROM o WHERE occ >= 2 AND rn > 1),
+        |cov AS (SELECT cov0.doc_id, cov0.idx FROM cov0 LEFT JOIN prot
+        |ON cov0.doc_id = prot.doc_id AND cov0.idx = prot.idx WHERE prot.doc_id IS NULL),
         |tok AS (SELECT doc_id, n_tokens, unnest(generate_series(1, CAST(n_tokens AS BIGINT))) AS i, toks FROM b),
         |tk AS (SELECT doc_id, n_tokens, i - 1 AS idx, toks[i] AS tok FROM tok),
         |kept AS (SELECT tk.* FROM tk LEFT JOIN cov

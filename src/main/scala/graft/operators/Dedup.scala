@@ -810,18 +810,24 @@ object Dedup {
 
   /** Exact-substring dedup as a TRANSFORM (Lee et al. 2022 §4.1's
     * ExactSubstr policy: keep ONE occurrence of every duplicated
-    * span, cut the rest): each duplicated k-token window keeps its
-    * globally-first occurrence (min (doc, start) — deterministic)
-    * and marks every other occurrence's k tokens for removal; each
+    * span, cut the rest): each duplicated k-token window's
+    * globally-first occurrence (min (doc, start) — deterministic) is
+    * the keeper and its k tokens are PROTECTED; every other
+    * occurrence's tokens are cut unless protected. The protection is
+    * what makes keep-one real: without it, OVERLAPPING duplicated
+    * windows erode the keeper occurrence and a duplicated span can
+    * lose every intact copy ("a b c d" keeper's tail cut by the
+    * overlapping "b c d e" keeper's non-first occurrences). Each
     * document is reassembled from its surviving tokens in order.
     * The companion of [[duplicatedSpanProfile]] (which only scores).
     *
     * Scale shape: the same degree-independent skeleton as the
     * profile — count/rank-over-partition on the window hash (each
-    * window shuffles ONCE regardless of duplication degree), then
-    * the cut marks explode to k rows each (k × duplicate-occurrences,
-    * linear), an anti join on (doc, token index) drops the covered
-    * tokens, and one groupBy per doc reassembles. No pair join.
+    * window shuffles ONCE regardless of duplication degree); cut and
+    * protection marks each explode to k rows per occurrence (linear,
+    * and protection is one row per DISTINCT duplicated window); one
+    * anti join (cut minus protected), one left join onto the token
+    * stream, one groupBy per doc. No pair join.
     *
     * Output: doc_id, n_tokens, n_removed, kept_text. */
   def cutDuplicatedSpans(docs: DataFrame, k: Int,
@@ -840,38 +846,41 @@ object Dedup {
         md5(col("col").cast("binary")).as("wh"))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
     val firstOcc = byHash.orderBy(col("doc_id"), col("start"))
-    // non-first occurrences of duplicated windows → their k token
-    // indices are cut (bounded explode: k rows per cut occurrence)
-    val covered = wins
+    val marked = wins
       .withColumn("occ", count(lit(1)).over(byHash))
       .withColumn("rn", row_number().over(firstOcc))
-      .filter(col("occ") >= 2 && col("rn") > 1)
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
+      .filter(col("occ") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marked.count() // feeds both the cut and the protection branch
+    def tokenIdx(df: DataFrame) = df.select(col("doc_id"),
+      explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
       .distinct()
-    val toks = base.select(col("doc_id"), col("n_tokens"),
+    val protectd = tokenIdx(marked.filter(col("rn") === 1))
+    val cut = tokenIdx(marked.filter(col("rn") > 1))
+      .join(protectd, Seq("doc_id", "idx"), "left_anti")
+      .withColumn("__cut", lit(true))
+    val toks = base.select(col("doc_id"),
       posexplode(col("toks"))).select(
-      col("doc_id"), col("n_tokens"), col("pos").as("idx"),
-      col("col").as("tok"))
-    val out = toks
-      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      col("doc_id"), col("pos").as("idx"), col("col").as("tok"))
+    // single-pass reassembly (the dedupLines shape): cut flag rides
+    // a left join, kept tokens survive in collect_list via the
+    // null-skipping when — no second execution of the window subtree
+    // for a restore branch; empty docs come back via the base join
+    val agg = toks
+      .join(cut, Seq("doc_id", "idx"), "left")
       .groupBy("doc_id")
-      .agg(first(col("n_tokens")).as("n_tokens"),
-        count(lit(1)).as("n_kept"),
+      .agg(sum(when(col("__cut"), 1L).otherwise(0L)).as("n_removed"),
         array_join(
-          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          transform(
+            array_sort(collect_list(
+              when(col("__cut").isNull, struct(col("idx"), col("tok"))))),
             s => s.getField("tok")), " ").as("kept_text"))
+    val out = base.select(col("doc_id"), col("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - col("n_kept")).as("n_removed"),
-        col("kept_text"))
-    // fully-cut docs vanish from the anti join — restore them with
-    // empty text, and empty docs pass through
-    val restored = base.select(col("doc_id"), col("n_tokens"))
-      .join(out.select(col("doc_id").as("__d")), col("doc_id") === col("__d"),
-        "left_anti")
-      .select(col("doc_id"), col("n_tokens"),
-        col("n_tokens").as("n_removed"), lit("").as("kept_text"))
-    CacheOps.materializeAndRelease(out.unionByName(restored), base)
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+    CacheOps.materializeAndRelease(out, base, marked)
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the
@@ -944,18 +953,22 @@ object Dedup {
       .select("doc_id", "fp_hash").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.count() // feeds the df filter AND both join sides
+    // persisted: rare feeds BOTH sides of the self-join — unpersisted
+    // the df aggregation + cap join would execute twice
     val rare = fps.join(
-      fps.groupBy("fp_hash").agg(count(lit(1)).as("fp_df"))
-        .filter(col("fp_df") <= maxDf)
-        .select("fp_hash"),
-      "fp_hash")
+        fps.groupBy("fp_hash").agg(count(lit(1)).as("fp_df"))
+          .filter(col("fp_df") <= maxDf)
+          .select("fp_hash"),
+        "fp_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rare.count()
     val out = rare.select(col("fp_hash"), col("doc_id").as("a_id"))
       .join(rare.select(col("fp_hash"), col("doc_id").as("b_id")), "fp_hash")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    CacheOps.materializeAndRelease(out, fps)
+    CacheOps.materializeAndRelease(out, fps, rare)
   }
 
   /** Pair-set recall harness: how many of the exact near-dup pairs

@@ -567,9 +567,27 @@ class DedupSpec extends SparkSpec {
       .map(r => r._1 -> ((r._3, r._4))).toMap
     assert(out(1L) == ((0L, "p q r s")))
     assert(out(2L) == ((4L, "u1 u2")))
-    // "m m m m m m": windows at 0,1,2 share a hash; keeper start=0,
-    // cuts cover idx 1..5 → first token survives
-    assert(out(3L) == ((5L, "m")))
+    // "m m m m m m": windows at 0,1,2 share a hash; keeper start=0
+    // is PROTECTED (idx 0-3), the cuts at 1,2 cover idx 1-5 → only
+    // the unprotected 4,5 go: one intact copy of the span survives
+    assert(out(3L) == ((2L, "m m m m")))
+  }
+
+  test("cutDuplicatedSpans: overlapping spans keep one INTACT copy each") {
+    // the keep-one contract under overlap: "a b c d" keeps its
+    // doc-1 copy; "b c d e" keeps its doc-2 copy even though
+    // "a b c d"'s cut covers doc 2's prefix — protection wins
+    val docs = Seq(
+      (1L, "x a b c d"),
+      (2L, "a b c d e"),
+      (3L, "b c d e f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == "x a b c d")  // both its windows are keepers
+    assert(out(2L) == "b c d e")    // "a" cut, keeper span intact
+    assert(out(3L) == "f")          // its "b c d e" copy is non-first
   }
 
   test("cutDuplicatedSpans: short docs pass through untouched") {
