@@ -599,6 +599,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L, "a b")) && out(2L) == ((2L, 0L, "a b")))
   }
 
+  test("winnowFingerprints and cutDuplicatedSpans plan no pair join") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"HEAD ER LINE tok$i " * 3)).toDF("doc_id", "text")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (out <- Seq(Dedup.winnowFingerprints(docs, k = 3, w = 4),
+        Dedup.cutDuplicatedSpans(docs, k = 3))) {
+        out.count()
+        val plan = out.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"), plan)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   // local winnowing reference (the sequential textbook algorithm,
   // rightmost-min tie rule)
   private def md5hex(s: String): String =
