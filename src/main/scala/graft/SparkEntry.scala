@@ -715,8 +715,9 @@ object SparkEntry {
       Dedup.dedupLines(lined, minDf = 2)
     }),
     // exact-substring dedup transform (Lee et al. ExactSubstr): every
-    // duplicated 8-token window keeps its globally-first occurrence,
-    // all other occurrences' tokens are cut, docs reassembled
+    // duplicated 8-token window's globally-first occurrence is kept
+    // with its tokens PROTECTED; other occurrences' tokens are cut
+    // unless protected (keep-one survives overlap), docs reassembled
     "q_dedup_substring_cut" -> ((s, d) =>
       Dedup.cutDuplicatedSpans(T(s, d, "documents"), k = 8)),
     // winnowing fingerprints (MOSS): per doc, the rightmost-tie
