@@ -720,6 +720,15 @@ object SparkEntry {
     // unless protected (keep-one survives overlap), docs reassembled
     "q_dedup_substring_cut" -> ((s, d) =>
       Dedup.cutDuplicatedSpans(T(s, d, "documents"), k = 8)),
+    // intra-doc line dedup: keep each distinct pseudo-line's FIRST
+    // occurrence within a doc (no corpus-wide state — the within-doc
+    // counterpart of q_dedup_lines)
+    "q_dedup_lines_within" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Dedup.dedupLinesWithin(T(s, d, "documents")
+        .filter(size(toks) >= 1)
+        .select(col("doc_id"), synthPseudoLines(toks).as("text")))
+    }),
     // winnowing fingerprints (MOSS): per doc, the rightmost-tie
     // window minima over k-gram hashes — the position-aware bounded
     // sketch whose guarantee (shared run >= w+k-1 => shared
@@ -2872,6 +2881,19 @@ object SparkEntry {
         |CAST(b.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
         |COALESCE(agg.kept_text, '') AS kept_text
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // intra-doc line dedup: rank per (doc, line) by position, keep
+    // rank 1, reassemble ordered
+    "q_dedup_lines_within" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 1),
+        |g AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
+        |ln AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g),
+        |r AS (SELECT doc_id, pos, line,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM ln)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS kept_text
+        |FROM r GROUP BY doc_id""".stripMargin,
     // winnowing: the string-key trick replays exactly — md5 hex ‖
     // zero-padded descending position makes "min hash, rightmost
     // tie" a plain MIN over a frame window in any engine

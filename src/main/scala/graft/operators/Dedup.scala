@@ -883,6 +883,37 @@ object Dedup {
     CacheOps.materializeAndRelease(out, base, marked)
   }
 
+  /** Intra-document line dedup — the WITHIN-doc counterpart of
+    * [[dedupLines]] (which removes corpus-wide boilerplate): keep
+    * the FIRST occurrence of each distinct line inside a document,
+    * drop the repeats (chat transcripts, scraped pagination, list
+    * stutter). No corpus-wide state at all: one window rank
+    * partitioned by (doc, line hash) and one reassembly groupBy —
+    * both shuffle on the doc id, so at 100 TB this is one pass with
+    * no cross-document exchange.
+    *
+    * Output: doc_id, n_lines, n_removed, kept_text. */
+  def dedupLinesWithin(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("line")).orderBy(col("pos"))
+    lines
+      .withColumn("rn", row_number().over(firstOcc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          delim).as("kept_text"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the
     * MOSS local fingerprinting scheme): hash every k-token window,
     * then in each run of `w` consecutive window hashes select the

@@ -599,6 +599,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L, "a b")) && out(2L) == ((2L, 0L, "a b")))
   }
 
+  test("dedupLinesWithin: first occurrence kept, cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "alpha\nalpha"),     // same line as doc 1: within-doc only
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithin(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 2L, "alpha\nbeta\ngamma")))
+    assert(out(2L) == ((2L, 1L, "alpha"))) // doc 1's alpha irrelevant
+    assert(out(3L) == ((1L, 0L, "solo")))
+  }
+
   test("winnowFingerprints and cutDuplicatedSpans plan no pair join") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"HEAD ER LINE tok$i " * 3)).toDF("doc_id", "text")
