@@ -47,6 +47,16 @@ object SparkEntry {
         g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
       "\n")
 
+  /** The pseudo-lined documents fixture all three line-shaped queries
+    * share (q_dedup_lines, q_dedup_lines_within, q_crawl_prepare):
+    * docs with >= 1 token, text rebuilt as 10-token lines. */
+  private def linedDocuments(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    T(s, d, "documents")
+      .filter(size(toks) >= 1)
+      .select(col("doc_id"), synthPseudoLines(toks).as("text"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggregations.pricingSummary(
@@ -679,14 +689,11 @@ object SparkEntry {
     // REWRITTEN text, over the same synthesized URL variants and
     // pseudo-lines as q_dedup_url / q_dedup_lines — every stage
     // individually oracle-green, here chained and replayed end-to-end
-    "q_crawl_prepare" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val synth = T(s, d, "documents")
-        .filter(size(toks) >= 1)
-        .select(col("doc_id"), synthUrl.as("url"),
-          synthPseudoLines(toks).as("text"))
-      CorpusPipeline.crawlPrepare(synth, minTokens = 20)
-    }),
+    "q_crawl_prepare" -> ((s, d) =>
+      CorpusPipeline.crawlPrepare(
+        linedDocuments(s, d)
+          .select(col("doc_id"), synthUrl.as("url"), col("text")),
+        minTokens = 20)),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
     // (the aggregation every trainMerges round repeats), top-20
@@ -707,13 +714,8 @@ object SparkEntry {
     // The corpus has no newlines, so pseudo-lines (10-token
     // segments) are synthesized deterministically first — both
     // engines replay the same segmentation.
-    "q_dedup_lines" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val lined = T(s, d, "documents")
-        .filter(size(toks) >= 1)
-        .select(col("doc_id"), synthPseudoLines(toks).as("text"))
-      Dedup.dedupLines(lined, minDf = 2)
-    }),
+    "q_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLines(linedDocuments(s, d), minDf = 2)),
     // exact-substring dedup transform (Lee et al. ExactSubstr): every
     // duplicated 8-token window's globally-first occurrence is kept
     // with its tokens PROTECTED; other occurrences' tokens are cut
@@ -723,12 +725,8 @@ object SparkEntry {
     // intra-doc line dedup: keep each distinct pseudo-line's FIRST
     // occurrence within a doc (no corpus-wide state — the within-doc
     // counterpart of q_dedup_lines)
-    "q_dedup_lines_within" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      Dedup.dedupLinesWithin(T(s, d, "documents")
-        .filter(size(toks) >= 1)
-        .select(col("doc_id"), synthPseudoLines(toks).as("text")))
-    }),
+    "q_dedup_lines_within" -> ((s, d) =>
+      Dedup.dedupLinesWithin(linedDocuments(s, d))),
     // winnowing fingerprints (MOSS): per doc, the rightmost-tie
     // window minima over k-gram hashes — the position-aware bounded
     // sketch whose guarantee (shared run >= w+k-1 => shared

@@ -776,6 +776,17 @@ object Dedup {
     * Output: doc_id, n_lines, n_removed, kept_text (surviving lines
     * re-joined with `delim`, empty string when everything was
     * boilerplate). */
+  /** Shared line explosion: (doc_id, pos, line, lh) with lh the md5
+    * line identity — fixed-width exchange keys instead of shuffling
+    * arbitrarily long line text as a key (the identity contract both
+    * line-dedup operators and their oracles share). */
+  private def explodeLines(docs: DataFrame, idCol: String,
+                           textCol: String, delim: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col").cast("binary")).as("lh"))
+
   def dedupLines(docs: DataFrame, minDf: Long = 2,
                  idCol: String = "doc_id", textCol: String = "text",
                  delim: String = "\n"): DataFrame = {
@@ -783,10 +794,7 @@ object Dedup {
     // persisted: the split/explode/md5 scan feeds BOTH the df branch
     // and the join probe — unpersisted it would run twice (the
     // prefixIndex tokenize-once discipline above)
-    val lines = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
-      .select(col("doc_id"), col("pos"), col("col").as("line"),
-        md5(col("col").cast("binary")).as("lh"))
+    val lines = explodeLines(docs, idCol, textCol, delim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lines.count() // complete the cache before the two branch reads
     // document frequency: reduce to one (doc, line) row BEFORE the
@@ -888,19 +896,18 @@ object Dedup {
     * the FIRST occurrence of each distinct line inside a document,
     * drop the repeats (chat transcripts, scraped pagination, list
     * stutter). No corpus-wide state at all: one window rank
-    * partitioned by (doc, line hash) and one reassembly groupBy —
-    * both shuffle on the doc id, so at 100 TB this is one pass with
-    * no cross-document exchange.
+    * partitioned by (doc id, line hash) and one reassembly groupBy.
+    * Every exchange key CONTAINS the doc id (spec-pinned), so no
+    * data ever moves across documents — at any scale the operator
+    * is embarrassingly parallel over docs.
     *
     * Output: doc_id, n_lines, n_removed, kept_text. */
   def dedupLinesWithin(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
                        delim: String = "\n"): DataFrame = {
-    val lines = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
-      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val lines = explodeLines(docs, idCol, textCol, delim)
     val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("line")).orderBy(col("pos"))
+      .partitionBy(col("doc_id"), col("lh")).orderBy(col("pos"))
     lines
       .withColumn("rn", row_number().over(firstOcc))
       .groupBy("doc_id")

@@ -613,6 +613,20 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, "solo")))
   }
 
+  test("dedupLinesWithin: every exchange key contains the doc id") {
+    // the operator's scaling promise: no data ever moves across
+    // documents — pin that each hash exchange partitions on doc_id
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"x\nx\nbody $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithin(docs)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(_.contains("doc_id")), plan)
+  }
+
   test("winnowFingerprints and cutDuplicatedSpans plan no pair join") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"HEAD ER LINE tok$i " * 3)).toDF("doc_id", "text")
