@@ -684,6 +684,12 @@ object SparkEntry {
     // tail terciles (the standard crawl partition)
     "q_ccnet_buckets" -> ((s, d) =>
       Corpus.perplexityBuckets(T(s, d, "documents"))),
+    // CCNet bucketing, 100 TB form: exact per-language tercile
+    // BOUNDARY scores via quantile-narrowed order statistics (no
+    // per-language sort task), bucket assignment as a scan-stage
+    // comparison; boundary-score ties all take the higher bucket
+    "q_ccnet_buckets_boundary" -> ((s, d) =>
+      Corpus.perplexityBucketsByBoundary(T(s, d, "documents"))),
     // crawl-prepare facade capstone: URL dedup → normalized-exact
     // dedup → line boilerplate removal → Gopher gate on the
     // REWRITTEN text, over the same synthesized URL variants and
@@ -2754,6 +2760,31 @@ object SparkEntry {
         |tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_tok_p DESC, doc_id ASC) AS tile FROM j)
         |SELECT doc_id, lang, n_tokens, avg_tok_p,
         |CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tl""".stripMargin,
+    // CCNet boundary form: same score table; tercile boundary scores
+    // recovered per language as order statistics (the value at ranks
+    // ceil(n/3) and ceil(2n/3) of the score-desc order), buckets by
+    // >= comparison so boundary ties take the higher bucket
+    "q_ccnet_buckets_boundary" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        |pdt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+        |sc AS (SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
+        |CAST(CAST(SUM(p.tf * c.cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) * t.total AS DOUBLE) AS avg_tok_p
+        |FROM pdt p JOIN cnt c USING (tok) CROSS JOIN tot t
+        |GROUP BY p.doc_id, t.total),
+        |j AS (SELECT s.doc_id, d.lang, s.n_tokens, s.avg_tok_p FROM sc s JOIN documents d USING (doc_id)),
+        |rk AS (SELECT lang, avg_tok_p,
+        |ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_tok_p DESC) AS r,
+        |COUNT(*) OVER (PARTITION BY lang) AS n FROM j),
+        |bd AS (SELECT lang,
+        |MAX(CASE WHEN r = (n + 2) // 3 THEN avg_tok_p END) AS b1,
+        |MAX(CASE WHEN r = (2 * n + 2) // 3 THEN avg_tok_p END) AS b2
+        |FROM rk GROUP BY lang)
+        |SELECT j.doc_id, j.lang, j.n_tokens, j.avg_tok_p,
+        |CASE WHEN j.avg_tok_p >= bd.b1 THEN 'head'
+        |WHEN j.avg_tok_p >= bd.b2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j JOIN bd USING (lang)""".stripMargin,
     // crawl-prepare: the four stages chained as one CTE pipeline —
     // pseudo-line + URL synthesis, canonical-URL keepers, normalized
     // keepers, line df + reassembly, Gopher battery on the rewritten

@@ -434,14 +434,17 @@ object Corpus {
     * Scale shape: the model is nBuckets rows — always broadcastable
     * by construction. Corpus work is one explode + two map-side-
     * combined aggregations + one broadcast probe; the only full
-    * shuffle is the per-doc aggregation. The top-N selection is a
-    * single global sort on (weight desc, id) — at 100 TB replace
-    * with an approx-quantile weight cutoff + boundary tie-sweep
-    * (same output, no single-reducer sort). Docs with <2 tokens have
-    * no bigrams and are not emitted. */
+    * shuffle is the per-doc aggregation. The top-N selection is the
+    * [[OrderStats.selectTopN]] cutoff + boundary tie-sweep (exact,
+    * bit-identical to the (weight desc, id) row_number definition,
+    * no single-reducer sort anywhere); `globalSortSelect = true`
+    * switches to the naive single-partition window, kept only as the
+    * equality baseline in the spec. Docs with <2 tokens have no
+    * bigrams and are not emitted. */
   def dsirWeights(docs: DataFrame, targetExpr: Column, selectN: Long,
                   nBuckets: Int = 1024, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  globalSortSelect: Boolean = false): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536,
       "nBuckets must be in 1..65536 (md5Bucket16 range)")
     // instance-level table, NOT a (doc, bucket, tf) pre-aggregation:
@@ -475,14 +478,30 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(tick).cast("long").as("weight_fp"))
-    val rk = org.apache.spark.sql.expressions.Window
-      .orderBy(col("weight_fp").desc, col("doc_id").asc)
-    CacheOps.materializeAndRelease(
-      weighted
-        .withColumn("selected", row_number().over(rk) <= selectN)
-        .select(col("doc_id"), col("n_bigrams"), col("weight_fp"),
-          col("selected")),
-      inst)
+    if (globalSortSelect) {
+      // reference form: exact but a single-partition sort at 100 TB —
+      // kept only as the equality baseline for the cutoff path
+      val rk = org.apache.spark.sql.expressions.Window
+        .orderBy(col("weight_fp").desc, col("doc_id").asc)
+      CacheOps.materializeAndRelease(
+        weighted.withColumn("selected", row_number().over(rk) <= selectN)
+          .select(col("doc_id"), col("n_bigrams"), col("weight_fp"),
+            col("selected")),
+        inst)
+    } else {
+      // production form: OrderStats cutoff + boundary tie sweep —
+      // bit-identical output (same (weight desc, id) total order),
+      // no un-partitioned window anywhere in the plan
+      val w2 = weighted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w2.count()
+      inst.unpersist(false)
+      CacheOps.materializeAndRelease(
+        OrderStats.selectTopN(w2, selectN, "weight_fp", "doc_id")
+          .select(col("doc_id"), col("n_bigrams"), col("weight_fp"),
+            col("selected")),
+        w2)
+    }
   }
 
   /** CCNet-style perplexity bucketing: score every document with the
@@ -516,5 +535,65 @@ object Corpus {
           .otherwise(lit("tail")))
       .select(col("doc_id"), col(groupCol), col("n_tokens"),
         col("avg_tok_p"), col("bucket"))
+  }
+
+  /** CCNet bucketing, 100 TB form: instead of sorting every language
+    * group in one task ([[perplexityBuckets]]'s ntile window), derive
+    * the two tercile BOUNDARY scores per language as exact order
+    * statistics ([[OrderStats.kthLargest]] — quantile-narrowed, no
+    * global sort) and assign buckets with a scan-stage comparison
+    * against the broadcast (group, b1, b2) table. Group cardinality
+    * must be driver-bounded (language codes are), since each group
+    * costs a few narrowing scans.
+    *
+    * Tie contract (the one delta vs the exact ntile form): every row
+    * whose score EQUALS a boundary score takes the higher bucket,
+    * whereas ntile splits boundary ties by doc_id — so the two forms
+    * agree on all rows except exact ties at a boundary value. Tercile
+    * sizes use the ntile convention: s1 = ceil(n/3), s1+s2 =
+    * ceil(2n/3). Deterministic and SQL-replayable (the driver oracle
+    * recomputes the boundary scores with a window, DuckDB-side). */
+  def perplexityBucketsByBoundary(docs: DataFrame,
+                                  groupCol: String = "lang",
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    val sizes = scored.groupBy(col(groupCol)).count().collect()
+    val bounds = sizes.map { r =>
+      val grpV = r.get(0)
+      val n = r.getLong(1)
+      val s1 = (n + 2) / 3
+      val s12 = (2 * n + 2) / 3
+      val grpPred =
+        if (grpV == null) col(groupCol).isNull
+        else col(groupCol) === lit(grpV)
+      val sub = scored.filter(grpPred)
+      val b1 = OrderStats.kthLargest(sub, "avg_tok_p", s1)._1
+      val b2 = OrderStats.kthLargest(sub, "avg_tok_p", s12)._1
+      org.apache.spark.sql.Row(grpV,
+        b1.asInstanceOf[Double], b2.asInstanceOf[Double])
+    }
+    val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__grp", docs.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField(
+        "__b1", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField(
+        "__b2", org.apache.spark.sql.types.DoubleType)))
+    val boundsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bounds.toSeq, 1), boundsSchema)
+    CacheOps.materializeAndRelease(
+      scored.join(broadcast(boundsDf), col(groupCol) <=> col("__grp"))
+        .withColumn("bucket",
+          when(col("avg_tok_p") >= col("__b1"), lit("head"))
+            .when(col("avg_tok_p") >= col("__b2"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col(groupCol), col("n_tokens"),
+          col("avg_tok_p"), col("bucket")),
+      scored)
   }
 }

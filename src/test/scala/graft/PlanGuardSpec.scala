@@ -247,4 +247,37 @@ class PlanGuardSpec extends SparkSpec {
       s"cluster-scoped dedup degenerated to all-pairs:\n$p")
     assert(p.contains("cell"), s"cell key missing from the plan:\n$p")
   }
+
+  test("dsir + ccnet boundary: no un-partitioned rank window anywhere") {
+    // the r12 scale findings: top-N / tercile selection must never be
+    // a single-partition row_number/ntile sort. Walk the physical
+    // plan INCLUDING cached relations and adaptive stages — these
+    // operators materialize internally, so the window would hide
+    // inside an InMemoryRelation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalRankWindows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          Seq("row_number", "ntile", "rank")
+            .exists(w.windowExpression.mkString(",").contains) => Seq(w)
+        case _ => Seq.empty
+      }
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      self ++ children.flatMap(globalRankWindows)
+    }
+    for (q <- Seq("q_dsir_weights", "q_ccnet_buckets_boundary")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bad = globalRankWindows(df.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"$q grew a single-partition rank window:\n${bad.mkString("\n")}")
+    }
+  }
 }

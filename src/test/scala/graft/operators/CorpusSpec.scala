@@ -249,6 +249,54 @@ class CorpusSpec extends SparkSpec {
     assert(out.find(_._2 == "fr").get._4 == "head")
   }
 
+  test("dsirWeights: cutoff selection is bit-identical to the global sort") {
+    // three identical high-weight docs put the selection boundary
+    // INSIDE a tie group — the cutoff path must admit exactly the
+    // lowest-id ties, matching the (weight desc, id asc) row_number
+    val docs = Seq(
+      (1L, true, "u v u v u"), (2L, false, "u v u v u"),
+      (3L, false, "u v u v u"), (4L, false, "m n m n"),
+      (5L, false, "m n m n"), (6L, false, "z q z"))
+      .toDF("doc_id", "is_t", "text")
+    def run(exact: Boolean) =
+      Corpus.dsirWeights(docs, col("is_t"), selectN = 2L, nBuckets = 64,
+          globalSortSelect = exact)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val cutoff = run(exact = false)
+    val baseline = run(exact = true)
+    assert(cutoff == baseline)
+    assert(cutoff.filter(_._4).map(_._1) == Seq(1L, 2L),
+      "boundary ties must admit the lowest ids")
+  }
+
+  test("perplexityBucketsByBoundary agrees with exact terciles (no ties)") {
+    val docs = Seq(
+      (1L, "en", "a a a a"), (2L, "en", "a a a b"), (3L, "en", "a a b b"),
+      (4L, "en", "a b b c"), (5L, "en", "b c c d"), (6L, "en", "d e f g"),
+      (7L, "fr", "a a"))
+      .toDF("doc_id", "lang", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "avg_tok_p", "bucket")
+        .as[(Long, String, Long, Double, String)].collect().sortBy(_._1).toSeq
+    val exact = collect(Corpus.perplexityBuckets(docs))
+    val bdry = collect(Corpus.perplexityBucketsByBoundary(docs))
+    // this corpus has no score ties, so the two forms must coincide
+    val scores = exact.filter(_._2 == "en").map(_._4)
+    assert(scores.distinct.size == scores.size, "fixture grew a tie")
+    assert(bdry == exact)
+  }
+
+  test("perplexityBucketsByBoundary: boundary ties take the higher bucket") {
+    // six identical docs → one score → everything is head (the exact
+    // ntile form would split 2/2/2 by id; the boundary contract does
+    // not — that asymmetry is the documented delta)
+    val docs = (1L to 6L).map(i => (i, "en", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val buckets = Corpus.perplexityBucketsByBoundary(docs)
+      .select("bucket").as[String].collect()
+    assert(buckets.length == 6 && buckets.forall(_ == "head"))
+  }
+
   test("crawlPrepare: stage interlock — df counts survivors only") {
     // docs 1 and 2 share a canonical URL → 2 dropped at stage 1.
     // The BANNER line appears in docs 1, 2, 3 — but after URL dedup

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OrderStatsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("kthLargest matches the sorted reference on longs with duplicates") {
+    val vals = Seq(5L, 3L, 9L, 9L, 1L, 7L, 3L, 9L)
+    val df = vals.toDF("w")
+    val sorted = vals.sorted(Ordering[Long].reverse)
+    for (k <- 1 to vals.length) {
+      val (v, cGt) = OrderStats.kthLargest(df, "w", k.toLong)
+      assert(v == sorted(k - 1), s"value at k=$k")
+      assert(cGt == sorted.count(_ > sorted(k - 1)), s"countGreater at k=$k")
+    }
+  }
+
+  test("kthLargest converges through the quantile-narrowing loop") {
+    // exactFinishRows far below the row count forces the pivot path
+    val vals = (1 to 500).map(_.toLong)
+    val df = vals.toDF("w").repartition(8)
+    for (k <- Seq(1L, 7L, 250L, 500L)) {
+      val (v, cGt) = OrderStats.kthLargest(df, "w", k,
+        relErr = 0.05, exactFinishRows = 20L)
+      assert(v == 501L - k && cGt == k - 1, s"k=$k got ($v, $cGt)")
+    }
+  }
+
+  test("kthLargest: degenerate all-equal band resolves via the bracket walk") {
+    val df = Seq.fill(300)(42L).toDF("w")
+    val (v, cGt) = OrderStats.kthLargest(df, "w", 150L,
+      exactFinishRows = 10L)
+    assert(v == 42L && cGt == 0L)
+  }
+
+  test("kthLargest on doubles returns the exact data value") {
+    val vals = Seq(0.1, 0.7, 0.7, 0.3, 0.9)
+    val df = vals.toDF("w")
+    assert(OrderStats.kthLargest(df, "w", 1L)._1 == 0.9)
+    assert(OrderStats.kthLargest(df, "w", 3L) == ((0.7, 1L)))
+    assert(OrderStats.kthLargest(df, "w", 5L) == ((0.1, 4L)))
+  }
+
+  test("kthLargest ignores nulls and rejects out-of-range k") {
+    val df = Seq(Some(4L), None, Some(2L)).toDF("w")
+    assert(OrderStats.kthLargest(df, "w", 2L)._1 == 2L)
+    intercept[IllegalArgumentException] {
+      OrderStats.kthLargest(df, "w", 3L) // only 2 non-null rows
+    }
+    intercept[IllegalArgumentException] {
+      OrderStats.kthLargest(df, "w", 0L)
+    }
+  }
+
+  test("selectTopN equals the global-sort definition incl. boundary ties") {
+    // the cutoff falls inside the 20-tie group: ids 2,3 admitted, 4 not
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L),
+      (5L, 30L), (6L, 5L)).toDF("doc_id", "w")
+    val out = OrderStats.selectTopN(df, 3L, "w", "doc_id")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
+  }
+
+  test("selectTopN property: random multisets match the sorted reference") {
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 1 to 3) {
+      val rows = (1L to 200L).map(id => (id, rnd.nextInt(20).toLong))
+      val n = 1L + rnd.nextInt(199)
+      val expect = rows.sortBy { case (id, w) => (-w, id) }
+        .take(n.toInt).map(_._1).toSet
+      val got = OrderStats.selectTopN(rows.toDF("doc_id", "w"), n, "w",
+          "doc_id", relErr = 0.1, exactFinishRows = 16L)
+        .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"trial $trial n=$n")
+    }
+  }
+
+  test("selectTopN edges: n<=0, n>=non-null total, nulls never selected") {
+    val df = Seq((1L, Some(1L)), (2L, None: Option[Long]))
+      .toDF("doc_id", "w")
+    assert(OrderStats.selectTopN(df, 0L, "w", "doc_id")
+      .filter(col("selected")).count() == 0)
+    val all = OrderStats.selectTopN(df, 5L, "w", "doc_id")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(all == Map(1L -> true, 2L -> false))
+    val one = OrderStats.selectTopN(df, 1L, "w", "doc_id")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(one == Map(1L -> true, 2L -> false))
+    // a null weight through the MAIN (kthLargest) path is false, not null
+    val df2 = Seq((1L, Some(10L)), (2L, Some(20L)),
+      (3L, None: Option[Long]), (4L, Some(5L))).toDF("doc_id", "w")
+    val two = OrderStats.selectTopN(df2, 2L, "w", "doc_id")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(two == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+}
