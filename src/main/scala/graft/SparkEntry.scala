@@ -845,10 +845,14 @@ object SparkEntry {
     // production seed default. Promoted rows-only -> oracle-green r9.
     "q_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
+      // tick means (floor(v·10⁶) longs) in BOTH engines: the former
+      // decimal-cast mean rounds at an engine-specific point (the
+      // divergence PQ actually hit at sf0.1 — SURVEY §6 r12)
       Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5,
         nCells = 8, nProbe = 3,
         seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
-          16, 10).cast("long"))
+          16, 10).cast("long"),
+        tickScale = Some(1000000L))
     }),
     // PQ-ADC search (the FAISS memory-compression path): m=4
     // per-subspace codebooks trained with the replayable md5 seed of
@@ -1743,7 +1747,7 @@ object SparkEntry {
   /** Oracle for q_ann_pq, generated because the four subspaces are
     * mechanical repeats: per subspace — seed slice (same 8
     * hash-ordered rows as q_ann_ivf), one Lloyd round (ordered-fold
-    * squared-L2 argmin + DECIMAL(28,9) means), encode; then ADC =
+    * squared-L2 argmin + fixed-point tick means), encode; then ADC =
     * the four per-subspace d2 terms summed in subspace order and the
     * per-probe top-5 over label-routed candidates. */
   private def annPqOracle: String = {
@@ -3181,7 +3185,7 @@ object SparkEntry {
         |FROM dv d CROSS JOIN seed s) WHERE rn = 1),
         |m1 AS (
         |SELECT cell, i.i AS pos,
-        |CAST(SUM(CAST(v[i.i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
         |FROM a0 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
         |c1 AS (
         |SELECT s.cell, COALESCE(mm.c, s.c) AS c
@@ -3195,7 +3199,7 @@ object SparkEntry {
         |FROM dv d CROSS JOIN c1 s) WHERE rn = 1),
         |m2 AS (
         |SELECT cell, i.i AS pos,
-        |CAST(SUM(CAST(v[i.i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
         |FROM a1 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
         |c2 AS (
         |SELECT s.cell, COALESCE(mm.c, s.c) AS c

@@ -156,9 +156,11 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seedHash: Column => Column = c => xxhash64(c)): DataFrame =
+              seedHash: Column => Column = c => xxhash64(c),
+              tickScale: Option[Long] = None): DataFrame =
     ivfTopK(corpus, probes, k,
-      trainCentroids(corpus, nCells, lloydIters, idCol, vecCol, seedHash),
+      trainCentroids(corpus, nCells, lloydIters, idCol, vecCol, seedHash,
+        tickScale),
       nProbe, idCol, vecCol)
 
   /** IVF top-k with PRE-TRAINED centroids — the production shape:
