@@ -102,6 +102,42 @@ object Prof {
       docsS.unpersist()
       spark.stop(); return
     }
+    // PROF_BPE=1 — encode-kernel experiment for BASELINE.md: train a
+    // real merge list once (small SF), then time the two apply
+    // kernels on the bench corpus at two vocab sizes. applyMerges
+    // replays merges in training order (O(nMerges) expression depth —
+    // cost grows with the vocab); LongestMatchEncode walks a trie
+    // (O(word) per row — cost flat in the vocab). PROF_BPE_REPLICATE
+    // scales the corpus (default 20x sf0.1 documents).
+    if (sys.env.get("PROF_BPE").contains("1")) {
+      val rep = sys.env.getOrElse("PROF_BPE_REPLICATE", "20").toInt
+      val train = sources.Tables.load(spark, "/root/testdata/sf0.01",
+        "documents")
+      val merges = time("train.96merges")(
+        operators.Bpe.trainMerges(train, nMerges = 96, minCount = 2L))
+      val corpus = (1 to rep).map(i =>
+          docs.select(col("text"))).reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inToks = time("corpus.count.tokens")(
+        corpus.select(sum(size(TextFunctions.tokens(col("text")))))
+          .collect()(0).getLong(0))
+      println(s"[prof] corpus: $inToks input word-tokens, " +
+        s"${merges.length} merges trained")
+      for (n <- Seq(24, 96)) {
+        val m = merges.take(n)
+        val v = operators.Bpe.vocabFromMerges(m)
+        time(s"applyMerges.$n")(
+          corpus.select(sum(size(flatten(
+            operators.Bpe.applyMerges(col("text"), m)))))
+            .collect()(0).getLong(0))
+        time(s"encodeLongestMatch.$n")(
+          corpus.select(sum(size(
+            operators.Bpe.encodeLongestMatch(col("text"), v))))
+            .collect()(0).getLong(0))
+      }
+      corpus.unpersist()
+      spark.stop(); return
+    }
     // PROF_BLOOM=1 — the bloomSemiJoin design experiment: on a
     // probe >> build semi join where the build side cannot broadcast
     // (autoBroadcastJoinThreshold=-1 stands in for "too big"),

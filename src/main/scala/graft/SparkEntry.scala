@@ -40,6 +40,14 @@ object SparkEntry {
         lit("?b=2&a=1#section")))
   }
 
+  /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
+    * Spark query and the DuckDB oracle so every greedy-longest-match
+    * split decision is replayed bit-exactly on both sides. */
+  private val bpeEncodeVocab: Seq[String] = Seq(
+    "the", "th", "he", "in", "er", "an", "re", "on", "at", "en",
+    "ing", "and", "ion", "tion", "es", "or", "te", "ed", "is", "it",
+    "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou")
+
   private def synthPseudoLines(toks: Column): Column =
     array_join(
       transform(
@@ -715,6 +723,16 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("a"), col("b"), col("cnt"))
     }),
+    // BPE production ENCODE: greedy longest-match (maximal munch)
+    // against a fixed literal vocab — the LongestMatchEncode trie
+    // expression; output = corpus subword-token frequencies. The
+    // oracle replays the greedy scan with a recursive CTE over the
+    // same vocab literal, so every split decision is hash-checked.
+    "q_bpe_encode" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(explode(
+          Bpe.encodeLongestMatch(col("text"), bpeEncodeVocab)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
     // line-level boilerplate dedup (C4/RefinedWeb): lines appearing
     // in >= 2 distinct docs are removed, docs reassembled in order.
     // The corpus has no newlines, so pseudo-lines (10-token
@@ -2871,6 +2889,31 @@ object SparkEntry {
         |SELECT rank, a, b, cnt FROM (
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank, a, b, cnt FROM c)
         |WHERE rank <= 20""".stripMargin,
+    // BPE production encode: the greedy longest-match scan replayed
+    // as a recursive CTE — per (doc, word) the cursor advances by the
+    // longest vocab entry matching at pos (single char when none),
+    // so every split decision the trie expression makes is re-derived
+    // and the corpus token frequencies hash-compare
+    "q_bpe_encode" -> {
+      val vlist = bpeEncodeVocab.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE vocab AS (SELECT unnest([$vlist]) AS tok),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
+         |enc AS (
+         |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word, pos + mlen AS pos,
+         |list_append(out, substring(word, pos, mlen)) AS out FROM (
+         |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
+         |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
+         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
+         |WHERE e.pos <= len(e.word)
+         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
+         |fin AS (SELECT out FROM enc WHERE pos > len(word)),
+         |ft AS (SELECT unnest(out) AS token FROM fin)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
+    },
     // line-level boilerplate dedup: replay the 10-token pseudo-line
     // synthesis, count DISTINCT docs per line, remove df>=2 lines,
     // reassemble with string_agg ordered by line position

@@ -131,4 +131,23 @@ object Bpe {
       merges.foldLeft(charSymbols(w)) { case (syms, (a, b)) =>
         mergePair(syms, a, b)
       })
+
+  /** Vocabulary of a trained merge list: every merge product, first
+    * occurrence order. Single characters are implicitly in-vocab —
+    * they are the encoder's fallback (the Sennrich base alphabet). */
+  def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] =
+    merges.map { case (a, b) => a + b }.distinct
+
+  /** PRODUCTION encoder: greedy longest-match against the vocabulary
+    * table ([[graft.expressions.LongestMatchEncode]]) — O(word) per
+    * row whatever the vocab size, vs [[applyMerges]]'s O(nMerges)
+    * expression depth. Maximal munch is the deployed-tokenizer
+    * semantics (WordPiece / SentencePiece-BPE apply), NOT always the
+    * same split as replaying merges in training order — both are
+    * deterministic; pick one per model and stay with it. Whitespace
+    * words encode independently; the whole text becomes one flat
+    * token array. */
+  def encodeLongestMatch(text: Column, vocab: Seq[String]): Column =
+    flatten(transform(TextFunctions.tokens(text), w =>
+      graft.expressions.BpeEncode.longestMatch(w, vocab)))
 }

@@ -110,6 +110,81 @@ class BpeSpec extends SparkSpec {
     assert(toks(0L).map(_.toList) == refSeg)
   }
 
+  // ---- local reference longest-match encoder (code-point greedy) ----
+  private def refLongestMatch(word: String, vocab: Set[String]): List[String] = {
+    val maxLen = (vocab.map(_.length) + 1).max
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      var found = -1
+      var j = math.min(word.length, i + maxLen)
+      while (j > i && found < 0) {
+        if (vocab.contains(word.substring(i, j))) found = j
+        else j -= 1
+      }
+      if (found < 0) found = i + Character.charCount(word.codePointAt(i))
+      out += word.substring(i, found)
+      i = found
+    }
+    out.toList
+  }
+
+  test("encodeLongestMatch picks maximal munch with single-char fallback") {
+    val vocab = Seq("ab", "abc", "c")
+    val got = Seq("abc abd xcab").toDF("text")
+      .select(Bpe.encodeLongestMatch(col("text"), vocab).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("abc", "ab", "d", "x", "c", "ab"))
+  }
+
+  test("encodeLongestMatch equals the sequential reference on random text") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 12).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString).distinct
+      // words range over a WIDER alphabet than the vocab, so the
+      // fallback path fires
+      val words = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(5)).toChar)
+          .mkString)
+      val got = Seq(words.mkString(" ")).toDF("text")
+        .select(Bpe.encodeLongestMatch(col("text"), vocab).as("t"))
+        .as[Seq[String]].head()
+      val want = words.flatMap(w => refLongestMatch(w, vocab.toSet))
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("encodeLongestMatch: multi-byte characters stay whole") {
+    val vocab = Seq("éé", "日本")
+    val text = "ééx 日本語 a😀b"
+    val got = Seq(text).toDF("text")
+      .select(Bpe.encodeLongestMatch(col("text"), vocab).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("éé", "x", "日本", "語",
+      "a", "😀", "b"))
+    val want = text.split(" ").toSeq
+      .flatMap(w => refLongestMatch(w, vocab.toSet))
+    assert(got == want)
+  }
+
+  test("encodeLongestMatch with a trained vocab: lossless, in-vocab tokens") {
+    val docs = Seq(
+      (1L, "banana bandana banana cabana"),
+      (2L, "banana bandana cabana cabana")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 6)
+    val vocab = Bpe.vocabFromMerges(merges)
+    assert(vocab.nonEmpty)
+    val toks = docs.select(col("doc_id"),
+        Bpe.encodeLongestMatch(col("text"), vocab).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(toks(1L).mkString ==
+      "banana bandana banana cabana".split(" ").mkString)
+    assert(toks.values.flatten.forall(t =>
+      vocab.contains(t) || t.length == 1))
+  }
+
   test("trainMerges equals reference on random corpora") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
