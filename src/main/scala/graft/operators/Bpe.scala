@@ -87,7 +87,15 @@ object Bpe {
     * a asc, b asc), fully deterministic — and rewrites the
     * vocabulary table with [[mergePair]]. Stops early when no pair
     * occurs at least `minCount` times. Returns the ordered merge
-    * list (the tokenizer model). */
+    * list (the tokenizer model).
+    *
+    * Ordering contract: symbol ties break in UNICODE CODE-POINT
+    * order (Spark's binary UTF-8 string order). Java's
+    * `String.compareTo` sorts by UTF-16 code UNIT and disagrees for
+    * supplementary-plane symbols (an emoji's surrogate 0xD83x sorts
+    * BELOW U+E000..U+FFFF in UTF-16 but ABOVE in code points) — any
+    * JVM-side replay of the tie-break must compare code points, as
+    * BpeSpec's reference does. */
   def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
                   textCol: String = "text"): Seq[(String, String)] = {
     var words = wordFreqs(docs, textCol)

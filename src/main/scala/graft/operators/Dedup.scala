@@ -50,16 +50,31 @@ object Dedup {
     * join, no text read — at 100 TB this collapses re-crawls without
     * touching the document bodies. `n_url_variants` counts the
     * distinct raw spellings each canonical absorbed (>1 = the
-    * duplication raw-URL dedup would have missed). */
+    * duplication raw-URL dedup would have missed).
+    *
+    * Null/empty-URL rows are NOT deduplicated against each other:
+    * each survives as its own singleton group with a null
+    * canonical_url (grouping them would silently drop every no-URL
+    * doc but one — [[CorpusPipeline.crawlPrepare]] routes these rows
+    * around the dedup explicitly; direct callers get the same
+    * protection here). */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
-               idCol: String = "doc_id"): DataFrame =
+               idCol: String = "doc_id"): DataFrame = {
+    // the flag rides in the grouping key, so a no-URL row's id-keyed
+    // singleton group can never collide with a real canonical URL
+    val noUrl = col(urlCol).isNull || col(urlCol) === ""
+    val key = when(noUrl, col(idCol).cast("string"))
+      .otherwise(TextFunctions.canonicalizeUrl(col(urlCol)))
     docs
-      .withColumn("canonical_url",
-        TextFunctions.canonicalizeUrl(col(urlCol)))
-      .groupBy("canonical_url")
+      .groupBy(noUrl.as("__nourl"), key.as("__k"))
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"),
         count_distinct(col(urlCol)).as("n_url_variants"))
+      .select(
+        when(col("__nourl"), lit(null)).otherwise(col("__k"))
+          .as("canonical_url"),
+        col("keeper_doc_id"), col("n_copies"), col("n_url_variants"))
+  }
 
   /** Shared prefix-filtered inverted-index scaffolding for the
     * set-similarity joins: tokenize once (persisted), df-rank tokens
@@ -798,19 +813,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lines.count() // complete the cache before the two branch reads
     // document frequency: reduce to one (doc, line) row BEFORE the
-    // count so the shuffle and the count are both degree-independent
-    val df_ = lines.select("doc_id", "lh").distinct()
+    // count so the shuffle and the count are both degree-independent.
+    // BLANK lines (consecutive/trailing delimiters) are exempt: a
+    // blank present in >= minDf docs is a paragraph break, not
+    // boilerplate (the C4/RefinedWeb convention) — they skip the df
+    // table entirely and the left join keeps them (null df)
+    val df_ = lines.filter(col("line") =!= "")
+      .select("doc_id", "lh").distinct()
       .groupBy("lh").agg(count(lit(1)).as("line_df"))
     // collect_list skips nulls, so the boilerplate lines vanish from
     // the reassembly struct without a second filtered branch
-    val out = lines.join(df_, "lh")
+    val removed = coalesce(col("line_df"), lit(0L)) >= minDf
+    val out = lines.join(df_, Seq("lh"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(removed, 1L).otherwise(0L)).as("n_removed"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("line_df") < minDf, struct(col("pos"), col("line"))))),
+              when(!removed, struct(col("pos"), col("line"))))),
             s => s.getField("line")),
           delim).as("kept_text"))
     CacheOps.materializeAndRelease(out, lines)
@@ -908,15 +929,19 @@ object Dedup {
     val lines = explodeLines(docs, idCol, textCol, delim)
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("lh")).orderBy(col("pos"))
+    // blank lines are structure, not content: a repeated paragraph
+    // break inside one doc must survive (same exemption as
+    // [[dedupLines]])
+    val repeat = col("rn") > 1 && col("line") =!= ""
     lines
       .withColumn("rn", row_number().over(firstOcc))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(repeat, 1L).otherwise(0L)).as("n_removed"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("rn") === 1, struct(col("pos"), col("line"))))),
+              when(!repeat, struct(col("pos"), col("line"))))),
             s => s.getField("line")),
           delim).as("kept_text"))
   }
@@ -956,10 +981,18 @@ object Dedup {
         md5(col("col").cast("binary")).as("h"))
       // sortable selection key: hash asc, then POSITION DESC via the
       // 9-digit descending complement — the rightmost-tie rule as a
-      // plain string min (positions < 1e9 by construction: a single
-      // document's token count)
+      // plain string min. Positions >= 1e9 would go NEGATIVE and
+      // lpad would silently truncate the "-…" string, corrupting the
+      // order — fail loudly instead (a single document with a
+      // billion tokens is a data bug, not a workload)
       .withColumn("key", concat(col("h"),
-        lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
+        lpad((lit(999999999) -
+          when(col("pos") <= lit(999999999), col("pos"))
+            .otherwise(raise_error(concat(
+              lit("winnowFingerprints: token position "),
+              col("pos").cast("string"),
+              lit(" exceeds the 9-digit rightmost-tie key bound")))
+              .cast("int"))).cast("string"), 9, "0")))
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, w - 1)

@@ -14,10 +14,27 @@ class BpeSpec extends SparkSpec {
       case Nil => Nil
     }
 
+  // the trainer's documented tie-break is CODE-POINT order (Spark's
+  // binary UTF-8 string order) — Java compareTo (UTF-16 code units)
+  // disagrees for supplementary-plane symbols, so the reference must
+  // compare code points explicitly
+  private def cpCompare(x: String, y: String): Int = {
+    val xi = x.codePoints().toArray
+    val yi = y.codePoints().toArray
+    val n = math.min(xi.length, yi.length)
+    var i = 0
+    while (i < n) {
+      if (xi(i) != yi(i)) return Integer.compare(xi(i), yi(i))
+      i += 1
+    }
+    Integer.compare(xi.length, yi.length)
+  }
+
   private def refTrain(freqs: Map[String, Long], nMerges: Int,
                        minCount: Long): Seq[(String, String)] = {
     var vocab = freqs.toSeq.map { case (w, f) =>
-      (w.map(_.toString).toList, f)
+      // code-point symbols, matching charSymbols' split("")
+      (w.codePoints().toArray.toList.map(Character.toString), f)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -27,13 +44,38 @@ class BpeSpec extends SparkSpec {
       }.groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 >= minCount)
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), _) = counts.toSeq
-          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        val ((a, b), _) = counts.toSeq.sortWith {
+          case (((a1, b1), c1), ((a2, b2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val ca = cpCompare(a1, a2)
+              if (ca != 0) ca < 0 else cpCompare(b1, b2) < 0
+            }
+        }.head
         merges += ((a, b))
         vocab = vocab.map { case (s, f) => (refMerge(s, a, b), f) }
       }
     }
     merges.toSeq
+  }
+
+  test("trainMerges tie-break is code-point order, not UTF-16 order") {
+    // (x, U+E000) and (x, U+1F600 😀) tie at cnt=2: code points say
+    // U+E000 < U+1F600, UTF-16 code units say the opposite (0xD83D
+    // surrogate < 0xE000) — the trainer and the fixed reference must
+    // both pick U+E000 first
+    val e000 = "\ue000"
+    val emoji = new String(Character.toChars(0x1f600))
+    val text = s"x$e000 x$e000 x$emoji x$emoji"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, nMerges = 2)
+    assert(got.head == ("x", e000), s"got $got")
+    val freqs = text.split(" ").groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    assert(got == refTrain(freqs, 2, 2L))
+    // and the UTF-16 comparator would have picked the emoji first
+    assert(List(e000, emoji).min == emoji,
+      "fixture no longer exercises the UTF-16/code-point divergence")
   }
 
   test("mergePair is left-to-right non-overlapping") {

@@ -538,6 +538,48 @@ class DedupSpec extends SparkSpec {
     assert(out("https://a.com/y") == ((3L, 1L, 1L)))
   }
 
+  test("urlDedup: null/empty URLs are singleton groups, never merged") {
+    val docs = Seq(
+      (5L, Some("https://A.com/x")),
+      (9L, Some("https://a.com/x/")),
+      (2L, None: Option[String]),
+      (4L, None: Option[String]),
+      (6L, Some("")))
+      .toDF("doc_id", "url")
+    val out = Dedup.urlDedup(docs)
+      .as[(Option[String], Long, Long, Long)].collect()
+    // the two real variants collapse; docs 2, 4, 6 each survive as
+    // their own null-canonical group (silent data loss otherwise)
+    assert(out.length == 4)
+    assert(out.toSet.contains((Some("https://a.com/x"), 5L, 2L, 2L)))
+    val noUrl = out.filter(_._1.isEmpty)
+    assert(noUrl.map(_._2).sorted.toSeq == Seq(2L, 4L, 6L))
+    assert(noUrl.forall(r => r._3 == 1L))
+  }
+
+  test("dedupLines: blank lines are paragraph breaks, never boilerplate") {
+    // the blank between paragraphs appears in BOTH docs (df=2) but
+    // must survive; the banner (also df=2) must not
+    val docs = Seq(
+      (1L, "BANNER\npara one\n\npara two"),
+      (2L, "BANNER\npara three\n\npara four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, minDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 1L, "para one\n\npara two")))
+    assert(out(2L) == ((4L, 1L, "para three\n\npara four")))
+  }
+
+  test("dedupLinesWithin: repeated blank lines inside one doc survive") {
+    val docs = Seq((1L, "alpha\n\nbeta\n\nalpha"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithin(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 1L, "alpha\n\nbeta\n")))
+  }
+
   test("cutDuplicatedSpans keeps the first occurrence, cuts the rest") {
     // identical docs: doc 1 keeps everything, doc 2 is fully cut
     val docs = Seq(
