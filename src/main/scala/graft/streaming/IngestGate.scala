@@ -241,11 +241,18 @@ object IngestGate {
     * probe to the derive-in-flight path over the still-intact
     * originals until the next compaction. On an in-memory catalog
     * the table does not survive a JVM restart at all — same demotion,
-    * same self-heal (see [[Bucketing.writeBucketed]]'s notes). */
-  private def compactSketchIndex(spark: SparkSession, outDir: String,
-                                 batchId: Long, numHashes: Int, bands: Int,
-                                 indexTable: Option[String],
-                                 indexBuckets: Int): Unit = {
+    * same self-heal (see [[Bucketing.writeBucketed]]'s notes).
+    *
+    * `failAfter` is TEST-ONLY fault injection (IngestGateSpec's
+    * kill-between-steps legs): 2 = throw after the index rebuild and
+    * before the rename; 3 = throw after the rename and before the
+    * original-directory deletes. Production call sites never set it. */
+  private[graft] def compactSketchIndex(spark: SparkSession, outDir: String,
+                                        batchId: Long, numHashes: Int,
+                                        bands: Int,
+                                        indexTable: Option[String],
+                                        indexBuckets: Int,
+                                        failAfter: Int = 0): Unit = {
     val sketchDir = s"$outDir/sketch"
     val sketchPath = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = sketchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,6 +268,9 @@ object IngestGate {
           numHashes, bands),
         t, Seq("bandkey"), indexBuckets)
     }
+    if (failAfter == 2)
+      throw new IllegalStateException(
+        "failpoint 2: crashed after the index rebuild, before the rename")
     val dest = new org.apache.hadoop.fs.Path(s"$sketchDir/batch=c$batchId")
     val originals = fs.listStatus(sketchPath)
       .filter(_.isDirectory).map(_.getPath)
@@ -275,6 +285,9 @@ object IngestGate {
       throw new IllegalStateException(
         s"sketch compaction rename $tmp -> $dest failed; " +
           "original batch directories left intact")
+    if (failAfter == 3)
+      throw new IllegalStateException(
+        "failpoint 3: crashed after the rename, before the deletes")
     originals.foreach(p => fs.delete(p, true))
   }
 }

@@ -181,6 +181,97 @@ class IngestGateSpec extends SparkSpec {
     assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compaction crash between index rebuild and rename self-heals") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_f2").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    val corpusDocs = Seq((1L, words("c1"))).toDF("doc_id", "text")
+    val t0 = System.currentTimeMillis() - 60000
+    writeOneFile(Seq((10L, words("c1") + " t10"), (11L, words("a")))
+      .toDF("doc_id", "text"), s"$docsDir/day1.parquet", t0)
+    writeOneFile(Seq((20L, words("b"))).toDF("doc_id", "text"),
+      s"$docsDir/day2.parquet", t0 + 10000)
+    IngestGate.nearDupGate(spark, docsDir,
+      Dedup.minhashSketch(corpusDocs, numHashes = 16),
+      s"$tmp/gate", s"$tmp/ckpt", threshold = 0.8, numHashes = 16,
+      bands = 8, compactEvery = 99, indexTable = Some("graft_gate_f2_idx"))
+    def sketchDirs = new java.io.File(s"$tmp/gate/sketch").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def sketchIds = spark.read.parquet(s"$tmp/gate/sketch")
+      .select("id").as[Long].collect().sorted.toSeq
+    val crash = intercept[IllegalStateException] {
+      IngestGate.compactSketchIndex(spark, s"$tmp/gate", 1L, 16, 8,
+        Some("graft_gate_f2_idx"), 16, failAfter = 2)
+    }
+    assert(crash.getMessage.contains("failpoint 2"))
+    // crash-window state: temp fold orphaned, originals untouched,
+    // no index entry lost, and the rebuilt stored table already
+    // covers the whole corpus
+    assert(new java.io.File(s"$tmp/gate/sketch_compact_tmp").exists())
+    assert(sketchDirs == Seq("batch=0", "batch=1", "batch=seed"))
+    assert(sketchIds == Seq(1L, 11L, 20L))
+    assert(spark.table("graft_gate_f2_idx").select("id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 11L, 20L))
+    // the next compaction heals: tmp cleared, one fold, ids exactly once
+    IngestGate.compactSketchIndex(spark, s"$tmp/gate", 2L, 16, 8,
+      Some("graft_gate_f2_idx"), 16)
+    assert(!new java.io.File(s"$tmp/gate/sketch_compact_tmp").exists())
+    assert(sketchDirs == Seq("batch=c2"))
+    assert(sketchIds == Seq(1L, 11L, 20L))
+  }
+
+  test("compaction crash between rename and delete: duplicate evidence at worst, then heals") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_f3").toString
+    val docsDir = s"$tmp/docs"
+    new java.io.File(docsDir).mkdirs()
+    def words(p: String) = (0 until 10).map(k => s"${p}_$k").mkString(" ")
+    val corpusDocs = Seq((1L, words("c1"))).toDF("doc_id", "text")
+    val novelA = words("a")
+    val t0 = System.currentTimeMillis() - 60000
+    writeOneFile(Seq((10L, words("c1") + " t10"), (11L, novelA))
+      .toDF("doc_id", "text"), s"$docsDir/day1.parquet", t0)
+    writeOneFile(Seq((20L, words("b"))).toDF("doc_id", "text"),
+      s"$docsDir/day2.parquet", t0 + 10000)
+    IngestGate.nearDupGate(spark, docsDir,
+      Dedup.minhashSketch(corpusDocs, numHashes = 16),
+      s"$tmp/gate", s"$tmp/ckpt", threshold = 0.8, numHashes = 16,
+      bands = 8, compactEvery = 99, indexTable = Some("graft_gate_f3_idx"))
+    def sketchDirs = new java.io.File(s"$tmp/gate/sketch").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def sketchIds = spark.read.parquet(s"$tmp/gate/sketch")
+      .select("id").as[Long].collect().sorted.toSeq
+    val crash = intercept[IllegalStateException] {
+      IngestGate.compactSketchIndex(spark, s"$tmp/gate", 1L, 16, 8,
+        Some("graft_gate_f3_idx"), 16, failAfter = 3)
+    }
+    assert(crash.getMessage.contains("failpoint 3"))
+    // crash-window state: fold renamed in AND originals still there —
+    // every id doubly represented, none lost
+    assert(sketchDirs == Seq("batch=0", "batch=1", "batch=c1", "batch=seed"))
+    assert(sketchIds == Seq(1L, 1L, 11L, 11L, 20L, 20L))
+    // the gate keeps working over the doubled index: day3's near-dup
+    // of an admitted doc is still caught (duplicate evidence at
+    // worst), its novel doc still admitted
+    writeOneFile(Seq((30L, novelA + " t30"), (31L, words("cc")))
+      .toDF("doc_id", "text"), s"$docsDir/day3.parquet", t0 + 20000)
+    val (admitted, quarantine) = IngestGate.nearDupGate(spark, docsDir,
+      Dedup.minhashSketch(corpusDocs, numHashes = 16),
+      s"$tmp/gate", s"$tmp/ckpt", threshold = 0.8, numHashes = 16,
+      bands = 8, compactEvery = 99, indexTable = Some("graft_gate_f3_idx"))
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 20L, 31L))
+    assert(quarantine.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet == Set((10L, 1L), (30L, 11L)))
+    // the next compaction's id-dedup heals the double representation
+    IngestGate.compactSketchIndex(spark, s"$tmp/gate", 3L, 16, 8,
+      Some("graft_gate_f3_idx"), 16)
+    assert(sketchDirs == Seq("batch=c3"))
+    assert(sketchIds == Seq(1L, 11L, 20L, 31L))
+    assert(spark.table("graft_gate_f3_idx").select("id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 11L, 20L, 31L))
+  }
+
   test("compaction bounds the sketch dirs and the stored bucketed index probes with one exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gate_cp").toString
     val docsDir = s"$tmp/docs"
