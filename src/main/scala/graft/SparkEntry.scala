@@ -1016,12 +1016,20 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
           col("media_meta.n_bytes").as("n_bytes"),
           col("media_meta.sha").as("sha"))),
+    // REAL image decode (javax.imageio): synthesize a deterministic
+    // RGB PNG per doc, decode it back through the batched codec —
+    // PNG is lossless, so width/height/bands and the exact
+    // per-channel sample sums replay in SQL from the synthesis
+    // arithmetic (promoted from rows-only to oracle-green r13)
     "q_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        Multimodal.asMedia(T(s, d, "documents").select("doc_id", "text"),
-          "text", "text/plain"))
-        .select(col("doc_id"), col("feat_len").cast("long").as("feat_len"),
-          col("feat_checksum"))),
+        Multimodal.asMedia(
+          Multimodal.synthRgbPng(T(s, d, "documents").select("doc_id")),
+          "png", "image/png")
+          .select("doc_id", "payload", "media_meta"),
+        Multimodal.imageIoCodec)
+        .select("doc_id", "feat_width", "feat_height", "feat_channels",
+          "feat_sum_r", "feat_sum_g", "feat_sum_b")),
     // ---- K. nested / json -----------------------------------------------
     "q_json_flatten" -> ((s, d) =>
       NestedOps.flattenJson(
@@ -3401,6 +3409,21 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS sha
         |FROM documents""".stripMargin,
+    // media features: PNG decode is lossless, so the decoded
+    // per-channel sums ARE the synthesis arithmetic — re-derive them
+    // with generate_series over the same (w, h, pixel-formula) space
+    "q_media_features" ->
+      """WITH dims AS (SELECT doc_id,
+        |CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |CAST(3 + doc_id % 4 AS INTEGER) AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x FROM dims),
+        |gxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y FROM gx)
+        |SELECT doc_id, w AS feat_width, h AS feat_height,
+        |CAST(3 AS INTEGER) AS feat_channels,
+        |CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS feat_sum_r,
+        |CAST(SUM((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS feat_sum_g,
+        |CAST(SUM((3 * doc_id + x + 13 * y) % 256) AS BIGINT) AS feat_sum_b
+        |FROM gxy GROUP BY doc_id, w, h""".stripMargin,
     "q_json_flatten" ->
       """SELECT event_id, event_type,
         |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

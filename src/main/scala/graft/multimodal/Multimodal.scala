@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed
   * metadata, with batch-shaped processing hooks.
   *
-  * The decode step itself is STUBBED (no image/audio libs in this
-  * container): [[decodeImageStub]] derives deterministic fake
-  * dimensions from the payload hash. Everything around it — the
-  * schema contract, binary column handling, per-partition batch
-  * processing, and partition sizing — is the real 100 TB plumbing:
-  * payloads stay opaque bytes end-to-end, metadata travels in a
-  * struct column, and heavy decode work runs `mapPartitions`-style so
-  * a real codec would amortize per-batch setup.
+  * IMAGE decode and resize are REAL since r13 — `javax.imageio` +
+  * AWT ship in the JDK, no new dependency: [[imageIoCodec]] decodes
+  * PNG/JPEG payloads to width/height/band-count + exact per-channel
+  * sample sums, [[resizeImages]] resamples to a max edge and
+  * re-encodes. The original hash-derived stubs remain as the
+  * no-codec fallbacks ([[decodeImageStub]], [[resizeStub]],
+  * [[byteStatsCodec]]). VIDEO frame sampling stays the one declared
+  * stub — the JDK has no video codec; [[frameSampleStub]] keeps the
+  * real (payload, frame_idx) explode contract for when one is
+  * injected. Everything else — the schema contract, binary column
+  * handling, per-partition batch processing with once-per-partition
+  * codec init — is the real 100 TB plumbing.
   */
 object Multimodal {
 
@@ -98,6 +102,147 @@ object Multimodal {
       while (i < bytes.length) { cs = cs * 31 + (bytes(i) & 0xff); i += 1 }
       Seq[Any](bytes.length.toLong, cs)
     })
+
+  /** REAL image decode via `javax.imageio` (in the JDK — zero new
+    * dependencies): width, height, raster band count, and the EXACT
+    * per-channel sample sums (long — integers survive any engine, a
+    * float mean would not). PNG is lossless, so decoded samples equal
+    * the encoder's input and the features are bit-replayable from the
+    * synthesis arithmetic (what promotes q_media_features to
+    * oracle-green). Unrecognized or corrupt payloads yield all-null
+    * features — the quarantine signal, not an abort; a missing band
+    * (grayscale) nulls only that channel's sum. `open()` disables
+    * ImageIO's disk cache once per partition. */
+  val imageIoCodec: BatchCodec = BatchCodec(
+    features = Seq(
+      StructField("feat_width", IntegerType, nullable = true),
+      StructField("feat_height", IntegerType, nullable = true),
+      StructField("feat_channels", IntegerType, nullable = true),
+      StructField("feat_sum_r", LongType, nullable = true),
+      StructField("feat_sum_g", LongType, nullable = true),
+      StructField("feat_sum_b", LongType, nullable = true)),
+    open = () => {
+      javax.imageio.ImageIO.setUseCache(false)
+      bytes => {
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Seq[Any](null, null, null, null, null, null)
+        else {
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](bands)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) {
+                sums(b) += raster.getSample(x, y, b)
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          def s(i: Int): Any = if (i < bands) sums(i) else null
+          Seq[Any](w, h, bands, s(0), s(1), s(2))
+        }
+      }
+    })
+
+  /** Deterministic RGB PNG synthesis — the media-pipeline fixture
+    * (the image libs that would DOWNLOAD test corpora are not in the
+    * container, but the JDK encoder is): doc `d` becomes a
+    * (4 + d%5) × (3 + d%4) image whose pixel (x, y) has channels
+    * r = (d + 3x + 7y) % 256, g = (2d + 5x + 11y) % 256,
+    * b = (3d + x + 13y) % 256 — pure arithmetic, so a SQL oracle
+    * re-derives every decoded feature without decoding anything.
+    * Appends a `png` binary column. */
+  def synthRgbPng(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("png", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val w = (4 + d % 5).toInt
+        val h = (3 + d % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = ((d + 3L * x + 7L * y) % 256).toInt
+            val green = ((2L * d + 5L * x + 11L * y) % 256).toInt
+            val blue = ((3L * d + x + 13L * y) % 256).toInt
+            img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL image resize (AWT resample + PNG re-encode, JDK-only):
+    * scale so the longest edge is at most `maxEdge` (never upscale),
+    * preserving aspect ratio — floor dims, min 1px. Appends
+    * `resized_payload` (null when the payload does not decode — the
+    * passthrough/quarantine signal) next to the untouched original.
+    * Replaces [[resizeStub]] as the production path; the stub stays
+    * for payloads with no codec. */
+  def resizeImages(df: DataFrame, maxEdge: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    require(maxEdge >= 1, s"maxEdge must be >= 1, got $maxEdge")
+    val out = StructType(df.schema.fields :+
+      StructField("resized_payload", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val resized: Any =
+          if (img == null) null
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+            val nw = math.max(1, math.floor(w * scale).toInt)
+            val nh = math.max(1, math.floor(h * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
 
   /** Per-partition batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: one iterator per partition,

@@ -99,6 +99,59 @@ class MiscOpsSpec extends SparkSpec {
     assert(meta == Seq(3L, 0L))
   }
 
+  test("imageIoCodec decodes synthesized PNGs to exact channel sums") {
+    val docs = Seq(0L, 1L, 7L, 12L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(Multimodal.synthRgbPng(docs), "png", "image/png")
+        .select("doc_id", "payload", "media_meta"),
+      Multimodal.imageIoCodec)
+      .select("doc_id", "feat_width", "feat_height", "feat_channels",
+        "feat_sum_r", "feat_sum_g", "feat_sum_b")
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (d <- Seq(0L, 1L, 7L, 12L)) {
+      val w = (4 + d % 5).toInt
+      val h = (3 + d % 4).toInt
+      val px = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+      val sr = px.map { case (x, y) => (d + 3 * x + 7 * y) % 256 }.sum
+      val sg = px.map { case (x, y) => (2 * d + 5 * x + 11 * y) % 256 }.sum
+      val sb = px.map { case (x, y) => (3 * d + x + 13 * y) % 256 }.sum
+      assert(out(d) == ((d, w, h, 3, sr, sg, sb)), s"doc $d")
+    }
+  }
+
+  test("imageIoCodec: corrupt payloads yield null features, not a crash") {
+    val df = Seq((1L, "this is not a png")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "text", "image/png"), Multimodal.imageIoCodec)
+      .select("feat_width", "feat_sum_r").head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("resizeImages: real resample respects maxEdge, never upscales") {
+    // doc 3 → 7x6 image: maxEdge 4 scales to 4x3 (floor, aspect kept);
+    // maxEdge 100 leaves 7x6 (no upscale); non-image payload → null
+    val media = Multimodal.asMedia(
+      Multimodal.synthRgbPng(Seq(3L).toDF("doc_id")), "png", "image/png")
+      .select("doc_id", "payload")
+    def dims(bytes: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      (img.getWidth, img.getHeight)
+    }
+    val down = Multimodal.resizeImages(media, maxEdge = 4)
+      .select("resized_payload").as[Array[Byte]].head()
+    assert(dims(down) == ((4, 3)))
+    val same = Multimodal.resizeImages(media, maxEdge = 100)
+      .select("resized_payload").as[Array[Byte]].head()
+    assert(dims(same) == ((7, 6)))
+    val junk = Multimodal.resizeImages(
+      Multimodal.asMedia(Seq((9L, "junk")).toDF("doc_id", "text"),
+        "text", "image/png").select("doc_id", "payload"), maxEdge = 4)
+      .select("resized_payload").head()
+    assert(junk.isNullAt(0))
+  }
+
   test("extractFeatures runs a CUSTOM codec, open() once per partition") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"payload$i"))
       .toDF("doc_id", "text").repartition(3)
