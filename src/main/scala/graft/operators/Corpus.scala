@@ -179,15 +179,17 @@ object Corpus {
               broadcastModel: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    // total token instances ride ON the count table via a global
-    // window over the already-aggregated vocab rows — a separate
-    // counts.agg(...) branch would re-execute the whole corpus
-    // tokenize+aggregate a third time (fit + total + transform);
-    // this keeps it at the natural two passes (fit, transform)
+    // total token instances ride ON the count table via a ONE-ROW
+    // broadcast cross join against the same aggregation — exchange
+    // reuse dedupes the vocab shuffle, so tokenize still runs once
+    // (plan-guarded). The former global window over the count table
+    // was the r12-scorer killer shape in miniature: vocab is
+    // UNBOUNDED on web text (hapax-heavy), so "ride the total via
+    // Window.partitionBy()" funnels every vocab row through one task
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-    val model = if (broadcastModel) broadcast(counts) else counts
+    val totals = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    val withTotal = counts.crossJoin(broadcast(totals))
+    val model = if (broadcastModel) broadcast(withTotal) else withTotal
     // probe per token INSTANCE — a (doc, tok, tf) pre-aggregation
     // would full-shuffle the token stream to save broadcast-probe
     // work that costs nothing; the per-instance integer sums below
@@ -387,16 +389,21 @@ object Corpus {
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     inst.count() // tokenize once: feeds the model fit AND the probe
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // totals + vocab ride on the model rows via a one-row broadcast
+    // cross join (exchange-reused) — the same de-windowing as
+    // lmScore: the vocab table is unbounded, a global window over it
+    // is a single-task funnel at web scale
     val counts = inst.groupBy("tok")
       .agg(sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_pos"),
         sum(when(!col("is_pos"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_neg"))
-      .withColumn("tot_pos", sum(col("cnt_pos")).over(w).cast("long"))
-      .withColumn("tot_neg", sum(col("cnt_neg")).over(w).cast("long"))
-      .withColumn("vocab", count(lit(1)).over(w).cast("long"))
-    val model = if (broadcastModel) broadcast(counts) else counts
+    val totals = counts.agg(
+      sum(col("cnt_pos")).cast("long").as("tot_pos"),
+      sum(col("cnt_neg")).cast("long").as("tot_neg"),
+      count(lit(1)).cast("long").as("vocab"))
+    val withTotals = counts.crossJoin(broadcast(totals))
+    val model = if (broadcastModel) broadcast(withTotals) else withTotals
     // fixed double tree over exact longs (each factor cast to double
     // BEFORE multiplying — the long product could overflow at web
     // scale, the double one cannot), mirrored token-for-token by the

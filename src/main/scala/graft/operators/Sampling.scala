@@ -133,7 +133,14 @@ object Sampling {
     * engines, and retries, and each group keeps at least one
     * document when its budget is > 0. One window shuffle per the
     * group key; the running sum is the only sequential state —
-    * range-partitionable at scale exactly like packSequences. */
+    * range-partitionable at scale exactly like packSequences.
+    *
+    * Per-group bound: the window sorts ONE GROUP per task, so the
+    * largest source is the hot-task ceiling. Training mixes have
+    * dozens-to-hundreds of sources; if one source ever approaches
+    * single-task scale, split its running sum with the
+    * range-partition + per-partition-offset form ([[OrderStats]]'s
+    * de-windowing pattern). */
   def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
                         nTokensCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -203,7 +210,11 @@ object Sampling {
     * — a single-reducer global window over a table that is tiny by
     * construction); the allocation broadcasts back onto the corpus;
     * one per-stratum window takes the hash-order prefix. The corpus
-    * shuffles once, on the stratum key. */
+    * shuffles once, on the stratum key. Per-group bound: the prefix
+    * window sorts one stratum per task — the dominant stratum is the
+    * hot-task ceiling; at single-task scale switch the prefix to the
+    * [[OrderStats]] cutoff pattern (alloc_g-th smallest hash as a
+    * per-stratum boundary). */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        totalN: Long): DataFrame = {
     require(totalN >= 0, s"totalN must be >= 0, got $totalN")

@@ -232,12 +232,17 @@ class PlanGuardSpec extends SparkSpec {
   test("q_ccnet_buckets: lm model broadcasts; the lang join keys on doc id") {
     val p = plan("q_ccnet_buckets")
     // lmScore's count-table probe broadcasts; only the doc-keyed
-    // lang-recovery join and the tercile window may shuffle
+    // lang-recovery join and the tercile window may shuffle. ONE
+    // BroadcastNestedLoopJoin is expected since r13: the one-row
+    // totals aggregate rides onto the vocab rows as a broadcast
+    // cross join (the de-windowed total attach) — anything beyond
+    // that single 1-row attach is an unkeyed join regression
     assert(p.contains("BroadcastHashJoin"),
       s"lm count-table probe not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"unkeyed join appeared:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more than the one-row totals attach:\n$p")
   }
 
   test("q_semdedup: candidates equi-join on the cell id, never all-pairs") {
@@ -278,6 +283,43 @@ class PlanGuardSpec extends SparkSpec {
       val bad = globalRankWindows(df.queryExecution.executedPlan)
       assert(bad.isEmpty,
         s"$q grew a single-partition rank window:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("lmScore/qualityClassifier: totals ride a reused exchange, no global window") {
+    // the r13 de-windowing: vocab is unbounded on web text, so the
+    // totals must NOT come from Window.partitionBy() over the count
+    // table — they ride a one-row broadcast cross join whose input
+    // exchange is REUSED (tokenize still runs once)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: children.flatMap(walk)
+    }
+    for (q <- Seq("q_lm_score", "q_quality_classifier")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // run so adaptive stages finalize (incl. reuse)
+      val nodes = walk(df.queryExecution.executedPlan)
+      val globalWindows = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$q still carries an un-partitioned window:\n" +
+          globalWindows.mkString("\n"))
+      val planStr = nodes.mkString("\n")
+      assert(planStr.contains("ReusedExchange") ||
+        planStr.contains("TableCacheQueryStage") ||
+        planStr.contains("InMemoryTableScan"),
+        s"$q: vocab exchange not reused — tokenize would run twice:\n" +
+          planStr.take(4000))
     }
   }
 }
