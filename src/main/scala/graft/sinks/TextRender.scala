@@ -69,6 +69,45 @@ object TextRender {
     (s"open $structurePath" +: content) ++ coloring
   }
 
+  /** Driver-side file write (visualise.py:102 write_file): a plain
+    * local write for the handful-of-lines viewer files. NOT for table
+    * data — corpus-scale output goes through [[writeText]]/parquet. */
+  def writeFile(content: String, path: String): Unit = {
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+    ()
+  }
+
+  /** The visualise_chimera facade (proteofav/visualise.py:82): render
+    * the defattr attribute file for (keyCol → valueCol) and the
+    * command file that opens `structurePath` and loads it, written
+    * side by side in `outDir` as `<attrName>.chimera_attrFile` and
+    * `<structure-basename>.com` — the reference's filenames. The
+    * attribute body renders distributed ([[attributeLines]]) and is
+    * collected ordered by key: viewer attribute files are
+    * per-structure residue tables, small by construction (the
+    * reference writes them with a plain open()). Returns
+    * (attrPath, commandPath). */
+  def visualiseChimera(df: DataFrame, keyCol: String, valueCol: String,
+                       attrName: String, structurePath: String,
+                       outDir: String, recipient: String = "residues",
+                       colorSecondaryStructure: Boolean = true)
+  : (String, String) = {
+    val (header, body) = attributeLines(df, keyCol, valueCol,
+      attrName, recipient)
+    val bodyLines = body
+      .orderBy(col("value")) // deterministic file, any input order
+      .collect().map(_.getString(0))
+    val attrFile = s"$attrName.chimera_attrFile"
+    val attrPath = s"$outDir/$attrFile"
+    writeFile((header ++ bodyLines).mkString("\n") + "\n", attrPath)
+    val base = new java.io.File(structurePath).getName.split('.').head
+    val cmdPath = s"$outDir/$base.com"
+    writeFile(chimeraCommandLines(structurePath,
+      Seq(s"defattr $attrFile"), colorSecondaryStructure)
+      .mkString("\n") + "\n", cmdPath)
+    (attrPath, cmdPath)
+  }
+
   /** Render token-record lines (mmCIF atom_site loop body shape):
     * columns joined by single spaces, in the given order — the
     * write_mmcif_from_table analog (proteofav/structures.py:515).

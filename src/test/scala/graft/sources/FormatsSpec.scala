@@ -143,6 +143,37 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("visualiseChimera writes the attribute + command file pair") {
+    // visualise.py:82 visualise_chimera end-to-end: both files land
+    // with the reference's names and contents
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_chimera").toString
+    val df = Seq((13, 0.75), (12, 0.5)).toDF("res", "score")
+    val (attrPath, cmdPath) = graft.sinks.TextRender.visualiseChimera(
+      df, "res", "score", "conservation", "/data/1abc.cif", out)
+    assert(attrPath.endsWith("/conservation.chimera_attrFile"))
+    assert(cmdPath.endsWith("/1abc.com"))
+    val attr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(attrPath))
+    assert(attr ==
+      """# Generated with graft
+        |attribute: conservation
+        |match mode: 1-to-1
+        |recipient: residues
+        |:12	0.5
+        |:13	0.75
+        |""".stripMargin)
+    val cmd = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(cmdPath))
+    assert(cmd ==
+      """open /data/1abc.cif
+        |defattr conservation.chimera_attrFile
+        |color green,r helix
+        |color yellow,r strand
+        |color gray,r coil
+        |""".stripMargin)
+  }
+
   test("chimeraCommandLines: open + content + SS coloring") {
     val lines = graft.sinks.TextRender.chimeraCommandLines(
       "/data/1abc.cif", content = Seq("display :12-20.A@ca"))
