@@ -125,7 +125,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       bytes => {
         val img =
-          try javax.imageio.ImageIO.read(
+          if (bytes == null) null // null payload = null features
+          else try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException => null }
         if (img == null) Seq[Any](null, null, null, null, null, null)
@@ -215,7 +216,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](pIdx)
         val img =
-          try javax.imageio.ImageIO.read(
+          if (bytes == null) null // null payload passes through null
+          else try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException => null }
         val resized: Any =

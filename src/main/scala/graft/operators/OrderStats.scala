@@ -112,6 +112,10 @@ object OrderStats {
     * through a window partitioned by the weight column to break the
     * tie by id, and the winners come back as a broadcast semi-set.
     * Rows with a null weight are never selected.
+    *
+    * `df` is scanned several times (count, narrowing rounds, the tie
+    * scan, the final join) — persist it first unless its lineage is
+    * trivial, as dsirWeights/perplexityBucketsByBoundary do.
     */
   def selectTopN(df: DataFrame, n: Long, weightCol: String,
                  idCol: String, relErr: Double = 1e-3,
