@@ -733,6 +733,23 @@ object SparkEntry {
         .select(explode(
           Bpe.encodeLongestMatch(col("text"), bpeEncodeVocab)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))),
+    // tokenizer FERTILITY stats (the standard tokenizer-evaluation
+    // table): per language, words / subwords / chars and
+    // subwords-per-word through the real longest-match encoder —
+    // exact integer sums, ONE IEEE division for the ratio
+    "q_encode_stats" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .select(col("lang"), length(col("word")).cast("long").as("n_chars"),
+          size(graft.expressions.BpeEncode.longestMatch(
+            col("word"), bpeEncodeVocab)).cast("long").as("n_sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          sum(col("n_chars")).as("n_chars"),
+          (sum(col("n_sub")).cast("double") /
+            count(lit(1)).cast("double")).as("fertility"))),
     // line-level boilerplate dedup (C4/RefinedWeb): lines appearing
     // in >= 2 distinct docs are removed, docs reassembled in order.
     // The corpus has no newlines, so pseudo-lines (10-token
@@ -2921,6 +2938,33 @@ object SparkEntry {
          |fin AS (SELECT out FROM enc WHERE pos > len(word)),
          |ft AS (SELECT unnest(out) AS token FROM fin)
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
+    },
+    // fertility: the same greedy cursor, carrying only the subword
+    // COUNT through the recursion; lang recovered by (doc, word-idx)
+    // join, one IEEE division for the ratio
+    "q_encode_stats" -> {
+      val vlist = bpeEncodeVocab.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE vocab AS (SELECT unnest([$vlist]) AS tok),
+         |t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |w AS (SELECT doc_id, lang, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww AS (SELECT doc_id, lang, wi, toks[wi] AS word FROM w),
+         |enc AS (
+         |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_sub FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word, pos + mlen AS pos, n_sub + 1 AS n_sub FROM (
+         |SELECT e.doc_id, e.wi, e.word, e.pos, e.n_sub,
+         |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
+         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
+         |WHERE e.pos <= len(e.word)
+         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.n_sub) s),
+         |fin AS (SELECT doc_id, wi, word, n_sub FROM enc WHERE pos > len(word)),
+         |j AS (SELECT ww.lang, f.n_sub, CAST(len(f.word) AS BIGINT) AS n_chars
+         |FROM fin f JOIN ww ON ww.doc_id = f.doc_id AND ww.wi = f.wi)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+         |CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+         |FROM j GROUP BY lang""".stripMargin
     },
     // line-level boilerplate dedup: replay the 10-token pseudo-line
     // synthesis, count DISTINCT docs per line, remove df>=2 lines,
