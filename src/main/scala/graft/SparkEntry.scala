@@ -2876,8 +2876,8 @@ object SparkEntry {
         |df2 AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM lr GROUP BY line),
         |lj AS (SELECT lr.doc_id, lr.pos, lr.line, df2.line_df FROM lr JOIN df2 USING (line)),
         |lined AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
+        |CAST(SUM(CASE WHEN line_df >= 2 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2 OR line = ''), '') AS kept_text
         |FROM lj GROUP BY doc_id),
         |gt AS (SELECT doc_id, n_lines, n_removed, kept_text AS text,
         |list_filter(string_split_regex(kept_text, '[ \n]'), x -> x <> '') AS toks,
@@ -2977,8 +2977,8 @@ object SparkEntry {
         |df AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM ln GROUP BY line),
         |j AS (SELECT ln.doc_id, ln.pos, ln.line, df.line_df FROM ln JOIN df USING (line))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2), '') AS kept_text
+        |CAST(SUM(CASE WHEN line_df >= 2 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2 OR line = ''), '') AS kept_text
         |FROM j GROUP BY doc_id""".stripMargin,
     // substring cut: rank-over-partition picks the global first
     // occurrence per window hash; its tokens are PROTECTED; other
@@ -3019,8 +3019,8 @@ object SparkEntry {
         |r AS (SELECT doc_id, pos, line,
         |ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM ln)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS kept_text
+        |CAST(SUM(CASE WHEN rn > 1 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1 OR line = ''), '') AS kept_text
         |FROM r GROUP BY doc_id""".stripMargin,
     // winnowing: the string-key trick replays exactly — md5 hex ‖
     // zero-padded descending position makes "min hash, rightmost

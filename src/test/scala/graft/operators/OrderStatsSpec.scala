@@ -35,6 +35,21 @@ class OrderStatsSpec extends SparkSpec {
     assert(v == 42L && cGt == 0L)
   }
 
+  test("kthLargest resolves longs beyond 2^53 exactly (double-collision band)") {
+    // Long.MaxValue-{0,1,2,3} all collapse to the same double (ulp
+    // 1024 at 2^63) — the quantile pivot can't separate them, the
+    // bracket walk must, reading back exact longs
+    val top = Long.MaxValue
+    val vals = Seq(top, top - 1, top - 2, top - 3, 5L, 1L)
+    val df = vals.toDF("w")
+    for ((k, want) <- Seq(1 -> top, 2 -> (top - 1), 3 -> (top - 2),
+      4 -> (top - 3), 5 -> 5L)) {
+      val (v, cGt) = OrderStats.kthLargest(df, "w", k.toLong,
+        exactFinishRows = 2L)
+      assert(v == want && cGt == k - 1, s"k=$k got ($v, $cGt)")
+    }
+  }
+
   test("kthLargest on doubles returns the exact data value") {
     val vals = Seq(0.1, 0.7, 0.7, 0.3, 0.9)
     val df = vals.toDF("w")
