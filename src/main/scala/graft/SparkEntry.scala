@@ -645,6 +645,13 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(T(s, d, "documents"), "lang", "doc_id", 100L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // the 100 TB form of the same draw: per-stratum prefix rank from
+    // the range-partitioned running count (PrefixSum) — bit-identical
+    // output, no single-task-per-stratum sort; same oracle
+    "q_stratified_sample_range" -> ((s, d) =>
+      Sampling.stratifiedSampleByRange(
+          T(s, d, "documents"), "lang", "doc_id", 100L, nBuckets = 16)
+        .select(col("doc_id"), col("lang"), col("source"))),
     // BM25 retrieval: fixed-point per-term contributions (floored
     // 1e-6 ticks sum exactly in any order) over the inverted index
     "q_bm25_topk" -> ((s, d) => {
@@ -678,6 +685,15 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long")
             .as("n_tokens")),
         "source", "doc_id", "n_tokens", budget = 800L)),
+    // the 100 TB form: per-source running sum from PrefixSum's
+    // range-partitioned buckets — bit-identical keep set, a dominant
+    // source never sorts in one task; same oracle
+    "q_token_budget_mix_range" -> ((s, d) =>
+      Sampling.tokenBudgetSampleByRange(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 800L, nBuckets = 16)),
     // quality classifier (GPT-3 filter shape): fit NB-style class
     // odds on curated-vs-rest, score every doc in fixed-point ticks
     "q_quality_classifier" -> ((s, d) =>
@@ -1016,6 +1032,15 @@ object SparkEntry {
           functions.TextFunctions.tokenCount(col("text")).cast("long")
             .as("n_tokens")),
         "n_tokens", "doc_id", budget = 512L)),
+    // the 100 TB form: the (length desc, id) running sum from
+    // PrefixSum's range buckets + driver-walked offsets — identical
+    // bins with no global single-reducer sort; same oracle
+    "q_pack_sequences_range" -> ((s, d) =>
+      Sampling.packSequencesByRange(
+        T(s, d, "documents").select(col("doc_id"),
+          functions.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "n_tokens", "doc_id", budget = 512L, nBuckets = 16)),
     // salted join == plain join (the oracle proves it): single-key
     // hotspot mitigation AQE cannot split
     "q_skew_join" -> ((s, d) =>
@@ -1842,7 +1867,14 @@ object SparkEntry {
   /** DuckDB oracle SQL per SQL-expressible query (driver runs these
     * on the same parquet tables and hash-compares). Omitted keys get
     * the driver's weaker rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++
+    // the *_range queries are bit-identical scale-safe forms of
+    // their exact counterparts (PrefixSum range-partitioned running
+    // sums) — the oracle SQL is shared verbatim
+    Seq("q_pack_sequences", "q_token_budget_mix", "q_stratified_sample")
+      .map(q => s"${q}_range" -> oracleSqlBase(q)).toMap
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,
     // layout prune: the write is layout-only, so the oracle is the
     // same filter+agg straight off the raw table (min/max are

@@ -66,11 +66,10 @@ object Sampling {
     * fill bin 0 until the budget spills, then bin 1, and so on. A
     * doc longer than the budget gets its own bin (still one row).
     *
-    * The single global window is the VERIFIABLE form; at 100 TB the
-    * same two columns are computed per range-partition (sort key =
-    * the same ordering) with each partition's token total aggregated
-    * first and offset-added — identical output, no single-reducer
-    * sort. */
+    * The single global window is the VERIFIABLE form;
+    * [[packSequencesByRange]] is the same two columns computed per
+    * range-partition ([[PrefixSum]]) — bit-identical output, no
+    * single-reducer sort. */
   def packSequences(df: DataFrame, lenCol: String, idCol: String,
                     budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -81,6 +80,22 @@ object Sampling {
         floor((col("__running") - col(lenCol)) / budget).cast("long"))
       .drop("__running")
   }
+
+  /** [[packSequences]] at 100 TB: the running token sum comes from
+    * [[PrefixSum.withRunningSum]] (quantile-bucketed ranges of the
+    * (length desc) order, per-bucket local windows, offset add) —
+    * bit-identical bins, and no task ever sorts more than ~1/nBuckets
+    * of the corpus. The sort proxy is the negated length (monotone in
+    * the descending order); id ties spread across at most one
+    * boundary bucket. */
+  def packSequencesByRange(df: DataFrame, lenCol: String, idCol: String,
+                           budget: Long, nBuckets: Int = 64): DataFrame =
+    PrefixSum.withRunningSum(df, Seq.empty,
+        Seq(col(lenCol).desc, col(idCol).asc),
+        -col(lenCol).cast("double"), col(lenCol), "__running", nBuckets)
+      .withColumn("bin_id",
+        floor((col("__running") - col(lenCol)) / budget).cast("long"))
+      .drop("__running")
 
   /** Temperature-weighted corpus mixing (the multi-source sampling
     * rule behind multilingual / multi-domain training mixes):
@@ -156,6 +171,30 @@ object Sampling {
       .drop("__cum_before")
   }
 
+  /** [[tokenBudgetSample]] with the per-source running sum computed
+    * by [[PrefixSum.withRunningSum]] — bit-identical keep set, and a
+    * source at single-task scale is range-split into nBuckets local
+    * windows instead of one hot sort. The sort proxy is the md5-hex
+    * prefix ([[PrefixSum.md5PrefixKey]]), uniform within every group
+    * by construction. */
+  def tokenBudgetSampleByRange(df: DataFrame, groupCol: String,
+                               idCol: String, nTokensCol: String,
+                               budget: Long, nBuckets: Int = 64)
+  : DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    PrefixSum.withRunningSum(df, Seq(groupCol),
+        Seq(md5(col(idCol).cast("string")), col(idCol)),
+        PrefixSum.md5PrefixKey(col(idCol)), col(nTokensCol),
+        "__cum_incl", nBuckets)
+      // exclusive = inclusive − own (window sums skip nulls, so a
+      // null token count subtracts 0); null inclusive ⇒ empty prefix
+      .withColumn("__cum_before",
+        coalesce(col("__cum_incl") -
+          coalesce(col(nTokensCol), lit(0L)), lit(0L)))
+      .filter(col("__cum_before") < budget)
+      .drop("__cum_incl", "__cum_before")
+  }
+
   /** Deterministic training-export sharding — the "global shuffle"
     * a training run wants from its corpus, without rand(). Each row
     * gets shard = md5Bucket16(id) % nShards (uniform, stable across
@@ -217,6 +256,39 @@ object Sampling {
     * per-stratum boundary). */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        totalN: Long): DataFrame = {
+    val alloc = hamiltonAlloc(df, stratumCol, totalN)
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc), col(stratumCol) <=> col("__g"))
+      .withColumn("__rk", row_number().over(prefixW))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__g", "__alloc", "__rk")
+  }
+
+  /** [[stratifiedSample]] with the per-stratum hash-order prefix rank
+    * computed by [[PrefixSum.withRunningSum]] (running count of 1s =
+    * row_number) — bit-identical keep set, and the dominant stratum is
+    * range-split into nBuckets local windows instead of one hot sort.
+    * The allocation windows still run over the STRATA counts table
+    * (|strata| rows — tiny by construction). */
+  def stratifiedSampleByRange(df: DataFrame, stratumCol: String,
+                              idCol: String, totalN: Long,
+                              nBuckets: Int = 64): DataFrame = {
+    val alloc = hamiltonAlloc(df, stratumCol, totalN)
+    PrefixSum.withRunningSum(df, Seq(stratumCol),
+        Seq(md5(col(idCol).cast("string")), col(idCol)),
+        PrefixSum.md5PrefixKey(col(idCol)), lit(1L), "__rk", nBuckets)
+      .join(broadcast(alloc), col(stratumCol) <=> col("__g"))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__g", "__alloc", "__rk")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of totalN seats over
+    * the strata of `stratumCol`, as a (__g, __alloc) table — the
+    * shared allocation leg of both stratified-sample variants. */
+  private def hamiltonAlloc(df: DataFrame, stratumCol: String,
+                            totalN: Long): DataFrame = {
     require(totalN >= 0, s"totalN must be >= 0, got $totalN")
     val reserved = df.columns.toSet.intersect(Set(
       "__g", "__n", "__tot", "__base", "__rem", "__extra", "__alloc", "__rk"))
@@ -226,7 +298,7 @@ object Sampling {
     val global = org.apache.spark.sql.expressions.Window.partitionBy()
     val remW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__rem").desc, col(stratumCol).asc)
-    val alloc = counts
+    counts
       // "__tot", not "__N": withColumn resolves case-insensitively
       // by default, so "__N" would silently REPLACE "__n"
       .withColumn("__tot", sum(col("__n")).over(global))
@@ -240,13 +312,6 @@ object Sampling {
         col("__base") + when(row_number().over(remW) <= col("__extra"), 1L)
           .otherwise(0L))
       .select(col(stratumCol).as("__g"), col("__alloc"))
-    val prefixW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.join(broadcast(alloc), col(stratumCol) <=> col("__g"))
-      .withColumn("__rk", row_number().over(prefixW))
-      .filter(col("__rk") <= col("__alloc"))
-      .drop("__g", "__alloc", "__rk")
   }
 
   /** Per-group quota: keep the first `n` rows of each group in

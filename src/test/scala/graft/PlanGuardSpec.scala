@@ -286,6 +286,49 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("range prefix-sum queries: no corpus-wide or per-group-hot window") {
+    // the r13 fold-in of the remaining running-sum windows: the
+    // *_range sampling variants must never sort a whole group (or the
+    // whole corpus) in one window task. Every WindowExec over corpus
+    // rows must include the __bkt range key in its partitionSpec; the
+    // only windows WITHOUT it are (a) the per-group offsets window
+    // over the <= nBuckets-rows-per-group totals table and (b) the
+    // strata allocation windows over the counts table — both bounded
+    // by construction, both detectable by their inputs/expressions
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: children.flatMap(walk)
+    }
+    for (q <- Seq("q_pack_sequences_range", "q_token_budget_mix_range",
+        "q_stratified_sample_range")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize adaptive stages
+      val windows = walk(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q lost its windows entirely")
+      val bad = windows.filterNot { w =>
+        val spec = w.partitionSpec.mkString(",")
+        val expr = w.windowExpression.mkString(",")
+        spec.contains("__bkt") || // bucketed local running sum
+          expr.contains("__off") || expr.contains("__ocnt") || // offsets
+          expr.contains("__tot") || expr.contains("__base") || // strata
+          w.orderSpec.mkString(",").contains("__rem") // strata seats
+      }
+      assert(bad.isEmpty,
+        s"$q window not range-bucketed or bounded-table scoped:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
   test("lmScore/qualityClassifier: totals ride a reused exchange, no global window") {
     // the r13 de-windowing: vocab is unbounded on web text, so the
     // totals must NOT come from Window.partitionBy() over the count
