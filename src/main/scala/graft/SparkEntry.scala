@@ -1018,6 +1018,13 @@ object SparkEntry {
       Sampling.capPerGroup(
         T(s, d, "documents").select("doc_id", "lang", "source"),
         Seq("lang", "source"), Seq(col("doc_id").asc), 10)),
+    // the 100 TB form of the same cap: k-capped BoundedTopK partial
+    // state (<= n pairs per group per task) + id semi join — no
+    // per-group window sort; same oracle
+    "q_cap_per_group_topk" -> ((s, d) =>
+      Sampling.capPerGroupTopK(
+        T(s, d, "documents").select("doc_id", "lang", "source"),
+        Seq("lang", "source"), col("doc_id"), "doc_id", 10)),
     // uniform (not first-k) per-group sample: order by a content hash
     // instead of the id — deterministic, unbiased within each group
     "q_sample_uniform" -> ((s, d) =>
@@ -1872,7 +1879,9 @@ object SparkEntry {
     // their exact counterparts (PrefixSum range-partitioned running
     // sums) — the oracle SQL is shared verbatim
     Seq("q_pack_sequences", "q_token_budget_mix", "q_stratified_sample")
-      .map(q => s"${q}_range" -> oracleSqlBase(q)).toMap
+      .map(q => s"${q}_range" -> oracleSqlBase(q)).toMap +
+    // same sharing for the BoundedTopK form of the per-group cap
+    ("q_cap_per_group_topk" -> oracleSqlBase("q_cap_per_group"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,

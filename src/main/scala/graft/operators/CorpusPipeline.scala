@@ -72,9 +72,11 @@ object CorpusPipeline {
     if (config.splitWeights.nonEmpty)
       t = Sampling.deterministicSplit(t, idCol, config.splitWeights)
 
-    // 5. context-window packing on the token count
+    // 5. context-window packing on the token count — the range form
+    //    (bit-identical bins, no global single-reducer sort) so the
+    //    facade's plan is the one that survives 100 TB
     config.packBudget.foreach { budget =>
-      t = Sampling.packSequences(
+      t = Sampling.packSequencesByRange(
         t.withColumn("n_tokens",
           TextFunctions.tokenCount(col(textCol)).cast("long")),
         "n_tokens", idCol, budget = budget)

@@ -316,8 +316,9 @@ object Sampling {
 
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
-    * window shuffle; at 100 TB pre-aggregate a per-group count to
-    * skip the window for groups already under quota. */
+    * window shuffle — one group sorts per task, so this is the
+    * small-to-medium-group form; [[capPerGroupTopK]] is the same cap
+    * with map-side-bounded state for corpus-scale groups. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String],
                   orderCols: Seq[Column], n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -325,5 +326,36 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
+  }
+
+  /** [[capPerGroup]] at 100 TB: keep each group's first `n` rows
+    * under (scoreCol asc, idCol asc) via the k-capped
+    * [[graft.expressions.BoundedTopK]] aggregate — partial state is
+    * at most n (score, id) pairs per group per task, so the shuffle
+    * carries |groups|·n·|tasks| worst-case and a corpus-scale group
+    * never funnels through one window sort; the winners come back as
+    * a semi join on the unique id. Constraints vs the window form:
+    * the order is a numeric score + the long-id tie-break (ids must
+    * be unique; rows with a null score or id are never kept), and
+    * the score rides as a double — exact for any monotone per-row
+    * key up to 2^53, and safe even beyond when the id itself breaks
+    * rounding collisions (doubles round monotonically, so only
+    * equal-rounded neighbours reorder, and the id tie-break restores
+    * them). */
+  def capPerGroupTopK(df: DataFrame, groupCols: Seq[String],
+                      scoreCol: Column, idCol: String, n: Int)
+  : DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__keep_id"),
+      "capPerGroupTopK reserves column name __keep_id")
+    // BoundedTopK keeps top by (score DESC, id ASC): negate for the
+    // ascending cap; ties at a score fall to the smallest ids
+    val keep = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.BoundedTopK.boundedTopK(
+        -scoreCol.cast("double"), col(idCol).cast("long"), n).as("__top"))
+      .select(explode(col("__top.id")).as("__keep_id"))
+    df.join(keep, col(idCol).cast("long") === col("__keep_id"),
+      "left_semi")
   }
 }

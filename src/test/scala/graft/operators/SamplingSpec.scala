@@ -216,4 +216,32 @@ class SamplingSpec extends SparkSpec {
     val per = out.groupBy(identity).view.mapValues(_.length).toMap
     assert(per.getOrElse("b", 0) <= 2 && per.getOrElse("c", 0) <= 1)
   }
+
+  test("capPerGroupTopK == capPerGroup (under/over quota, score ties)") {
+    val rnd = new scala.util.Random(23)
+    // group sizes straddle n=7; scores collide heavily so the
+    // (score, id) tie-break is exercised
+    val df = (1L to 300L).map { i =>
+      (i, s"g${rnd.nextInt(6)}", rnd.nextInt(4).toLong)
+    }.toDF("id", "g", "score")
+    val expect = Sampling.capPerGroup(df, Seq("g"),
+        Seq(col("score").asc, col("id").asc), 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = Sampling.capPerGroupTopK(df, Seq("g"), col("score"), "id", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+    // all original columns survive the semi join
+    assert(Sampling.capPerGroupTopK(df, Seq("g"), col("score"), "id", 7)
+      .columns.toSeq == Seq("id", "g", "score"))
+  }
+
+  test("capPerGroupTopK plan: no window sort, bounded agg + semi join") {
+    val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val p = Sampling.capPerGroupTopK(df, Seq("g"), col("id"), "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"cap degenerated to a window sort:\n$p")
+    assert(p.contains("partial_bounded_top_k"),
+      s"k-capped aggregate not map-side partial:\n$p")
+    assert(p.contains("LeftSemi"), s"keeper join not a semi join:\n$p")
+  }
 }
