@@ -1079,6 +1079,33 @@ object SparkEntry {
         Multimodal.imageIoCodec)
         .select("doc_id", "feat_width", "feat_height", "feat_channels",
           "feat_sum_r", "feat_sum_g", "feat_sum_b")),
+    // REAL audio decode (javax.sound.sampled): synthesize a
+    // deterministic 16-bit PCM WAV per doc, decode it back through
+    // the batched codec — PCM is lossless, so rate/channels/frames
+    // and the exact per-channel sample sums replay in SQL from the
+    // synthesis arithmetic (the audio twin of q_media_features)
+    "q_audio_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(
+          Multimodal.synthWavPcm(T(s, d, "documents").select("doc_id")),
+          "wav", "audio/wav")
+          .select("doc_id", "payload", "media_meta"),
+        Multimodal.audioWavCodec)
+        .select("doc_id", "feat_rate", "feat_audio_channels",
+          "feat_frames", "feat_sum_ch0", "feat_sum_ch1")),
+    // REAL multi-frame sampling (javax.imageio GIF): synthesize a
+    // deterministic multi-frame grayscale GIF per doc, explode every
+    // 2nd frame with its exact gray-sample sum — the indexed-palette
+    // write is lossless, so the per-frame features replay in SQL
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleGif(
+        Multimodal.asMedia(
+          Multimodal.synthGrayGif(T(s, d, "documents").select("doc_id")),
+          "gif", "image/gif")
+          .select("doc_id", "payload"),
+        stride = 2)
+        .select("doc_id", "frame_idx", "frame_width", "frame_height",
+          "frame_gray_sum")),
     // ---- K. nested / json -----------------------------------------------
     "q_json_flatten" -> ((s, d) =>
       NestedOps.flattenJson(
@@ -3509,6 +3536,33 @@ object SparkEntry {
         |CAST(SUM((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS feat_sum_g,
         |CAST(SUM((3 * doc_id + x + 13 * y) % 256) AS BIGINT) AS feat_sum_b
         |FROM gxy GROUP BY doc_id, w, h""".stripMargin,
+    // audio features: WAV PCM is lossless, so the decoded per-channel
+    // sums ARE the synthesis arithmetic — re-derive them with
+    // generate_series over the same (channels, frames, sample-formula)
+    "q_audio_features" ->
+      """WITH dims AS (SELECT doc_id,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |CAST(50 + doc_id % 32 AS BIGINT) AS n FROM documents),
+        |gi AS (SELECT doc_id, ch, n, unnest(generate_series(0, n - 1)) AS i FROM dims)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS feat_rate,
+        |ch AS feat_audio_channels, n AS feat_frames,
+        |CAST(SUM((7 * doc_id + 31 * i) % 65536 - 32768) AS BIGINT) AS feat_sum_ch0,
+        |CASE WHEN ch = 2 THEN CAST(SUM((7 * doc_id + 31 * i + 17) % 65536 - 32768) AS BIGINT) END AS feat_sum_ch1
+        |FROM gi GROUP BY doc_id, ch, n""".stripMargin,
+    // frame sampling: the indexed-palette GIF write is lossless, so
+    // each sampled frame's gray sum replays from the pixel formula
+    "q_frame_sample" ->
+      """WITH dims AS (SELECT doc_id,
+        |CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |CAST(2 + doc_id % 4 AS BIGINT) AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS f FROM dims),
+        |gx AS (SELECT doc_id, w, h, f, unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x FROM fr),
+        |gxy AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y FROM gx)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |w AS frame_width, h AS frame_height,
+        |CAST(SUM((doc_id + 5 * x + 3 * y + 11 * f) % 256) AS BIGINT) AS frame_gray_sum
+        |FROM gxy GROUP BY doc_id, f, w, h""".stripMargin,
     "q_json_flatten" ->
       """SELECT event_id, event_type,
         |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

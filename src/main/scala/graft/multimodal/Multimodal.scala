@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
   * AWT ship in the JDK, no new dependency: [[imageIoCodec]] decodes
   * PNG/JPEG payloads to width/height/band-count + exact per-channel
   * sample sums, [[resizeImages]] resamples to a max edge and
-  * re-encodes. The original hash-derived stubs remain as the
-  * no-codec fallbacks ([[decodeImageStub]], [[resizeStub]],
-  * [[byteStatsCodec]]). VIDEO frame sampling stays the one declared
-  * stub — the JDK has no video codec; [[frameSampleStub]] keeps the
-  * real (payload, frame_idx) explode contract for when one is
-  * injected. Everything else — the schema contract, binary column
-  * handling, per-partition batch processing with once-per-partition
-  * codec init — is the real 100 TB plumbing.
+  * re-encodes. AUDIO decode is REAL too — [[audioWavCodec]] rides
+  * `javax.sound.sampled` (also in the JDK) to sample-rate/channel/
+  * frame metadata + exact per-channel PCM sample sums. Multi-frame
+  * sampling is REAL for GIF payloads ([[frameSampleGif]] — the JDK's
+  * one multi-frame decoder); true video containers (mp4, webm…)
+  * still need an injected codec, so [[frameSampleStub]] keeps the
+  * (payload, frame_idx) explode contract for that remaining case.
+  * The original hash-derived stubs remain as the no-codec fallbacks
+  * ([[decodeImageStub]], [[resizeStub]], [[byteStatsCodec]]).
+  * Everything else — the schema contract, binary column handling,
+  * per-partition batch processing with once-per-partition codec
+  * init — is the real 100 TB plumbing.
   */
 object Multimodal {
 
@@ -242,6 +246,224 @@ object Multimodal {
             bos.toByteArray
           }
         Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (in the JDK — zero
+    * new dependencies, the audio twin of [[imageIoCodec]]): sample
+    * rate, channel count, frame count, and the EXACT per-channel
+    * sample sums over 16-bit signed little-endian PCM (longs —
+    * integers survive any engine). WAV PCM is lossless, so decoded
+    * samples equal the synthesis arithmetic and the features are
+    * SQL-replayable (what makes q_audio_features oracle-green).
+    * Payloads that are not an audio container, or whose format is
+    * not 16-bit signed LE PCM, yield all-null features — the
+    * quarantine signal, not an abort; a mono payload nulls only the
+    * second channel's sum. */
+  val audioWavCodec: BatchCodec = BatchCodec(
+    features = Seq(
+      StructField("feat_rate", IntegerType, nullable = true),
+      StructField("feat_audio_channels", IntegerType, nullable = true),
+      StructField("feat_frames", LongType, nullable = true),
+      StructField("feat_sum_ch0", LongType, nullable = true),
+      StructField("feat_sum_ch1", LongType, nullable = true)),
+    open = () => { bytes =>
+      val in =
+        if (bytes == null) null // null payload = null features
+        else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      val fmt = if (in == null) null else in.getFormat
+      if (fmt == null ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+        Seq[Any](null, null, null, null, null)
+      else {
+        val channels = fmt.getChannels
+        val nFrames = in.getFrameLength
+        val data = in.readAllBytes()
+        val sums = new Array[Long](channels)
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+          sums((i / 2) % channels) += s
+          i += 2
+        }
+        def s(c: Int): Any = if (c < channels) sums(c) else null
+        Seq[Any](fmt.getSampleRate.toInt, channels, nFrames, s(0), s(1))
+      }
+    })
+
+  /** Deterministic 16-bit PCM WAV synthesis — the audio-pipeline
+    * fixture (the audio corpora that would need downloading are not
+    * in the container, but the JDK encoder is): doc `d` becomes a
+    * (1 + d%2)-channel, (50 + d%32)-frame, 8 kHz clip whose frame
+    * `i`, channel `c` sample is ((7d + 31i + 17c) % 65536) − 32768 —
+    * pure arithmetic over a nonnegative id, so a SQL oracle
+    * re-derives every decoded feature without decoding anything.
+    * Appends a `wav` binary column. */
+  def synthWavPcm(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("wav", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthWavPcm needs a nonnegative id, got $d")
+        val channels = (1 + d % 2).toInt
+        val nFrames = (50 + d % 32).toInt
+        val rate = 8000f
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, channels, 2 * channels, rate, false)
+        val pcm = new Array[Byte](nFrames * 2 * channels)
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val s = ((7 * d + 31L * i + 17L * c) % 65536 - 32768).toInt
+            val off = (i * channels + c) * 2
+            pcm(off) = (s & 0xff).toByte
+            pcm(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Deterministic multi-frame grayscale GIF synthesis — the
+    * video-pipeline fixture: doc `d` becomes a (2 + d%4)-frame
+    * animation of (4 + d%5) × (3 + d%4) frames whose frame `f` pixel
+    * (x, y) has gray value (d + 5x + 3y + 11f) % 256. The frames are
+    * written through an EXPLICIT 256-level gray palette with
+    * progressive (interlaced) mode disabled — both are what make the
+    * round trip bit-exact (the writer's default palette quantizes
+    * and its interlacing permutes rows on 3+-frame sequences).
+    * Appends a `gif` binary column. */
+  def synthGrayGif(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("gif", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthGrayGif needs a nonnegative id, got $d")
+        val w = (4 + d % 5).toInt
+        val h = (3 + d % 4).toInt
+        val nFrames = (2 + d % 4).toInt
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(
+          javax.imageio.ImageWriteParam.MODE_DISABLED)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((d + 5L * x + 3L * y + 11L * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL video-style frame sampling over multi-frame GIF payloads
+    * (`javax.imageio`'s GIF reader is the one multi-frame decoder in
+    * the JDK): every `stride`-th frame explodes to its own row with
+    * the frame index, dimensions, and EXACT gray-sample sum — the
+    * per-frame feature rows a video pipeline feeds to downstream
+    * embedding/dedup stages. Replaces [[frameSampleStub]] as the
+    * production path for GIF payloads; true video containers (mp4…)
+    * still need an injected codec — the JDK has none. Payloads that
+    * do not decode yield ONE all-null-feature row (the quarantine
+    * signal — rows are never silently dropped). Plan shape: scan →
+    * mapPartitions, zero exchanges; decode cost is per-row compute,
+    * which is exactly where a 1000-executor cluster scales linearly. */
+  def frameSampleGif(df: DataFrame, stride: Int,
+                     payloadCol: String = "payload"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("frame_width", IntegerType, nullable = true),
+      StructField("frame_height", IntegerType, nullable = true),
+      StructField("frame_gray_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val frames: Seq[Seq[Any]] =
+          if (bytes == null) Nil
+          else try {
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    sum += (img.getRGB(x, y) & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Seq[Any](f, w, h, sum)
+              }
+            } finally reader.dispose()
+          } catch { case _: Exception => Nil }
+        if (frames.isEmpty) // undecodable / null → one quarantine row
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        else frames.iterator.map(f => Row.fromSeq(r.toSeq ++ f))
       }
     }(enc)
   }

@@ -120,6 +120,64 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("audioWavCodec decodes synthesized WAVs to exact channel sums") {
+    val docs = Seq(0L, 1L, 7L, 42L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(Multimodal.synthWavPcm(docs), "wav", "audio/wav")
+        .select("doc_id", "payload", "media_meta"),
+      Multimodal.audioWavCodec)
+      .select("doc_id", "feat_rate", "feat_audio_channels", "feat_frames",
+        "feat_sum_ch0", "feat_sum_ch1")
+      .as[(Long, Int, Int, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    for (d <- Seq(0L, 1L, 7L, 42L)) {
+      val ch = (1 + d % 2).toInt
+      val n = (50 + d % 32).toInt
+      def sum(c: Int): Long =
+        (0 until n).map(i => (7 * d + 31L * i + 17L * c) % 65536 - 32768).sum
+      val ch1 = if (ch == 2) Some(sum(1)) else None
+      assert(out(d) == ((d, 8000, ch, n.toLong, sum(0), ch1)), s"doc $d")
+    }
+  }
+
+  test("audioWavCodec: non-audio payloads yield null features") {
+    val df = Seq((1L, "this is not a wav")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "text", "audio/wav"), Multimodal.audioWavCodec)
+      .select("feat_rate", "feat_sum_ch0").head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("frameSampleGif explodes strided frames with exact gray sums") {
+    // doc 5 → 9x4 frames, 2 + 5%4 = 3 frames; stride 2 samples f=0,2
+    val media = Multimodal.asMedia(
+      Multimodal.synthGrayGif(Seq(5L).toDF("doc_id")), "gif", "image/gif")
+      .select("doc_id", "payload")
+    val out = Multimodal.frameSampleGif(media, stride = 2)
+      .select("frame_idx", "frame_width", "frame_height", "frame_gray_sum")
+      .as[(Int, Int, Int, Long)].collect().toSeq.sortBy(_._1)
+    val d = 5L
+    val (w, h) = ((4 + d % 5).toInt, (3 + d % 4).toInt)
+    def graySum(f: Int): Long =
+      (for { x <- 0 until w; y <- 0 until h }
+        yield (d + 5L * x + 3L * y + 11L * f) % 256).sum
+    assert(out == Seq((0, w, h, graySum(0)), (2, w, h, graySum(2))))
+    // stride 1 sees all 3 frames
+    val all = Multimodal.frameSampleGif(media, stride = 1)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(all == Seq(0, 1, 2))
+  }
+
+  test("frameSampleGif: undecodable payload yields one quarantine row") {
+    val junk = Multimodal.asMedia(
+      Seq((9L, "not a gif")).toDF("doc_id", "text"), "text", "image/gif")
+      .select("doc_id", "payload")
+    val rows = Multimodal.frameSampleGif(junk, stride = 2).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 9L && rows(0).isNullAt(2) &&
+      rows(0).isNullAt(5))
+  }
+
   test("imageIoCodec: corrupt payloads yield null features, not a crash") {
     val df = Seq((1L, "this is not a png")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
