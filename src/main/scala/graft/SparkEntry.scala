@@ -671,6 +671,14 @@ object SparkEntry {
     // corpus token counts → per-doc mean token probability + hapax
     // rate, exact-rational so both engines hash-match
     "q_lm_score" -> ((s, d) => Corpus.lmScore(T(s, d, "documents"))),
+    // bigram LM with stupid backoff (Brants et al.): fit on the
+    // even-id slice (the "curated target"), score every doc — unseen
+    // bigrams fall back to 0.4 × unigram frequency, so the backoff
+    // path genuinely fires on the odd-id docs
+    "q_bigram_lm_score" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.bigramLmScore(docs.where(col("doc_id") % 2 === 0), docs)
+    }),
     // deterministic training-export sharding: md5 shard assignment +
     // in-shard content-hash rank (the no-rand() global shuffle)
     "q_export_shards" -> ((s, d) =>
@@ -2792,6 +2800,40 @@ object SparkEntry {
         |CAST(CAST(SUM(CASE WHEN c.cnt = 1 THEN p.tf ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) AS DOUBLE) AS hapax_frac
         |FROM pdt p JOIN cnt c USING (tok) CROSS JOIN tot t
         |GROUP BY p.doc_id, t.total""".stripMargin,
+    // bigram LM: replay the fit (even-id slice unigram/bigram counts)
+    // and the per-pair tick tree — seen pairs floor(1e6·cnt12/cnt1),
+    // unseen floor(4e5·cnt2/total), OOV 0 — with the identical
+    // double expression tree so sums hash-match
+    "q_bigram_lm_score" ->
+      """WITH ft AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |FROM documents WHERE doc_id % 2 = 0),
+        |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_w
+        |FROM (SELECT unnest(l) AS tok FROM ft) GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS total FROM ucnt),
+        |bcnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt_bg
+        |FROM (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |FROM ft WHERE len(l) >= 2) GROUP BY bigram),
+        |bmodel AS (SELECT b.bigram, b.cnt_bg, u.cnt_w AS cnt_w1
+        |FROM bcnt b JOIN ucnt u ON u.tok = string_split(b.bigram, ' ')[1]),
+        |sb AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents)
+        |WHERE len(l) >= 2)
+        |SELECT sb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(CASE WHEN bm.cnt_bg IS NOT NULL
+        |THEN CAST(floor(1000000.0 * CAST(bm.cnt_bg AS DOUBLE) / CAST(bm.cnt_w1 AS DOUBLE)) AS BIGINT)
+        |WHEN u2.cnt_w IS NOT NULL
+        |THEN CAST(floor(400000.0 * CAST(u2.cnt_w AS DOUBLE) / CAST(t.total AS DOUBLE)) AS BIGINT)
+        |ELSE 0 END) AS BIGINT) AS score_fp,
+        |CAST(SUM(CASE WHEN bm.cnt_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |CAST(CAST(SUM(CASE WHEN bm.cnt_bg IS NOT NULL
+        |THEN CAST(floor(1000000.0 * CAST(bm.cnt_bg AS DOUBLE) / CAST(bm.cnt_w1 AS DOUBLE)) AS BIGINT)
+        |WHEN u2.cnt_w IS NOT NULL
+        |THEN CAST(floor(400000.0 * CAST(u2.cnt_w AS DOUBLE) / CAST(t.total AS DOUBLE)) AS BIGINT)
+        |ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_p
+        |FROM sb LEFT JOIN bmodel bm USING (bigram)
+        |LEFT JOIN ucnt u2 ON u2.tok = string_split(sb.bigram, ' ')[2]
+        |CROSS JOIN tot t
+        |GROUP BY sb.doc_id""".stripMargin,
     // export sharding: the md5Bucket16 nibble replay (q_corpus_mix
     // pattern) mod nShards, rank by (md5 hex, id) within the shard
     "q_export_shards" ->

@@ -209,6 +209,78 @@ object Corpus {
           .as("hapax_frac"))
   }
 
+  /** Bigram LM scoring with stupid backoff (Brants et al. 2007) —
+    * the fit-on-target, score-the-crawl shape of the CCNet/KenLM
+    * perplexity filter, one order up from [[lmScore]]'s unigram
+    * model. FIT (over `fitDocs`, normally the curated target slice —
+    * NOT the corpus being scored, which is what makes backoff
+    * meaningful): unigram counts, total token instances, and bigram
+    * counts with each bigram's left-word count riding on the model
+    * row. TRANSFORM (over `scoreDocs`): every adjacent token pair
+    * scores floor(1e6·cnt(w1w2)/cnt(w1)) ticks when the bigram was
+    * seen, else the backoff floor(0.4·1e6·cnt(w2)/total), else 0 for
+    * out-of-vocabulary w2 — raw conditional frequencies with the
+    * fixed 0.4 backoff factor, no log/libm, the exact double tree
+    * mirrored by the oracle. Per doc: pair count, exact long tick
+    * sum, backoff (unseen-bigram) count, and the mean as ONE IEEE
+    * division. Docs with < 2 tokens have no pairs and are not
+    * emitted (the [[lmScore]] zero-token contract).
+    *
+    * Scale shape: fit is two scans of the (small) target slice into
+    * count tables; scoring is one explode + two equi-joins + one
+    * map-side-combined aggregation. The bigram model broadcasts when
+    * the target slice is curated-corpus-sized (MBs–GBs of distinct
+    * bigrams — the CCNet case, default); set broadcastModel=false to
+    * shuffle-join on the bigram key when fitting against something
+    * web-scale. */
+  def bigramLmScore(fitDocs: DataFrame, scoreDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastModel: Boolean = true): DataFrame = {
+    val uni = fitDocs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt_w"))
+    val totals = uni.agg(sum(col("cnt_w")).cast("long").as("total"))
+    // attach cnt(w1) to each bigram model row — tokens cannot contain
+    // the space separator, so the split back into words is unambiguous
+    val bgModel0 = fitDocs
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("cnt_bg"))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .join(uni.withColumnRenamed("tok", "__w1")
+        .withColumnRenamed("cnt_w", "cnt_w1"), "__w1")
+      .select("bigram", "cnt_bg", "cnt_w1")
+    val bgModel = if (broadcastModel) broadcast(bgModel0) else bgModel0
+    val uniModel0 = uni.withColumnRenamed("tok", "__w2")
+      .withColumnRenamed("cnt_w", "cnt_w2")
+    val uniModel = if (broadcastModel) broadcast(uniModel0) else uniModel0
+    // per-pair ticks: each factor cast to double BEFORE the divide —
+    // the same overflow-safe fixed tree as qualityClassifier, floored
+    // to 1e-6 ticks so per-doc sums are order-independent longs
+    val tick = when(col("cnt_bg").isNotNull,
+        floor(lit(1000000.0) * col("cnt_bg").cast("double") /
+          col("cnt_w1").cast("double")).cast("long"))
+      .when(col("cnt_w2").isNotNull,
+        floor(lit(400000.0) * col("cnt_w2").cast("double") /
+          col("total").cast("double")).cast("long"))
+      .otherwise(lit(0L))
+    scoreDocs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+      .join(bgModel, Seq("bigram"), "left")
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(uniModel, Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(tick).cast("long").as("score_fp"),
+        sum(when(col("cnt_bg").isNull, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_backoff"))
+      .withColumn("avg_bigram_p",
+        col("score_fp").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, Table A1
     * shape): per-document word-count bounds, mean-word-length bounds,
     * symbol-to-word ratio (# and ... marks), bullet-start and

@@ -98,6 +98,85 @@ class CorpusSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bigramLmScore: seen / backoff / OOV tick paths, short docs dropped") {
+    // fit: a=2 b=2 c=1, total=5; bigrams "a b"x2, "b a"x1, "b c"x1
+    val fit = Seq((10L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // "a b": 1e6*2/2; "b c": 1e6*1/2 — both seen
+      (2L, "a x"),   // "a x" unseen, x OOV → 0 ticks, 1 backoff
+      (5L, "x c"),   // "x c" unseen, c seen → floor(4e5*1/5) = 80000
+      (4L, "a"))     // < 2 tokens → no pairs, not emitted
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(fit, score)
+      .select("doc_id", "n_bigrams", "score_fp", "n_backoff", "avg_bigram_p")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L))
+    assert(out(1L) == ((2L, 1500000L, 0L, 750000.0)))
+    assert(out(2L) == ((1L, 0L, 1L, 0.0)))
+    assert(out(5L) == ((1L, 80000L, 1L, 80000.0)))
+  }
+
+  test("bigramLmScore equals a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 5) {
+      val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+      val docs = (0 until 24).map { i =>
+        val n = 1 + rnd.nextInt(10)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(8))).mkString(" "))
+      }
+      val fitToks = docs.filter(_._1 % 2 == 0)
+        .map(_._2.split(" ").toVector)
+      val cnt = fitToks.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val total = cnt.values.sum
+      val bg = fitToks.flatMap(ts => ts.sliding(2).filter(_.size == 2))
+        .map(_.mkString(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val expect = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").toVector
+        val pairs = ts.sliding(2).filter(_.size == 2).toVector
+        if (pairs.isEmpty) None
+        else {
+          val ticks = pairs.map { p =>
+            val key = p.mkString(" ")
+            bg.get(key) match {
+              case Some(c12) =>
+                math.floor(1000000.0 * c12 / cnt(p(0))).toLong
+              case None => cnt.get(p(1)) match {
+                case Some(c2) => math.floor(400000.0 * c2 / total).toLong
+                case None => 0L
+              }
+            }
+          }
+          val nb = pairs.count(p => !bg.contains(p.mkString(" "))).toLong
+          Some(id -> ((pairs.size.toLong, ticks.sum, nb,
+            ticks.sum.toDouble / pairs.size.toDouble)))
+        }
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val got = Corpus.bigramLmScore(df.where($"doc_id" % 2 === 0), df)
+        .select("doc_id", "n_bigrams", "score_fp", "n_backoff",
+          "avg_bigram_p")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("bigramLmScore broadcastModel=false matches the broadcast plan") {
+    val docs = Seq((0L, "u v u w v"), (1L, "v v z u"), (2L, "u z z q"))
+      .toDF("doc_id", "text")
+    val a = Corpus.bigramLmScore(docs.where($"doc_id" % 2 === 0), docs)
+      .select("doc_id", "n_bigrams", "score_fp", "n_backoff")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = Corpus.bigramLmScore(docs.where($"doc_id" % 2 === 0), docs,
+        broadcastModel = false)
+      .select("doc_id", "n_bigrams", "score_fp", "n_backoff")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("partitioned write + filtered read prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
