@@ -40,6 +40,20 @@ object SparkEntry {
         lit("?b=2&a=1#section")))
   }
 
+  /** URL fixture for q_blocklist_filter: six host shapes covering
+    * subdomain suffix matches, the most-specific-entry tie, userinfo
+    * + port stripping, the not-a-suffix boundary, and a
+    * non-hierarchical URL (the oracle replays the same variants). */
+  private def synthBlockUrl: Column = {
+    val v = col("doc_id") % 6
+    when(v === 0, lit("https://Ads.Tracker.NET/banner?x=1"))
+      .when(v === 1, lit("https://www.example.com/a"))
+      .when(v === 2, lit("http://user:pw@sub.shop.example.com:8080/x"))
+      .when(v === 3, lit("https://good-site.org/page#frag"))
+      .when(v === 4, lit("mailto:someone@nowhere"))
+      .otherwise(lit("https://nottracker.net/x"))
+  }
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -732,6 +746,22 @@ object SparkEntry {
         linedDocuments(s, d)
           .select(col("doc_id"), synthUrl.as("url"), col("text")),
         minTokens = 20)),
+    // UT1-style domain blocklist (the RefinedWeb/CCNet stage-0 URL
+    // filter): a blocked domain bans itself + every subdomain;
+    // blocked_by = the most specific matching entry. The fixture
+    // exercises suffix vs substring ("nottracker.net" survives),
+    // specificity ("shop.example.com" beats "example.com"),
+    // userinfo/port stripping, and unparseable-URL passthrough
+    "q_blocklist_filter" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("tracker.net", "example.com",
+        "shop.example.com").toDF("domain")
+      CorpusPipeline.blocklistFilter(
+        T(s, d, "documents").select(col("doc_id"),
+          synthBlockUrl.as("url")),
+        blocklist)
+        .select("doc_id", "host", "blocked_by", "keep")
+    }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
     // (the aggregation every trainMerges round repeats), top-20
@@ -2942,6 +2972,30 @@ object SparkEntry {
         |CASE WHEN j.avg_tok_p >= bd.b1 THEN 'head'
         |WHEN j.avg_tok_p >= bd.b2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM j JOIN bd USING (lang)""".stripMargin,
+    // blocklist: replay host extraction (authority → strip userinfo,
+    // port, www., lower) and pick the longest list entry that equals
+    // the host or is a '.'-boundary suffix of it
+    "q_blocklist_filter" ->
+      """WITH bl(domain) AS (VALUES ('tracker.net'), ('example.com'), ('shop.example.com')),
+        |d AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+        |WHEN 0 THEN 'https://Ads.Tracker.NET/banner?x=1'
+        |WHEN 1 THEN 'https://www.example.com/a'
+        |WHEN 2 THEN 'http://user:pw@sub.shop.example.com:8080/x'
+        |WHEN 3 THEN 'https://good-site.org/page#frag'
+        |WHEN 4 THEN 'mailto:someone@nowhere'
+        |ELSE 'https://nottracker.net/x' END AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
+        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS host FROM d)
+        |SELECT doc_id, host,
+        |(SELECT b.domain FROM bl b
+        |WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+        |ORDER BY length(b.domain) DESC, b.domain LIMIT 1) AS blocked_by,
+        |(SELECT b.domain FROM bl b
+        |WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+        |ORDER BY length(b.domain) DESC, b.domain LIMIT 1) IS NULL AS keep
+        |FROM h""".stripMargin,
     // crawl-prepare: the four stages chained as one CTE pipeline —
     // pseudo-line + URL synthesis, canonical-URL keepers, normalized
     // keepers, line df + reassembly, Gopher battery on the rewritten

@@ -229,6 +229,22 @@ object TextFunctions {
     when(size(schemeAndRest) > 1, canon).otherwise(noFrag)
   }
 
+  /** Registered host of a URL: the authority with userinfo, port,
+    * path/query/fragment, and a leading `www.` stripped, lowercased —
+    * the key domain-level crawl policies (blocklists, per-site quota)
+    * group on. Total like [[canonicalizeUrl]]: a non-hierarchical
+    * input (no "//") yields null rather than a fabricated host. */
+  def urlHost(url: Column): Column = {
+    val rest = split(url, "//", 2)
+    val hostPath = when(size(rest) > 1, element_at(rest, 2))
+      .otherwise(lit(null).cast("string"))
+    val authority = element_at(split(hostPath, "[/?#]", 2), 1)
+    val noUser = regexp_replace(authority, "^[^@]*@", "")
+    val noPort = regexp_replace(lower(noUser), ":[0-9]*$", "")
+    val host = regexp_replace(noPort, "^www\\.", "")
+    when(host === "", lit(null).cast("string")).otherwise(host)
+  }
+
   /** Order-sensitive rolling document fingerprint over tokens:
     * fold of rot-left-5 XOR token-hash. Pure bitwise ops — no
     * overflow, ANSI-safe, deterministic. The fast production default

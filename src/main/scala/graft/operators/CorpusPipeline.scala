@@ -136,4 +136,49 @@ object CorpusPipeline {
         Seq("doc_id"))
       .select("doc_id", "n_lines", "n_removed", "n_tokens", "keep")
   }
+
+  /** How many trailing host labels [[blocklistFilter]] tries against
+    * the blocklist: real hosts are < 8 labels deep, so 8 covers every
+    * registrable suffix a UT1-style list contains. */
+  val blocklistMaxLabels: Int = 8
+
+  /** UT1-style domain blocklist filtering — the stage-0 URL filter a
+    * crawl pipeline runs before even extracting text (RefinedWeb §3.1,
+    * CCNet): a blocked domain bans itself and every subdomain.
+    * `blocked_by` reports the MOST SPECIFIC (longest) matching list
+    * entry; `keep` is its absence. Hosts come from
+    * [[TextFunctions.urlHost]]; docs with no parseable host (null /
+    * non-hierarchical URLs) pass — an unparseable URL is not evidence
+    * of a blocked domain.
+    *
+    * Scale shape: ZERO corpus shuffles — the host's last-j-label
+    * suffixes (j = 1..[[blocklistMaxLabels]]) each probe one
+    * broadcast hash join against the deduplicated list (UT1 lists
+    * are MBs — they broadcast; `broadcastList=false` falls back to
+    * shuffle joins). The build side is distinct, so each left join
+    * matches at most once and row counts never inflate; no explode,
+    * no re-aggregation by doc. */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
+                      urlCol: String = "url",
+                      domainCol: String = "domain",
+                      broadcastList: Boolean = true): DataFrame = {
+    val list0 = blocklist
+      .select(lower(col(domainCol)).as("__blocked")).distinct()
+    val withHost = docs.withColumn("host",
+      TextFunctions.urlHost(col(urlCol)))
+    val labels = split(col("host"), "\\.")
+    val js = blocklistMaxLabels to 1 by -1 // longest suffix first
+    val joined = js.foldLeft(withHost) { (acc, j) =>
+      val sufJ = when(size(labels) >= j,
+        array_join(slice(labels, size(labels) - j + 1, lit(j)), "."))
+      val listJ = list0.select(col("__blocked").as(s"__b$j"))
+      acc.join(if (broadcastList) broadcast(listJ) else listJ,
+        sufJ === col(s"__b$j"), "left")
+    }
+    joined
+      .withColumn("blocked_by",
+        coalesce(js.map(j => col(s"__b$j")): _*))
+      .withColumn("keep", col("blocked_by").isNull)
+      .drop(js.map(j => s"__b$j"): _*)
+  }
 }

@@ -376,6 +376,64 @@ class CorpusSpec extends SparkSpec {
     assert(buckets.length == 6 && buckets.forall(_ == "head"))
   }
 
+  test("urlHost: authority extraction edge cases") {
+    val cases = Seq(
+      "https://Ads.Tracker.NET/banner?x=1" -> Some("ads.tracker.net"),
+      "https://www.example.com/a" -> Some("example.com"),
+      "http://user:pw@sub.shop.example.com:8080/x" ->
+        Some("sub.shop.example.com"),
+      "https://good-site.org#frag" -> Some("good-site.org"),
+      "https://host.io?q=1" -> Some("host.io"),
+      "mailto:someone@nowhere" -> None,
+      "relative/path" -> None,
+      "https://" -> None)
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.functions.TextFunctions.urlHost(col("url")).as("h"))
+      .as[(String, Option[String])].collect().toMap
+    for ((url, expect) <- cases) assert(got(url) == expect, url)
+  }
+
+  test("blocklistFilter: suffix semantics, specificity, passthrough") {
+    val docs = Seq(
+      (0L, "https://Ads.Tracker.NET/banner?x=1"),   // → tracker.net
+      (1L, "https://www.example.com/a"),            // → example.com
+      (2L, "http://u:p@sub.shop.example.com:8080/x"), // most specific
+      (3L, "https://good-site.org/page#frag"),      // keep
+      (4L, "mailto:someone@nowhere"),               // no host → keep
+      (5L, "https://nottracker.net/x"))             // not a suffix
+      .toDF("doc_id", "url")
+    val bl = Seq("tracker.net", "example.com", "shop.example.com")
+      .toDF("domain")
+    val out = CorpusPipeline.blocklistFilter(docs, bl)
+      .select("doc_id", "blocked_by", "keep")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((Some("tracker.net"), false)))
+    assert(out(1L) == ((Some("example.com"), false)))
+    assert(out(2L) == ((Some("shop.example.com"), false))) // longest wins
+    assert(out(3L) == ((None, true)))
+    assert(out(4L) == ((None, true)))
+    assert(out(5L) == ((None, true)))
+    // row count never inflates even with multi-entry matches
+    assert(CorpusPipeline.blocklistFilter(docs, bl).count() == 6)
+  }
+
+  test("blocklistFilter broadcastList=false matches the broadcast plan") {
+    val docs = Seq((0L, "https://a.b.c.d.example.com/x"),
+      (1L, "https://keep.me/y")).toDF("doc_id", "url")
+    val bl = Seq("example.com", "d.example.com").toDF("domain")
+    val a = CorpusPipeline.blocklistFilter(docs, bl)
+      .select("doc_id", "blocked_by", "keep")
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1)
+    val b = CorpusPipeline.blocklistFilter(docs, bl,
+        broadcastList = false)
+      .select("doc_id", "blocked_by", "keep")
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a(0)._2.contains("d.example.com"))
+  }
+
   test("crawlPrepare: stage interlock — df counts survivors only") {
     // docs 1 and 2 share a canonical URL → 2 dropped at stage 1.
     // The BANNER line appears in docs 1, 2, 3 — but after URL dedup
