@@ -146,6 +146,38 @@ object Bpe {
   def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] =
     merges.map { case (a, b) => a + b }.distinct
 
+  /** Persist a trained merge list as a parquet model table —
+    * (rank, a, b), one row per merge in training order. Train once,
+    * encode across sessions: the tokenizer model is as much a
+    * persistent artifact as the IVF centroid / PQ codebook tables
+    * (same discipline: [[graft.operators.Ivf.saveCentroids]]). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] model table back into the in-memory merge
+    * list, training order restored; rejects duplicate or non-dense
+    * rank rows (a double-written or append-mode table) rather than
+    * silently replaying a corrupted model. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path).select("rank", "a", "b")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2))))
+    val byRank = rows.toMap
+    require(rows.length == byRank.size,
+      s"merge table at $path has duplicate rank rows: " +
+        s"${rows.length} rows for ${byRank.size} distinct ranks")
+    require(byRank.keySet == (0 until byRank.size).toSet,
+      s"merge table at $path is not dense in [0, n): " +
+        s"ranks ${byRank.keySet.toSeq.sorted.take(5)}...")
+    (0 until byRank.size).map(byRank)
+  }
+
   /** PRODUCTION encoder: greedy longest-match against the vocabulary
     * table ([[graft.expressions.LongestMatchEncode]]) — O(word) per
     * row whatever the vocab size, vs [[applyMerges]]'s O(nMerges)

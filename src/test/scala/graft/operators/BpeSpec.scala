@@ -227,6 +227,38 @@ class BpeSpec extends SparkSpec {
       vocab.contains(t) || t.length == 1))
   }
 
+  test("merge model table roundtrips and drives the encoder") {
+    val docs = Seq((1L, "low lower lowest low low"),
+      (2L, "newer newest new lower")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 6)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges) // training order restored bit-exactly
+    val enc = docs.select(Bpe.encodeLongestMatch(col("text"),
+      Bpe.vocabFromMerges(loaded)).as("toks"))
+      .as[Seq[String]].collect().toSeq
+    val ref = docs.select(Bpe.encodeLongestMatch(col("text"),
+      Bpe.vocabFromMerges(merges)).as("toks"))
+      .as[Seq[String]].collect().toSeq
+    assert(enc == ref)
+    // non-dense rank table (a lost row) is rejected, not mis-replayed
+    spark.read.parquet(path).filter(col("rank") =!= 1)
+      .write.mode("overwrite").parquet(path + "2")
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path + "2"))
+  }
+
+  test("loadMerges rejects duplicate rank rows instead of picking one") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_dup").toString
+    Seq((0, "a", "b"), (0, "b", "c"), (1, "c", "d"))
+      .toDF("rank", "a", "b").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](Bpe.loadMerges(spark, dir))
+    assert(e.getMessage.contains("duplicate rank"))
+  }
+
   test("trainMerges equals reference on random corpora") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
