@@ -236,9 +236,15 @@ object Corpus {
   def bigramLmScore(fitDocs: DataFrame, scoreDocs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     broadcastModel: Boolean = true): DataFrame = {
+    // persisted: the unigram table feeds THREE consumers (totals,
+    // the bigram model's cnt_w1 join, the backoff model) — each
+    // builds its own broadcast job, so without the cache the fit
+    // corpus would be tokenized three times. Vocab-sized, released
+    // by materializeAndRelease below (the qualityClassifier pattern)
     val uni = fitDocs
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = uni.agg(sum(col("cnt_w")).cast("long").as("total"))
     // attach cnt(w1) to each bigram model row — tokens cannot contain
     // the space separator, so the split back into words is unambiguous
@@ -264,21 +270,23 @@ object Corpus {
         floor(lit(400000.0) * col("cnt_w2").cast("double") /
           col("total").cast("double")).cast("long"))
       .otherwise(lit(0L))
-    scoreDocs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
-      .join(bgModel, Seq("bigram"), "left")
-      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
-      .join(uniModel, Seq("__w2"), "left")
-      .crossJoin(broadcast(totals))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sum(tick).cast("long").as("score_fp"),
-        sum(when(col("cnt_bg").isNull, lit(1L)).otherwise(lit(0L)))
-          .cast("long").as("n_backoff"))
-      .withColumn("avg_bigram_p",
-        col("score_fp").cast("double") / col("n_bigrams").cast("double"))
+    CacheOps.materializeAndRelease(
+      scoreDocs
+        .select(col(idCol).as("doc_id"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+        .join(bgModel, Seq("bigram"), "left")
+        .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+        .join(uniModel, Seq("__w2"), "left")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(tick).cast("long").as("score_fp"),
+          sum(when(col("cnt_bg").isNull, lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_backoff"))
+        .withColumn("avg_bigram_p",
+          col("score_fp").cast("double") / col("n_bigrams").cast("double")),
+      uni)
   }
 
   /** Gopher-style document quality rules (Rae et al. 2021, Table A1
