@@ -245,6 +245,57 @@ class PlanGuardSpec extends SparkSpec {
       s"more than the one-row totals attach:\n$p")
   }
 
+  // walk the FINAL physical plan only (through adaptive stages and
+  // cached relations) — the treeString would double-count joins via
+  // AQE's "Initial Plan" sections
+  private def finalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val children: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    p +: children.flatMap(finalNodes)
+  }
+
+  test("q_bigram_lm_score: both models broadcast; one 1-row totals attach") {
+    val nodes = finalNodes(SparkEntry.queries("q_bigram_lm_score")(spark, sf)
+      .queryExecution.executedPlan).map(_.nodeName)
+    // bigram + backoff-unigram probes are broadcast equi-joins; the
+    // only unkeyed join allowed is the single one-row totals cross
+    assert(nodes.count(_ == "BroadcastHashJoin") >= 2,
+      s"bigram/unigram model probes not broadcast:\n${nodes.mkString(",")}")
+    assert(!nodes.exists(n => n == "SortMergeJoin" || n == "ShuffledHashJoin"),
+      s"the corpus must never shuffle-join against the model:\n${nodes.mkString(",")}")
+    assert(nodes.count(_ == "BroadcastNestedLoopJoin") <= 1 &&
+      !nodes.contains("CartesianProduct"),
+      s"more than the one-row totals attach:\n${nodes.mkString(",")}")
+  }
+
+  test("q_blocklist_filter: zero corpus shuffles, suffix joins broadcast") {
+    val exec = SparkEntry.queries("q_blocklist_filter")(spark, sf)
+      .queryExecution.executedPlan
+    val nodes = finalNodes(exec)
+    val names = nodes.map(_.nodeName)
+    // the whole filter is fixed-depth broadcast left joins on the
+    // host's label suffixes — no explode, no re-aggregation by doc,
+    // no shuffle of the corpus (the only exchanges are the tiny
+    // blocklist's own distinct aggregations inside broadcast builds)
+    assert(names.count(_ == "BroadcastHashJoin") ==
+      graft.operators.CorpusPipeline.blocklistMaxLabels,
+      s"expected one broadcast join per suffix depth:\n${names.mkString(",")}")
+    assert(!names.exists(n => n == "SortMergeJoin" || n == "ShuffledHashJoin"),
+      s"corpus-side shuffle join appeared:\n${names.mkString(",")}")
+    assert(!names.contains("Generate"),
+      s"suffix probe degenerated to an explode:\n${names.mkString(",")}")
+    assert(!nodes.exists(n => n.nodeName == "HashAggregate" &&
+      n.toString.contains("keys=[doc_id")),
+      s"a per-doc re-aggregation appeared:\n$exec")
+  }
+
   test("q_semdedup: candidates equi-join on the cell id, never all-pairs") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct") &&
