@@ -762,6 +762,25 @@ object SparkEntry {
         blocklist)
         .select("doc_id", "host", "blocked_by", "keep")
     }),
+    // HTML main-text extraction (the trafilatura stage between the
+    // URL gate and line dedup): wrap each doc's text in a noisy HTML
+    // shell — script/style/comment blocks, block tags, the six
+    // entities — and extract; the whole chain is RE2-portable
+    // regexp/replace steps, so DuckDB replays it byte-for-byte
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>t</title>" +
+          "<style type=\"text/css\">body {color:#fff}</style>" +
+          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+          "<body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>"),
+        col("text"),
+        lit("</p><div>footer&nbsp;menu</div></body></html>"))
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.htmlExtract(html).as("extracted"))
+        .withColumn("n_chars_out",
+          length(col("extracted")).cast("long"))
+    }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
     // (the aggregation every trainMerges round repeats), top-20
@@ -2996,6 +3015,30 @@ object SparkEntry {
         |WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
         |ORDER BY length(b.domain) DESC, b.domain LIMIT 1) IS NULL AS keep
         |FROM h""".stripMargin,
+    // html extraction: the identical RE2 chain replayed with 'g'
+    // flags (DuckDB regexp_replace is first-match by default where
+    // Spark's is global) over the same synthesized shell
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |'<html><head><title>t</title><style type="text/css">body {color:#fff}</style><script>if (1 < 2) { alert("x&y"); }</script></head><body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>'
+        | || text || '</p><div>footer&nbsp;menu</div></body></html>' AS html FROM documents),
+        |e AS (SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(regexp_replace(
+        |replace(replace(replace(replace(replace(replace(
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |'(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |'(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |'(?s)<!--.*?-->', '', 'g'),
+        |'(?i)(</(p|div|li|h[1-6]|tr)>|<br\s*/?>)', chr(10), 'g'),
+        |'<[^>]+>', '', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |'&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |'[ ' || chr(9) || ']+', ' ', 'g'),
+        |' ?' || chr(10) || ' ?', chr(10), 'g'),
+        |chr(10) || '{2,}', chr(10), 'g'),
+        |' ' || chr(10)) AS extracted FROM h)
+        |SELECT doc_id, extracted,
+        |CAST(length(extracted) AS BIGINT) AS n_chars_out FROM e""".stripMargin,
     // crawl-prepare: the four stages chained as one CTE pipeline —
     // pseudo-line + URL synthesis, canonical-URL keepers, normalized
     // keepers, line df + reassembly, Gopher battery on the rewritten

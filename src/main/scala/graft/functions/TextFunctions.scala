@@ -229,6 +229,37 @@ object TextFunctions {
     when(size(schemeAndRest) > 1, canon).otherwise(noFrag)
   }
 
+  /** Main-text extraction from raw HTML — the crawl stage between
+    * URL filtering and line-level dedup (the trafilatura/jusText
+    * role, as a deterministic codegen'd column chain rather than a
+    * DOM parser): script/style/comment blocks removed, block-level
+    * closers (`</p> </div> </li> </h1..6> </tr>` and `<br>`) become
+    * newlines BEFORE tags strip so paragraph structure survives into
+    * [[graft.operators.Dedup.dedupLines]], remaining tags dropped,
+    * the six ubiquitous entities decoded (`&amp;` LAST, so
+    * `&amp;lt;` yields `&lt;`, not `<`), whitespace runs collapsed,
+    * blank lines squeezed. Every step is an RE2-compatible
+    * regexp_replace / literal replace — no lookahead, no backrefs —
+    * so an engine replaying the same chain gets the same bytes.
+    * Known limitation (shared by any regex extractor): a bare
+    * `< ... >` span in TEXT content is stripped like a tag. */
+  def htmlExtract(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)(</(p|div|li|h[1-6]|tr)>|<br\\s*/?>)", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]+>", "")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val sp = regexp_replace(ent, "[ \t]+", " ")
+    val nl = regexp_replace(sp, " ?\n ?", "\n")
+    trim(regexp_replace(nl, "\n{2,}", "\n"), " \n")
+  }
+
   /** Registered host of a URL: the authority with userinfo, port,
     * path/query/fragment, and a leading `www.` stripped, lowercased —
     * the key domain-level crawl policies (blocklists, per-site quota)

@@ -143,4 +143,29 @@ class FunctionsSpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < 64))
     assert(codes(0) == (~codes(1) & 63)) // antipodal vectors flip every bit
   }
+
+  test("htmlExtract: scripts/styles/comments out, blocks to lines, entities") {
+    def ext(html: String): String =
+      Seq(html).toDF("h")
+        .select(TextFunctions.htmlExtract(col("h"))).as[String].head()
+    assert(ext("<p>hello</p><p>world</p>") == "hello\nworld")
+    assert(ext("<SCRIPT>if (1 < 2) { x(\"<p>\"); }</script>ok") == "ok")
+    assert(ext("<style>p {color:red}</style>a<br/>b<BR>c") == "a\nb\nc")
+    assert(ext("pre<!-- hidden <b>bold</b> -->post") == "prepost")
+    // &amp; decodes LAST: "&amp;lt;" is the ESCAPED "&lt;", not "<"
+    assert(ext("x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b " +
+      "&amp;lt;") == "x & y <z> \"q\" 's' a b &lt;")
+    assert(ext("<div>a   b\t\tc</div>\n\n<div>d</div>") == "a b c\nd")
+    assert(ext("  <ul><li>one</li><li>two</li></ul>  ") == "one\ntwo")
+    // inline tags vanish without a line break
+    assert(ext("a <b>bold</b> and <a href=\"u\">link</a>.") ==
+      "a bold and link.")
+  }
+
+  test("urlHost null/edge totality") {
+    val got = Seq[String](null, "", "https://example.com").toDF("u")
+      .select(TextFunctions.urlHost(col("u"))).as[Option[String]]
+      .collect().toSeq
+    assert(got == Seq(None, None, Some("example.com")))
+  }
 }
