@@ -1207,6 +1207,27 @@ object SparkEntry {
           col("l_linenumber").cast("int"), col("l_returnflag"),
           col("l_quantity").cast("double"))
     }),
+    // WARC container roundtrip (the CommonCrawl arrival format): one
+    // file per partition on write, one task per file on read,
+    // Content-Length-driven payload recovery — doc ids come back out
+    // of the target URIs, payload bytes decode to the original text
+    "q_warc_roundtrip" -> ((s, d) => {
+      val out = roundtripDir("warc")
+      sources.Warc.write(
+        T(s, d, "documents").select(
+          concat(lit("https://corpus.example/doc/"), col("doc_id"))
+            .as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          col("text").cast("binary").as("payload"))
+          .repartition(4),
+        out)
+      sources.Warc.read(s, out + "/*.warc")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("payload").cast("string").as("text"))
+    }),
     "q_gff_roundtrip" -> ((s, d) => {
       val out = roundtripDir("gff")
       TextRender.writeText(
@@ -3715,6 +3736,11 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
     "q_tokenrecords_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |text FROM documents""".stripMargin,
     "q_gff_roundtrip" ->
       """SELECT p_brand AS seqid, 'graft' AS source, p_type AS type,
         |CAST(p_partkey AS BIGINT) AS start, CAST(p_partkey + p_size AS BIGINT) AS "end",

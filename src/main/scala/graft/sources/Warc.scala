@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) reader/writer — the container
+  * format web-scale training corpora actually arrive in (Common
+  * Crawl ships ~90k WARC files per snapshot). The processing model
+  * here is Common Crawl's own: ONE task per WARC file, thousands of
+  * files in parallel — `binaryFile` hands each task its whole file,
+  * record splitting is a local byte scan, and everything downstream
+  * is ordinary DataFrame work. A single file must fit in executor
+  * memory (Common Crawl caps them at ~1 GiB, far under executor
+  * sizing); the FILE count, not file size, is the scale axis.
+  *
+  * Records are the standard layout: a `WARC/1.0` version line,
+  * CRLF-separated headers (WARC-Type, WARC-Target-URI, WARC-Date,
+  * Content-Length), a blank line, `Content-Length` payload bytes,
+  * and a CRLF CRLF record terminator. Content-Length DRIVES the
+  * payload read — payloads are opaque bytes and may themselves
+  * contain record-like text; only the byte count is trusted.
+  */
+object Warc {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_idx", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private val CRLF = "\r\n".getBytes("US-ASCII")
+
+  /** Write a DataFrame as WARC files — one `part-N.warc` per
+    * partition, written through the Hadoop FileSystem API (works on
+    * any cluster filesystem, not just local disk). Callers size
+    * partitions to the target file size (the Common Crawl ~1 GiB
+    * convention) with a repartition before the call. */
+  def write(df: DataFrame, dir: String,
+            uriCol: String = "uri", dateCol: String = "date",
+            payloadCol: String = "payload",
+            warcType: String = "response"): Unit = {
+    val rows = df.select(col(uriCol).cast("string"),
+      col(dateCol).cast("string"), col(payloadCol).cast("binary"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    rows.sparkSession.sparkContext.runJob(rows.rdd,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[Row]) => {
+        val path = new org.apache.hadoop.fs.Path(
+          dir, f"part-${ctx.partitionId()}%05d.warc")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        try {
+          it.foreach { r =>
+            val payload =
+              Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+            val headers = (s"WARC/1.0\r\n" +
+              s"WARC-Type: $warcType\r\n" +
+              s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+              s"WARC-Date: ${r.getString(1)}\r\n" +
+              s"Content-Length: ${payload.length}\r\n" +
+              "\r\n").getBytes("UTF-8")
+            out.write(headers)
+            out.write(payload)
+            out.write(CRLF)
+            out.write(CRLF)
+          }
+        } finally out.close()
+      })
+  }
+
+  /** Read WARC files under `path` (glob ok): one row per record.
+    * Malformed trailing bytes (a truncated final record) stop the
+    * scan for THAT file without failing the job — partial crawl
+    * files are a fact of life; the parsed prefix is kept. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(recordSchema)
+    files.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseFile(r.getString(0), r.getAs[Array[Byte]](1))
+      }
+    }(enc)
+  }
+
+  /** Parse one WARC file's bytes into record rows. Exposed for
+    * tests; tolerant of a truncated final record (parsed prefix is
+    * returned). */
+  private[sources] def parseFile(file: String,
+                                 bytes: Array[Byte]): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var pos = 0
+    var idx = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // version line
+      val ve = lineEnd(pos)
+      if (ve < 0 ||
+          !new String(bytes, pos, ve - pos, "UTF-8").startsWith("WARC/")) {
+        ok = false
+      } else {
+        pos = ve + 2
+        var wType: String = null
+        var uri: String = null
+        var date: String = null
+        var clen = -1L
+        var headersDone = false
+        while (ok && !headersDone) {
+          val he = lineEnd(pos)
+          if (he < 0) ok = false
+          else if (he == pos) { headersDone = true; pos += 2 } // blank
+          else {
+            val line = new String(bytes, pos, he - pos, "UTF-8")
+            pos = he + 2
+            val sep = line.indexOf(':')
+            if (sep > 0) {
+              val k = line.substring(0, sep).trim.toLowerCase
+              val v = line.substring(sep + 1).trim
+              k match {
+                case "warc-type" => wType = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "content-length" => clen = v.toLong
+                case _ => () // unknown headers pass through unread
+              }
+            }
+          }
+        }
+        if (ok && clen >= 0 && pos + clen <= bytes.length) {
+          val payload = java.util.Arrays.copyOfRange(
+            bytes, pos, pos + clen.toInt)
+          out += Row(file, idx, wType, uri, date, clen, payload)
+          idx += 1
+          pos += clen.toInt
+          // skip the CRLF CRLF record terminator (tolerate EOF)
+          var skipped = 0
+          while (skipped < 4 && pos < bytes.length &&
+            (bytes(pos) == '\r' || bytes(pos) == '\n')) {
+            pos += 1; skipped += 1
+          }
+        } else ok = false // truncated record: keep the parsed prefix
+      }
+    }
+    out.toSeq
+  }
+}

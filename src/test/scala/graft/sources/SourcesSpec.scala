@@ -208,4 +208,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
       Seq((7L, "R", 2.5), (42L, "A", 10.0)))
   }
+
+  test("Warc: write/read roundtrip preserves records across partitions") {
+    val dir = Files.createTempDirectory("graft_warc").toString + "/out"
+    val docs = Seq(
+      (1L, "hello warc"),
+      (2L, ""), // empty payload
+      (3L, "binary-ish \r\n\r\nWARC/1.0 payload text"), // record-like TEXT
+      (4L, "four")).toDF("doc_id", "text")
+    Warc.write(docs.select(
+      concat(lit("https://x.example/d/"), col("doc_id")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      col("text").cast("binary").as("payload")).repartition(2), dir)
+    val back = Warc.read(spark, dir + "/*.warc")
+      .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+        .cast("long").as("doc_id"),
+        col("warc_type"), col("warc_date"), col("content_length"),
+        col("payload").cast("string").as("text"))
+      .as[(Long, String, String, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(back.keySet == Set(1L, 2L, 3L, 4L))
+    assert(back(1L) == ((1L, "response", "2026-01-01T00:00:00Z",
+      10L, "hello warc")))
+    assert(back(2L)._4 == 0L && back(2L)._5 == "")
+    // Content-Length drives the read: a payload containing WARC-like
+    // text does not split the record
+    assert(back(3L)._5 == "binary-ish \r\n\r\nWARC/1.0 payload text")
+  }
+
+  test("Warc: a truncated final record keeps the parsed prefix") {
+    val good = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a\r\nWARC-Date: d\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://b\r\nWARC-Date: d\r\n" +
+      "Content-Length: 100\r\n\r\nonly-a-few-bytes").getBytes("UTF-8")
+    val rows = Warc.parseFile("f", good ++ truncated)
+    assert(rows.length == 1)
+    assert(rows.head.getString(3) == "https://a")
+    assert(new String(rows.head.getAs[Array[Byte]](6), "UTF-8") == "ok")
+  }
 }
