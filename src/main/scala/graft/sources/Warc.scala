@@ -73,9 +73,12 @@ object Warc {
   }
 
   /** Read WARC files under `path` (glob ok): one row per record.
-    * Malformed trailing bytes (a truncated final record) stop the
-    * scan for THAT file without failing the job — partial crawl
-    * files are a fact of life; the parsed prefix is kept. */
+    * `.gz` files are decompressed transparently — including the
+    * Common Crawl layout of CONCATENATED per-record gzip members
+    * (`GZIPInputStream` reads multi-member streams). Malformed
+    * trailing bytes (a truncated final record) stop the scan for
+    * THAT file without failing the job — partial crawl files are a
+    * fact of life; the parsed prefix is kept. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -83,9 +86,18 @@ object Warc {
       .encoderFor(recordSchema)
     files.mapPartitions { rows =>
       rows.flatMap { r =>
-        parseFile(r.getString(0), r.getAs[Array[Byte]](1))
+        val p = r.getString(0)
+        val raw = r.getAs[Array[Byte]](1)
+        val bytes = if (p.endsWith(".gz")) gunzip(raw) else raw
+        parseFile(p, bytes)
       }
     }(enc)
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
   }
 
   /** Parse one WARC file's bytes into record rows. Exposed for

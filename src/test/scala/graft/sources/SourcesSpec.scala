@@ -236,6 +236,26 @@ class SourcesSpec extends SparkSpec {
     assert(back(3L)._5 == "binary-ish \r\n\r\nWARC/1.0 payload text")
   }
 
+  test("Warc: .gz files decompress, incl. concatenated gzip members") {
+    def rec(uri: String, body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: d\r\nContent-Length: ${body.length}\r\n\r\n" +
+        body + "\r\n\r\n").getBytes("UTF-8")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // the Common Crawl layout: one gzip MEMBER per record, concatenated
+    val dir = Files.createTempDirectory("graft_warc_gz")
+    Files.write(dir.resolve("f.warc.gz"),
+      gz(rec("https://a", "one")) ++ gz(rec("https://b", "two")))
+    val back = Warc.read(spark, dir.toString + "/*.warc.gz")
+      .select(col("target_uri"), col("payload").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("https://a", "one"), ("https://b", "two")))
+  }
+
   test("Warc: a truncated final record keeps the parsed prefix") {
     val good = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Target-URI: https://a\r\nWARC-Date: d\r\n" +
