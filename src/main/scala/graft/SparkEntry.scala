@@ -54,6 +54,20 @@ object SparkEntry {
       .otherwise(lit("https://nottracker.net/x"))
   }
 
+  /** HTML shell fixture shared by q_html_extract and
+    * q_crawl_prepare_full (same drift rule as [[synthUrl]]): wraps a
+    * text column in script/style/comment noise, a common header, and
+    * a common footer — the header/footer become corpus-wide
+    * boilerplate LINES after extraction, which is exactly what the
+    * full-crawl facade's line-dedup stage must remove. */
+  private def htmlShell(text: Column): Column = concat(
+    lit("<html><head><title>t</title>" +
+      "<style type=\"text/css\">body {color:#fff}</style>" +
+      "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+      "<body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>"),
+    text,
+    lit("</p><div>footer&nbsp;menu</div></body></html>"))
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -767,19 +781,30 @@ object SparkEntry {
     // shell — script/style/comment blocks, block tags, the six
     // entities — and extract; the whole chain is RE2-portable
     // regexp/replace steps, so DuckDB replays it byte-for-byte
-    "q_html_extract" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>t</title>" +
-          "<style type=\"text/css\">body {color:#fff}</style>" +
-          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
-          "<body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>"),
-        col("text"),
-        lit("</p><div>footer&nbsp;menu</div></body></html>"))
+    "q_html_extract" -> ((s, d) =>
       T(s, d, "documents")
         .select(col("doc_id"),
-          TextFunctions.htmlExtract(html).as("extracted"))
+          TextFunctions.htmlExtract(htmlShell(col("text"))).as("extracted"))
         .withColumn("n_chars_out",
-          length(col("extracted")).cast("long"))
+          length(col("extracted")).cast("long"))),
+    // the COMPLETE crawl front (RefinedWeb §3 order): blocklist on
+    // URLs only (1 in 7 docs lands on a blocked domain) → HTML
+    // main-text extraction (the shared shell's header/footer become
+    // corpus-wide boilerplate lines) → URL dedup → normalized dedup
+    // → line dedup (which removes said boilerplate from every doc)
+    // → Gopher gate. One facade call; the oracle replays all six
+    // stages as a single CTE chain
+    "q_crawl_prepare_full" -> ((s, d) => {
+      import s.implicits._
+      val blockedUrl = concat(lit("https://ads.tracker.net/item-"),
+        col("doc_id"))
+      CorpusPipeline.crawlPrepareFull(
+        linedDocuments(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, blockedUrl)
+            .otherwise(synthUrl).as("url"),
+          htmlShell(col("text")).as("html")),
+        Seq("tracker.net").toDF("domain"),
+        minTokens = 20)
     }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
@@ -3060,6 +3085,104 @@ object SparkEntry {
         |' ' || chr(10)) AS extracted FROM h)
         |SELECT doc_id, extracted,
         |CAST(length(extracted) AS BIGINT) AS n_chars_out FROM e""".stripMargin,
+    // the full crawl front as ONE CTE chain: pseudo-lines, the %7
+    // blocked-domain URL override, host-suffix blocklist, the html
+    // extraction chain, then the four q_crawl_prepare stages over
+    // the extracted text (survivor set reflects the blocking)
+    "q_crawl_prepare_full" ->
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t0 WHERE len(toks) >= 1),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
+        |ld AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g0),
+        |d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ld GROUP BY doc_id),
+        |du AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |THEN 'https://ads.tracker.net/item-' || CAST(doc_id AS VARCHAR)
+        |ELSE CASE CAST(doc_id % 4 AS INTEGER)
+        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url FROM d),
+        |hst AS (SELECT doc_id, url,
+        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
+        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS host FROM du),
+        |sv AS (SELECT doc_id, url FROM hst WHERE host IS NULL OR NOT EXISTS (
+        |SELECT 1 FROM (VALUES ('tracker.net')) bl(domain)
+        |WHERE hst.host = bl.domain OR hst.host LIKE '%.' || bl.domain)),
+        |hx AS (SELECT doc_id,
+        |'<html><head><title>t</title><style type="text/css">body {color:#fff}</style><script>if (1 < 2) { alert("x&y"); }</script></head><body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>'
+        | || text || '</p><div>footer&nbsp;menu</div></body></html>' AS html FROM d),
+        |ex AS (SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(regexp_replace(
+        |replace(replace(replace(replace(replace(replace(
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |'(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |'(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |'(?s)<!--.*?-->', '', 'g'),
+        |'(?i)(</(p|div|li|h[1-6]|tr)>|<br\s*/?>)', chr(10), 'g'),
+        |'<[^>]+>', '', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |'&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |'[ ' || chr(9) || ']+', ' ', 'g'),
+        |' ?' || chr(10) || ' ?', chr(10), 'g'),
+        |chr(10) || '{2,}', chr(10), 'g'),
+        |' ' || chr(10)) AS text FROM hx),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM sv),
+        |bq AS (SELECT doc_id, split_part(u, '?', 1) AS base,
+        |CASE WHEN contains(u, '?') THEN substring(u, len(split_part(u, '?', 1)) + 2) ELSE '' END AS query FROM nf),
+        |pr AS (SELECT doc_id, base,
+        |COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid=') OR p = ''))), '&'), '') AS cq FROM bq),
+        |hp AS (SELECT doc_id, cq, split_part(base, '//', 1) AS scheme,
+        |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
+        |h2 AS (SELECT doc_id, cq, scheme, split_part(hostpath, '/', 1) AS host0,
+        |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
+        |h3 AS (SELECT doc_id, cq, scheme, path, regexp_replace(lower(host0), '^www\.', '') AS hw FROM h2),
+        |cn AS (SELECT doc_id,
+        |lower(scheme) || '//' ||
+        |CASE WHEN lower(scheme) = 'http:' THEN regexp_replace(hw, ':80$', '')
+        |WHEN lower(scheme) = 'https:' THEN regexp_replace(hw, ':443$', '')
+        |ELSE hw END ||
+        |regexp_replace(path, '/$', '') ||
+        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h3),
+        |uk AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canonical_url),
+        |s1 AS (SELECT ex.doc_id, ex.text FROM ex JOIN uk USING (doc_id)),
+        |nn AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g'))) AS nh FROM s1),
+        |nk AS (SELECT MIN(doc_id) AS doc_id FROM nn GROUP BY nh),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN nk USING (doc_id)),
+        |l1 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2),
+        |l2 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l1),
+        |lr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ls[i] AS line FROM l2),
+        |df2 AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM lr GROUP BY line),
+        |lj AS (SELECT lr.doc_id, lr.pos, lr.line, df2.line_df FROM lr JOIN df2 USING (line)),
+        |lined AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN line_df >= 2 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2 OR line = ''), '') AS kept_text
+        |FROM lj GROUP BY doc_id),
+        |gt AS (SELECT doc_id, n_lines, n_removed, kept_text AS text,
+        |list_filter(string_split_regex(kept_text, '[ \n]'), x -> x <> '') AS toks,
+        |list_filter(string_split(kept_text, chr(10)), x -> x <> '') AS lines FROM lined),
+        |gc AS (SELECT doc_id, n_lines, n_removed,
+        |CAST(len(toks) AS BIGINT) AS n_tok,
+        |CAST(len(lines) AS BIGINT) AS g_lines,
+        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
+        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
+        |FROM gt)
+        |SELECT doc_id, n_lines, n_removed, n_tok AS n_tokens,
+        |(n_tok >= 20 AND n_tok <= 100000
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
+        |AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
+        |AND CAST(n_bullet AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
+        |AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
+        |AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
+        |AND stop_hits >= 2) AS keep
+        |FROM gc""".stripMargin,
     // crawl-prepare: the four stages chained as one CTE pipeline —
     // pseudo-line + URL synthesis, canonical-URL keepers, normalized
     // keepers, line df + reassembly, Gopher battery on the rewritten

@@ -137,6 +137,33 @@ object CorpusPipeline {
       .select("doc_id", "n_lines", "n_removed", "n_tokens", "keep")
   }
 
+  /** The COMPLETE crawl front, stage 0 through gate — the RefinedWeb
+    * §3 pipeline order end-to-end: domain blocklist (never fetches,
+    * never parses — URLs only) → HTML main-text extraction
+    * ([[TextFunctions.htmlExtract]] — block structure becomes line
+    * structure) → [[crawlPrepare]] (URL dedup → normalized-exact
+    * dedup → line-level boilerplate removal → Gopher gate). The
+    * ordering is the point: extraction must precede line dedup (the
+    * shared chrome every page carries — headers, footers, nav —
+    * becomes high-df LINES only after tags are gone), and the
+    * blocklist must precede everything (cheapest evidence first).
+    * Output is [[crawlPrepare]]'s per-doc verdict row; blocked docs
+    * are absent from it (they were never fetched, in the real
+    * pipeline's terms). */
+  def crawlPrepareFull(docs: DataFrame, blocklist: DataFrame,
+                       urlCol: String = "url", idCol: String = "doc_id",
+                       htmlCol: String = "html",
+                       lineMinDf: Long = 2, minTokens: Long = 20)
+  : DataFrame = {
+    val gated = blocklistFilter(docs, blocklist, urlCol)
+      .filter(col("keep"))
+      .drop("host", "blocked_by", "keep")
+    val extracted = gated.select(col(idCol), col(urlCol),
+      TextFunctions.htmlExtract(col(htmlCol)).as("__crawl_text"))
+    crawlPrepare(extracted, urlCol, idCol, "__crawl_text",
+      lineMinDf, minTokens)
+  }
+
   /** How many trailing host labels [[blocklistFilter]] tries against
     * the blocklist: real hosts are < 8 labels deep, so 8 covers every
     * registrable suffix a UT1-style list contains. */

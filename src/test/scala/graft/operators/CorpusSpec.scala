@@ -434,6 +434,32 @@ class CorpusSpec extends SparkSpec {
     assert(a(0)._2.contains("d.example.com"))
   }
 
+  test("crawlPrepareFull: blocked absent, chrome lines become boilerplate") {
+    def shell(body: String): String =
+      "<html><head><script>x()</script></head><body>" +
+        "<h1>Site Chrome</h1><p>" + body + "</p>" +
+        "<div>footer nav</div></body></html>"
+    val docs = Seq(
+      (1L, "https://keep.org/a",
+        shell("the unique alpha text of one mind is here")),
+      (2L, "https://ads.bad.net/b", shell("blocked body")),
+      (3L, "https://keep.org/c",
+        shell("the unique gamma text of another kind is here")))
+      .toDF("doc_id", "url", "html")
+    val bl = Seq("bad.net").toDF("domain")
+    val out = CorpusPipeline.crawlPrepareFull(docs, bl, minTokens = 2)
+      .select("doc_id", "n_lines", "n_removed", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 2 is blocked: never extracted, never scored, absent
+    assert(out.keySet == Set(1L, 3L))
+    // each survivor has 3 lines (chrome header, body, chrome footer);
+    // the two chrome lines appear in BOTH survivors -> boilerplate,
+    // removed; the unique body line survives the gate
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(3L) == ((3L, 2L, true)))
+  }
+
   test("crawlPrepare: stage interlock — df counts survivors only") {
     // docs 1 and 2 share a canonical URL → 2 dropped at stage 1.
     // The BANNER line appears in docs 1, 2, 3 — but after URL dedup
