@@ -1188,6 +1188,31 @@ object SparkEntry {
         stride = 2)
         .select("doc_id", "frame_idx", "frame_width", "frame_height",
           "frame_gray_sum")),
+    // LAION-style perceptual image hash: REAL decode + nearest-
+    // neighbor 8x8 aHash (index arithmetic, no resample kernel, so
+    // the 64-bit code replays in SQL from the synthesis formula);
+    // docs 2k/2k+1 are one-pixel-edit near-dups by construction
+    "q_image_phash" -> ((s, d) =>
+      Multimodal.imageAHash64(
+        Multimodal.asMedia(
+          Multimodal.synthPairGrayPng(T(s, d, "documents")
+            .select("doc_id")),
+          "png", "image/png")
+          .select("doc_id", "payload"))
+        .select(col("doc_id"), col("feat_ahash").as("ahash"))),
+    // image near-dup pairs over the aHash codes: the SAME hamming
+    // band equi-join as text SimHash (pigeonhole-exact for <= 3),
+    // never all-pairs — IMAGE dedup as a shuffle-on-band-key join
+    "q_image_phash_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.imageAHash64(
+          Multimodal.asMedia(
+            Multimodal.synthPairGrayPng(T(s, d, "documents")
+              .select("doc_id")),
+            "png", "image/png")
+            .select("doc_id", "payload"))
+          .select(col("doc_id").as("id"), col("feat_ahash").as("code")),
+        maxHamming = 3, bands = 4)),
     // ---- K. nested / json -----------------------------------------------
     "q_json_flatten" -> ((s, d) =>
       NestedOps.flattenJson(
@@ -3832,6 +3857,52 @@ object SparkEntry {
         |CAST(SUM((7 * doc_id + 31 * i) % 65536 - 32768) AS BIGINT) AS feat_sum_ch0,
         |CASE WHEN ch = 2 THEN CAST(SUM((7 * doc_id + 31 * i + 17) % 65536 - 32768) AS BIGINT) END AS feat_sum_ch1
         |FROM gi GROUP BY doc_id, ch, n""".stripMargin,
+    // perceptual hash: PNG is lossless and the 8x8 downsample is
+    // pure index math, so the full 64-bit signed code re-derives in
+    // SQL — HUGEINT accumulates the unsigned bits, then wraps to the
+    // signed BIGINT exactly as a Java long would
+    "q_image_phash" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS base,
+        |CAST(8 + (doc_id // 2) % 5 AS BIGINT) AS w,
+        |CAST(8 + (doc_id // 2) % 4 AS BIGINT) AS h FROM documents),
+        |gi AS (SELECT doc_id, base, w, h, unnest(generate_series(0, 7)) AS i FROM dims),
+        |gij AS (SELECT doc_id, base, w, h, i, unnest(generate_series(0, 7)) AS j FROM gi),
+        |cel AS (SELECT doc_id, base, i, j, (i * w) // 8 AS x, (j * h) // 8 AS y FROM gij),
+        |g AS (SELECT doc_id, i, j,
+        |CASE WHEN doc_id % 2 = 1 AND x = 0 AND y = 0
+        |THEN ((3 * base + 7 * x + 11 * y) % 256 + 128) % 256
+        |ELSE (3 * base + 7 * x + 11 * y) % 256 END AS gray FROM cel),
+        |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM g GROUP BY doc_id),
+        |s AS (SELECT g.doc_id,
+        |COALESCE(SUM(CASE WHEN g.gray > m.mean THEN CAST(1 AS HUGEINT) << CAST(8 * g.j + g.i AS INTEGER) END), CAST(0 AS HUGEINT)) AS uh
+        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS ahash
+        |FROM s""".stripMargin,
+    // phash pairs: identical-pipeline replay — same hash derivation,
+    // same 4x16-bit band equi-join over the unsigned HUGEINT codes,
+    // same hamming cutoff
+    "q_image_phash_pairs" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS base,
+        |CAST(8 + (doc_id // 2) % 5 AS BIGINT) AS w,
+        |CAST(8 + (doc_id // 2) % 4 AS BIGINT) AS h FROM documents),
+        |gi AS (SELECT doc_id, base, w, h, unnest(generate_series(0, 7)) AS i FROM dims),
+        |gij AS (SELECT doc_id, base, w, h, i, unnest(generate_series(0, 7)) AS j FROM gi),
+        |cel AS (SELECT doc_id, base, i, j, (i * w) // 8 AS x, (j * h) // 8 AS y FROM gij),
+        |g AS (SELECT doc_id, i, j,
+        |CASE WHEN doc_id % 2 = 1 AND x = 0 AND y = 0
+        |THEN ((3 * base + 7 * x + 11 * y) % 256 + 128) % 256
+        |ELSE (3 * base + 7 * x + 11 * y) % 256 END AS gray FROM cel),
+        |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM g GROUP BY doc_id),
+        |ph AS (SELECT g.doc_id,
+        |COALESCE(SUM(CASE WHEN g.gray > m.mean THEN CAST(1 AS HUGEINT) << CAST(8 * g.j + g.i AS INTEGER) END), CAST(0 AS HUGEINT)) AS uh
+        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id),
+        |bd AS (SELECT doc_id, uh, unnest(generate_series(0, 3)) AS b FROM ph),
+        |bk AS (SELECT doc_id, uh, b, CAST((uh >> CAST(16 * b AS INTEGER)) & 65535 AS BIGINT) AS key FROM bd),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.uh AS a_uh, y.uh AS b_uh
+        |FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(a_uh, b_uh)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(a_uh, b_uh)) <= 3""".stripMargin,
     // frame sampling: the indexed-palette GIF write is lossless, so
     // each sampled frame's gray sum replays from the pixel formula
     "q_frame_sample" ->

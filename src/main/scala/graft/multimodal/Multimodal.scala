@@ -468,6 +468,113 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic grayscale PNG synthesis in NEAR-DUPLICATE PAIRS —
+    * the perceptual-dedup fixture: docs 2k and 2k+1 share base
+    * image k ((8 + k%5) × (8 + k%4), gray(x, y) = (3k + 7x + 11y) %
+    * 256), and the odd doc perturbs pixel (0, 0) by +128 — a
+    * one-pixel edit, the canonical "same image, tiny change"
+    * near-dup. TYPE_BYTE_GRAY PNG is lossless, so [[imageAHash64]]
+    * features replay in SQL from this arithmetic. Appends `png`. */
+  def synthPairGrayPng(df: DataFrame, idCol: String = "doc_id")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("png", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthPairGrayPng needs a nonnegative id, got $d")
+        val base = d / 2
+        val w = (8 + base % 5).toInt
+        val h = (8 + base % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g0 = ((3 * base + 7L * x + 11L * y) % 256).toInt
+            val g = if (d % 2 == 1 && x == 0 && y == 0) (g0 + 128) % 256
+                    else g0
+            raster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit average-hash (aHash) over decoded images — the LAION-
+    * style perceptual fingerprint that makes IMAGE near-dup dedup an
+    * equi-join problem: nearest-neighbor 8×8 downsample (cell (i, j)
+    * reads pixel ((i·w) div 8, (j·h) div 8) — pure INDEX arithmetic,
+    * no resample kernel, which is what keeps the hash bit-replayable
+    * in SQL from a synthesis formula), per-cell gray = mean of bands
+    * (integer div), threshold at the integer-div mean of the 64
+    * cells, bit 8j+i set iff gray > mean (strict — ties clear).
+    * Undecodable/null payloads hash to null. Pipe the codes into
+    * [[graft.operators.Dedup.hammingPairs]] for banded near-dup
+    * candidate generation (never all-pairs). Appends `feat_ahash`. */
+  def imageAHash64(df: DataFrame, payloadCol: String = "payload")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("feat_ahash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img =
+          if (bytes == null) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val hash: Any =
+          if (img == null) null
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth
+            val h = img.getHeight
+            val gray = new Array[Long](64)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val x = i * w / 8
+                val y = j * h / 8
+                var s = 0L
+                var b = 0
+                while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                gray(8 * j + i) = s / bands
+                i += 1
+              }
+              j += 1
+            }
+            val mean = gray.sum / 64
+            var code = 0L
+            var idx = 0
+            while (idx < 64) {
+              if (gray(idx) > mean) code |= (1L << idx)
+              idx += 1
+            }
+            code
+          }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: one iterator per partition,
     * `codec.open()` called once per partition before the rows stream

@@ -178,6 +178,52 @@ class MiscOpsSpec extends SparkSpec {
       rows(0).isNullAt(5))
   }
 
+  test("imageAHash64 equals the sequential aHash on synthesized pairs") {
+    val docs = Seq(0L, 1L, 6L, 7L, 12L).toDF("doc_id")
+    val got = Multimodal.imageAHash64(
+      Multimodal.asMedia(Multimodal.synthPairGrayPng(docs), "png",
+        "image/png").select("doc_id", "payload"))
+      .select("doc_id", "feat_ahash").as[(Long, Long)].collect().toMap
+    def ref(d: Long): Long = {
+      val base = d / 2
+      val w = (8 + base % 5).toInt
+      val h = (8 + base % 4).toInt
+      def px(x: Int, y: Int): Long = {
+        val g = (3 * base + 7L * x + 11L * y) % 256
+        if (d % 2 == 1 && x == 0 && y == 0) (g + 128) % 256 else g
+      }
+      val gray = for (j <- 0 until 8; i <- 0 until 8)
+        yield px(i * w / 8, j * h / 8)
+      val mean = gray.sum / 64
+      gray.zipWithIndex.foldLeft(0L) { case (c, (g, idx)) =>
+        if (g > mean) c | (1L << idx) else c
+      }
+    }
+    for (d <- Seq(0L, 1L, 6L, 7L, 12L)) assert(got(d) == ref(d), s"doc $d")
+  }
+
+  test("phash near-dup pairs: one-pixel edits land within hamming 3") {
+    val docs = Seq(0L, 1L, 4L, 5L, 20L, 21L).toDF("doc_id")
+    val coded = Multimodal.imageAHash64(
+      Multimodal.asMedia(Multimodal.synthPairGrayPng(docs), "png",
+        "image/png").select("doc_id", "payload"))
+      .select(col("doc_id").as("id"), col("feat_ahash").as("code"))
+    val pairs = Dedup.hammingPairs(coded, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // each even/odd sibling pair differs by ONE perturbed pixel:
+    // at most the perturbed cell's bit + mean-shift flips
+    assert(pairs.contains((0L, 1L)) && pairs.contains((4L, 5L)) &&
+      pairs.contains((20L, 21L)), s"missing sibling pairs: $pairs")
+  }
+
+  test("imageAHash64: undecodable payload hashes to null") {
+    val junk = Multimodal.asMedia(
+      Seq((9L, "not a png")).toDF("doc_id", "text"), "text", "image/png")
+      .select("doc_id", "payload")
+    val r = Multimodal.imageAHash64(junk).select("feat_ahash").head()
+    assert(r.isNullAt(0))
+  }
+
   test("imageIoCodec: corrupt payloads yield null features, not a crash") {
     val df = Seq((1L, "this is not a png")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
