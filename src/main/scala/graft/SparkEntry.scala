@@ -1188,6 +1188,18 @@ object SparkEntry {
         stride = 2)
         .select("doc_id", "frame_idx", "frame_width", "frame_height",
           "frame_gray_sum")),
+    // audio fingerprint (the perceptual-hash twin for PCM): REAL WAV
+    // decode + 64-window integer energy hash — docs 2k/2k+1 are
+    // one-sample-edit near-dups; pairs ride the same hammingPairs
+    // band join (spec-covered)
+    "q_audio_fingerprint" -> ((s, d) =>
+      Multimodal.audioEnergyHash64(
+        Multimodal.asMedia(
+          Multimodal.synthPairWavPcm(T(s, d, "documents")
+            .select("doc_id")),
+          "wav", "audio/wav")
+          .select("doc_id", "payload"))
+        .select(col("doc_id"), col("feat_audiohash").as("fingerprint"))),
     // LAION-style perceptual image hash: REAL decode + nearest-
     // neighbor 8x8 aHash (index arithmetic, no resample kernel, so
     // the 64-bit code replays in SQL from the synthesis formula);
@@ -3857,6 +3869,27 @@ object SparkEntry {
         |CAST(SUM((7 * doc_id + 31 * i) % 65536 - 32768) AS BIGINT) AS feat_sum_ch0,
         |CASE WHEN ch = 2 THEN CAST(SUM((7 * doc_id + 31 * i + 17) % 65536 - 32768) AS BIGINT) END AS feat_sum_ch1
         |FROM gi GROUP BY doc_id, ch, n""".stripMargin,
+    // audio fingerprint: WAV PCM is lossless and the 64 windows are
+    // index arithmetic, so per-window |sample| energies, the mean
+    // threshold, and the signed 64-bit code all re-derive in SQL
+    // (the HUGEINT wrap trick, as q_image_phash)
+    "q_audio_fingerprint" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS base,
+        |CAST(256 + (doc_id // 2) % 64 AS BIGINT) AS n FROM documents),
+        |gk AS (SELECT doc_id, base, n, unnest(generate_series(0, 63)) AS k FROM dims),
+        |gi AS (SELECT doc_id, base, k, unnest(generate_series(k * n // 64, (k + 1) * n // 64 - 1)) AS i FROM gk),
+        |en AS (SELECT doc_id, k,
+        |SUM(ABS(CASE WHEN doc_id % 2 = 1 AND i = 0
+        |THEN ((7 * base + 31 * i) % 65536 + 16384) % 65536 - 32768
+        |ELSE (7 * base + 31 * i) % 65536 - 32768 END)) AS e
+        |FROM gi GROUP BY doc_id, k),
+        |m AS (SELECT doc_id, SUM(e) // 64 AS mean FROM en GROUP BY doc_id),
+        |s AS (SELECT en.doc_id,
+        |COALESCE(SUM(CASE WHEN en.e > m.mean THEN CAST(1 AS HUGEINT) << CAST(en.k AS INTEGER) END), CAST(0 AS HUGEINT)) AS uh
+        |FROM en JOIN m USING (doc_id) GROUP BY en.doc_id)
+        |SELECT doc_id, CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS fingerprint
+        |FROM s""".stripMargin,
     // perceptual hash: PNG is lossless and the 8x8 downsample is
     // pure index math, so the full 64-bit signed code re-derives in
     // SQL — HUGEINT accumulates the unsigned bits, then wraps to the

@@ -575,6 +575,121 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic mono PCM WAV synthesis in NEAR-DUPLICATE PAIRS —
+    * the audio-dedup fixture mirroring [[synthPairGrayPng]]: docs 2k
+    * and 2k+1 share base clip k ((256 + k%64) frames, 8 kHz, sample
+    * i = ((7k + 31i) % 65536) − 32768) and the odd doc perturbs
+    * sample 0 by +16384 — the one-sample edit. Appends `wav`. */
+  def synthPairWavPcm(df: DataFrame, idCol: String = "doc_id")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("wav", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthPairWavPcm needs a nonnegative id, got $d")
+        val base = d / 2
+        val nFrames = (256 + base % 64).toInt
+        val rate = 8000f
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, 1, 2, rate, false)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val raw = (7 * base + 31L * i) % 65536
+          val adj = if (d % 2 == 1 && i == 0) (raw + 16384) % 65536 else raw
+          val s = (adj - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit energy-hash over decoded PCM audio — the audio twin of
+    * [[imageAHash64]] (a chromaprint-shaped fingerprint without the
+    * FFT, so it stays EXACT integer arithmetic and SQL-replayable):
+    * the clip's frames split into 64 index-arithmetic windows
+    * (window k covers frames [k·n div 64, (k+1)·n div 64) — empty
+    * when n < 64, energy 0), per-window energy = Σ |sample| over all
+    * channels, threshold at the integer-div mean, bit k set iff
+    * energy > mean (strict). Same decode gate as [[audioWavCodec]]
+    * (16-bit signed LE PCM or null); codes feed
+    * [[graft.operators.Dedup.hammingPairs]] for banded audio
+    * near-dup candidate generation. Appends `feat_audiohash`. */
+  def audioEnergyHash64(df: DataFrame, payloadCol: String = "payload")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("feat_audiohash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val in =
+          if (bytes == null) null
+          else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        val fmt = if (in == null) null else in.getFormat
+        val hash: Any =
+          if (fmt == null ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+          else {
+            val channels = fmt.getChannels
+            val data = in.readAllBytes()
+            val n = data.length / (2 * channels)
+            val energy = new Array[Long](64)
+            var k = 0
+            while (k < 64) {
+              val start = k.toLong * n / 64
+              val end = (k + 1).toLong * n / 64
+              var i = start
+              var e = 0L
+              while (i < end) {
+                var c = 0
+                while (c < channels) {
+                  val off = ((i * channels + c) * 2).toInt
+                  val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
+                  e += math.abs(s.toLong)
+                  c += 1
+                }
+                i += 1
+              }
+              energy(k) = e
+              k += 1
+            }
+            val mean = energy.sum / 64
+            var code = 0L
+            var idx = 0
+            while (idx < 64) {
+              if (energy(idx) > mean) code |= (1L << idx)
+              idx += 1
+            }
+            code
+          }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: one iterator per partition,
     * `codec.open()` called once per partition before the rows stream

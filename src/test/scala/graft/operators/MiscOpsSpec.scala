@@ -216,6 +216,47 @@ class MiscOpsSpec extends SparkSpec {
       pairs.contains((20L, 21L)), s"missing sibling pairs: $pairs")
   }
 
+  test("audioEnergyHash64 equals the sequential energy hash on pairs") {
+    val docs = Seq(0L, 1L, 9L).toDF("doc_id")
+    val got = Multimodal.audioEnergyHash64(
+      Multimodal.asMedia(Multimodal.synthPairWavPcm(docs), "wav",
+        "audio/wav").select("doc_id", "payload"))
+      .select("doc_id", "feat_audiohash").as[(Long, Long)].collect().toMap
+    def ref(d: Long): Long = {
+      val base = d / 2
+      val n = (256 + base % 64).toInt
+      def sample(i: Int): Long = {
+        val raw = (7 * base + 31L * i) % 65536
+        (if (d % 2 == 1 && i == 0) (raw + 16384) % 65536 else raw) - 32768
+      }
+      val energy = (0 until 64).map { k =>
+        (k * n / 64 until (k + 1) * n / 64).map(i => math.abs(sample(i))).sum
+      }
+      val mean = energy.sum / 64
+      energy.zipWithIndex.foldLeft(0L) { case (c, (e, k)) =>
+        if (e > mean) c | (1L << k) else c
+      }
+    }
+    for (d <- Seq(0L, 1L, 9L)) assert(got(d) == ref(d), s"doc $d")
+    // the one-sample edit only shifts window 0's energy + the mean:
+    // sibling clips land within banding range of hammingPairs
+    val coded = Multimodal.audioEnergyHash64(
+      Multimodal.asMedia(Multimodal.synthPairWavPcm(docs), "wav",
+        "audio/wav").select("doc_id", "payload"))
+      .select(col("doc_id").as("id"), col("feat_audiohash").as("code"))
+    val pairs = Dedup.hammingPairs(coded, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"sibling pair missing: $pairs")
+  }
+
+  test("audioEnergyHash64: non-audio payload hashes to null") {
+    val junk = Multimodal.asMedia(
+      Seq((9L, "not a wav")).toDF("doc_id", "text"), "text", "audio/wav")
+      .select("doc_id", "payload")
+    assert(Multimodal.audioEnergyHash64(junk)
+      .select("feat_audiohash").head().isNullAt(0))
+  }
+
   test("imageAHash64: undecodable payload hashes to null") {
     val junk = Multimodal.asMedia(
       Seq((9L, "not a png")).toDF("doc_id", "text"), "text", "image/png")
