@@ -650,19 +650,22 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     val sizes = scored.groupBy(col(groupCol)).count().collect()
+    // BOTH tercile boundaries of EVERY language resolve through one
+    // batched narrowing (O(rounds) corpus scans total) — the
+    // per-language kthLargest loop this replaces ran a scan loop per
+    // boundary, which is the difference between a handful of jobs
+    // and hundreds on a many-language 100 TB crawl
+    val targets = sizes.flatMap { r =>
+      val n = r.getLong(1)
+      Seq((r.get(0), (n + 2) / 3), (r.get(0), (2 * n + 2) / 3))
+    }.toSeq.distinct
+    val kth = OrderStats.kthLargestByGroup(
+      scored, groupCol, "avg_tok_p", targets)
     val bounds = sizes.map { r =>
       val grpV = r.get(0)
       val n = r.getLong(1)
-      val s1 = (n + 2) / 3
-      val s12 = (2 * n + 2) / 3
-      val grpPred =
-        if (grpV == null) col(groupCol).isNull
-        else col(groupCol) === lit(grpV)
-      val sub = scored.filter(grpPred)
-      val b1 = OrderStats.kthLargest(sub, "avg_tok_p", s1)._1
-      val b2 = OrderStats.kthLargest(sub, "avg_tok_p", s12)._1
       org.apache.spark.sql.Row(grpV,
-        b1.asInstanceOf[Double], b2.asInstanceOf[Double])
+        kth((grpV, (n + 2) / 3)), kth((grpV, (2 * n + 2) / 3)))
     }
     val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(

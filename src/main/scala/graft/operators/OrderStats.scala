@@ -140,4 +140,161 @@ object OrderStats {
           coalesce(col("__tie_sel"), lit(false)), lit(false)))
       .drop("__tie_rk", "__tie_sel")
   }
+
+  /** BATCHED exact k-th largest for MANY (group, k) targets at once —
+    * per-target answers identical to [[kthLargest]] on the group's
+    * rows, but the job count is O(narrowing rounds) TOTAL instead of
+    * O(targets × rounds): per round, ONE size probe, ONE grouped
+    * `percentile_approx` grid (nine fixed in-band percentiles — the
+    * percentage argument must be foldable, so the grid is shared and
+    * each target narrows ~10× per round regardless of its rank), ONE
+    * grouped pivot-count pass, and ONE combined band walk for every
+    * target whose band fits `exactFinishRows`. This is what makes
+    * per-language tercile boundaries (CCNet) a handful of corpus
+    * scans at 100 TB rather than a scan loop per language.
+    *
+    * Restricted to double-typed value columns (the band endpoints ARE
+    * values, so no monotone-cast dance is needed); group values may
+    * be null (matched null-safely). Returns (groupValue, k) → value.
+    */
+  def kthLargestByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        targets: Seq[(Any, Long)],
+                        accuracy: Int = 10000,
+                        exactFinishRows: Long = 100000L,
+                        maxIters: Int = 16): Map[(Any, Long), Double] = {
+    require(targets.nonEmpty, "no targets")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"kthLargestByGroup needs a double value column, got " +
+        s"${df.schema(valueCol).dataType}")
+    val spark = df.sparkSession
+    val grpType = df.schema(groupCol).dataType
+    val rows = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    try {
+      final case class St(id: Int, grp: Any, k: Long) {
+        var lo: Double = Double.NegativeInfinity // band: lo < v < hi
+        var hi: Double = Double.PositiveInfinity
+        var kk: Long = k // target rank from the top WITHIN the band
+        var resolved: Option[Double] = None
+      }
+      val state = targets.zipWithIndex.map { case ((g, k), i) =>
+        require(k >= 1, s"k must be >= 1, got $k for group $g"); St(i, g, k)
+      }
+      val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__grp", grpType),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__hi",
+          org.apache.spark.sql.types.DoubleType)))
+      def bandRows(sts: Seq[St]): DataFrame = {
+        val bdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            sts.map(s => org.apache.spark.sql.Row(s.id, s.grp, s.lo, s.hi)),
+            1), boundsSchema)
+        rows.join(broadcast(bdf), col("__g") <=> col("__grp"))
+          .filter(col("__v") > col("__lo") && col("__v") < col("__hi"))
+          .select(col("__tid"), col("__v"))
+      }
+      var iter = 0
+      while (state.exists(_.resolved.isEmpty) && iter < maxIters) {
+        val open = state.filter(_.resolved.isEmpty)
+        val band = bandRows(open)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sizes = band.groupBy("__tid").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          open.foreach { s =>
+            require(sizes.getOrElse(s.id, 0L) >= s.kk,
+              s"k=${s.k} exceeds group ${s.grp}'s non-null rows")
+          }
+          val (walk, narrow) = open.partition(s =>
+            sizes(s.id) <= exactFinishRows)
+          if (walk.nonEmpty) {
+            // ONE combined walk: per-target distinct-value counts,
+            // bounded by walk.size * exactFinishRows distinct values
+            val walkIds = walk.map(_.id).toSet
+            val byTid = band
+              .filter(col("__tid").isInCollection(walkIds))
+              .groupBy("__tid", "__v").count().collect()
+              .groupBy(_.getInt(0))
+            walk.foreach { s =>
+              val vs = byTid(s.id)
+                .map(r => (r.getDouble(1), r.getLong(2)))
+                .sortBy(-_._1)
+              var acc = 0L
+              var i = 0
+              while (s.resolved.isEmpty && i < vs.length) {
+                if (acc + vs(i)._2 >= s.kk) s.resolved = Some(vs(i)._1)
+                acc += vs(i)._2
+                i += 1
+              }
+              assert(s.resolved.nonEmpty, s"walk exhausted for ${s.grp}")
+            }
+          }
+          if (narrow.nonEmpty) {
+            val narrowIds = narrow.map(_.id).toSet
+            val nb = band.filter(col("__tid").isInCollection(narrowIds))
+            val grid = (1 to 9).map(_ / 10.0)
+            val pivots = nb.groupBy("__tid")
+              .agg(percentile_approx(col("__v"),
+                lit(grid.toArray), lit(accuracy)).as("__ps"))
+              .collect()
+              .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+            // per-target counts strictly-above / at-or-above each
+            // distinct pivot, in ONE pass via an exploded pivot join
+            val pvRows = pivots.toSeq.flatMap { case (tid, ps) =>
+              ps.distinct.map(p => org.apache.spark.sql.Row(tid, p))
+            }
+            val pvSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__tid",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("__p",
+                org.apache.spark.sql.types.DoubleType)))
+            val pvDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+            val cnt = nb.join(broadcast(pvDf), Seq("__tid"))
+              .groupBy(col("__tid"), col("__p"))
+              .agg(sum(when(col("__v") > col("__p"), 1L).otherwise(0L))
+                .cast("long").as("__gt"),
+                sum(when(col("__v") >= col("__p"), 1L).otherwise(0L))
+                  .cast("long").as("__ge"))
+              .collect()
+              .groupBy(_.getInt(0))
+            narrow.foreach { s =>
+              val pcs = cnt(s.id)
+                .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+                .sortBy(-_._1)
+              val hit = pcs.find { case (_, gt, ge) => gt < s.kk && s.kk <= ge }
+              if (hit.nonEmpty) s.resolved = Some(hit.get._1)
+              else {
+                // tightest enclosing pivots under the ORIGINAL kk
+                val pLo = pcs.filter(_._2 >= s.kk) // target strictly above
+                  .map(_._1).maxOption
+                val pHi = pcs.filter(_._3 < s.kk) // target strictly below
+                val newHi = pHi.map(_._1).minOption
+                newHi.foreach { h =>
+                  val dropped = pHi.filter(_._1 == h).head._3
+                  s.kk -= dropped
+                  s.hi = h
+                }
+                pLo.foreach(l => s.lo = l)
+                require(newHi.nonEmpty || pLo.nonEmpty,
+                  s"no pivot progress for group ${s.grp} — unreachable " +
+                    "(a bracketing pivot would have resolved)")
+              }
+            }
+          }
+        } finally band.unpersist(false)
+        iter += 1
+      }
+      require(state.forall(_.resolved.nonEmpty),
+        s"kthLargestByGroup failed to converge in $maxIters rounds")
+      state.map(s => (s.grp, s.k) -> s.resolved.get).toMap
+    } finally rows.unpersist(false)
+  }
 }

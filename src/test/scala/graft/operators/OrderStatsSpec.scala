@@ -69,6 +69,49 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 
+  test("kthLargestByGroup equals the per-group sorted reference") {
+    val rnd = new scala.util.Random(67)
+    val groups = Seq("en", "de", "fr", null)
+    val data = groups.flatMap { g =>
+      val n = 40 + rnd.nextInt(60)
+      // duplicate-heavy: values drawn from a small grid
+      (0 until n).map(_ => (g, (rnd.nextInt(12) * 0.25) + 0.125))
+    }
+    val df = data.toDF("g", "v")
+    val byGrp = data.groupBy(_._1)
+    val targets = groups.flatMap { g =>
+      val n = byGrp(g).size.toLong
+      Seq((g: Any, (n + 2) / 3), (g: Any, (2 * n + 2) / 3), (g: Any, 1L),
+        (g: Any, n))
+    }.distinct
+    val got = OrderStats.kthLargestByGroup(df, "g", "v", targets)
+    for ((g, k) <- targets) {
+      val sorted = byGrp(g.asInstanceOf[String]).map(_._2)
+        .sorted(Ordering[Double].reverse)
+      assert(got((g, k)) == sorted(k.toInt - 1), s"group $g k=$k")
+    }
+  }
+
+  test("kthLargestByGroup converges through batched narrowing rounds") {
+    val rnd = new scala.util.Random(71)
+    val data = Seq("a", "b").flatMap { g =>
+      (0 until 3000).map(_ => (g, rnd.nextDouble()))
+    }
+    val df = data.toDF("g", "v")
+    val byGrp = data.groupBy(_._1)
+    val targets: Seq[(Any, Long)] =
+      Seq(("a", 17L), ("a", 1500L), ("b", 2999L), ("b", 700L))
+    // tiny exactFinishRows forces several grid-narrowing rounds and
+    // mixed walk/narrow batches before any band walks
+    val got = OrderStats.kthLargestByGroup(df, "g", "v", targets,
+      exactFinishRows = 64L)
+    for ((g, k) <- targets) {
+      val sorted = byGrp(g.asInstanceOf[String]).map(_._2)
+        .sorted(Ordering[Double].reverse)
+      assert(got((g, k)) == sorted(k.toInt - 1), s"group $g k=$k")
+    }
+  }
+
   test("selectTopN equals the global-sort definition incl. boundary ties") {
     // the cutoff falls inside the 20-tie group: ids 2,3 admitted, 4 not
     val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L),
