@@ -106,7 +106,8 @@ object CorpusPipeline {
     * verdict (doc_id, n_lines, n_removed, n_tokens, keep). */
   def crawlPrepare(docs: DataFrame, urlCol: String = "url",
                    idCol: String = "doc_id", textCol: String = "text",
-                   lineMinDf: Long = 2, minTokens: Long = 20): DataFrame = {
+                   lineMinDf: Long = 2, minTokens: Long = 20,
+                   keepText: Boolean = false): DataFrame = {
     // null hygiene up front, or rows fall through the cracks instead
     // of being GATED: a null text would vanish in dedupLines'
     // posexplode (no row, no verdict) — coalesce to "" so it flows
@@ -132,9 +133,17 @@ object CorpusPipeline {
     val gated = Corpus.gopherRules(
       lined.select(col("doc_id"), col("kept_text").as("text")),
       "doc_id", "text", minTokens = minTokens)
-    lined.join(gated.select(col("doc_id"), col("n_tokens"), col("keep")),
-        Seq("doc_id"))
-      .select("doc_id", "n_lines", "n_removed", "n_tokens", "keep")
+    val out = lined.join(
+      gated.select(col("doc_id"), col("n_tokens"), col("keep")),
+      Seq("doc_id"))
+    // kept_text rides along only when a downstream stage (the CCNet
+    // scoring tail) needs the rewritten text — the verdict-only shape
+    // stays narrow for callers that just gate
+    if (keepText)
+      out.select("doc_id", "n_lines", "n_removed", "n_tokens", "keep",
+        "kept_text")
+    else
+      out.select("doc_id", "n_lines", "n_removed", "n_tokens", "keep")
   }
 
   /** The COMPLETE crawl front, stage 0 through gate — the RefinedWeb
@@ -162,6 +171,66 @@ object CorpusPipeline {
       TextFunctions.htmlExtract(col(htmlCol)).as("__crawl_text"))
     crawlPrepare(extracted, urlCol, idCol, "__crawl_text",
       lineMinDf, minTokens)
+  }
+
+  /** The crawl front COMPLETE with the CCNet scoring tail — the last
+    * two stages the CCNet/RefinedWeb pipelines run after the gate:
+    * language-ID on the REWRITTEN text (langid must see the text the
+    * model will see, i.e. post-extraction, post-boilerplate-removal)
+    * and per-language perplexity terciles (fit the unigram LM on the
+    * kept corpus itself, cut each predicted language into
+    * head/middle/tail). Chains [[crawlPrepareFull]]'s six stages,
+    * filters to keep=true survivors, and scores only those — the
+    * production order: never spend LM passes on docs the gate
+    * already rejected.
+    *
+    * Newlines in the kept text are folded to spaces before scoring so
+    * the single-line tokenizer ([[TextFunctions.tokens]], the LM's
+    * convention) does not merge tokens adjoining line breaks.
+    *
+    * Scale shape: the gate chain is [[crawlPrepare]]'s (no pair
+    * joins); the kept corpus is PERSISTED once (it feeds langid +
+    * both LM passes + the group-size scan — without the persist each
+    * would replay the whole crawl chain) and released when the
+    * result materializes. `boundaryForm=true` (default) buckets via
+    * [[Corpus.perplexityBucketsByBoundary]] — exact per-language
+    * tercile boundary scores through batched order statistics, no
+    * per-language sort task; `false` keeps the exact ntile window
+    * (the oracle-equality baseline). Output: (doc_id, lang_pred,
+    * n_tokens, avg_tok_p, bucket) for every kept doc. */
+  def crawlPrepareScored(docs: DataFrame, blocklist: DataFrame,
+                         urlCol: String = "url", idCol: String = "doc_id",
+                         htmlCol: String = "html",
+                         lineMinDf: Long = 2, minTokens: Long = 20,
+                         boundaryForm: Boolean = true): DataFrame = {
+    val gated = blocklistFilter(docs, blocklist, urlCol)
+      .filter(col("keep"))
+      .drop("host", "blocked_by", "keep")
+    val extracted = gated.select(col(idCol), col(urlCol),
+      TextFunctions.htmlExtract(col(htmlCol)).as("__crawl_text"))
+    val verdict = crawlPrepare(extracted, urlCol, idCol, "__crawl_text",
+      lineMinDf, minTokens, keepText = true)
+    // localCheckpoint, NOT persist: the crawl chain's LOGICAL plan is
+    // enormous (htmlExtract's regex chain + line dedup + the gopher
+    // battery), and the scoring tail runs many actions over `kept`
+    // (LM fit + probe, group sizes, the order-statistic narrowing
+    // rounds). persist() short-circuits execution but NOT analysis —
+    // Catalyst re-analyzed the full tree per action, measured ~6 s of
+    // pure planning PER JOB at sf0.1, 25+ s total in the narrowing
+    // loop. Eager localCheckpoint rebases the plan on the
+    // materialized partitions (the Graph.connectedComponents
+    // discipline); reliable checkpoint() is the flaky-executor
+    // hardened variant on a real cluster.
+    val kept = verdict.filter(col("keep"))
+      .select(col("doc_id"),
+        translate(col("kept_text"), "\n", " ").as("__text"))
+      .withColumn("lang_pred", TextFunctions.langId(col("__text")))
+      .localCheckpoint(true)
+    if (boundaryForm)
+      Corpus.perplexityBucketsByBoundary(kept, "lang_pred", "doc_id",
+        "__text")
+    else
+      Corpus.perplexityBuckets(kept, "lang_pred", "doc_id", "__text")
   }
 
   /** How many trailing host labels [[blocklistFilter]] tries against

@@ -499,4 +499,45 @@ class CorpusSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(!out(1L))
   }
+
+  test("crawlPrepareScored: gate interlock, langid, tercile tail") {
+    def shell(body: String): String =
+      "<html><head><script>x()</script></head><body>" +
+        "<h1>Site Chrome</h1><p>" + body + "</p>" +
+        "<div>footer nav</div></body></html>"
+    val docs = Seq(
+      (0L, "https://ads.bad.net/b", shell("blocked body text")),
+      (1L, "https://keep.org/1",
+        shell("the quality of the corpus is good and the text is fine")),
+      (2L, "https://keep.org/2",
+        shell("the quality of the corpus is good and zebra xylophone waltz")),
+      (3L, "https://keep.org/3",
+        shell("the quality of borogoves is mimsy and frumious vorpal here")),
+      (4L, "https://keep.org/4",
+        shell("el campo la casa de que y bueno the grande of mundo")),
+      (5L, "https://keep.org/5", shell("1234 5678 999999 11111 22222")))
+      .toDF("doc_id", "url", "html")
+    val bl = Seq("bad.net").toDF("domain")
+    val out = CorpusPipeline.crawlPrepareScored(docs, bl, minTokens = 2)
+      .as[(Long, String, Long, Double, String)].collect()
+    // 0 blocked (never scored), 5 gate-failed (all-digit: alpha
+    // ratio 0) — only survivors get LM passes
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    val byDoc = out.map(r => r._1 -> r._2).toMap
+    // langid on the REWRITTEN text: es markers outnumber en in doc 4
+    assert(byDoc(4L) == "es")
+    assert(Seq(1L, 2L, 3L).forall(byDoc(_) == "en"))
+    // three en docs cut head/middle/tail in avg_tok_p-desc order
+    val en = out.filter(_._2 == "en")
+      .sortBy(r => (-r._4, r._1)).map(_._5).toSeq
+    assert(en == Seq("head", "middle", "tail"))
+    // a single-doc language is its own head
+    assert(out.find(_._1 == 4L).get._5 == "head")
+    // boundary form (default) equals the exact-ntile form on a
+    // tie-free corpus — the same contract the range queries pin
+    val exact = CorpusPipeline.crawlPrepareScored(docs, bl,
+        minTokens = 2, boundaryForm = false)
+      .as[(Long, String, Long, Double, String)].collect().toSet
+    assert(out.toSet == exact)
+  }
 }
