@@ -1308,6 +1308,36 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("content_length"),
           col("payload").cast("string").as("text"))
     }),
+    // incremental WARC ingest, two triggers: even docs land first and
+    // commit as batch 1, odd docs arrive as new files and commit as
+    // batch 2 — wave-1 files are NOT re-parsed (their batch stays 1),
+    // and the cumulative record table holds every doc exactly once
+    "q_warc_ingest" -> ((s, d) => {
+      val base = roundtripDir("warc_ingest")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = T(s, d, "documents").select(
+        concat(lit("https://corpus.example/doc/"), col("doc_id"))
+          .as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"),
+        col("doc_id"))
+      sources.Warc.write(
+        docs.where(col("doc_id") % 2 === 0).drop("doc_id")
+          .repartition(2), s"$base/landing/w1")
+      streaming.WarcIngest.ingestOnce(s, s"$base/landing", s"$base/ingest")
+      sources.Warc.write(
+        docs.where(col("doc_id") % 2 === 1).drop("doc_id")
+          .repartition(2), s"$base/landing/w2")
+      streaming.WarcIngest.ingestOnce(s, s"$base/landing", s"$base/ingest")
+      streaming.WarcIngest.records(s, s"$base/ingest")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("batch"), col("content_length"),
+          col("payload").cast("string").as("text"))
+    }),
     "q_gff_roundtrip" -> ((s, d) => {
       val out = roundtripDir("gff")
       TextRender.writeText(
@@ -4113,6 +4143,12 @@ object SparkEntry {
     "q_warc_roundtrip" ->
       """SELECT doc_id, 'response' AS warc_type,
         |'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |text FROM documents""".stripMargin,
+    // warc ingest: batch = which trigger's wave the doc landed in
+    "q_warc_ingest" ->
+      """SELECT doc_id,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch,
         |CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |text FROM documents""".stripMargin,
     "q_gff_roundtrip" ->

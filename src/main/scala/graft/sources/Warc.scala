@@ -79,12 +79,20 @@ object Warc {
     * trailing bytes (a truncated final record) stop the scan for
     * THAT file without failing the job — partial crawl files are a
     * fact of life; the parsed prefix is kept. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseBinary(spark.read.format("binaryFile").load(path))
+
+  /** Read an explicit file list (the incremental-ingest shape: the
+    * caller already knows WHICH files are new). Same row contract as
+    * the glob form. */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parseBinary(spark.read.format("binaryFile").load(paths: _*))
+
+  private def parseBinary(files: DataFrame): DataFrame = {
+    val cols = files.select(col("path"), col("content"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(recordSchema)
-    files.mapPartitions { rows =>
+    cols.mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.getString(0)
         val raw = r.getAs[Array[Byte]](1)

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Warc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class WarcIngestSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def docs(ids: Seq[Long], tag: String): DataFrame =
+    ids.map(i => (s"https://x.org/$i", "2026-01-01T00:00:00Z",
+        s"payload $tag $i".getBytes("UTF-8")))
+      .toDF("uri", "date", "payload")
+
+  private def idsOf(rec: DataFrame): Set[Long] =
+    rec.select(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+      .cast("long")).as[Long].collect().toSet
+
+  test("WarcIngest: two triggers — only new files parsed, exactly-once rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+
+    Warc.write(docs(Seq(1L, 2L, 3L), "w1").repartition(2), s"$landing/w1")
+    val s1 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(s1.map(_._4).sum == 3)          // 3 records over the 2 files
+    assert(s1.forall(_._5 == 1L))          // all batch 1
+
+    Warc.write(docs(Seq(4L, 5L), "w2").repartition(1), s"$landing/w2")
+    val s2 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // only the new file is in the trigger summary
+    assert(s2.length == 1 && s2.head._4 == 2 && s2.head._5 == 2L)
+
+    val rec = WarcIngest.records(spark, out)
+    assert(rec.count() == 5)               // exactly-once across triggers
+    assert(idsOf(rec) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rec.where(col("batch") === 1).count() == 3)
+    assert(rec.where(col("batch") === 2).count() == 2)
+
+    // no-op trigger: empty summary, no batch consumed
+    val s3 = WarcIngest.ingestOnce(spark, landing, out)
+    assert(s3.isEmpty)
+    Warc.write(docs(Seq(6L), "w3").repartition(1), s"$landing/w3")
+    val s4 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(s4.head._5 == 3L)               // not 4 — the no-op didn't commit
+  }
+
+  test("WarcIngest: a changed file is reprocessed, replacing its rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+
+    Warc.write(docs(Seq(1L, 2L), "v1").repartition(1), s"$landing/w")
+    WarcIngest.ingestOnce(spark, landing, out)
+    // same path, different content (size changes → detected)
+    Warc.write(docs(Seq(1L, 2L, 3L), "v2longer").repartition(1), s"$landing/w")
+    val s2 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(s2.length == 1 && s2.head._4 == 3 && s2.head._5 == 2L)
+
+    val rec = WarcIngest.records(spark, out)
+    // the file's partition was REPLACED: 3 rows, not 2 + 3
+    assert(rec.count() == 3)
+    assert(rec.where(col("batch") === 1).count() == 0)
+    assert(rec.select(col("payload").cast("string")).as[String]
+      .collect().forall(_.contains("v2longer")))
+  }
+
+  test("WarcIngest: crash before manifest commit self-heals without dup rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Warc.write(docs(Seq(1L, 2L), "w1").repartition(1), s"$landing/w1")
+    WarcIngest.ingestOnce(spark, landing, out)
+    Warc.write(docs(Seq(3L, 4L), "w2").repartition(1), s"$landing/w2")
+    WarcIngest.ingestOnce(spark, landing, out)
+
+    // simulate a crash in the window between the records write and
+    // the manifest rename: trigger 2's records are durable but its
+    // manifest commit is gone (plus a stale temp left behind)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$out/manifest/b2"), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/manifest_tmp_2"))
+
+    val healed = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // the uncommitted file is re-listed as fresh and re-ingested
+    assert(healed.length == 1 && healed.head._4 == 2)
+    val rec = WarcIngest.records(spark, out)
+    assert(rec.count() == 4)               // replaced, never appended twice
+    assert(idsOf(rec) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("WarcIngest: gzipped WARC files ingest through the same loop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+    new java.io.File(landing).mkdirs()
+
+    // hand-build a .warc.gz of two records
+    val body = Seq(5L, 6L).map { i =>
+      val p = s"gz payload $i".getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://x.org/$i\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }.reduce(_ ++ _)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(body); gz.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/a.warc.gz"), bos.toByteArray)
+
+    val s1 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(s1.length == 1 && s1.head._4 == 2)
+    assert(idsOf(WarcIngest.records(spark, out)) == Set(5L, 6L))
+  }
+}
