@@ -1243,6 +1243,22 @@ object SparkEntry {
             .select("doc_id", "payload"))
           .select(col("doc_id").as("id"), col("feat_ahash").as("code")),
         maxHamming = 3, bands = 4)),
+    // DCT pHash near-dup pairs over the frequency-domain fixture
+    // (tiled textures + a one-pixel soft edit): same banded hamming
+    // equi-join, never all-pairs. The DCT's doubles are not
+    // SQL-replayable (StrictMath trig) → rows-only gate; the
+    // invariance + exact-pair-set contracts are property-pinned in
+    // MiscOpsSpec
+    "q_image_dcthash" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.imageDctHash64(
+          Multimodal.asMedia(
+            Multimodal.synthPairGrayPngSoft(T(s, d, "documents")
+              .select("doc_id")),
+            "png", "image/png")
+            .select("doc_id", "payload"))
+          .select(col("doc_id").as("id"), col("feat_dcthash").as("code")),
+        maxHamming = 3, bands = 4)),
     // ---- K. nested / json -----------------------------------------------
     "q_json_flatten" -> ((s, d) =>
       NestedOps.flattenJson(

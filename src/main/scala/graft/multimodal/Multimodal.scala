@@ -694,6 +694,191 @@ object Multimodal {
     * the Scala analog of `mapInPandas`: one iterator per partition,
     * `codec.open()` called once per partition before the rows stream
     * through it. */
+  /** The DCT-scale sibling of [[synthPairGrayPng]]: near-duplicate
+    * PNG pairs sized for a FREQUENCY-domain hash. Docs 2k and 2k+1
+    * share base k — a (64 + k%5) × (64 + k%4) gray image of 8×8-px
+    * tiles whose levels mix base and tile coordinates through an
+    * integer polynomial (coarse BLOCKY texture = strong, per-base
+    * DISTINCT low-frequency content; a plain shifted ramp makes
+    * different bases near-identical in the low-freq spectrum) — and
+    * the odd doc perturbs pixel (0,0) by +16 mod 256: ONE cell of
+    * the 32×32 downsample grid, amplitude 16/256 — the small local
+    * edit a perceptual hash should absorb. ([[synthPairGrayPng]]'s
+    * +128 on an 8×8 source moves ~30 of [[imageDctHash64]]'s 63
+    * bits — a quarter of the image energy is not a "near" duplicate
+    * in the frequency domain; that fixture stays the aHash/SQL-
+    * replay one.) Appends `png`. */
+  def synthPairGrayPngSoft(df: DataFrame, idCol: String = "doc_id")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("png", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthPairGrayPngSoft needs a nonnegative id, got $d")
+        val base = d / 2
+        val w = (64 + base % 5).toInt
+        val h = (64 + base % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bx = x / 8
+            val by = y / 8
+            val g0 = ((1000003L * base + 4973L * bx + 9851L * by +
+              7919L * bx * by + 271L * base * bx + 331L * base * by)
+              % 256).toInt
+            val g = if (d % 2 == 1 && x == 0 && y == 0) (g0 + 16) % 256
+                    else g0
+            raster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) over decoded images — the
+    * frequency-domain sibling of [[imageAHash64]]: robust to
+    * brightness shifts and uniform rescaling, which aHash's raw
+    * spatial means are not. Per image: grayscale 32×32 nearest-
+    * neighbor downsample (same index arithmetic as aHash; per-cell
+    * gray = band mean as a double), separable 2D DCT-II of the grid
+    * with orthonormal α scaling (only the top-left 8×8 low-frequency
+    * block is computed — O(8·32·32) per axis, ~10k flops/image), the
+    * DC term EXCLUDED (that is what buys brightness invariance: a
+    * constant shift moves ONLY C(0,0) — cosine rows for u ≥ 1 sum to
+    * zero), and the remaining 63 coefficients thresholded at their
+    * median (element 31 of the sorted 63): bit 8v+u set iff
+    * C(u,v) > median, strict, so a constant image hashes to 0L and
+    * every non-degenerate hash carries ~31 set bits — the balance
+    * that makes [[graft.operators.Dedup.hammingPairs]] banding
+    * effective. Coefficients are snapped to fixed-point 1e-6 ticks
+    * BEFORE the median (rint) so mathematically-zero coefficients —
+    * constant images, separable patterns, brightness shifts — don't
+    * leave ±1e-13 accumulation noise for the median to amplify into
+    * unstable bits; `StrictMath` trig keeps the doubles
+    * bit-reproducible across JVMs/platforms (Math.cos may use
+    * platform intrinsics; a hash that differs across executors would
+    * poison an equi-join dedup). Floats make this hash NOT
+    * SQL-replayable — it ships under a rows-only gate with the
+    * invariance contracts property-pinned in MultimodalSpec.
+    * Undecodable/null payloads hash to null. Appends
+    * `feat_dcthash`. */
+  def imageDctHash64(df: DataFrame, payloadCol: String = "payload")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("feat_dcthash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val N = 32
+      // cosine basis + orthonormal scale, built once per partition
+      val basis = Array.tabulate(8, N)((u, x) =>
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * N)))
+      val alpha = Array.tabulate(8)(u =>
+        if (u == 0) StrictMath.sqrt(1.0 / N) else StrictMath.sqrt(2.0 / N))
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img =
+          if (bytes == null) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val hash: Any =
+          if (img == null) null
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth
+            val h = img.getHeight
+            val g = new Array[Double](N * N)
+            var y = 0
+            while (y < N) {
+              var x = 0
+              while (x < N) {
+                val px = x * w / N
+                val py = y * h / N
+                var s = 0L
+                var b = 0
+                while (b < bands) { s += raster.getSample(px, py, b); b += 1 }
+                g(N * y + x) = s.toDouble / bands
+                x += 1
+              }
+              y += 1
+            }
+            // separable DCT: rows pass tmp(u,y), then columns pass
+            val tmp = new Array[Double](8 * N)
+            var u = 0
+            while (u < 8) {
+              var yy = 0
+              while (yy < N) {
+                var acc = 0.0
+                var x = 0
+                while (x < N) { acc += g(N * yy + x) * basis(u)(x); x += 1 }
+                tmp(N * u + yy) = acc
+                yy += 1
+              }
+              u += 1
+            }
+            val coef = new Array[Double](64)
+            u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var acc = 0.0
+                var yy = 0
+                while (yy < N) { acc += tmp(N * u + yy) * basis(v)(yy); yy += 1 }
+                coef(8 * v + u) = alpha(u) * alpha(v) * acc
+                v += 1
+              }
+              u += 1
+            }
+            // fixed-point ticks (the Pq.trainCodebooks discipline):
+            // a mathematically-zero coefficient (constant image,
+            // separable pattern, brightness shift) accumulates as
+            // ±1e-13 float noise, and a median over raw doubles
+            // turns that noise into unstable bits. rint(c·1e6)
+            // snaps it to tick 0 (rint, NOT floor — floor(-1e-7)
+            // is -1) while real structure (|c| up to 255·32, tick
+            // magnitudes ≥ thousands) is untouched.
+            val ticks = new Array[Long](64)
+            var k = 0
+            while (k < 64) {
+              ticks(k) = StrictMath.rint(coef(k) * 1e6).toLong
+              k += 1
+            }
+            val ac = java.util.Arrays.copyOfRange(ticks, 1, 64)
+            // index 1..63 skips only ticks(0) = C(0,0): the layout
+            // puts (u=0,v=0) at 0 and no other (0,*)/(*,0) below 1
+            java.util.Arrays.sort(ac)
+            val med = ac(31)
+            var code = 0L
+            k = 1
+            while (k < 64) {
+              if (ticks(k) > med) code |= (1L << k)
+              k += 1
+            }
+            code
+          }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   def extractFeatures(df: DataFrame,
                       codec: BatchCodec = byteStatsCodec): DataFrame = {
     val out = StructType(df.schema.fields ++ codec.features)

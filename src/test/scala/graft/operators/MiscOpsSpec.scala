@@ -265,6 +265,72 @@ class MiscOpsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  /** One gray PNG from a pixel function — the DCT invariance tests
+    * build their own controlled inputs. */
+  private def grayPng(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def dctOf(pngs: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+    Multimodal.imageDctHash64(pngs.toDF("doc_id", "payload"))
+      .select("doc_id", "feat_dcthash").as[(Long, Long)].collect().toMap
+
+  test("imageDctHash64: brightness shift and 2x upscale move zero bits") {
+    // non-separable (bx·by cross term): every frequency band carries
+    // real structure, not just the u=0/v=0 edges
+    def tile(x: Int, y: Int) =
+      ((x / 8) * 37 + (y / 8) * 101 + (x / 8) * (y / 8) * 13 + 53) % 200
+    val base = grayPng(64, 64)(tile)
+    val brighter = grayPng(64, 64)((x, y) => tile(x, y) + 40)
+    // pixel-duplication upscale: sample (i·128/32) hits pixel 4i,
+    // which duplicates pixel 2i of the 64-px original — identical grid
+    val up = grayPng(128, 128)((x, y) => tile(x / 2, y / 2))
+    val got = dctOf(Seq((0L, base), (1L, brighter), (2L, up)))
+    // DC is excluded, so a constant shift leaves all 63 AC bits alone
+    assert(got(1L) == got(0L), "brightness shift changed the dct hash")
+    assert(got(2L) == got(0L), "pixel-duplication upscale changed the dct hash")
+    assert(got(0L) != 0L)
+    val bits = java.lang.Long.bitCount(got(0L))
+    // median split of 63 AC coefficients: ~31 set bits (ties only reduce)
+    assert(bits >= 28 && bits <= 31, s"unbalanced dct hash: $bits bits")
+  }
+
+  test("imageDctHash64: constant image hashes to 0, junk to null") {
+    val got = Multimodal.imageDctHash64(
+      Seq((0L, grayPng(32, 32)((_, _) => 77))).toDF("doc_id", "payload"))
+      .select("feat_dcthash").head()
+    assert(!got.isNullAt(0) && got.getLong(0) == 0L)
+    val junk = Multimodal.imageDctHash64(
+      Multimodal.asMedia(Seq((9L, "not a png")).toDF("doc_id", "text"),
+        "text", "image/png").select("doc_id", "payload"))
+      .select("feat_dcthash").head()
+    assert(junk.isNullAt(0))
+  }
+
+  test("imageDctHash64: soft pairs within hamming 3, cross bases far") {
+    val docs = (0L until 80L).toDF("doc_id")
+    val coded = Multimodal.imageDctHash64(
+      Multimodal.asMedia(Multimodal.synthPairGrayPngSoft(docs), "png",
+        "image/png").select("doc_id", "payload"))
+      .select(col("doc_id").as("id"), col("feat_dcthash").as("code"))
+    val got = coded.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0L until 40L)
+      assert(ham(got(2 * k), got(2 * k + 1)) <= 3, s"sibling pair $k far")
+    // banded pairs at the pigeonhole-exact setting find EXACTLY the
+    // 40 sibling pairs: every cross-base distance clears the cutoff
+    val pairs = Dedup.hammingPairs(coded, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 40L).map(k => (2 * k, 2 * k + 1)).toSet,
+      s"pair set mismatch: $pairs")
+  }
+
   test("imageIoCodec: corrupt payloads yield null features, not a crash") {
     val df = Seq((1L, "this is not a png")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
