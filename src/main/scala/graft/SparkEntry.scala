@@ -806,6 +806,37 @@ object SparkEntry {
         Seq("tracker.net").toDF("domain"),
         minTokens = 20)
     }),
+    // LANDING ZONE to gated corpus: two WARC waves drain through the
+    // exactly-once ingest trigger (wave 1 ingested directly; the
+    // facade's own trigger picks up ONLY wave 2), then the six-stage
+    // crawl front runs over the cumulative record table — the
+    // production loop end to end. The url fixture keeps the blocked
+    // domain (1 in 7) but uses doc_id-recoverable URIs; the oracle
+    // is the L15 CTE chain with only the url-synthesis CTE swapped
+    "q_warc_to_corpus" -> ((s, d) => {
+      import s.implicits._
+      val base = roundtripDir("warc_corpus")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = linedDocuments(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("https://ads.tracker.net/item-"), col("doc_id")))
+          .otherwise(concat(lit("https://corpus.example/doc/"),
+            col("doc_id"))).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        htmlShell(col("text")).cast("binary").as("payload"))
+      sources.Warc.write(src.where(col("doc_id") % 2 === 0)
+        .drop("doc_id").repartition(2), s"$base/landing/w1")
+      streaming.WarcIngest.ingestOnce(s, s"$base/landing", s"$base/ingest")
+      sources.Warc.write(src.where(col("doc_id") % 2 === 1)
+        .drop("doc_id").repartition(2), s"$base/landing/w2")
+      CorpusPipeline.warcToCorpus(s, s"$base/landing", s"$base/ingest",
+        Seq("tracker.net").toDF("domain"),
+        docId = uri => regexp_extract(uri, "([0-9]+)$", 1).cast("long"),
+        minTokens = 20)
+    }),
     // the crawl front + the CCNet scoring tail: the six gate stages,
     // then language-ID and per-language perplexity terciles on the
     // kept (rewritten) text — langid and the LM fit both run on
@@ -2112,7 +2143,18 @@ object SparkEntry {
     Seq("q_pack_sequences", "q_token_budget_mix", "q_stratified_sample")
       .map(q => s"${q}_range" -> oracleSqlBase(q)).toMap +
     // same sharing for the BoundedTopK form of the per-group cap
-    ("q_cap_per_group_topk" -> oracleSqlBase("q_cap_per_group"))
+    ("q_cap_per_group_topk" -> oracleSqlBase("q_cap_per_group")) +
+    // warc-to-corpus: the WARC leg is a lossless identity, so the
+    // oracle is the L15 crawl-front CTE chain with ONLY the
+    // url-synthesis CTE swapped for the doc_id-recoverable fixture —
+    // derived programmatically so the two chains stay in lockstep
+    ("q_warc_to_corpus" -> oracleSqlBase("q_crawl_prepare_full").replace(
+      """ELSE CASE CAST(doc_id % 4 AS INTEGER)
+        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url""".stripMargin,
+      "ELSE 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) END AS url"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,

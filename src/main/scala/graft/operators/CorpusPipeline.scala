@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-call training-data preparation facade — the corpus twin of
@@ -231,6 +231,41 @@ object CorpusPipeline {
         "__text")
     else
       Corpus.perplexityBuckets(kept, "lang_pred", "doc_id", "__text")
+  }
+
+  /** LANDING ZONE to gated corpus, one call — the production loop a
+    * crawl pipeline actually runs: drain new WARC files from
+    * `warcDir` through [[graft.streaming.WarcIngest.ingestOnce]]
+    * (one exactly-once trigger; files already ingested are skipped),
+    * then run [[crawlPrepareFull]]'s six gate stages over the
+    * CUMULATIVE record table — response records become docs with
+    * `url` = WARC-Target-URI, `html` = the payload bytes as UTF-8,
+    * and `doc_id` = `docId(target_uri)` (default: the URI itself —
+    * the natural document key in a crawl; URL dedup then keeps the
+    * MIN id per canonical URL, so a caller needing numeric ids
+    * passes an extractor).
+    *
+    * The re-prepare is over the whole accumulated corpus, not the
+    * delta, ON PURPOSE: line-level boilerplate df counts and
+    * cross-wave URL/normalized dedup are corpus-global statistics —
+    * a delta-only prepare would miss boilerplate that only becomes
+    * frequent across waves (the incremental-dedup shape for the
+    * minhash family is [[graft.streaming.IngestGate]]'s job). The
+    * gate chain itself stays pair-join-free end to end. */
+  def warcToCorpus(spark: org.apache.spark.sql.SparkSession,
+                   warcDir: String, ingestDir: String,
+                   blocklist: DataFrame,
+                   docId: Column => Column = identity,
+                   lineMinDf: Long = 2, minTokens: Long = 20)
+  : DataFrame = {
+    graft.streaming.WarcIngest.ingestOnce(spark, warcDir, ingestDir)
+    val docs = graft.streaming.WarcIngest.records(spark, ingestDir)
+      .where(col("warc_type") === "response")
+      .select(docId(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload").cast("string").as("html"))
+    crawlPrepareFull(docs, blocklist, "url", "doc_id", "html",
+      lineMinDf, minTokens)
   }
 
   /** How many trailing host labels [[blocklistFilter]] tries against

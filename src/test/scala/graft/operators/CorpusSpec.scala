@@ -540,4 +540,33 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String, Long, Double, String)].collect().toSet
     assert(out.toSet == exact)
   }
+
+  test("warcToCorpus: landing to verdict, URI ids, non-response dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wtc").toString
+    def shell(body: String): String =
+      "<html><body><h1>Chrome</h1><p>" + body + "</p></body></html>"
+    val wave = Seq(
+      ("https://keep.org/a",
+        shell("the quality of the corpus is good and the text is fine here")),
+      ("https://keep.org/b",
+        shell("the quality of borogoves is mimsy and the frumious waltz")),
+      ("https://ads.bad.net/x", shell("blocked body text")))
+      .toDF("uri", "html")
+      .select(col("uri"), lit("2026-01-01T00:00:00Z").as("date"),
+        col("html").cast("binary").as("payload"))
+    graft.sources.Warc.write(wave.repartition(1), s"$tmp/landing/w")
+    // a non-response record (e.g. warcinfo) must not become a doc
+    graft.sources.Warc.write(
+      Seq(("meta:info", "2026-01-01T00:00:00Z",
+        "software: graft".getBytes("UTF-8")))
+        .toDF("uri", "date", "payload").repartition(1),
+      s"$tmp/landing/info", warcType = "warcinfo")
+    val out = CorpusPipeline.warcToCorpus(spark, s"$tmp/landing",
+        s"$tmp/ingest", Seq("bad.net").toDF("domain"), minTokens = 2)
+      .select("doc_id", "keep").as[(String, Boolean)].collect().toMap
+    // default docId: the target URI itself is the key; the blocked
+    // doc never reaches extraction, the warcinfo record is filtered
+    assert(out.keySet == Set("https://keep.org/a", "https://keep.org/b"))
+    assert(out.values.forall(identity))
+  }
 }
