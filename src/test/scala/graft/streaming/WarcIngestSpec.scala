@@ -97,6 +97,35 @@ class WarcIngestSpec extends SparkSpec {
     assert(idsOf(rec) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("WarcIngest plan guards: shuffle-free parse, pruned count read-back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+    Warc.write(docs(Seq(1L, 2L), "w1").repartition(1), s"$landing/w1")
+    Warc.write(docs(Seq(3L, 4L), "w2").repartition(1), s"$landing/w2")
+    WarcIngest.ingestOnce(spark, landing, out)
+
+    // the parse leg is scan → mapPartitions: ZERO exchanges (one
+    // task per WARC file is the whole scale model)
+    val files = new java.io.File(s"$landing/w1").listFiles()
+      .filter(_.getName.endsWith(".warc")).map(_.toURI.toString).toIndexedSeq
+    val parsePlan = Warc.read(spark, files)
+      .queryExecution.executedPlan.toString
+    assert(!parsePlan.contains("Exchange"),
+      s"parse leg shuffles:\n$parsePlan")
+
+    // the per-file count read-back prunes to the delta's partitions:
+    // the src_hash predicate must land in PartitionFilters (pruned
+    // at planning), not survive as a post-scan data filter
+    val someHash = WarcIngest.records(spark, out)
+      .select("src_hash").head().getString(0)
+    val probe = WarcIngest.records(spark, out)
+      .where(col("src_hash").isin(someHash))
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+      probePlan.contains("src_hash"), s"not pruned:\n$probePlan")
+  }
+
   test("WarcIngest: gzipped WARC files ingest through the same loop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
     val landing = s"$tmp/landing"
