@@ -126,6 +126,23 @@ class WarcIngestSpec extends SparkSpec {
       probePlan.contains("src_hash"), s"not pruned:\n$probePlan")
   }
 
+  test("WarcIngest: driver-side md5 prune key equals Spark's md5()") {
+    // the count read-back prunes partitions with DRIVER-computed md5
+    // hex of the path against partitions written with the EXECUTOR
+    // md5() column — a divergence would silently zero the manifest
+    // counts. Pin byte-equality over tricky strings (non-ASCII,
+    // URL-ish, empty-ish).
+    val samples = Seq("file:/tmp/a.warc", "file:/tmp/ü ñ/β.warc.gz",
+      "s3a://bucket/crawl/seg=2026-08/part-00001.warc.gz", "x")
+    val sparkSide = samples.toDF("p")
+      .select(md5(col("p"))).as[String].collect()
+    val driverSide = samples.map { s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    assert(sparkSide.toSeq == driverSide)
+  }
+
   test("WarcIngest: gzipped WARC files ingest through the same loop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
     val landing = s"$tmp/landing"
