@@ -138,6 +138,38 @@ object Prof {
       corpus.unpersist()
       spark.stop(); return
     }
+    // PROF_INGEST=1 — the WarcIngest O(delta) trigger experiment for
+    // BASELINE.md: land N WARC files, pay the full first trigger,
+    // then add ONE file and show the next trigger costs the DELTA
+    // (one file's parse + the metadata listing + manifest diff), not
+    // the corpus — the claim SURVEY J41 makes about the loop.
+    // PROF_INGEST_FILES sizes the landing zone (default 60).
+    if (sys.env.get("PROF_INGEST").contains("1")) {
+      val nFiles = sys.env.getOrElse("PROF_INGEST_FILES", "60").toInt
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_prof_ingest").toString
+      val landing = s"$tmp/landing"
+      val out = s"$tmp/ingest"
+      val wave = docs.select(
+        concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"))
+      time(s"land.$nFiles.files")(
+        sources.Warc.write(wave.repartition(nFiles), s"$landing/w1"))
+      time(s"trigger1.full.$nFiles.files")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      time("land.1.file")(
+        sources.Warc.write(wave.limit(200).repartition(1),
+          s"$landing/w2"))
+      time("trigger2.delta.1.file")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      time("trigger3.noop")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      println("[prof] records total: " +
+        streaming.WarcIngest.records(spark, out).count())
+      spark.stop(); return
+    }
+
     // PROF_BLOOM=1 — the bloomSemiJoin design experiment: on a
     // probe >> build semi join where the build side cannot broadcast
     // (autoBroadcastJoinThreshold=-1 stands in for "too big"),
