@@ -96,7 +96,16 @@ object Warc {
       rows.flatMap { r =>
         val p = r.getString(0)
         val raw = r.getAs[Array[Byte]](1)
-        val bytes = if (p.endsWith(".gz")) gunzip(raw) else raw
+        // a corrupt gzip stream (bad magic, truncated member, CRC
+        // mismatch) quarantines THIS file as zero records instead of
+        // failing the whole job — one bad file in a ~90k-file
+        // snapshot must not kill the trigger; an ingest manifest
+        // records the 0 count, making the quarantine visible
+        val bytes =
+          if (p.endsWith(".gz"))
+            try gunzip(raw)
+            catch { case _: java.io.IOException => Array.emptyByteArray }
+          else raw
         parseFile(p, bytes)
       }
     }(enc)

@@ -126,6 +126,27 @@ class WarcIngestSpec extends SparkSpec {
       probePlan.contains("src_hash"), s"not pruned:\n$probePlan")
   }
 
+  test("WarcIngest: a corrupt .warc.gz quarantines as 0 records, not a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+    Warc.write(docs(Seq(1L, 2L), "good").repartition(1), s"$landing/w")
+    // not a gzip stream at all — bad magic bytes
+    new java.io.File(landing).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/bad.warc.gz"),
+      "this is not gzip".getBytes("UTF-8"))
+    val s1 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // the trigger SUCCEEDS; the corrupt file commits with 0 records
+    // (visible quarantine) and is not re-scanned on the next trigger
+    assert(s1.length == 2)
+    assert(s1.find(_._1.endsWith("bad.warc.gz")).get._4 == 0)
+    assert(s1.map(_._4).sum == 2)
+    assert(WarcIngest.ingestOnce(spark, landing, out).isEmpty)
+    assert(idsOf(WarcIngest.records(spark, out)) == Set(1L, 2L))
+  }
+
   test("WarcIngest: driver-side md5 prune key equals Spark's md5()") {
     // the count read-back prunes partitions with DRIVER-computed md5
     // hex of the path against partitions written with the EXECUTOR
