@@ -134,9 +134,22 @@ object WarcIngest {
 
   /** The cumulative record table: [[Warc.recordSchema]] columns plus
     * `batch` (the trigger that ingested each row) and the `src_hash`
-    * partition key. */
-  def records(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/records")
+    * partition key. Empty (with the full schema) before the first
+    * non-empty trigger — so a caller chaining ingest → prepare over
+    * a still-empty landing zone composes instead of crashing. */
+  def records(spark: SparkSession, outDir: String): DataFrame = {
+    val recPath = new Path(s"$outDir/records")
+    val fs = recPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(recPath)) spark.read.parquet(recPath.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        Warc.recordSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("batch",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("src_hash",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+  }
 
   /** Driver-side md5 hex, byte-equal to Spark's `md5()` of the same
     * UTF-8 string — the partition-prune key must match the value the

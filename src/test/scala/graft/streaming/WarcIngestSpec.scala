@@ -126,6 +126,20 @@ class WarcIngestSpec extends SparkSpec {
       probePlan.contains("src_hash"), s"not pruned:\n$probePlan")
   }
 
+  test("WarcIngest: records() before any trigger is empty, full schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val rec = WarcIngest.records(spark, s"$tmp/ingest")
+    assert(rec.isEmpty)
+    assert(rec.columns.toSet == Set("file", "record_idx", "warc_type",
+      "target_uri", "warc_date", "content_length", "payload", "batch",
+      "src_hash"))
+    // and the empty-landing facade chain composes instead of crashing
+    val out = graft.operators.CorpusPipeline.warcToCorpus(spark,
+      s"$tmp/landing", s"$tmp/ingest",
+      Seq("bad.net").toDF("domain"))
+    assert(out.isEmpty)
+  }
+
   test("WarcIngest: a corrupt .warc.gz quarantines as 0 records, not a crash") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
     val landing = s"$tmp/landing"
