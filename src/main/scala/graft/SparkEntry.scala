@@ -76,6 +76,27 @@ object SparkEntry {
     "ing", "and", "ion", "tion", "es", "or", "te", "ed", "is", "it",
     "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou")
 
+  /** One oracle for both decontamination paths: the broadcast join
+    * and the bloom-prefiltered shuffle join are bit-identical by
+    * contract (no false negatives in the bloom; the exact join
+    * clears the false positives). */
+  private val decontaminateOracle: String =
+    """WITH corp AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |FROM documents WHERE doc_id >= 25),
+      |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |FROM documents WHERE doc_id < 25),
+      |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+      |FROM bench WHERE len(l) >= 3),
+      |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
+      |FROM corp WHERE len(l) >= 3),
+      |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
+      |tot AS (SELECT doc_id,
+      |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
+      |FROM corp)
+      |SELECT tot.doc_id, tot.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5 AS contaminated
+      |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""".stripMargin
+
   private def synthPseudoLines(toks: Column): Column =
     array_join(
       transform(
@@ -1131,6 +1152,16 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 25),
         docs.filter(col("doc_id") < 25), shingleN = 3, tau = 0.5)
     }),
+    // the benchmark-side-too-big-to-broadcast shape: bloom sketch
+    // prefilter on the corpus shingle stream + exact shuffle join.
+    // Bit-identical output, shared oracle
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), shingleN = 3, tau = 0.5,
+        broadcastBench = false)
+    }),
     "q_length_profile" -> ((s, d) =>
       Corpus.lengthProfile(T(s, d, "documents"), Seq("lang", "source"))),
     "q_vec_quantize" -> ((s, d) => {
@@ -1179,6 +1210,15 @@ object SparkEntry {
           functions.TextFunctions.tokenCount(col("text")).cast("long")
             .as("n_tokens")),
         "n_tokens", "doc_id", budget = 512L, nBuckets = 16)),
+    // the training-ready LAST MILE: real longest-match BPE encode →
+    // vocab-id mapping (OOV → -1) → token-budget bin + in-bin offset.
+    // The oracle composes the H21 recursive greedy cursor with the
+    // pack running-sum windows, so every split decision, id, bin and
+    // offset is hash-checked end-to-end
+    "q_tokenize_pack" -> ((s, d) =>
+      CorpusPipeline.tokenizePack(
+        T(s, d, "documents").select(col("doc_id"), col("text")),
+        bpeEncodeVocab, budget = 512L, nBuckets = 16)),
     // salted join == plain join (the oracle proves it): single-key
     // hotspot mitigation AQE cannot split
     "q_skew_join" -> ((s, d) =>
@@ -3967,22 +4007,10 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
         |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
-    "q_decontaminate" ->
-      """WITH corp AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
-        |FROM documents WHERE doc_id >= 25),
-        |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
-        |FROM documents WHERE doc_id < 25),
-        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
-        |FROM bench WHERE len(l) >= 3),
-        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
-        |FROM corp WHERE len(l) >= 3),
-        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
-        |tot AS (SELECT doc_id,
-        |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
-        |FROM corp)
-        |SELECT tot.doc_id, tot.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap,
-        |CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5 AS contaminated
-        |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    // identical output by contract — the bloom prefilter has no
+    // false negatives and the exact join clears false positives
+    "q_decontaminate_bloom" -> decontaminateOracle,
     "q_train_split" ->
       """WITH b AS (SELECT doc_id, lang,
         |(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
@@ -3998,6 +4026,40 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
+    // tokenize-pack: the H21 greedy cursor (recursive CTE) feeds a
+    // vocab-index lookup (OOV -> -1), per-doc ordered id string, then
+    // the pack running sum for bin_id and a per-bin running sum for
+    // bin_offset — the full training-ready last mile replayed
+    "q_tokenize_pack" -> {
+      val vlist = bpeEncodeVocab.map(t => s"'$t'").mkString(", ")
+      val ilist = bpeEncodeVocab.indices.mkString(", ")
+      s"""WITH RECURSIVE vocab AS (SELECT unnest([$vlist]) AS tok, unnest([$ilist]) AS idx),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
+         |enc AS (
+         |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word, pos + mlen AS pos,
+         |list_append(out, substring(word, pos, mlen)) AS out FROM (
+         |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
+         |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
+         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
+         |WHERE e.pos <= len(e.word)
+         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
+         |fin AS (SELECT doc_id, wi, out FROM enc WHERE pos > len(word)),
+         |sub AS (SELECT doc_id, wi, unnest(out) AS sub, unnest(range(1, len(out) + 1)) AS si FROM fin),
+         |ids AS (SELECT s.doc_id, s.wi, s.si, COALESCE(v.idx, -1) AS id
+         |FROM sub s LEFT JOIN vocab v ON s.sub = v.tok),
+         |doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, si) AS token_ids FROM ids GROUP BY doc_id),
+         |b AS (SELECT doc_id, n_tokens, token_ids,
+         |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
+         |FROM doc)
+         |SELECT doc_id, n_tokens, token_ids, bin_id,
+         |CAST(SUM(n_tokens) OVER (PARTITION BY bin_id ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS bin_offset
+         |FROM b""".stripMargin
+    },
     "q_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |SELECT doc_id, lang, source,

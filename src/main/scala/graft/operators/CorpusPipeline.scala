@@ -312,4 +312,54 @@ object CorpusPipeline {
       .withColumn("keep", col("blocked_by").isNull)
       .drop(js.map(j => s"__b$j"): _*)
   }
+
+  /** Text to TRAINING-READY token sequences — the last mile after the
+    * crawl front and the quality gates: encode every document through
+    * the real longest-match BPE encoder
+    * ([[Bpe.encodeLongestMatch]]), map subwords to vocabulary ids
+    * (OOV single-char fallbacks map to -1, the sentinel a downstream
+    * embedding lookup must handle), then assign each document to a
+    * fixed-token-budget context bin and its byte-exact offset inside
+    * that bin. The output is exactly what a dataloader shards on:
+    * (doc, ids, bin, offset) with Σ tokens per bin < budget + max doc
+    * length.
+    *
+    * Scale shape: encode + id mapping are scan-stage column
+    * expressions (the vocab trie compiles once per executor; the
+    * id map is a broadcast literal) — zero exchanges until packing.
+    * Packing is [[Sampling.packSequencesByRange]] (PrefixSum range
+    * buckets — no global sort task). The only remaining window is
+    * the per-bin offset sum, and a bin holds at most `budget`
+    * documents (every kept doc has >= 1 token), so no window task
+    * ever sees more than `budget` rows regardless of corpus size.
+    *
+    * Documents with zero tokens are dropped: they contribute nothing
+    * to a training sequence, and keeping them would let a bin's doc
+    * count grow without bound. */
+  def tokenizePack(docs: DataFrame, vocab: Seq[String], budget: Long,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   nBuckets: Int = 64): DataFrame = {
+    require(vocab.nonEmpty, "tokenizePack needs a non-empty vocab")
+    require(budget >= 1L, "tokenizePack needs a positive token budget")
+    val idMap = map(vocab.zipWithIndex.flatMap {
+      case (t, i) => Seq(lit(t), lit(i)) }: _*)
+    val enc = docs
+      .withColumn("__subs", Bpe.encodeLongestMatch(col(textCol), vocab))
+      .filter(size(col("__subs")) >= 1)
+      .select(col(idCol),
+        size(col("__subs")).cast("long").as("n_tokens"),
+        array_join(
+          transform(col("__subs"),
+            s => coalesce(element_at(idMap, s), lit(-1)).cast("string")),
+          " ").as("token_ids"))
+    val binned =
+      Sampling.packSequencesByRange(enc, "n_tokens", idCol, budget, nBuckets)
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin_id"))
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned.withColumn("bin_offset",
+      (sum(col("n_tokens")).over(wBin) - col("n_tokens")).cast("long"))
+  }
 }

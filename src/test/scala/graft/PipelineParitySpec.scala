@@ -128,6 +128,48 @@ class PipelineParitySpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("tokenizePack: real encode → vocab ids (OOV=-1) → bins + offsets") {
+    val vocab = Seq("ab", "b", "a", "cd")
+    val docs = Seq(
+      (1L, "abab cd x"), // [ab, ab, cd, x] -> "0 0 3 -1"
+      (2L, "ba"),        // [b, a]          -> "1 2"
+      (3L, ""),          // zero tokens     -> dropped
+      (4L, "aaaa"))      // [a, a, a, a]    -> "2 2 2 2"
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.tokenizePack(docs, vocab, budget = 8L,
+      nBuckets = 4)
+    val rows = out
+      .select("doc_id", "n_tokens", "token_ids", "bin_id", "bin_offset")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      // (n_tokens desc, id) order: 1 (4), 4 (4), 2 (2); running 4,8,10
+      (1L, 4L, "0 0 3 -1", 0L, 0L),
+      (2L, 2L, "1 2", 1L, 0L),
+      (4L, 4L, "2 2 2 2", 0L, 4L)))
+  }
+
+  test("tokenizePack bins equal the exact packSequences definition") {
+    val vocab = Seq("th", "he", "in", "an", "a", "e")
+    val docs = (1L to 40L).map(i =>
+      (i, ("the " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = CorpusPipeline.tokenizePack(docs, vocab, budget = 16L,
+      nBuckets = 4)
+    val exact = Sampling.packSequences(
+      out.select("doc_id", "n_tokens"), "n_tokens", "doc_id", budget = 16L)
+    val mismatch = out.select("doc_id", "bin_id")
+      .except(exact.select("doc_id", "bin_id"))
+    assert(mismatch.isEmpty,
+      s"range bins drifted from the exact definition: ${
+        mismatch.collect().mkString(",")}")
+    // per-bin offsets are a consistent prefix sum: max(offset) +
+    // its n_tokens == sum(n_tokens) in every bin
+    val bad = out.groupBy("bin_id")
+      .agg(max(struct(col("bin_offset"), col("n_tokens"))).as("last"),
+        sum("n_tokens").as("tot"))
+      .filter(col("last.bin_offset") + col("last.n_tokens") =!= col("tot"))
+    assert(bad.isEmpty, s"offset chain broken: ${bad.collect().mkString(",")}")
+  }
+
   private implicit class SortedSeq(s: Array[Long]) {
     def toSorted: Seq[Long] = s.toSeq.sorted
   }

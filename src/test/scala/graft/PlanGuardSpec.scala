@@ -380,6 +380,40 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_tokenize_pack: every window range-bucketed or bin-scoped") {
+    // the last-mile facade must inherit packSequencesByRange's scale
+    // shape: the running sum runs per __bkt range bucket (plus the
+    // bounded offsets window), and the only new window is the per-bin
+    // offset sum — a bin holds at most `budget` docs by construction
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: children.flatMap(walk)
+    }
+    val df = SparkEntry.queries("q_tokenize_pack")(spark, sf)
+    df.collect()
+    val windows = walk(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q_tokenize_pack lost its windows entirely")
+    val bad = windows.filterNot { w =>
+      val spec = w.partitionSpec.mkString(",")
+      w.partitionSpec.nonEmpty &&
+        (spec.contains("__bkt") || spec.contains("bin_id")) ||
+        w.windowExpression.mkString(",")
+          .matches("(?s).*(__off|__ocnt).*")
+    }
+    assert(bad.isEmpty,
+      s"q_tokenize_pack grew an unbounded window:\n${bad.mkString("\n")}")
+  }
+
   test("lmScore/qualityClassifier: totals ride a reused exchange, no global window") {
     // the r13 de-windowing: vocab is unbounded on web text, so the
     // totals must NOT come from Window.partitionBy() over the count
