@@ -66,10 +66,22 @@ object Corpus {
     * KBs–MBs, the corpus is the 100 TB side) — broadcast it; the
     * corpus side is one explode + one broadcast-hash semi-count +
     * one groupBy, no shuffle of text. Output: one row per corpus doc
-    * with its distinct-shingle count, overlap count, and flag. */
+    * with its distinct-shingle count, overlap count, and flag.
+    *
+    * `broadcastBench=false` is the shape for a benchmark side too
+    * big for a broadcast hash relation (a full eval-suite UNION —
+    * hundreds of benchmarks' worth of shingles): the corpus shingle
+    * stream is prefiltered through a driver-bounded bloom sketch of
+    * the benchmark shingles ([[Joins.bloomPrefilter]] — no false
+    * negatives, so no overlap is ever missed), then the surviving
+    * sliver takes an exact SHUFFLE_HASH join that clears the false
+    * positives. Only ~the matching fraction of the 100 TB side ever
+    * enters an exchange; output is bit-identical to the broadcast
+    * path, so both share one oracle. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, shingleN: Int,
                     tau: Double, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    broadcastBench: Boolean = true): DataFrame = {
     def sh(c: Column) = array_distinct(
       TextFunctions.shingles(TextFunctions.tokens(c), shingleN))
     val benchSh = benchmark
@@ -81,7 +93,11 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpSets.count()
     val corpSh = corpSets.select(col(idCol), explode(col("shs")).as("sh"))
-    val overlap = corpSh.join(broadcast(benchSh), "sh")
+    val matched =
+      if (broadcastBench) corpSh.join(broadcast(benchSh), "sh")
+      else Joins.bloomPrefilter(corpSh, benchSh, Seq("sh" -> "sh"))
+        .hint("SHUFFLE_HASH").join(benchSh.hint("SHUFFLE_HASH"), "sh")
+    val overlap = matched
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     CacheOps.materializeAndRelease(
       corpSets.select(col(idCol),

@@ -27,6 +27,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(out == ((1L, 0L, 0L, false)))
   }
 
+  test("bloom path: bit-identical to the broadcast path, no bench broadcast") {
+    // 60 docs, ~1/3 overlapping the benchmark — enough shingle
+    // volume that a dropped overlap or a surviving false positive
+    // would move a count
+    val corpus = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) s"alpha beta gamma delta doc$i extra words here"
+          else s"unique$i text$i nothing$i shared$i at$i all$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val broad = Corpus.decontaminate(corpus, bench, shingleN = 3, tau = 0.2)
+    val bloom = Corpus.decontaminate(corpus, bench, shingleN = 3, tau = 0.2,
+      broadcastBench = false)
+    assert(broad.except(bloom).isEmpty && bloom.except(broad).isEmpty,
+      "bloom path diverged from the broadcast path")
+    // plan pin: the sketch prefilter is present and the exact
+    // overlap join is NOT a broadcast of the bench side
+    bloom.collect()
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"exact overlap join not the shuffle-hash shape:\n$p")
+  }
+
   test("scrubPii replaces emails and long digit runs, counts match") {
     val df = Seq(
       "contact me at a.b@x.io or 1234567 now",
