@@ -76,6 +76,24 @@ object SparkEntry {
     "ing", "and", "ion", "tion", "es", "or", "te", "ed", "is", "it",
     "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou")
 
+  /** Fixed literal unigram model (piece → ln-prob ticks) for
+    * q_unigram_segment — shared verbatim by the Spark query and the
+    * DuckDB oracle. Weights are deliberately NOT monotone in length
+    * (e.g. "th"+"ere" beats "the"+"re") so the Viterbi DP provably
+    * differs from greedy maximal munch on common words. */
+  private val unigramSegModel: Seq[(String, Long)] = Seq(
+    "the" -> -2800000L, "th" -> -1000000L, "he" -> -1500000L,
+    "er" -> -1800000L, "ere" -> -1200000L, "re" -> -2500000L,
+    "in" -> -1400000L, "ing" -> -1300000L, "an" -> -1600000L,
+    "and" -> -2000000L, "on" -> -1700000L, "at" -> -1900000L,
+    "en" -> -2100000L, "es" -> -2200000L, "or" -> -2300000L,
+    "te" -> -2400000L, "ed" -> -2600000L, "is" -> -2700000L,
+    "a" -> -3000000L, "e" -> -2900000L, "t" -> -3100000L,
+    "o" -> -3200000L, "i" -> -3300000L, "n" -> -3400000L,
+    "s" -> -3500000L, "r" -> -3600000L)
+  private val unigramOov = -20000000L
+  private val unigramMaxPieceLen = 3
+
   /** One oracle for both decontamination paths: the broadcast join
     * and the bloom-prefiltered shuffle join are bit-identical by
     * contract (no false negatives in the bloom; the exact join
@@ -918,6 +936,23 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars"),
           (sum(col("n_sub")).cast("double") /
             count(lit(1)).cast("double")).as("fertility"))),
+    // unigram tokenizer SEED vocabulary (Kudo 2018): every substring
+    // (length 1..4) of every word occurrence, frequency-weighted,
+    // top-200 by (total desc, piece asc) — selection through
+    // OrderStats.selectTopN, bit-identical to the row_number
+    // definition with no global sort
+    "q_unigram_seed" -> ((s, d) =>
+      Unigram.seedVocab(T(s, d, "documents"), maxPieceLen = 4,
+        topK = 200L)),
+    // unigram Viterbi DECODE under a fixed literal tick-weight model:
+    // max-score segmentation (exact integer DP, ties → smallest
+    // start) — the oracle replays the forward DP + backtrack as two
+    // recursive CTEs, so every split decision is hash-checked
+    "q_unigram_segment" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(explode(Unigram.segment(
+          col("text"), unigramSegModel, unigramOov)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
     // line-level boilerplate dedup (C4/RefinedWeb): lines appearing
     // in >= 2 distinct docs are removed, docs reassembled in order.
     // The corpus has no newlines, so pseudo-lines (10-token
@@ -3628,6 +3663,70 @@ object SparkEntry {
          |CAST(SUM(n_chars) AS BIGINT) AS n_chars,
          |CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
          |FROM j GROUP BY lang""".stripMargin
+    },
+    // unigram seed: replay the substring enumeration (1..4 per start
+    // position, frequency-weighted) + the (total desc, piece asc)
+    // top-200 — the exact row_number definition selectTopN reproduces
+    "q_unigram_seed" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT unnest(toks) AS word FROM t),
+        |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM w GROUP BY word),
+        |subs AS (SELECT wcnt, unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+        |list_transform(range(1, least(4, len(word) - i + 1) + 1), l ->
+        |substring(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM wf),
+        |agg AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS total FROM subs GROUP BY piece),
+        |rk AS (SELECT piece, total, ROW_NUMBER() OVER (ORDER BY total DESC, piece ASC) AS rn FROM agg)
+        |SELECT piece, total FROM rk WHERE rn <= 200""".stripMargin,
+    // unigram Viterbi decode: forward DP as a recursive CTE carrying
+    // the best-score and backpointer lists (ties -> smallest start),
+    // then a backtrack recursion reassembling each word's pieces;
+    // single chars outside the model take the OOV weight
+    "q_unigram_segment" -> {
+      val plist = unigramSegModel.map(p => s"'${p._1}'").mkString(", ")
+      val wlist = unigramSegModel
+        .map(p => s"CAST(${p._2} AS BIGINT)").mkString(", ")
+      s"""WITH RECURSIVE m AS (SELECT unnest([$plist]) AS piece, unnest([$wlist]) AS w),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |wd AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM wd),
+         |fwd AS (
+         |SELECT doc_id, wi, word, CAST(0 AS BIGINT) AS e,
+         |[CAST(0 AS BIGINT)] AS best, [CAST(0 AS BIGINT)] AS back FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word, e + 1,
+         |list_append(best, mx) AS best, list_append(back, s_star) AS back
+         |FROM (
+         |SELECT doc_id, wi, word, e, best, back, MAX(cand) AS mx,
+         |MIN(CASE WHEN cand = mxw THEN s END) AS s_star
+         |FROM (
+         |SELECT x.*,
+         |x.best[CAST(x.s + 1 AS INT)] + COALESCE(m.w,
+         |CASE WHEN x.e + 1 - x.s = 1 THEN CAST($unigramOov AS BIGINT) END) AS cand,
+         |MAX(x.best[CAST(x.s + 1 AS INT)] + COALESCE(m.w,
+         |CASE WHEN x.e + 1 - x.s = 1 THEN CAST($unigramOov AS BIGINT) END))
+         |OVER (PARTITION BY x.doc_id, x.wi) AS mxw
+         |FROM (
+         |SELECT f.doc_id, f.wi, f.word, f.e, f.best, f.back,
+         |unnest(range(greatest(0, f.e + 1 - $unigramMaxPieceLen), f.e + 1)) AS s
+         |FROM fwd f WHERE f.e < len(f.word)
+         |) x
+         |LEFT JOIN m ON substring(x.word, CAST(x.s + 1 AS INT), CAST(x.e + 1 - x.s AS INT)) = m.piece
+         |) cands
+         |WHERE cand IS NOT NULL
+         |GROUP BY doc_id, wi, word, e, best, back
+         |) step),
+         |fin AS (SELECT doc_id, wi, word, back FROM fwd WHERE e = len(word)),
+         |bt AS (
+         |SELECT doc_id, wi, word, back, CAST(len(word) AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks FROM fin
+         |UNION ALL
+         |SELECT doc_id, wi, word, back,
+         |back[CAST(pos + 1 AS INT)] AS pos,
+         |list_prepend(substring(word, CAST(back[CAST(pos + 1 AS INT)] + 1 AS INT),
+         |CAST(pos - back[CAST(pos + 1 AS INT)] AS INT)), toks) AS toks
+         |FROM bt WHERE pos > 0),
+         |segs AS (SELECT toks FROM bt WHERE pos = 0),
+         |ft AS (SELECT unnest(toks) AS token FROM segs)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
     },
     // line-level boilerplate dedup: replay the 10-token pseudo-line
     // synthesis, count DISTINCT docs per line, remove df>=2 lines,
