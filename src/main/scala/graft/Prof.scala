@@ -44,8 +44,11 @@ object Prof {
       spark.stop(); return
     }
     if (sys.env.get("PROF_EXPLAIN_NEW").contains("1")) {
-      for (q <- Seq("q_tfidf_top_terms", "q_train_split",
-        "q_partitioned_roundtrip", "q_decontaminate", "q_skew_join")) {
+      // PROF_EXPLAIN_QS=q_a,q_b overrides the default list
+      val qs = sys.env.get("PROF_EXPLAIN_QS").map(_.split(",").toSeq)
+        .getOrElse(Seq("q_tfidf_top_terms", "q_train_split",
+          "q_partitioned_roundtrip", "q_decontaminate", "q_skew_join"))
+      for (q <- qs) {
         println(s"===== $q =====")
         SparkEntry.queries(q)(spark, sfDir).explain("formatted")
       }

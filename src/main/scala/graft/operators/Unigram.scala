@@ -47,6 +47,10 @@ object Unigram {
     val wf = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    // persist the candidate table: selectTopN probes it several
+    // times (count, quantile narrowing, boundary tie sweep) — without
+    // this the substring explode re-runs per probe (the dsirWeights
+    // discipline)
     val pieces = wf.select(col("wcnt"),
       explode(flatten(transform(
         sequence(lit(1), length(col("word"))),
@@ -55,9 +59,13 @@ object Unigram {
             least(lit(maxPieceLen), length(col("word")) - i + lit(1))),
           l => col("word").substr(i, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("wcnt")).as("total"))
-    OrderStats.selectTopN(pieces, topK, "total", "piece")
-      .filter(col("selected"))
-      .select(col("piece"), col("total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pieces.count()
+    CacheOps.materializeAndRelease(
+      OrderStats.selectTopN(pieces, topK, "total", "piece")
+        .filter(col("selected"))
+        .select(col("piece"), col("total")),
+      pieces)
   }
 
   /** Viterbi max-score segmentation of every whitespace token of
