@@ -343,9 +343,15 @@ object CorpusPipeline {
     require(budget >= 1L, "tokenizePack needs a positive token budget")
     val idMap = map(vocab.zipWithIndex.flatMap {
       case (t, i) => Seq(lit(t), lit(i)) }: _*)
+    // gate on the cheap word count, not size(__subs): the two are
+    // equivalent (every word yields >= 1 subword), but a filter on
+    // __subs gets predicate-pushed through the projection and makes
+    // Catalyst evaluate the trie encode TWICE per row (measured in
+    // the plan audit — the Filter node carried its own
+    // longest_match_encode)
     val enc = docs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= 1)
       .withColumn("__subs", Bpe.encodeLongestMatch(col(textCol), vocab))
-      .filter(size(col("__subs")) >= 1)
       .select(col(idCol),
         size(col("__subs")).cast("long").as("n_tokens"),
         array_join(
