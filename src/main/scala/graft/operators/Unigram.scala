@@ -146,4 +146,34 @@ object Unigram {
       result.toDF("piece", "cnt", "w")
     } finally wf.unpersist()
   }
+
+  /** Persist a trained unigram model as a parquet table of
+    * (piece, w) — train once, segment across sessions (the
+    * [[Ivf.saveCentroids]] / [[Bpe.saveMerges]] model-artifact
+    * discipline). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: Seq[(String, Long)], path: String): Unit = {
+    import spark.implicits._
+    model.toDF("piece", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] table back into the in-memory model;
+    * rejects duplicate pieces and empty/null pieces (a double-written
+    * or append-mode table) rather than silently segmenting under a
+    * corrupted model. Order is immaterial to the DP — the trie keyed
+    * on the piece IS the model — but the load sorts (piece asc) so a
+    * round-tripped model is canonically ordered. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Long)] = {
+    val rows = spark.read.parquet(path).select("piece", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(rows.forall(r => r._1 != null && r._1.nonEmpty),
+      s"unigram model at $path has null/empty pieces")
+    val byPiece = rows.toMap
+    require(rows.length == byPiece.size,
+      s"unigram model at $path has duplicate piece rows: " +
+        s"${rows.length} rows for ${byPiece.size} distinct pieces")
+    rows.sortBy(_._1).toSeq
+  }
 }

@@ -113,6 +113,33 @@ class UnigramSpec extends SparkSpec {
     assert(out == Set(("a", 3L), ("ab", 3L), ("b", 3L), ("c", 1L)))
   }
 
+  test("model persistence: train -> save -> load segments identically") {
+    val docs = Seq((1L, "the there then he her"),
+      (2L, "here the there then")).toDF("doc_id", "text")
+    val trained = Unigram.trainViterbiEm(docs, vocabSize = 10,
+      maxPieceLen = 3, seedSize = 30L, rounds = 2, pruneFrac = 0.25)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._3)).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("unigram_model").toString
+    Unigram.saveModel(spark, trained, s"$dir/m")
+    val loaded = Unigram.loadModel(spark, s"$dir/m")
+    assert(loaded.toSet == trained.toSet)
+    val before = docs.select(explode(
+      Unigram.segment(col("text"), trained, -20000000L)).as("t"))
+      .as[String].collect().toSeq
+    val after = docs.select(explode(
+      Unigram.segment(col("text"), loaded, -20000000L)).as("t"))
+      .as[String].collect().toSeq
+    assert(before == after)
+    // corrupted table (duplicate piece) is rejected, not replayed
+    Unigram.saveModel(spark, trained ++ trained.take(1), s"$dir/dup")
+    val err = intercept[IllegalArgumentException] {
+      Unigram.loadModel(spark, s"$dir/dup")
+    }
+    assert(err.getMessage.contains("duplicate piece"))
+  }
+
   test("trainViterbiEm equals a sequential replay of the same rounds") {
     val docs = Seq(
       (1L, "the thee there then the"),
