@@ -94,6 +94,23 @@ object SparkEntry {
   private val unigramOov = -20000000L
   private val unigramMaxPieceLen = 3
 
+  /** Decomposed/compatibility suffixes for q_normalize_text, keyed by
+    * doc_id % 6 — combining marks out of canonical order, a composed
+    * target, a ligature, and fullwidth digits exercise every NFC
+    * branch. ONE Scala value feeds both sides: the Spark literal
+    * directly, the DuckDB side as chr(codepoint) concatenations (SQL
+    * string literals don't process \u escapes). */
+  private val nfcSuffixes: Seq[String] = Seq(
+    " cafe\u0301",          // e + combining acute -> \u00e9
+    " A\u030angstro\u0308m", // A+ring, o+diaeresis -> composed
+    " q\u0307\u0323s",      // combining marks reorder (below first)
+    " \ufb01le",            // fi ligature: NFC keeps, NFKC folds
+    " \u0117\u0301x",       // e-dot + acute: no precomposed form
+    "")                     // pure ASCII: fast path, unchanged
+  private def sqlChrLit(s: String): String =
+    if (s.isEmpty) "''"
+    else s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+
   /** One oracle for both decontamination paths: the broadcast join
     * and the bloom-prefiltered shuffle join are bit-identical by
     * contract (no false negatives in the bloom; the exact join
@@ -1164,6 +1181,18 @@ object SparkEntry {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // Unicode NFC normalization (stage-0 canonicalization): each doc
+    // gets a decomposed/ligature/reordered suffix keyed by doc_id%6;
+    // JDK Normalizer output is hash-checked against DuckDB's
+    // nfc_normalize (both UAX #15) byte-for-byte
+    "q_normalize_text" -> ((s, d) => {
+      val raw = concat(col("text"), element_at(
+        array(nfcSuffixes.map(lit): _*),
+        (col("doc_id") % 6 + 1).cast("int")))
+      T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.normalizeNfc(raw).as("text_nfc"),
+        (raw =!= TextFunctions.normalizeNfc(raw)).as("changed"))
+    }),
     // the oracle-checkable polynomial fold (DuckDB replays the md5 +
     // hex-parse + modular fold via list_reduce); rollingFingerprint
     // (the xxhash64 fast path, same contract) stays spec-covered
@@ -4206,6 +4235,18 @@ object SparkEntry {
         |  {'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
         |  {'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
         |], 'DESC')[1].l AS lang_pred FROM t""".stripMargin,
+    // NFC: the suffix table is generated from the SAME Scala literal
+    // as the Spark side (chr(codepoint) concatenation — SQL literals
+    // don't process \u escapes); nfc_normalize is DuckDB's UAX #15
+    "q_normalize_text" -> {
+      val sfx = nfcSuffixes.map(sqlChrLit).mkString(", ")
+      val ks = nfcSuffixes.indices.mkString(", ")
+      s"""WITH sfx AS (SELECT unnest([$sfx]) AS s, unnest([$ks]) AS k),
+         |r AS (SELECT d.doc_id, d.text || f.s AS raw
+         |FROM documents d JOIN sfx f ON f.k = d.doc_id % 6)
+         |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+         |raw <> nfc_normalize(raw) AS changed FROM r""".stripMargin
+    },
     "q_vocab_df" ->
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

@@ -154,6 +154,19 @@ object TextFunctions {
   def longNumCount(text: Column): Column =
     size(regexp_extract_all(text, lit(LongNumRe), lit(0)))
 
+  /** Unicode NFC normalization ([[graft.expressions.NormalizeText]])
+    * — canonical composition, the form whose output is bit-identical
+    * to DuckDB's nfc_normalize; run it before any dedup/hashing so
+    * composed and decomposed spellings of the same text collide. */
+  def normalizeNfc(text: Column): Column =
+    graft.expressions.NormalizeText(text, "NFC")
+
+  /** Unicode NFKC normalization — NFC plus compatibility foldings
+    * (ligatures, fullwidth forms, circled digits...); the
+    * SentencePiece default pre-tokenization normal form. */
+  def normalizeNfkc(text: Column): Column =
+    graft.expressions.NormalizeText(text, "NFKC")
+
   /** PII scrub: emails → <EMAIL>, long digit runs → <NUM>. Both
     * patterns stay in the RE2-compatible subset so any engine
     * (Java regex here, RE2 in DuckDB/Go tooling) rewrites
