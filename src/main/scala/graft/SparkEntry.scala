@@ -768,6 +768,15 @@ object SparkEntry {
     "q_export_shards" -> ((s, d) =>
       Sampling.exportShards(
         T(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)),
+    // the dataloader-facing shard manifest: per shard, row count,
+    // token total, dense-rank integrity and an order-free hex-sum id
+    // checksum — all engine-replayable arithmetic
+    "q_export_manifest" -> ((s, d) =>
+      Sampling.exportManifest(
+        T(s, d, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", nShards = 8, nTokensCol = Some("n_tokens"))),
     // token-budget mixture sampling: per source keep the hash-order
     // prefix of docs whose running token total starts under budget
     // (training mixes are token splits, not doc splits)
@@ -3189,6 +3198,29 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shard_rank
         |FROM s""".stripMargin,
+    // manifest: the same shard/rank replay, aggregated; checksum =
+    // sum of each id's first 8 md5 hex digits (nibble arithmetic)
+    "q_export_manifest" -> {
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substring(hex, $i, 1)) - 1) * " +
+          (1L << (4 * (8 - i)))).mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex,
+         |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, hex, n_tokens,
+         |CAST(((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096
+         |+ (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256
+         |+ (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16
+         |+ (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 8 AS INTEGER) AS shard,
+         |CAST($nibbleSum AS BIGINT) AS cksum
+         |FROM h),
+         |r AS (SELECT shard, n_tokens, cksum,
+         |ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_rank FROM s)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |MAX(shard_rank) = COUNT(*) AS ranks_dense,
+         |CAST(SUM(cksum) AS BIGINT) AS id_checksum
+         |FROM r GROUP BY shard""".stripMargin
+    },
     // token-budget mix: running token sum BEFORE each doc in
     // (md5 hex, id) order per source; keep while it starts < budget
     "q_token_budget_mix" ->

@@ -232,6 +232,35 @@ object Sampling {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Per-shard MANIFEST for a sharded training export — the summary
+    * table a dataloader (or a resumed export job) reads before
+    * opening any shard file: row count, token total, dense-rank
+    * integrity (max shard_rank == n_rows ⇔ no dropped/duplicated
+    * rank), and an order-free id checksum so a re-export can be
+    * diffed against the manifest without re-reading data. The
+    * checksum is the sum of each id's first 8 md5 hex digits as a
+    * long — order-free (sum), ≤ 2^32 per row so a 64-bit sum cannot
+    * overflow at any realistic shard size, and engine-replayable
+    * (pure hex arithmetic, no platform hash).
+    *
+    * One aggregation keyed on the shard (map-side combined); the
+    * only window is [[exportShards]]' per-shard rank, already
+    * bounded by ~|rows|/nShards per task. */
+  def exportManifest(df: DataFrame, idCol: String, nShards: Int,
+                     nTokensCol: Option[String] = None): DataFrame = {
+    val checksum = conv(
+      substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    exportShards(df, idCol, nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        nTokensCol.map(c => sum(col(c)))
+          .getOrElse(lit(null).cast("long")).as("n_tokens"),
+        (max(col("shard_rank")) === count(lit(1))).as("ranks_dense"),
+        sum(checksum).as("id_checksum"))
+  }
+
   /** Exact stratified sample: allocate `totalN` rows across strata
     * proportionally to stratum size by the largest-remainder
     * (Hamilton) method, then keep each stratum's content-hash-order

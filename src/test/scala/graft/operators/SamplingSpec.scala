@@ -154,6 +154,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy(_._2).size == 8)
   }
 
+  test("exportManifest: totals, dense ranks, checksum catches a drop") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "n_tokens")
+    val man = Sampling.exportManifest(df, "id", nShards = 4,
+      nTokensCol = Some("n_tokens"))
+      .as[(Int, Long, Long, Boolean, Long)].collect()
+    assert(man.length == 4)
+    assert(man.map(_._2).sum == 500L)
+    assert(man.map(_._3).sum ==
+      (1 to 500).map(i => (i % 7 + 1).toLong).sum)
+    assert(man.forall(_._4), "a shard lost rank density")
+    // the order-free checksum moves when a row is dropped
+    val man2 = Sampling.exportManifest(df.filter(col("id") =!= 250L),
+      "id", nShards = 4, nTokensCol = Some("n_tokens"))
+      .as[(Int, Long, Long, Boolean, Long)].collect()
+    val diff = man.map(r => r._1 -> r._5).toMap.toSet diff
+      man2.map(r => r._1 -> r._5).toMap.toSet
+    assert(diff.size == 1, "dropping one id must change exactly one shard's checksum")
+    // no-token form: n_tokens null, everything else intact
+    val noTok = Sampling.exportManifest(df.select("id"), "id", 4)
+    assert(noTok.filter(col("n_tokens").isNotNull).count() == 0)
+    assert(noTok.agg(sum("n_rows")).as[Long].head() == 500L)
+  }
+
   test("writeShards: per-shard dirs, bounded files, faithful roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = (1 to 400).map(i => (i.toLong, s"payload_$i")).toDF("id", "txt")
