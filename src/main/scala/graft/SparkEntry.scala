@@ -111,6 +111,83 @@ object SparkEntry {
     if (s.isEmpty) "''"
     else s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
 
+  /** The q_corpus_prepare CTE chain (scrub → jaccard-dedup CC →
+    * decontaminate → md5 split → word token counts), ending at
+    * `tokd` — shared between q_corpus_prepare and the composed
+    * q_training_export oracle so the two replays CANNOT drift apart
+    * (the L15/L17 derivation precedent). */
+  private val corpusPrepareCtes: String =
+    """src AS (
+      |SELECT doc_id, lang, source,
+      |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS text
+      |FROM documents WHERE doc_id >= 25),
+      |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |FROM documents WHERE doc_id < 25),
+      |toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM src),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |edges AS (SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+      |sym AS (SELECT a_id AS src, b_id AS dst FROM edges UNION SELECT b_id, a_id FROM edges),
+      |reach AS (SELECT doc_id AS src, doc_id AS dst FROM src
+      |UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |cc AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+      |kept AS (SELECT d.* FROM src d JOIN cc ON d.doc_id = cc.doc_id AND cc.doc_id = cc.rep),
+      |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+      |FROM bench WHERE len(l) >= 3),
+      |kl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM kept),
+      |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
+      |FROM kl WHERE len(l) >= 3),
+      |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
+      |tot AS (SELECT doc_id,
+      |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
+      |FROM kl),
+      |clean AS (SELECT k.* FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+      |LEFT JOIN ov ON k.doc_id = ov.doc_id
+      |WHERE NOT (CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5)),
+      |named AS (SELECT *,
+      |CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket FROM clean),
+      |tokd AS (SELECT *,
+      |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM named)""".stripMargin
+
+  /** The q_tokenize_pack CTE chain over relation `src` (greedy-cursor
+    * encode → vocab-id join → ordered id string → pack bins + in-bin
+    * offsets), ending at `pk` with the five output columns — shared
+    * verbatim by q_tokenize_pack and q_training_export. */
+  private def tokenizePackCtes(src: String, budget: Long): String = {
+    val vlist = bpeEncodeVocab.map(t => s"'$t'").mkString(", ")
+    val ilist = bpeEncodeVocab.indices.mkString(", ")
+    s"""vocab AS (SELECT unnest([$vlist]) AS tok, unnest([$ilist]) AS idx),
+       |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM $src),
+       |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+       |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
+       |enc AS (
+       |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
+       |UNION ALL
+       |SELECT doc_id, wi, word, pos + mlen AS pos,
+       |list_append(out, substring(word, pos, mlen)) AS out FROM (
+       |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
+       |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
+       |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
+       |WHERE e.pos <= len(e.word)
+       |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
+       |fin AS (SELECT doc_id, wi, out FROM enc WHERE pos > len(word)),
+       |sub AS (SELECT doc_id, wi, unnest(out) AS sub, unnest(range(1, len(out) + 1)) AS si FROM fin),
+       |ids AS (SELECT s.doc_id, s.wi, s.si, COALESCE(v.idx, -1) AS id
+       |FROM sub s LEFT JOIN vocab v ON s.sub = v.tok),
+       |doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, si) AS token_ids FROM ids GROUP BY doc_id),
+       |b AS (SELECT doc_id, n_tokens, token_ids,
+       |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / $budget) AS BIGINT) AS bin_id
+       |FROM doc),
+       |pk AS (SELECT doc_id, n_tokens, token_ids, bin_id,
+       |CAST(SUM(n_tokens) OVER (PARTITION BY bin_id ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS bin_offset
+       |FROM b)""".stripMargin
+  }
+
   /** One oracle for both decontamination paths: the broadcast join
     * and the bloom-prefiltered shuffle join are bit-identical by
     * contract (no false negatives in the bloom; the exact join
@@ -2120,6 +2197,22 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "bucket", "split",
           "n_tokens", "bin_id")
     }),
+    // the COMPLETE production last mile, one call: prepare (scrub →
+    // dedup → decontaminate → split) → train slice → real encode →
+    // subword-budget bins + offsets → content-hash shards + ranks.
+    // Oracle = the three stage chains composed via shared CTE
+    // builders, hash-checked end-to-end
+    "q_training_export" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      CorpusPipeline.prepareTrainingExport(
+        docs.filter(col("doc_id") >= 25),
+        CorpusPipeline.Config(
+          dedupMethod = "jaccard", dedupThreshold = 0.9,
+          dedupBlockingKeys = Seq("source"),
+          decontaminateAgainst = Some(docs.filter(col("doc_id") < 25)
+            .select("doc_id", "text"))),
+        bpeEncodeVocab, budget = 512L, nShards = 8, nBuckets = 16)
+    }),
     // variant-payload normalization end-to-end (variants.py:622): a
     // deterministic Proteins-API-shaped JSON payload is synthesized
     // per document, then flattened features -> xref split ->
@@ -2594,44 +2687,10 @@ object SparkEntry {
         |ELSE substr('XYZ', CAST(o_orderkey % 3 AS INT) + 1, 1) END AS chain
         |FROM orders""".stripMargin,
     "q_corpus_prepare" ->
-      """WITH RECURSIVE src AS (
-        |SELECT doc_id, lang, source,
-        |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS text
-        |FROM documents WHERE doc_id >= 25),
-        |bench AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
-        |FROM documents WHERE doc_id < 25),
-        |toks AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok FROM src),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |edges AS (SELECT a_id, b_id FROM cand JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
-        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges UNION SELECT b_id, a_id FROM edges),
-        |reach AS (SELECT doc_id AS src, doc_id AS dst FROM src
-        |UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        |cc AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
-        |kept AS (SELECT d.* FROM src d JOIN cc ON d.doc_id = cc.doc_id AND cc.doc_id = cc.rep),
-        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
-        |FROM bench WHERE len(l) >= 3),
-        |kl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM kept),
-        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
-        |FROM kl WHERE len(l) >= 3),
-        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
-        |tot AS (SELECT doc_id,
-        |CAST(len(list_distinct(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS BIGINT) AS n_shingles
-        |FROM kl),
-        |clean AS (SELECT k.* FROM kept k JOIN tot ON k.doc_id = tot.doc_id
-        |LEFT JOIN ov ON k.doc_id = ov.doc_id
-        |WHERE NOT (CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / greatest(tot.n_shingles, 1) >= 0.5)),
-        |named AS (SELECT *,
-        |CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |+ (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket FROM clean),
-        |tokd AS (SELECT *,
-        |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM named)
-        |SELECT doc_id, lang, source, bucket, split, n_tokens,
-        |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
-        |FROM tokd""".stripMargin,
+      s"""WITH RECURSIVE $corpusPrepareCtes
+         |SELECT doc_id, lang, source, bucket, split, n_tokens,
+         |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
+         |FROM tokd""".stripMargin,
     "q_variants_flatten" ->
       """WITH feats AS (
         |SELECT 'P' || CAST(doc_id % 50 AS VARCHAR) AS accession, 'GRAFT_ENTRY' AS en,
@@ -4190,36 +4249,28 @@ object SparkEntry {
     // vocab-index lookup (OOV -> -1), per-doc ordered id string, then
     // the pack running sum for bin_id and a per-bin running sum for
     // bin_offset — the full training-ready last mile replayed
-    "q_tokenize_pack" -> {
-      val vlist = bpeEncodeVocab.map(t => s"'$t'").mkString(", ")
-      val ilist = bpeEncodeVocab.indices.mkString(", ")
-      s"""WITH RECURSIVE vocab AS (SELECT unnest([$vlist]) AS tok, unnest([$ilist]) AS idx),
-         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-         |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
-         |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
-         |enc AS (
-         |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
-         |UNION ALL
-         |SELECT doc_id, wi, word, pos + mlen AS pos,
-         |list_append(out, substring(word, pos, mlen)) AS out FROM (
-         |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
-         |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
-         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
-         |WHERE e.pos <= len(e.word)
-         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
-         |fin AS (SELECT doc_id, wi, out FROM enc WHERE pos > len(word)),
-         |sub AS (SELECT doc_id, wi, unnest(out) AS sub, unnest(range(1, len(out) + 1)) AS si FROM fin),
-         |ids AS (SELECT s.doc_id, s.wi, s.si, COALESCE(v.idx, -1) AS id
-         |FROM sub s LEFT JOIN vocab v ON s.sub = v.tok),
-         |doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, si) AS token_ids FROM ids GROUP BY doc_id),
-         |b AS (SELECT doc_id, n_tokens, token_ids,
-         |CAST(floor((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
-         |FROM doc)
-         |SELECT doc_id, n_tokens, token_ids, bin_id,
-         |CAST(SUM(n_tokens) OVER (PARTITION BY bin_id ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS bin_offset
-         |FROM b""".stripMargin
-    },
+    "q_tokenize_pack" ->
+      s"""WITH RECURSIVE ${tokenizePackCtes("documents", 512L)}
+         |SELECT doc_id, n_tokens, token_ids, bin_id, bin_offset FROM pk""".stripMargin,
+    // the full last mile: the corpus-prepare chain (to `tokd`), the
+    // train split as the tokenize source, the tokenize/pack chain
+    // (to `pk`), then the export shard/rank replay — three
+    // stage-oracles CHAINED, byte-shared with their standalone
+    // queries via the two CTE builders
+    "q_training_export" ->
+      s"""WITH RECURSIVE $corpusPrepareCtes,
+         |trainsrc AS (SELECT doc_id, text FROM tokd WHERE split = 'train'),
+         |${tokenizePackCtes("trainsrc", 512L)},
+         |hsh AS (SELECT pk.*, md5(CAST(doc_id AS VARCHAR)) AS hex FROM pk),
+         |sh AS (SELECT *,
+         |CAST(((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096
+         |+ (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256
+         |+ (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16
+         |+ (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 8 AS INTEGER) AS shard
+         |FROM hsh)
+         |SELECT doc_id, n_tokens, token_ids, bin_id, bin_offset, shard,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shard_rank
+         |FROM sh""".stripMargin,
     "q_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |SELECT doc_id, lang, source,

@@ -368,4 +368,41 @@ object CorpusPipeline {
     binned.withColumn("bin_offset",
       (sum(col("n_tokens")).over(wBin) - col("n_tokens")).cast("long"))
   }
+
+  /** RAW CORPUS to TRAINING EXPORT, one call — [[prepare]]'s content
+    * stages (scrub → quality → dedup → decontaminate → split), then
+    * the train split only through [[tokenizePack]] (real encode →
+    * vocab ids → subword-budget context bins + offsets), then
+    * [[Sampling.exportShards]]' content-hash shard + dense rank. The
+    * output row set is exactly what [[Sampling.writeShards]] lays on
+    * disk and [[Sampling.exportManifest]] summarizes — the complete
+    * production last mile, hash-checked end-to-end by ONE composed
+    * oracle (each stage's replay chained, the crawlPrepareFull
+    * precedent).
+    *
+    * Packing happens HERE at the subword level (what the context
+    * window actually holds), so `config.packBudget` must be unset —
+    * a word-level pre-pack would assign every doc two conflicting
+    * bins. The prepared plan is rebased via eager localCheckpoint
+    * before the tokenize tail (the crawlPrepareScored discipline:
+    * the dedup-CC + decontaminate chain re-analyzes per action
+    * otherwise). */
+  def prepareTrainingExport(docs: DataFrame, config: Config,
+                            vocab: Seq[String], budget: Long,
+                            nShards: Int, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            nBuckets: Int = 64): DataFrame = {
+    require(config.packBudget.isEmpty,
+      "prepareTrainingExport packs at the subword level — leave " +
+        "packBudget unset")
+    require(config.splitWeights.exists(_._1 == "train"),
+      "splitWeights must include a 'train' split")
+    val kept = prepare(docs, config, idCol, textCol)
+      .filter(col("split") === lit("train"))
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    Sampling.exportShards(
+      tokenizePack(kept, vocab, budget, idCol, textCol, nBuckets),
+      idCol, nShards)
+  }
 }

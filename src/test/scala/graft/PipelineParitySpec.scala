@@ -170,6 +170,37 @@ class PipelineParitySpec extends SparkSpec {
     assert(bad.isEmpty, s"offset chain broken: ${bad.collect().mkString(",")}")
   }
 
+  test("prepareTrainingExport: stage composition, train-only, dense shards") {
+    val corpus = (1L to 80L)
+      .map(i => (i, s"w$i the quick brown fox ${"pad " * (i % 5).toInt}num$i"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("the", "qu", "ick", "br", "own", "fox", "w", "pad")
+    val cfg = CorpusPipeline.Config(dedupMethod = "", splitWeights =
+      Seq("train" -> 0.8, "val" -> 0.2))
+    val out = CorpusPipeline.prepareTrainingExport(corpus, cfg, vocab,
+      budget = 64L, nShards = 4, nBuckets = 4)
+    // equals the stages run by hand
+    val kept = CorpusPipeline.prepare(corpus, cfg)
+      .filter(col("split") === "train").select("doc_id", "text")
+    val manual = Sampling.exportShards(
+      CorpusPipeline.tokenizePack(kept, vocab, 64L, nBuckets = 4),
+      "doc_id", 4)
+    assert(out.except(manual).isEmpty && manual.except(out).isEmpty)
+    // only train docs, dense per-shard ranks
+    val trainIds = kept.select("doc_id").as[Long].collect().toSet
+    val rows = out.select("doc_id", "shard", "shard_rank")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(trainIds))
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length)) }
+    // a word-level pre-pack is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.prepareTrainingExport(corpus,
+        cfg.copy(packBudget = Some(99L)), vocab, 64L, 4)
+    }
+    assert(err.getMessage.contains("subword"))
+  }
+
   private implicit class SortedSeq(s: Array[Long]) {
     def toSorted: Seq[Long] = s.toSeq.sorted
   }
