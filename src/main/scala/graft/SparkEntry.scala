@@ -1047,6 +1047,14 @@ object SparkEntry {
     "q_unigram_seed" -> ((s, d) =>
       Unigram.seedVocab(T(s, d, "documents"), maxPieceLen = 4,
         topK = 200L)),
+    // the hard-EM unigram TRAINER end-to-end at driver scale (seed →
+    // 2 EM rounds → pruned model). Rows-only by construction: the
+    // M-step weights are StrictMath-log ticks — deterministic across
+    // JVMs but not SQL-replayable (libm log differs per engine); the
+    // sequential bit-replay lives in UnigramSpec
+    "q_unigram_train" -> ((s, d) =>
+      Unigram.trainViterbiEm(T(s, d, "documents"), vocabSize = 64,
+        maxPieceLen = 3, seedSize = 256L, rounds = 2)),
     // unigram Viterbi DECODE under a fixed literal tick-weight model:
     // max-score segmentation (exact integer DP, ties → smallest
     // start) — the oracle replays the forward DP + backtrack as two

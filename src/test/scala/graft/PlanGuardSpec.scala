@@ -414,6 +414,39 @@ class PlanGuardSpec extends SparkSpec {
       s"q_tokenize_pack grew an unbounded window:\n${bad.mkString("\n")}")
   }
 
+  test("q_training_export: every window bucketed, bin- or shard-scoped") {
+    // the composed facade must inherit every stage's scale shape:
+    // pack runs per __bkt range bucket (+ the bounded offsets
+    // window), offsets per bin_id (<= budget docs), ranks per shard
+    // (~|rows|/nShards) — nothing global, nothing per-hot-group
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: children.flatMap(walk)
+    }
+    val df = SparkEntry.queries("q_training_export")(spark, sf)
+    df.collect()
+    val windows = walk(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q_training_export lost its windows")
+    val bad = windows.filterNot { w =>
+      val spec = w.partitionSpec.mkString(",")
+      w.partitionSpec.nonEmpty && (spec.contains("__bkt") ||
+        spec.contains("bin_id") || spec.contains("shard")) ||
+        w.windowExpression.mkString(",").matches("(?s).*(__off|__ocnt).*")
+    }
+    assert(bad.isEmpty,
+      s"q_training_export grew an unbounded window:\n${bad.mkString("\n")}")
+  }
+
   test("lmScore/qualityClassifier: totals ride a reused exchange, no global window") {
     // the r13 de-windowing: vocab is unbounded on web text, so the
     // totals must NOT come from Window.partitionBy() over the count
