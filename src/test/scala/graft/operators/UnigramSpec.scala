@@ -103,6 +103,27 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("segmentation matches the reference on multi-byte alphabets") {
+    // pieces and words mixing 1-, 2- and 4-byte code points: the
+    // expression runs a BYTE trie, the reference a UTF-16 char DP —
+    // agreement pins that byte boundaries never split a code point
+    val rnd = new scala.util.Random(72)
+    val cps = Seq("a", "b", "\u00e9", "\ud83d\ude00")
+    (1 to 80).foreach { _ =>
+      val m = (1 to 10).map { _ =>
+        val l = rnd.nextInt(2) + 1
+        val p = (1 to l).map(_ => cps(rnd.nextInt(3))).mkString
+        (p, -(rnd.nextInt(4000000) + 1000000).toLong)
+      }.distinctBy(_._1)
+      val word = (1 to rnd.nextInt(10))
+        .map(_ => cps(rnd.nextInt(4))).mkString
+      val got = exprSegment(word, m, -20000000L)
+      val want = refSegment(word, m.toMap, -20000000L)
+      assert(got == want, s"word=${word.map(_.toInt)} model=$m")
+      assert(got.mkString == word)
+    }
+  }
+
   test("seedVocab: frequency-weighted substring counts, top-K order") {
     val docs = Seq((1L, "ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
     // word counts: ab=3, cd=1
