@@ -93,10 +93,23 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpSets.count()
     val corpSh = corpSets.select(col(idCol), explode(col("shs")).as("sh"))
+    // bloom path: the sketch-build action and the exact join both
+    // consume the bench shingle table — persist it or the bench
+    // tokenize/shingle/distinct pipeline runs twice (the same CSE
+    // discipline as corpSets above, small side or not)
+    val benchCached =
+      if (broadcastBench) Seq.empty[DataFrame]
+      else {
+        // no eager count: bloomPrefilter's sketch-build action (the
+        // .head) is the first consumer and populates the cache; the
+        // exact join then reads it — one fewer job than count-first
+        Seq(benchSh
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     val matched =
       if (broadcastBench) corpSh.join(broadcast(benchSh), "sh")
-      else Joins.bloomPrefilter(corpSh, benchSh, Seq("sh" -> "sh"))
-        .hint("SHUFFLE_HASH").join(benchSh.hint("SHUFFLE_HASH"), "sh")
+      else Joins.bloomPrefilter(corpSh, benchCached.head, Seq("sh" -> "sh"))
+        .hint("SHUFFLE_HASH").join(benchCached.head.hint("SHUFFLE_HASH"), "sh")
     val overlap = matched
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     CacheOps.materializeAndRelease(
@@ -107,7 +120,7 @@ object Corpus {
         .withColumn("contaminated",
           col("n_overlap").cast("double") /
             greatest(col("n_shingles"), lit(1L)) >= tau),
-      corpSets)
+      corpSets +: benchCached: _*)
   }
 
   /** Per-document repetition profile (the Gopher-style repetition
