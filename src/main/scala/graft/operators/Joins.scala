@@ -138,7 +138,13 @@ object Joins {
     * the probe side entering the join shuffle is already reduced to
     * roughly the matching fraction. The shape for "keep the 0.1% of
     * a 100 TB fact table whose key appears in a 100M-row build side
-    * that is too big to broadcast as a hash relation". */
+    * that is too big to broadcast as a hash relation".
+    *
+    * The build side is consumed TWICE — the sketch-build action and
+    * the exact join. A plain table scan re-reads cheaply, but if
+    * `build` is a derived pipeline, persist it first (the
+    * [[Corpus.decontaminate]] bloom path does exactly this) or the
+    * derivation runs twice. */
   def bloomSemiJoin(probe: DataFrame, build: DataFrame,
                     keys: Seq[(String, String)],
                     expectedItems: Long = 1000000L): DataFrame =
