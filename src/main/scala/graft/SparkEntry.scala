@@ -979,6 +979,31 @@ object SparkEntry {
         docId = uri => regexp_extract(uri, "([0-9]+)$", 1).cast("long"),
         minTokens = 20)
     }),
+    // WET leg: conversion-type records carry PRE-EXTRACTED text (the
+    // Common Crawl WET shape most LLM pipelines actually consume) —
+    // same ingest loop, the extraction stage skipped; oracle = the
+    // L15 chain with the extraction CTEs collapsed to identity
+    "q_wet_to_corpus" -> ((s, d) => {
+      import s.implicits._
+      val base = roundtripDir("wet_corpus")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = linedDocuments(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("https://ads.tracker.net/item-"), col("doc_id")))
+          .otherwise(concat(lit("https://corpus.example/doc/"),
+            col("doc_id"))).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"))
+      sources.Warc.write(src.drop("doc_id").repartition(2),
+        s"$base/landing/w1", warcType = "conversion")
+      CorpusPipeline.warcToCorpus(s, s"$base/landing", s"$base/ingest",
+        Seq("tracker.net").toDF("domain"),
+        docId = uri => regexp_extract(uri, "([0-9]+)$", 1).cast("long"),
+        minTokens = 20, recordType = "conversion")
+    }),
     // the crawl front + the CCNet scoring tail: the six gate stages,
     // then language-ID and per-language perplexity terciles on the
     // kept (rewritten) text — langid and the LM fit both run on
@@ -2368,7 +2393,26 @@ object SparkEntry {
         |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
         |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
         |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url""".stripMargin,
-      "ELSE 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) END AS url"))
+      "ELSE 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) END AS url")) +
+    // WET leg: the same derived chain, with the HTML-synthesis +
+    // extraction CTEs collapsed to identity — conversion payloads
+    // ARE the extracted text (derived programmatically from the L15
+    // oracle so the three chains stay in lockstep)
+    ("q_wet_to_corpus" -> {
+      val base = oracleSqlBase("q_crawl_prepare_full").replace(
+        """ELSE CASE CAST(doc_id % 4 AS INTEGER)
+          |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+          |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+          |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+          |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url""".stripMargin,
+        "ELSE 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) END AS url")
+      val start = base.indexOf("hx AS (")
+      val end = base.indexOf("nf AS (")
+      require(start >= 0 && end > start,
+        "crawl oracle drifted: hx/ex extraction markers missing")
+      base.substring(0, start) +
+        "ex AS (SELECT doc_id, text FROM d),\n" + base.substring(end)
+    })
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,

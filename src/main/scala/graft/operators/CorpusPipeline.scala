@@ -173,6 +173,26 @@ object CorpusPipeline {
       lineMinDf, minTokens)
   }
 
+  /** The crawl front for PRE-EXTRACTED text — the Common Crawl WET
+    * shape (WARC-Type: conversion records carry the already-extracted
+    * page text, and most LLM pipelines consume WET, not raw response
+    * WARCs): the stage-0 URL blocklist gate runs exactly as in
+    * [[crawlPrepareFull]], the HTML-extraction stage is skipped (the
+    * payload IS the text), then [[crawlPrepare]]'s four content
+    * stages. Same output contract as crawlPrepareFull. */
+  def crawlPrepareText(docs: DataFrame, blocklist: DataFrame,
+                       urlCol: String = "url", idCol: String = "doc_id",
+                       textCol: String = "text",
+                       lineMinDf: Long = 2, minTokens: Long = 20,
+                       keepText: Boolean = false)
+  : DataFrame = {
+    val gated = blocklistFilter(docs, blocklist, urlCol)
+      .filter(col("keep"))
+      .drop("host", "blocked_by", "keep")
+    crawlPrepare(gated, urlCol, idCol, textCol, lineMinDf, minTokens,
+      keepText)
+  }
+
   /** The crawl front COMPLETE with the CCNet scoring tail — the last
     * two stages the CCNet/RefinedWeb pipelines run after the gate:
     * language-ID on the REWRITTEN text (langid must see the text the
@@ -256,16 +276,25 @@ object CorpusPipeline {
                    warcDir: String, ingestDir: String,
                    blocklist: DataFrame,
                    docId: Column => Column = identity,
-                   lineMinDf: Long = 2, minTokens: Long = 20)
+                   lineMinDf: Long = 2, minTokens: Long = 20,
+                   recordType: String = "response")
   : DataFrame = {
+    require(recordType == "response" || recordType == "conversion",
+      s"warcToCorpus consumes response (raw WARC) or conversion (WET) " +
+        s"records, got $recordType")
     graft.streaming.WarcIngest.ingestOnce(spark, warcDir, ingestDir)
     val docs = graft.streaming.WarcIngest.records(spark, ingestDir)
-      .where(col("warc_type") === "response")
+      .where(col("warc_type") === recordType)
       .select(docId(col("target_uri")).as("doc_id"),
         col("target_uri").as("url"),
-        col("payload").cast("string").as("html"))
-    crawlPrepareFull(docs, blocklist, "url", "doc_id", "html",
-      lineMinDf, minTokens)
+        col("payload").cast("string").as("payload_text"))
+    if (recordType == "conversion")
+      // WET: the payload IS the extracted text — skip the HTML stage
+      crawlPrepareText(docs.withColumnRenamed("payload_text", "text"),
+        blocklist, "url", "doc_id", "text", lineMinDf, minTokens)
+    else
+      crawlPrepareFull(docs.withColumnRenamed("payload_text", "html"),
+        blocklist, "url", "doc_id", "html", lineMinDf, minTokens)
   }
 
   /** How many trailing host labels [[blocklistFilter]] tries against

@@ -569,4 +569,41 @@ class CorpusSpec extends SparkSpec {
     assert(out.keySet == Set("https://keep.org/a", "https://keep.org/b"))
     assert(out.values.forall(identity))
   }
+
+  test("warcToCorpus WET leg: conversion payloads skip extraction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    // a WET payload is ALREADY extracted text; an html tag in it must
+    // survive verbatim (no extraction stage), unlike the response leg
+    val wave = Seq(
+      ("https://keep.org/a",
+        "the quality of the corpus is <b>good</b> and the text is fine"),
+      ("https://ads.bad.net/x", "blocked body text"))
+      .toDF("uri", "text")
+      .select(col("uri"), lit("2026-01-01T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"))
+    graft.sources.Warc.write(wave.repartition(1), s"$tmp/landing/w",
+      warcType = "conversion")
+    val out = CorpusPipeline.warcToCorpus(spark, s"$tmp/landing",
+        s"$tmp/ingest", Seq("bad.net").toDF("domain"), minTokens = 2,
+        recordType = "conversion")
+      .select("doc_id", "keep").as[(String, Boolean)].collect().toMap
+    assert(out.keySet == Set("https://keep.org/a"))
+    assert(out.values.forall(identity))
+    // the response leg ignores conversion records entirely
+    val resp = CorpusPipeline.warcToCorpus(spark, s"$tmp/landing",
+      s"$tmp/ingest2", Seq("bad.net").toDF("domain"), minTokens = 2)
+    assert(resp.count() == 0)
+    // crawlPrepareText passes the payload through UNEXTRACTED: an
+    // html tag in a WET payload survives into the kept text, where
+    // the response leg's extraction would have stripped it
+    val direct = CorpusPipeline.crawlPrepareText(
+      Seq(("https://keep.org/a",
+        "the quality is <b>good</b> and the text is fine", 1L),
+        ("https://keep.org/b",
+          "the quality is <b>good</b> and the text is thin", 2L))
+        .toDF("url", "text", "doc_id"),
+      Seq("bad.net").toDF("domain"), minTokens = 2, keepText = true)
+    assert(direct.filter(col("kept_text").contains("<b>good</b>"))
+      .count() >= 1, "WET text must pass through unextracted")
+  }
 }
