@@ -1300,6 +1300,17 @@ object SparkEntry {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // PageRank over a synthesized link graph in EXACT tick
+    // arithmetic (damping 17/20, one floor per term) — deterministic
+    // across engines, so DuckDB replays all three iterations by
+    // recursive CTE and hash-checks every rank
+    "q_pagerank" -> ((s, d) =>
+      Graph.pageRankTicks(
+        T(s, d, "documents").select(
+          (col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + 7) % 97).as("dst"))
+          .filter(col("src") =!= col("dst")),
+        iters = 3)),
     // Unicode NFC normalization (stage-0 canonicalization): each doc
     // gets a decomposed/ligature/reordered suffix keyed by doc_id%6;
     // JDK Normalizer output is hash-checked against DuckDB's
@@ -4370,6 +4381,34 @@ object SparkEntry {
         |  {'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
         |  {'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
         |], 'DESC')[1].l AS lang_pred FROM t""".stripMargin,
+    // pagerank: the same tick iteration as a recursive CTE — the
+    // working table is one iteration's rank rows; contribs aggregate
+    // over it, the dangling mass folds in as a scalar subquery
+    "q_pagerank" ->
+      """WITH RECURSIVE edges AS (
+        |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
+        |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        |pr AS (
+        |SELECT CAST(0 AS BIGINT) AS it, node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes
+        |UNION ALL
+        |SELECT p.it + 1, p2.node,
+        |CAST((3 * 1000000000000) // (20 * (SELECT n FROM nn))
+        |+ COALESCE(c.contrib, 0)
+        |+ (SELECT COALESCE(SUM(CASE WHEN d2.src IS NULL THEN p3.rank ELSE 0 END), 0)
+        |FROM pr p3 LEFT JOIN deg d2 ON p3.node = d2.src) * 17
+        |// (20 * (SELECT n FROM nn)) AS BIGINT) AS rank
+        |FROM (SELECT DISTINCT it FROM pr WHERE it < 3) p
+        |CROSS JOIN nodes p2
+        |LEFT JOIN (
+        |SELECT e.dst AS node, SUM((pp.rank * 17) // (20 * d.outdeg)) AS contrib
+        |FROM pr pp JOIN deg d ON pp.node = d.src JOIN edges e ON e.src = pp.node
+        |GROUP BY e.dst
+        |) c ON c.node = p2.node
+        |)
+        |SELECT node, rank FROM pr WHERE it = 3""".stripMargin,
     // NFC: the suffix table is generated from the SAME Scala literal
     // as the Spark side (chr(codepoint) concatenation — SQL literals
     // don't process \u escapes); nfc_normalize is DuckDB's UAX #15

@@ -221,4 +221,80 @@ object Graph {
       .select(col("id"), col("id").as("comp"))
     labels.unionByName(roots)
   }
+
+  /** PageRank in EXACT integer-tick arithmetic — the web-scale
+    * link-graph quality signal (Common Crawl publishes host-level
+    * rank tables computed exactly this way; CCNet-era pipelines rank
+    * hosts before sampling). Every quantity is a long tick of the
+    * total probability mass (`totalTicks` = 1.0), damping 0.85 is the
+    * exact rational 17/20, and every per-edge contribution floors
+    * once as `(rank · 17) div (20 · outdeg)` — so the result is
+    * bit-identical across engines, partitionings and retries (no
+    * float accumulation order), and the DuckDB oracle replays the
+    * whole iteration by recursive CTE.
+    *
+    * Semantics: rank⁰ = ⌊total/N⌋ per node; rank^{t+1}(v) =
+    * ⌊0.15·total/N⌋ + Σ_{(u,v)∈E} ⌊rank(u)·17 / (20·outdeg(u))⌋ +
+    * ⌊D·17/(20·N)⌋ where D = Σ dangling rank (outdeg-0 mass is
+    * redistributed uniformly, the standard correction). Parallel
+    * edges count once each (a page linking twice votes twice —
+    * callers wanting simple-graph semantics distinct the edges
+    * first). Flooring drops ≤ 1 tick per term, so total mass shrinks
+    * by ≤ (|E|+N+1) ticks per iteration — at the default 1e12 ticks
+    * that is relative error < 1e-6 per iteration on any realistic
+    * graph, and exactly reproducible everywhere.
+    *
+    * Scale shape: the canonical distributed PageRank — per iteration
+    * ONE equi-join of the rank frontier to the (bounded, persisted)
+    * degree table and edge list, one map-side-combined aggregation
+    * keyed on dst, and ONE driver scalar (the dangling-mass sum, a
+    * 1-row aggregate — the kthLargest bounded-state precedent). The
+    * frontier persists per iteration and releases its predecessor
+    * (lineage truncation, the connectedComponents discipline). */
+  def pageRankTicks(edges: DataFrame, iters: Int,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    totalTicks: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(totalTicks >= 1L, "totalTicks must be positive")
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n >= 1, "pageRankTicks needs at least one edge")
+    val deg = e.groupBy("esrc").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (3L * totalTicks) / (20L * n)
+    var rank = nodes.withColumn("rank", lit(totalTicks / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rank.count()
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = rank
+          .join(deg, col("node") === col("esrc"))
+          .drop("esrc")
+          .join(e, col("node") === col("esrc"))
+          .select(col("edst").as("cnode"),
+            expr("(rank * 17) div (20 * outdeg)").as("c"))
+          .groupBy("cnode").agg(sum("c").as("contrib"))
+        val dang = rank
+          .join(deg, col("node") === col("esrc"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0L))).head.getLong(0)
+        val add = (dang * 17L) / (20L * n)
+        val next = nodes
+          .join(contrib, col("node") === col("cnode"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("contrib"), lit(0L)) + lit(add))
+              .as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        rank.unpersist(false)
+        rank = next
+      }
+      rank
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); deg.unpersist(false)
+    }
+  }
 }

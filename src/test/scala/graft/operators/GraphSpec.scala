@@ -58,4 +58,36 @@ class GraphSpec extends SparkSpec {
     assert(a == Seq((7L, 7L), (8L, 8L), (9L, 9L)))
     assert(b == a)
   }
+
+  test("pageRankTicks: exact ticks, dangling redistribution, determinism") {
+    // 0->1, 0->2, 1->2, 3->2; node 2 dangling. Expected ranks after
+    // 3 iterations hand-derived AND cross-checked against the DuckDB
+    // replay of the identical tick arithmetic — pinning the constants
+    // pins the whole iteration (damping 17/20, one floor per term)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankTicks(edges, iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, 133664550781L), (1L, 205765136718L),
+      (2L, 526905761718L), (3L, 133664550781L)))
+    // mass conservation: flooring drops <= (E + N + 1) ticks per
+    // iteration; nothing else may leak
+    val total = got.map(_._2).sum
+    assert(total <= 1000000000000L &&
+      total >= 1000000000000L - 3L * (4 + 4 + 1) * 2,
+      s"mass leaked: $total")
+    // deterministic across runs (no float accumulation order)
+    val again = Graph.pageRankTicks(edges, iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(again == got)
+    // parallel edges vote once each: doubling an edge shifts rank
+    val multi = Graph.pageRankTicks(
+      edges.union(Seq((0L, 1L)).toDF("src", "dst")), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    val single = Graph.pageRankTicks(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(multi(1L) > single(1L),
+      "a second 0->1 edge must raise node 1's rank")
+  }
 }
