@@ -1300,6 +1300,34 @@ object SparkEntry {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // WAT outlink extraction (the third Common Crawl container):
+    // metadata records' JSON envelopes parse to (src, dst) link
+    // edges — the input pageRankTicks ranks. Spark does the real
+    // WARC write + read + from_json; the oracle replays the link
+    // SYNTHESIS arithmetic (the q_warc_roundtrip identity precedent)
+    "q_wat_outlinks" -> ((s, d) => {
+      val base = roundtripDir("wat_links")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val uri = concat(lit("https://corpus.example/doc/"), col("doc_id"))
+      val src = T(s, d, "documents").select(
+        uri.as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        to_json(struct(struct(
+          struct(uri.as("WARC-Target-URI")).as("WARC-Header-Metadata"),
+          struct(struct(struct(array(
+            struct(concat(lit("https://corpus.example/doc/"),
+              (col("doc_id") * 31 + 7) % 97).as("url")),
+            struct(concat(lit("https://other.example/p/"),
+              col("doc_id") % 13).as("url"))).as("Links"))
+            .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+            .as("Payload-Metadata")).as("Envelope")))
+          .cast("binary").as("payload"))
+      sources.Warc.write(src.repartition(2), s"$base/w",
+        warcType = "metadata")
+      sources.Wat.outlinks(sources.Warc.read(s, s"$base/w"))
+    }),
     // PageRank over a synthesized link graph in EXACT tick
     // arithmetic (damping 17/20, one floor per term) — deterministic
     // across engines, so DuckDB replays all three iterations by
@@ -4381,6 +4409,17 @@ object SparkEntry {
         |  {'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
         |  {'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
         |], 'DESC')[1].l AS lang_pred FROM t""".stripMargin,
+    // wat outlinks: the envelope JSON is synthesized from pure
+    // arithmetic in doc_id, so the oracle replays the two links per
+    // doc directly (the WARC/WAT container layer is lossless)
+    "q_wat_outlinks" ->
+      """SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+        |'https://corpus.example/doc/' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS dst_url
+        |FROM documents
+        |UNION ALL
+        |SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR),
+        |'https://other.example/p/' || CAST(doc_id % 13 AS VARCHAR)
+        |FROM documents""".stripMargin,
     // pagerank: the same tick iteration as a recursive CTE — the
     // working table is one iteration's rank rows; contribs aggregate
     // over it, the dangling mass folds in as a scalar subquery

@@ -268,4 +268,38 @@ class SourcesSpec extends SparkSpec {
     assert(rows.head.getString(3) == "https://a")
     assert(new String(rows.head.getAs[Array[Byte]](6), "UTF-8") == "ok")
   }
+
+  test("Wat.outlinks: envelope links, header fallback, junk quarantined") {
+    val dir = Files.createTempDirectory("graft_wat").toString
+    def env(uri: String, urls: Seq[String], withHeaderUri: Boolean) = {
+      val links = urls.map(u => s"""{"path":"A@/href","url":"$u"}""")
+        .mkString("[", ",", "]")
+      val hdr = if (withHeaderUri)
+        s""""WARC-Header-Metadata":{"WARC-Target-URI":"$uri"},"""
+      else """"WARC-Header-Metadata":{},"""
+      s"""{"Envelope":{$hdr"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":$links}}}}}"""
+    }
+    val recs = Seq(
+      ("https://a.org/x", env("https://a.org/x",
+        Seq("https://b.org/1", "https://c.org/2"), withHeaderUri = true)),
+      // no envelope URI: src falls back to the WARC header's
+      ("https://d.org/y", env("ignored", Seq("https://e.org/3"),
+        withHeaderUri = false)),
+      // malformed JSON: zero link rows, never a crash
+      ("https://junk.org/z", "{not json at all"))
+      .toDF("uri", "json")
+      .select(col("uri"), lit("2026-01-01T00:00:00Z").as("date"),
+        col("json").cast("binary").as("payload"))
+    Warc.write(recs.repartition(1), dir, warcType = "metadata")
+    val out = Wat.outlinks(Warc.read(spark, dir + "/*.warc"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("https://a.org/x", "https://b.org/1"),
+      ("https://a.org/x", "https://c.org/2"),
+      ("https://d.org/y", "https://e.org/3")))
+    // non-metadata records contribute nothing
+    Warc.write(recs.repartition(1), dir + "_resp")
+    assert(Wat.outlinks(Warc.read(spark, dir + "_resp/*.warc"))
+      .count() == 0)
+  }
 }
