@@ -111,6 +111,35 @@ object SparkEntry {
     if (s.isEmpty) "''"
     else s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
 
+  /** The tick-PageRank replay parameterized on an `edges` CTE
+    * (BIGINT or VARCHAR node keys both work — the iteration never
+    * inspects the key): 3 iterations, damping 17/20, dangling mass
+    * as a scalar subquery — shared by q_pagerank and q_host_rank so
+    * the replays cannot drift. */
+  private def pageRankOracle(edgesCtes: String): String =
+    s"""WITH RECURSIVE $edgesCtes,
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |pr AS (
+       |SELECT CAST(0 AS BIGINT) AS it, node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes
+       |UNION ALL
+       |SELECT p.it + 1, p2.node,
+       |CAST((3 * 1000000000000) // (20 * (SELECT n FROM nn))
+       |+ COALESCE(c.contrib, 0)
+       |+ (SELECT COALESCE(SUM(CASE WHEN d2.src IS NULL THEN p3.rank ELSE 0 END), 0)
+       |FROM pr p3 LEFT JOIN deg d2 ON p3.node = d2.src) * 17
+       |// (20 * (SELECT n FROM nn)) AS BIGINT) AS rank
+       |FROM (SELECT DISTINCT it FROM pr WHERE it < 3) p
+       |CROSS JOIN nodes p2
+       |LEFT JOIN (
+       |SELECT e.dst AS node, SUM((pp.rank * 17) // (20 * d.outdeg)) AS contrib
+       |FROM pr pp JOIN deg d ON pp.node = d.src JOIN edges e ON e.src = pp.node
+       |GROUP BY e.dst
+       |) c ON c.node = p2.node
+       |)
+       |SELECT node, rank FROM pr WHERE it = 3""".stripMargin
+
   /** The q_corpus_prepare CTE chain (scrub → jaccard-dedup CC →
     * decontaminate → md5 split → word token counts), ending at
     * `tokd` — shared between q_corpus_prepare and the composed
@@ -1339,6 +1368,25 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
           .filter(col("src") =!= col("dst")),
         iters = 3)),
+    // HOST-level rank (Common Crawl publishes exactly this table):
+    // per-doc URLs across 17 hosts → urlHost extraction → simple
+    // host graph (distinct, the documented pre-distinct for
+    // simple-graph semantics) → the same tick iteration
+    "q_host_rank" -> ((s, d) => {
+      val srcU = concat(lit("https://h"),
+        (col("doc_id") % 17).cast("string"),
+        lit(".example.org/d/"), col("doc_id").cast("string"))
+      val dstU = concat(lit("https://h"),
+        ((col("doc_id") * 5 + 3) % 17).cast("string"),
+        lit(".example.org/d/x"))
+      val edges = T(s, d, "documents").select(
+        TextFunctions.urlHost(srcU).as("src"),
+        TextFunctions.urlHost(dstU).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+      Graph.pageRankTicks(edges, iters = 3)
+    }),
     // Unicode NFC normalization (stage-0 canonicalization): each doc
     // gets a decomposed/ligature/reordered suffix keyed by doc_id%6;
     // JDK Normalizer output is hash-checked against DuckDB's
@@ -4423,31 +4471,26 @@ object SparkEntry {
     // pagerank: the same tick iteration as a recursive CTE — the
     // working table is one iteration's rank rows; contribs aggregate
     // over it, the dangling mass folds in as a scalar subquery
-    "q_pagerank" ->
-      """WITH RECURSIVE edges AS (
+    "q_pagerank" -> pageRankOracle(
+      """edges AS (
         |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
-        |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
-        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-        |pr AS (
-        |SELECT CAST(0 AS BIGINT) AS it, node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes
-        |UNION ALL
-        |SELECT p.it + 1, p2.node,
-        |CAST((3 * 1000000000000) // (20 * (SELECT n FROM nn))
-        |+ COALESCE(c.contrib, 0)
-        |+ (SELECT COALESCE(SUM(CASE WHEN d2.src IS NULL THEN p3.rank ELSE 0 END), 0)
-        |FROM pr p3 LEFT JOIN deg d2 ON p3.node = d2.src) * 17
-        |// (20 * (SELECT n FROM nn)) AS BIGINT) AS rank
-        |FROM (SELECT DISTINCT it FROM pr WHERE it < 3) p
-        |CROSS JOIN nodes p2
-        |LEFT JOIN (
-        |SELECT e.dst AS node, SUM((pp.rank * 17) // (20 * d.outdeg)) AS contrib
-        |FROM pr pp JOIN deg d ON pp.node = d.src JOIN edges e ON e.src = pp.node
-        |GROUP BY e.dst
-        |) c ON c.node = p2.node
-        |)
-        |SELECT node, rank FROM pr WHERE it = 3""".stripMargin,
+        |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin),
+    // host rank: synthesize per-doc URLs across 17 hosts, extract
+    // registered hosts with the L13 regex replay, dedup to a simple
+    // host graph, then the identical tick iteration
+    "q_host_rank" -> pageRankOracle(
+      """u AS (SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS su,
+        |'https://h' || CAST((doc_id * 5 + 3) % 17 AS VARCHAR) || '.example.org/d/x' AS du FROM documents),
+        |he AS (SELECT
+        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |regexp_extract(string_split(su, '//')[2], '^[^/?#]*'),
+        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS src,
+        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |regexp_extract(string_split(du, '//')[2], '^[^/?#]*'),
+        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS dst
+        |FROM u),
+        |edges AS (SELECT DISTINCT src, dst FROM he
+        |WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)""".stripMargin),
     // NFC: the suffix table is generated from the SAME Scala literal
     // as the Spark side (chr(codepoint) concatenation — SQL literals
     // don't process \u escapes); nfc_normalize is DuckDB's UAX #15
