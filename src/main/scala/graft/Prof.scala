@@ -54,6 +54,39 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_HOSTRANK=1 — stage breakdown of q_host_rank: edges
+    // derivation (urlHost regex chain + distinct) vs the tick
+    // iteration itself, to attribute the bench delta vs q_pagerank.
+    if (sys.env.get("PROF_HOSTRANK").contains("1")) {
+      val srcU = concat(lit("https://h"),
+        (col("doc_id") % 17).cast("string"),
+        lit(".example.org/d/"), col("doc_id").cast("string"))
+      val dstU = concat(lit("https://h"),
+        ((col("doc_id") * 5 + 3) % 17).cast("string"),
+        lit(".example.org/d/x"))
+      def edges = docs.select(
+        TextFunctions.urlHost(srcU).as("src"),
+        TextFunctions.urlHost(dstU).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+      time("edges.count (derive)")(edges.count())
+      val mat = edges.localCheckpoint(true)
+      for (r <- 1 to 3)
+        time(s"pageRankTicks mat edges (run $r)")(
+          operators.Graph.pageRankTicks(mat, iters = 3).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (r <- 1 to 2)
+        time(s"pageRankTicks mat edges AQE-off (run $r)")(
+          operators.Graph.pageRankTicks(mat, iters = 3).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      for (r <- 1 to 2)
+        time(s"pageRankTicks 1 iter (run $r)")(
+          operators.Graph.pageRankTicks(mat, iters = 1).count())
+      time("full query (warm)")(
+        operators.Graph.pageRankTicks(edges, iters = 3).count())
+      spark.stop(); return
+    }
     // PROF_SPANS=1 — the duplicatedSpanProfile design experiment:
     // occurrence counting via count-over-partition(window hash) vs
     // the naive self-join on the window hash, on a synthetic corpus

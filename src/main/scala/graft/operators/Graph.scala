@@ -247,54 +247,93 @@ object Graph {
     * Scale shape: the canonical distributed PageRank — per iteration
     * ONE equi-join of the rank frontier to the (bounded, persisted)
     * degree table and edge list, one map-side-combined aggregation
-    * keyed on dst, and ONE driver scalar (the dangling-mass sum, a
-    * 1-row aggregate — the kthLargest bounded-state precedent). The
-    * frontier persists per iteration and releases its predecessor
-    * (lineage truncation, the connectedComponents discipline). */
+    * keyed on dst, and the dangling-mass term as an IN-PLAN scalar
+    * aggregate (a 1-row sum cross-joined back, which Spark executes
+    * as a broadcast of one row) — NOT a per-iteration driver action.
+    * The dangling-node set is static (outdeg is a property of the
+    * edge list), so each node carries a `has_out` flag computed once
+    * at setup and the scalar is one map-side-combined sum over the
+    * already-persisted frontier. Iterations therefore launch ZERO
+    * jobs each: every intermediate frontier is persisted LAZILY
+    * (both consumers — next's contrib join and next-next's dangling
+    * sum — read the cache once it is built by the terminal action),
+    * and lineage is truncated by an eager localCheckpoint only every
+    * `chkEvery` rounds, bounding logical-plan growth (the frontier
+    * feeds two branches per round → tree size ≤ 2^chkEvery between
+    * truncations) while amortizing the per-job floor that dominated
+    * the toy-scale bench (3 iterations used to cost 5 driver
+    * actions; now: the node count + one final materialization). */
   def pageRankTicks(edges: DataFrame, iters: Int,
                     srcCol: String = "src", dstCol: String = "dst",
-                    totalTicks: Long = 1000000000000L): DataFrame = {
+                    totalTicks: Long = 1000000000000L,
+                    chkEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(totalTicks >= 1L, "totalTicks must be positive")
-    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    require(chkEvery >= 1, s"chkEvery must be >= 1, got $chkEvery")
+    val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("esrc").as("node"))
-      .unionByName(e.select(col("edst").as("node"))).distinct()
+    val deg = e0.groupBy("esrc").agg(count(lit(1)).as("outdeg"))
+    // outdeg PRE-JOINED into the persisted edge table once: every
+    // iteration's contrib pass is then ONE equi-join (frontier ⋈ e)
+    // instead of frontier ⋈ deg ⋈ e — outdeg is iteration-invariant,
+    // so carrying it on the edge row trades |E| longs of storage for
+    // a whole join per round
+    val e = e0.join(deg, "esrc")
+      .select(col("esrc"), col("edst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node universe with the static dangling flag: has_out ⇔ the node
+    // has at least one outgoing edge (deg membership)
+    val nodes = e0.select(col("esrc").as("node"))
+      .unionByName(e0.select(col("edst").as("node"))).distinct()
+      .join(deg.select(col("esrc").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n >= 1, "pageRankTicks needs at least one edge")
-    val deg = e.groupBy("esrc").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (3L * totalTicks) / (20L * n)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rank = nodes.withColumn("rank", lit(totalTicks / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    rank.count()
+    pending += rank
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = rank
-          .join(deg, col("node") === col("esrc"))
-          .drop("esrc")
           .join(e, col("node") === col("esrc"))
           .select(col("edst").as("cnode"),
             expr("(rank * 17) div (20 * outdeg)").as("c"))
           .groupBy("cnode").agg(sum("c").as("contrib"))
-        val dang = rank
-          .join(deg, col("node") === col("esrc"), "left_anti")
-          .agg(coalesce(sum("rank"), lit(0L))).head.getLong(0)
-        val add = (dang * 17L) / (20L * n)
+        // dangling mass of THIS frontier as a 1-row aggregate joined
+        // into the plan — exact long sum, bit-identical to the old
+        // driver-collected scalar, zero extra driver round-trips
+        val dang = rank.agg(coalesce(
+          sum(when(!col("has_out"), col("rank")).otherwise(lit(0L))),
+          lit(0L)).as("dang_mass"))
         val next = nodes
           .join(contrib, col("node") === col("cnode"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("contrib"), lit(0L)) + lit(add))
-              .as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        rank.unpersist(false)
-        rank = next
+          .crossJoin(dang)
+          .select(col("node"), col("has_out"),
+            (lit(base) + coalesce(col("contrib"), lit(0L)) +
+              expr(s"(dang_mass * 17) div (${20L * n})")).as("rank"))
+        rank =
+          if (i % chkEvery == 0) {
+            // eager truncation: materializes, rebases the plan, and
+            // lets the superseded cached frontiers go
+            val r = next.localCheckpoint(true)
+            pending.foreach(_.unpersist(false)); pending.clear()
+            r
+          } else {
+            val r = next.persist(StorageLevel.MEMORY_AND_DISK)
+            pending += r; r
+          }
       }
-      rank
+      // ONE terminal materialization: runs every deferred round,
+      // building each intermediate frontier's cache exactly once
+      val out = rank.select(col("node"), col("rank")).localCheckpoint(true)
+      pending.foreach(_.unpersist(false))
+      out
     } finally {
-      e.unpersist(false); nodes.unpersist(false); deg.unpersist(false)
+      e0.unpersist(false); e.unpersist(false); nodes.unpersist(false)
     }
   }
 }
