@@ -76,6 +76,29 @@ object SparkEntry {
     "ing", "and", "ion", "tion", "es", "or", "te", "ed", "is", "it",
     "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou")
 
+  /** Non-ASCII suffixes for q_bpe_encode_bytes, keyed by doc_id % 4 —
+    * 2-/3-/4-byte UTF-8 words exercise multi-byte-crossing vocab
+    * entries, the single-BYTE fallback (語 stays out of vocab → its 3
+    * bytes emit as 3 tokens), and the pure-ASCII identity path.
+    * \u escapes only (the §5 looks-identical-in-an-editor lesson). */
+  private val byteSuffixes: Seq[String] = Seq(
+    " caf\u00e9",              // e-acute: C3 A9, both self-mapped
+    " na\u00efve \ud83d\ude42",  // i-diaeresis (2-byte) + 4-byte emoji
+    " \u65e5\u672c\u8a9e", // CJK: three 3-byte chars
+    "")                        // ASCII fast path, byte == char level
+
+  /** Byte-level (GPT-2-style) vocab for q_bpe_encode_bytes: the char
+    * vocab (pure ASCII = identity under the byte remap) plus
+    * multi-byte pieces, all passed through ByteRemap.remapString so
+    * entries live in remapped display space — 語 deliberately absent
+    * to pin the byte-fallback semantics byte-level mode exists for.
+    * ONE Scala value feeds the Spark literal and (chr-composed) the
+    * DuckDB replay. */
+  private val bpeByteVocab: Seq[String] =
+    (bpeEncodeVocab ++ Seq("caf", "\u00e9", "\u00efve",
+      "\u65e5\u672c", "\ud83d\ude42"))
+      .map(graft.expressions.ByteRemap.remapString)
+
   /** Fixed literal unigram model (piece → ln-prob ticks) for
     * q_unigram_segment — shared verbatim by the Spark query and the
     * DuckDB oracle. Weights are deliberately NOT monotone in length
@@ -1075,6 +1098,21 @@ object SparkEntry {
       T(s, d, "documents")
         .select(explode(
           Bpe.encodeLongestMatch(col("text"), bpeEncodeVocab)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+    // BYTE-LEVEL BPE encode (GPT-2 apply): UTF-8 bytes → display
+    // remap → greedy longest-match against a remapped-space vocab;
+    // docs get non-ASCII suffixes (doc_id % 4) so multi-byte vocab
+    // hits AND the single-BYTE fallback (語 → 3 byte tokens) are both
+    // exercised. The oracle rebuilds the remap from hex(encode(word))
+    // via the 256-entry chr() table and replays the same cursor, so
+    // every byte-level split decision is hash-checked.
+    "q_bpe_encode_bytes" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(explode(Bpe.encodeBytesLongestMatch(
+          concat(col("text"), element_at(
+            array(byteSuffixes.map(lit): _*),
+            (col("doc_id") % 4 + 1).cast("int"))),
+          bpeByteVocab)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))),
     // tokenizer FERTILITY stats (the standard tokenizer-evaluation
     // table): per language, words / subwords / chars and
@@ -3882,6 +3920,43 @@ object SparkEntry {
          |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
          |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
+         |enc AS (
+         |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word, pos + mlen AS pos,
+         |list_append(out, substring(word, pos, mlen)) AS out FROM (
+         |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
+         |CAST(COALESCE(MAX(CASE WHEN substring(e.word, e.pos, len(v.tok)) = v.tok THEN len(v.tok) END), 1) AS BIGINT) AS mlen
+         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.tok)) = v.tok
+         |WHERE e.pos <= len(e.word)
+         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
+         |fin AS (SELECT out FROM enc WHERE pos > len(word)),
+         |ft AS (SELECT unnest(out) AS token FROM fin)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
+    },
+    // byte-level encode: the SAME greedy cursor, preceded by the
+    // byte remap — hex(encode(word)) gives the UTF-8 bytes as hex
+    // pairs (the md5-bucket strpos-parse precedent), each byte joins
+    // the 256-entry chr() table (generated from the ONE Scala
+    // ByteRemap.byteToChar array), string_agg in byte order rebuilds
+    // the remapped word the trie expression walks
+    "q_bpe_encode_bytes" -> {
+      val bvals = (0 until 256).mkString(", ")
+      val bchrs = graft.expressions.ByteRemap.byteToChar
+        .map(c => s"chr(${c.toInt})").mkString(", ")
+      val vlist = bpeByteVocab.map(sqlChrLit).mkString(", ")
+      val suffix = byteSuffixes.zipWithIndex.map { case (x, i) =>
+        s"WHEN $i THEN ${sqlChrLit(x)}" }.mkString(" ")
+      s"""WITH RECURSIVE bmap AS (SELECT unnest([$bvals]) AS b, unnest([$bchrs]) AS c),
+         |vocab AS (SELECT unnest([$vlist]) AS tok),
+         |t AS (SELECT doc_id, list_filter(string_split(text || CASE CAST(doc_id % 4 AS INT) $suffix END, ' '), x -> x <> '') AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww0 AS (SELECT doc_id, wi, hex(encode(toks[wi])) AS h FROM w),
+         |wp AS (SELECT doc_id, wi, unnest(generate_series(1, CAST(len(h) // 2 AS BIGINT))) AS bi, h FROM ww0),
+         |wv AS (SELECT doc_id, wi, bi,
+         |(strpos('0123456789ABCDEF', substring(h, CAST(2 * bi - 1 AS INT), 1)) - 1) * 16
+         |+ (strpos('0123456789ABCDEF', substring(h, CAST(2 * bi AS INT), 1)) - 1) AS bv FROM wp),
+         |ww AS (SELECT doc_id, wi, string_agg(c, '' ORDER BY bi) AS word FROM wv JOIN bmap ON bv = b GROUP BY doc_id, wi),
          |enc AS (
          |SELECT doc_id, wi, word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM ww
          |UNION ALL

@@ -36,6 +36,14 @@ object Bpe {
   def charSymbols(word: Column): Column =
     filter(split(word, ""), s => s =!= "")
 
+  /** BYTE symbol array for a word: the word's UTF-8 bytes through the
+    * GPT-2 display remapping ([[graft.expressions.ByteRemap]]), one
+    * single-char symbol per byte. The 256-entry base alphabet of a
+    * byte-level (GPT-2-style) tokenizer — nothing is ever OOV, and
+    * merges can cross UTF-8 character boundaries. */
+  def byteSymbols(word: Column): Column =
+    charSymbols(graft.expressions.ByteRemap(word))
+
   /** Weighted adjacent-pair counts over a (symbols, freq) table:
     * Σ freq per (a, b) occurrence — each occurrence counts, so
     * "aaa" contributes (a,a) twice. One map-side-combined shuffle
@@ -95,11 +103,21 @@ object Bpe {
     * supplementary-plane symbols (an emoji's surrogate 0xD83x sorts
     * BELOW U+E000..U+FFFF in UTF-16 but ABOVE in code points) — any
     * JVM-side replay of the tie-break must compare code points, as
-    * BpeSpec's reference does. */
+    * BpeSpec's reference does.
+    *
+    * `byteLevel = true` trains over [[byteSymbols]] instead of
+    * [[charSymbols]]: the GPT-2 mode — base alphabet is the 256
+    * remapped bytes, merge products are remapped-space strings (store
+    * them as-is; [[graft.expressions.ByteRemap.unremapString]] is the
+    * display decode). The iteration itself is unchanged: only the
+    * initial symbolization differs. */
   def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
-                  textCol: String = "text"): Seq[(String, String)] = {
+                  textCol: String = "text",
+                  byteLevel: Boolean = false): Seq[(String, String)] = {
+    val sym =
+      if (byteLevel) byteSymbols(col("word")) else charSymbols(col("word"))
     var words = wordFreqs(docs, textCol)
-      .select(charSymbols(col("word")).as("symbols"), col("freq"))
+      .select(sym.as("symbols"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -190,4 +208,20 @@ object Bpe {
   def encodeLongestMatch(text: Column, vocab: Seq[String]): Column =
     flatten(transform(TextFunctions.tokens(text), w =>
       graft.expressions.BpeEncode.longestMatch(w, vocab)))
+
+  /** BYTE-LEVEL production encoder (GPT-2 apply): each whitespace
+    * word is remapped to display-byte space and greedy-longest-match
+    * encoded against a vocabulary whose entries are remapped-space
+    * strings (train with `byteLevel = true`, or remap an external
+    * vocab via [[graft.expressions.ByteRemap.remapString]]). The
+    * fallback token is ONE remapped char = ONE BYTE — a character the
+    * vocab has never seen splits into its UTF-8 bytes rather than
+    * becoming OOV, which is the whole point of byte-level mode.
+    * Output tokens are remapped-space strings; concatenating a word's
+    * tokens and [[graft.expressions.ByteRemap.unremapString]]-ing
+    * restores the word byte-exactly. */
+  def encodeBytesLongestMatch(text: Column, vocab: Seq[String]): Column =
+    flatten(transform(TextFunctions.tokens(text), w =>
+      graft.expressions.BpeEncode.longestMatch(
+        graft.expressions.ByteRemap(w), vocab)))
 }

@@ -273,4 +273,104 @@ class BpeSpec extends SparkSpec {
       assert(got == refTrain(freqs, 10, 2L), s"trial $trial")
     }
   }
+
+  // ---- byte-level (GPT-2) mode ----
+  import graft.expressions.ByteRemap
+
+  test("ByteRemap table is the GPT-2 bijection") {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    assert(ByteRemap.byteToChar.length == 256)
+    assert(ByteRemap.byteToChar.distinct.length == 256)
+    for (b <- 0 to 255) {
+      if (printable(b)) assert(ByteRemap.byteToChar(b) == b.toChar)
+      else assert(ByteRemap.byteToChar(b) >= 256.toChar)
+      assert(ByteRemap.charToByte(ByteRemap.byteToChar(b)) == b)
+    }
+    // non-printables get 256+k in increasing byte order (the GPT-2
+    // running-counter construction)
+    val others = (0 to 255).filterNot(printable)
+    assert(others.map(ByteRemap.byteToChar(_).toInt) ==
+      (256 until 256 + others.length))
+    assert(others.length == 68)
+  }
+
+  test("byte remap round-trips arbitrary unicode strings byte-exactly") {
+    val fixtures = Seq("", "abc", "caf\u00e9", "\u65e5\u672c\u8a9e",
+      "\ud83d\ude42", "e\u0301", "\ue000",
+      "mixed caf\u00e9 \ud83d\ude42 x")
+    for (s <- fixtures) {
+      val r = ByteRemap.remapString(s)
+      assert(ByteRemap.unremapString(r) == s, s"fixture ${s.length}")
+      // one remapped char per UTF-8 byte
+      assert(r.length == s.getBytes("UTF-8").length)
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 50) {
+      val cps = (0 to rnd.nextInt(20)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => 1 + rnd.nextInt(127)
+          case 1 => 0x80 + rnd.nextInt(0x800 - 0x80)
+          case 2 => 0x800 + rnd.nextInt(0xd800 - 0x800)
+          case _ => 0x10000 + rnd.nextInt(0x1000)
+        }
+      }
+      val s = cps.map(cp => new String(Character.toChars(cp))).mkString
+      assert(ByteRemap.unremapString(ByteRemap.remapString(s)) == s,
+        s"trial $trial")
+    }
+  }
+
+  test("encodeBytesLongestMatch: multi-byte vocab, single-BYTE fallback, lossless") {
+    val vocab = Seq("ab", "caf", "\u00e9", "\u65e5\u672c")
+      .map(ByteRemap.remapString)
+    val text = "caf\u00e9 ab\u8a9ex \u65e5\u672c\u8a9e"
+    val got = Seq(text).toDF("text")
+      .select(Bpe.encodeBytesLongestMatch(col("text"), vocab).as("t"))
+      .as[Seq[String]].head()
+    val rGo = ByteRemap.remapString("\u8a9e") // 語: NOT in vocab
+    assert(rGo.length == 3)
+    // 語 falls back to its three BYTES (the byte-level semantics the
+    // char-level encoder cannot produce), everything else matches
+    // vocab entries crossing UTF-8 boundaries
+    val expect = Seq(ByteRemap.remapString("caf"),
+      ByteRemap.remapString("\u00e9"), ByteRemap.remapString("ab")) ++
+      rGo.map(_.toString) ++ Seq("x", ByteRemap.remapString("\u65e5\u672c")) ++
+      rGo.map(_.toString)
+    assert(got == expect)
+    // losslessness across the whole text: concat + unremap restores
+    // the concatenated words byte-exactly
+    assert(ByteRemap.unremapString(got.mkString) ==
+      text.split(" ").mkString)
+  }
+
+  test("trainMerges byteLevel merges across UTF-8 character boundaries") {
+    // hottest pair = the two bytes OF é — a char-level trainer
+    // can never produce this merge
+    val docs = Seq((1L, "\u00e9a \u00e9b \u00e9c \u00e9d"))
+      .toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, nMerges = 1, byteLevel = true)
+    val c3 = ByteRemap.byteToChar(0xc3).toString
+    val a9 = ByteRemap.byteToChar(0xa9).toString
+    assert(got == Seq((c3, a9)))
+    assert(ByteRemap.unremapString(c3 + a9) == "\u00e9")
+  }
+
+  test("trainMerges byteLevel equals the reference over remapped words") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = Vector("a", "b", "\u00e9", "\u8a9e", "\ud83d\ude42")
+    for (trial <- 1 to 3) {
+      val words = (1 to 25).map(_ =>
+        (1 to (1 + rnd.nextInt(4)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val text = rnd.shuffle(words ++ words.take(8)).mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      // reference: the SAME sequential trainer over byte-remapped
+      // words (remapped chars are all BMP, so the code-point
+      // reference symbolization = one symbol per byte)
+      val freqs = text.split(" ").groupBy(identity)
+        .map { case (w, g) => ByteRemap.remapString(w) -> g.length.toLong }
+      val got = Bpe.trainMerges(docs, nMerges = 8, byteLevel = true)
+      assert(got == refTrain(freqs, 8, 2L), s"trial $trial")
+    }
+  }
 }
