@@ -87,6 +87,85 @@ object Prof {
         operators.Graph.pageRankTicks(edges, iters = 3).count())
       spark.stop(); return
     }
+    // PROF_LANGID=1 — stage breakdown of q_langid_model
+    if (sys.env.get("PROF_LANGID").contains("1")) {
+      val text = col("text")
+      val grams = transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2)))
+      val inst = docs.filter(length(text) >= 2)
+        .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
+        .select(col("doc_id"), col("lang"),
+          (operators.Sampling.md5Bucket16(col("gram")) % 256).as("bucket"))
+      time("explode+md5 only")(inst.count())
+      time("explode+md5 again")(inst.count())
+      // variant B: int-sequence explode + single conv-based bucket
+      val instB = docs.filter(length(text) >= 2)
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(1), length(text) - 1)).as("i"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("text").substr(col("i"), lit(2))),
+            1, 4), 16, 10).cast("long"), lit(256L)).as("bucket"))
+      time("variantB int-explode + conv")(instB.count())
+      time("variantB again")(instB.count())
+      // sanity: identical buckets
+      val diff = inst.groupBy("doc_id", "lang", "bucket").count()
+        .except(instB.groupBy("doc_id", "lang", "bucket").count()).count()
+      println(s"[prof] variantB bucket diff rows = $diff")
+      for (r <- 1 to 3)
+        time(s"langIdModel full (run $r)")(
+          operators.Corpus.langIdModel(docs).count())
+      for (r <- 1 to 3)
+        time(s"langIdModel noop write (run $r)")(
+          operators.Corpus.langIdModel(docs)
+            .write.mode("overwrite").format("noop").save())
+      val fitOnly = instB.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("cnt_cb"))
+      for (r <- 1 to 2)
+        time(s"fit collect only (run $r)")(fitOnly.collect().length)
+      time("instB noop (md5 forced)")(
+        instB.write.mode("overwrite").format("noop").save())
+      val gramsOnly = docs.filter(length(text) >= 2)
+        .select(col("doc_id"), col("lang"), col("text").as("__t"),
+          explode(sequence(lit(1), length(text) - 1)).as("__i"))
+        .select(col("doc_id"), col("lang"),
+          col("__t").substr(col("__i"), lit(2)).as("gram"))
+      time("grams noop (no md5)")(
+        gramsOnly.write.mode("overwrite").format("noop").save())
+      time("xxhash variant noop")(
+        gramsOnly.select(col("doc_id"), col("lang"),
+          pmod(xxhash64(col("gram")), lit(256L)).as("bucket"))
+          .write.mode("overwrite").format("noop").save())
+      // fine-grained: replicate the operator's stages
+      val inst2 = instB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts2 = time("counts checkpoint")(
+        inst2.groupBy(col("lang").as("c"), col("bucket"))
+          .agg(count(lit(1)).cast("long").as("cnt_cb"))
+          .localCheckpoint(true))
+      val dense2 = counts2.select("c").distinct()
+        .crossJoin(counts2.select("bucket").distinct())
+        .join(counts2, Seq("c", "bucket"), "left")
+        .select(col("c"), col("bucket"),
+          coalesce(col("cnt_cb"), lit(0L)).as("cnt_cb"))
+      import org.apache.spark.sql.expressions.Window
+      val totalAll2 = dense2.agg(sum("cnt_cb").cast("long").as("tot_all"))
+      val model2 = broadcast(dense2
+        .withColumn("tot_c", sum("cnt_cb").over(Window.partitionBy("c")).cast("long"))
+        .withColumn("bg_b", sum("cnt_cb").over(Window.partitionBy("bucket")).cast("long"))
+        .crossJoin(broadcast(totalAll2)))
+      time("model materialize")(model2.count())
+      val ratio2 = ((col("cnt_cb") + lit(1L)).cast("double") *
+          (col("tot_all") + lit(256L)).cast("double")) /
+        ((col("bg_b") + lit(1L)).cast("double") *
+          (col("tot_c") + lit(256L)).cast("double"))
+      val tick2 = floor(lit(1000000.0) * ratio2).cast("long")
+      val perClass2 = inst2.join(model2, "bucket")
+        .groupBy(col("doc_id"), col("lang"), col("c"))
+        .agg(sum(tick2).cast("long").as("score_fp"))
+      time("probe + perClass agg")(perClass2.count())
+      time("argmax")(perClass2.groupBy(col("doc_id"), col("lang"))
+        .agg(max(struct(col("score_fp"), col("c"))).as("best")).count())
+      spark.stop(); return
+    }
     // PROF_SPANS=1 — the duplicatedSpanProfile design experiment:
     // occurrence counting via count-over-partition(window hash) vs
     // the naive self-join on the window hash, on a synthetic corpus

@@ -715,4 +715,89 @@ object Corpus {
           col("avg_tok_p"), col("bucket")),
       scored)
   }
+
+  /** Model-based language ID — the fastText/CLD-class production form
+    * of [[graft.functions.TextFunctions.langId]]'s marker heuristic:
+    * a character-bigram multinomial scorer FIT ON THE CORPUS'S OWN
+    * language labels (the qualityClassifier fit-then-transform
+    * shape), features hashed to a fixed bucket width (the dsirWeights
+    * hashing trick — model size is nLangs × nBuckets whatever the
+    * character vocabulary). Bigram buckets come from ONE string walk
+    * per document ([[graft.expressions.CharBigramBuckets]] — the
+    * per-position substr formulation is quadratic per doc).
+    *
+    * FIT: one explode + one map-side-combined aggregation; the
+    * bounded (lang, bucket) count table (≤ nLangs × nBuckets rows —
+    * languages are dozens, not millions) COLLECTS to the driver,
+    * densifies over all nBuckets cells (a zero count must still score
+    * through smoothing) and bakes into a literal bucket-indexed
+    * per-class tick table (model-as-expression-data, the
+    * IVF-centroid / unigramSegModel discipline). tick = floor(1e6 ·
+    * (cnt_cb+1)(tot_all+B) / (bg_b+1)(tot_c+B)) — the Laplace-
+    * smoothed likelihood ratio vs the corpus background, raw odds
+    * instead of logs (libm-free, the H15 discipline), floored to
+    * ticks so per-doc sums are exact longs in any order.
+    *
+    * TRANSFORM: a pure scan-stage projection, ZERO shuffles — each
+    * doc folds its bucket array over the literal tick table into a
+    * per-class exact-long score vector, and the argmax folds in as
+    * array_max over (score, class) structs: ties → greatest lang
+    * code, the langId determinism family. Docs shorter than 2
+    * characters have no bigrams and are not emitted.
+    *
+    * Scale shape: two corpus scans (fit, score), one bounded
+    * collect, one tiny shuffle (the fit aggregation). Nothing is
+    * cached — both passes are codegen scan pipelines and rebuilding
+    * the second costs less than materializing an instance cache
+    * (measured, PROF_LANGID). */
+  def langIdModel(docs: DataFrame, nBuckets: Int = 256,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      "nBuckets must be in 1..65536 (md5Bucket16 range)")
+    val text = col(textCol)
+    val bucketArr = graft.expressions.CharBigramBuckets(text, nBuckets)
+    // ---- fit: one aggregation, bounded collect ----
+    val cnt = docs.filter(length(text) >= 2)
+      .select(col(langCol).as("lang"), explode(bucketArr).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt_cb"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    require(cnt.nonEmpty, "langIdModel: no document has >= 2 characters")
+    // class order is lang ASC; the argmax structs below break ties to
+    // the GREATEST code, independent of this order
+    val langs = cnt.keys.map(_._1).toSeq.distinct.sorted
+    val totC = langs.map(c =>
+      c -> cnt.collect { case ((`c`, _), n) => n }.sum).toMap
+    val bgB = (0L until nBuckets.toLong).map(bk =>
+      bk -> cnt.collect { case ((_, `bk`), n) => n }.sum).toMap
+    val totAll = cnt.values.sum
+    // fixed double tree over exact longs (factors to double BEFORE
+    // multiplying — the qualityClassifier overflow discipline),
+    // mirrored factor-for-factor by the oracle's SQL expression
+    def tick(c: String, bk: Long): Long =
+      math.floor(1000000.0 *
+        (((cnt.getOrElse((c, bk), 0L) + 1L).toDouble * (totAll + nBuckets).toDouble) /
+          ((bgB(bk) + 1L).toDouble * (totC(c) + nBuckets).toDouble))).toLong
+    // dense bucket-indexed tick table: element_at on an ARRAY literal
+    // is O(1) per row (a map literal would linear-scan its keys)
+    val tickTable: Seq[Seq[Long]] =
+      (0L until nBuckets.toLong).map(bk => langs.map(tick(_, bk)))
+    // ---- transform: one scan, literal model, inline fold + argmax ----
+    val scores = aggregate(bucketArr,
+      typedLit(langs.map(_ => 0L)),
+      (acc, b) => zip_with(acc,
+        element_at(typedLit(tickTable), b.cast("int") + 1),
+        (x, y) => x + y))
+    val best = array_max(array(langs.zipWithIndex.map { case (c, k) =>
+      struct(element_at(col("__sc"), k + 1).as("score_fp"),
+        lit(c).as("c")) }: _*))
+    docs.filter(length(text) >= 2)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        scores.as("__sc"))
+      .select(col("doc_id"), col("lang"),
+        best.getField("c").as("lang_pred"),
+        best.getField("score_fp").as("score_fp"))
+  }
 }

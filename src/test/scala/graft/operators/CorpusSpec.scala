@@ -606,4 +606,54 @@ class CorpusSpec extends SparkSpec {
     assert(direct.filter(col("kept_text").contains("<b>good</b>"))
       .count() >= 1, "WET text must pass through unextracted")
   }
+
+  test("langIdModel: learns label-separable char distributions") {
+    // two 'languages' with near-disjoint character inventories; one
+    // mislabeled doc (id 99) whose TEXT is pure qq-class — the model
+    // must predict from the text, not echo the label
+    val qq = Seq((10L, "qq", "qqq qqkk kqqk"), (11L, "qq", "kkqq qqq"),
+      (12L, "qq", "qkqk qqkk"), (13L, "qq", "kkk qqq"))
+    val aa = Seq((20L, "aa", "aaa aab bba"), (21L, "aa", "bab aab"),
+      (22L, "aa", "abba baab"), (23L, "aa", "aaa bbb"))
+    val odd = Seq((99L, "aa", "qqqq kkqq qqkq"), (50L, "aa", "x"))
+    val docs = (qq ++ aa ++ odd).toDF("doc_id", "lang", "text")
+    val out = Corpus.langIdModel(docs)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // 1-char doc has no bigrams and is not emitted
+    assert(!out.contains(50L) && out.size == 9)
+    // held-in docs classify to their own label
+    for (id <- (10L to 13L)) assert(out(id) == ("qq", "qq"), s"doc $id")
+    for (id <- (20L to 23L)) assert(out(id) == ("aa", "aa"), s"doc $id")
+    // the mislabeled doc is predicted by its characters
+    assert(out(99L) == ("aa", "qq"))
+    // determinism: a second run is bit-identical
+    val again = Corpus.langIdModel(docs)
+      .as[(Long, String, String, Long)].collect().toSet
+    val first = Corpus.langIdModel(docs)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(again == first)
+  }
+
+  test("langIdModel: densified smoothing and deterministic ties") {
+    // self-trained fit: doc 3's zz-bigrams are counted under its own
+    // bb label, so bb wins them; cc (which never saw a z) must still
+    // receive a finite smoothed score for every bucket rather than
+    // being dropped by the probe join (the densify contract)
+    val docs = Seq((1L, "bb", "bb bb"), (2L, "cc", "cc cc"),
+      (3L, "bb", "zz zz")).toDF("doc_id", "lang", "text")
+    val out = Corpus.langIdModel(docs)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out.size == 3)
+    assert(out(1L) == "bb" && out(2L) == "cc" && out(3L) == "bb")
+    // exact symmetric distributions -> every per-class score ties ->
+    // the argmax breaks to the GREATEST lang code for every doc
+    val tied = Seq((1L, "bb", "xy xy"), (2L, "cc", "xy xy"))
+      .toDF("doc_id", "lang", "text")
+    val tout = Corpus.langIdModel(tied)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(tout(1L) == "cc" && tout(2L) == "cc")
+  }
 }
