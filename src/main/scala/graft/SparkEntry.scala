@@ -3461,7 +3461,7 @@ object SparkEntry {
          |ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_rank FROM s)
          |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |MAX(shard_rank) = COUNT(*) AS ranks_dense,
+         |(COUNT(DISTINCT shard_rank) = COUNT(*) AND MAX(shard_rank) = COUNT(*)) AS ranks_dense,
          |CAST(SUM(cksum) AS BIGINT) AS id_checksum
          |FROM r GROUP BY shard""".stripMargin
     },
@@ -3573,9 +3573,9 @@ object SparkEntry {
         |WHEN 4 THEN 'mailto:someone@nowhere'
         |ELSE 'https://nottracker.net/x' END AS url FROM documents),
         |h AS (SELECT doc_id,
-        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
         |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS host FROM d)
+        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS host FROM d)
         |SELECT doc_id, host,
         |(SELECT b.domain FROM bl b
         |WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
@@ -3626,9 +3626,9 @@ object SparkEntry {
         |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
         |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url FROM d),
         |hst AS (SELECT doc_id, url,
-        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
         |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS host FROM du),
+        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS host FROM du),
         |sv AS (SELECT doc_id, url FROM hst WHERE host IS NULL OR NOT EXISTS (
         |SELECT 1 FROM (VALUES ('tracker.net')) bl(domain)
         |WHERE hst.host = bl.domain OR hst.host LIKE '%.' || bl.domain)),
@@ -3725,9 +3725,9 @@ object SparkEntry {
         |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
         |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url FROM d),
         |hst AS (SELECT doc_id, url,
-        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
         |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS host FROM du),
+        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS host FROM du),
         |sv AS (SELECT doc_id, url FROM hst WHERE host IS NULL OR NOT EXISTS (
         |SELECT 1 FROM (VALUES ('tracker.net')) bl(domain)
         |WHERE hst.host = bl.domain OR hst.host LIKE '%.' || bl.domain)),
@@ -4592,12 +4592,12 @@ object SparkEntry {
       """u AS (SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS su,
         |'https://h' || CAST((doc_id * 5 + 3) % 17 AS VARCHAR) || '.example.org/d/x' AS du FROM documents),
         |he AS (SELECT
-        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
         |regexp_extract(string_split(su, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS src,
-        |nullif(regexp_replace(regexp_replace(lower(regexp_replace(
+        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS src,
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
         |regexp_extract(string_split(du, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), ':[0-9]*$', ''), '^www\.', ''), '') AS dst
+        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS dst
         |FROM u),
         |edges AS (SELECT DISTINCT src, dst FROM he
         |WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)""".stripMargin),

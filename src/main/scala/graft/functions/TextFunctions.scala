@@ -277,15 +277,24 @@ object TextFunctions {
     * path/query/fragment, and a leading `www.` stripped, lowercased —
     * the key domain-level crawl policies (blocklists, per-site quota)
     * group on. Total like [[canonicalizeUrl]]: a non-hierarchical
-    * input (no "//") yields null rather than a fabricated host. */
+    * input (no "//") yields null rather than a fabricated host.
+    * Bracketed IPv6 authorities normalize to the bare address —
+    * `https://[::1]:8080/x` and `https://[::1]/y` both key on `::1`
+    * (the port strip keeps a closing bracket, then the brackets
+    * drop), so IPv6 hosts group consistently with registered-name
+    * semantics instead of keeping framing brackets in the key. */
   def urlHost(url: Column): Column = {
     val rest = split(url, "//", 2)
     val hostPath = when(size(rest) > 1, element_at(rest, 2))
       .otherwise(lit(null).cast("string"))
     val authority = element_at(split(hostPath, "[/?#]", 2), 1)
     val noUser = regexp_replace(authority, "^[^@]*@", "")
-    val noPort = regexp_replace(lower(noUser), ":[0-9]*$", "")
-    val host = regexp_replace(noPort, "^www\\.", "")
+    // ':port' strips only OUTSIDE a bracketed IPv6 literal: the
+    // optional captured ']' survives, so '[::1]:8080' -> '[::1]'
+    // while '[2001:db8::1]' (no trailing :port) is untouched
+    val noPort = regexp_replace(lower(noUser), "(\\])?:[0-9]*$", "$1")
+    val noWww = regexp_replace(noPort, "^www\\.", "")
+    val host = regexp_replace(noWww, "^\\[([^\\]]*)\\]$", "$1")
     when(host === "", lit(null).cast("string")).otherwise(host)
   }
 

@@ -224,8 +224,12 @@ object Sampling {
   /** Per-shard MANIFEST for a sharded training export — the summary
     * table a dataloader (or a resumed export job) reads before
     * opening any shard file: row count, token total, dense-rank
-    * integrity (max shard_rank == n_rows ⇔ no dropped/duplicated
-    * rank), and an order-free id checksum so a re-export can be
+    * integrity (count(distinct shard_rank) == n AND max == n ⇔ the
+    * ranks are exactly {1..n}: n distinct values, each ≥ 1 by
+    * row_number and ≤ n by the max bound — max==count alone passed a
+    * dup+drop pair like {1,1,3}, and even sum==n(n+1)/2 plus max
+    * passes {1,1,4,4}),
+    * and an order-free id checksum so a re-export can be
     * diffed against the manifest without re-reading data. The
     * checksum is the sum of each id's first 8 md5 hex digits as a
     * long — order-free (sum), ≤ 2^32 per row so a 64-bit sum cannot
@@ -246,7 +250,8 @@ object Sampling {
         count(lit(1)).as("n_rows"),
         nTokensCol.map(c => sum(col(c)))
           .getOrElse(lit(null).cast("long")).as("n_tokens"),
-        (max(col("shard_rank")) === count(lit(1))).as("ranks_dense"),
+        ((countDistinct(col("shard_rank")) === count(lit(1))) &&
+          (max(col("shard_rank")) === count(lit(1)))).as("ranks_dense"),
         sum(checksum).as("id_checksum"))
   }
 

@@ -38,7 +38,23 @@ object Warc {
     * partition, written through the Hadoop FileSystem API (works on
     * any cluster filesystem, not just local disk). Callers size
     * partitions to the target file size (the Common Crawl ~1 GiB
-    * convention) with a repartition before the call. */
+    * convention) with a repartition before the call.
+    *
+    * Two hardening rules (both are crawl-data facts of life):
+    * - Header values are REJECTED if they contain CR or LF. Target
+    *   URIs originate from crawled, untrusted content; a \\r\\n in a
+    *   URI would forge headers / break record framing, and because
+    *   [[parseFile]] keeps only the parsed prefix of a malformed
+    *   file, every later record in that file would silently vanish
+    *   on read-back. Failing the write names the row; callers
+    *   sanitize upstream (canonicalizeUrl never emits control
+    *   chars).
+    * - Each task writes to an attempt-unique `.inprogress-<id>` temp
+    *   path and RENAMES into place on success (the WarcIngest
+    *   manifest commit discipline): a retried or speculative attempt
+    *   can never interleave bytes with the original into one final
+    *   file, and a failed job leaves no half-written `part-N.warc`
+    *   for parseFile to silently accept as a truncated prefix. */
   def write(df: DataFrame, dir: String,
             uriCol: String = "uri", dateCol: String = "date",
             payloadCol: String = "payload",
@@ -49,26 +65,45 @@ object Warc {
       rows.sparkSession.sparkContext.hadoopConfiguration)
     rows.sparkSession.sparkContext.runJob(rows.rdd,
       (ctx: org.apache.spark.TaskContext, it: Iterator[Row]) => {
+        def clean(v: String, what: String): String = {
+          require(v == null ||
+            !v.exists(c => c == '\r' || c == '\n'),
+            s"WARC $what contains CR/LF and would break record " +
+              s"framing — sanitize upstream: ${v.take(80)}")
+          v
+        }
         val path = new org.apache.hadoop.fs.Path(
           dir, f"part-${ctx.partitionId()}%05d.warc")
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f"part-${ctx.partitionId()}%05d.warc" +
+            s".inprogress-${ctx.taskAttemptId()}")
         val fs = path.getFileSystem(conf.value)
-        val out = fs.create(path, true)
         try {
-          it.foreach { r =>
-            val payload =
-              Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
-            val headers = (s"WARC/1.0\r\n" +
-              s"WARC-Type: $warcType\r\n" +
-              s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-              s"WARC-Date: ${r.getString(1)}\r\n" +
-              s"Content-Length: ${payload.length}\r\n" +
-              "\r\n").getBytes("UTF-8")
-            out.write(headers)
-            out.write(payload)
-            out.write(CRLF)
-            out.write(CRLF)
-          }
-        } finally out.close()
+          val out = fs.create(tmp, true)
+          try {
+            it.foreach { r =>
+              val payload =
+                Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+              val headers = (s"WARC/1.0\r\n" +
+                s"WARC-Type: $warcType\r\n" +
+                s"WARC-Target-URI: ${clean(r.getString(0), "target URI")}\r\n" +
+                s"WARC-Date: ${clean(r.getString(1), "date")}\r\n" +
+                s"Content-Length: ${payload.length}\r\n" +
+                "\r\n").getBytes("UTF-8")
+              out.write(headers)
+              out.write(payload)
+              out.write(CRLF)
+              out.write(CRLF)
+            }
+          } finally out.close()
+          // commit: last successful attempt wins the final name whole
+          if (fs.exists(path)) fs.delete(path, false)
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"rename $tmp -> $path failed")
+        } catch { case t: Throwable =>
+          fs.delete(tmp, false)
+          throw t
+        }
       })
   }
 

@@ -54,7 +54,22 @@ object WarcIngest {
     * call ingested: (file, size, mtime, n_records, batch) — empty
     * (zero rows, same schema) when the landing dir holds nothing
     * new. `batch` increments per committed trigger; re-ingested
-    * (changed) files move to the new batch. */
+    * (changed) files move to the new batch.
+    *
+    * Freshness contract: a file is "already ingested" iff its
+    * (path, size, mtime) triple matches the manifest. Two
+    * consequences callers must accept (or pre-process around):
+    * a landing file OVERWRITTEN IN PLACE with different content of
+    * identical byte length within the filesystem's mtime granularity
+    * is treated as unchanged and silently skipped; and a gzip-corrupt
+    * file commits with n_records = 0 (the visible quarantine) and is
+    * NOT retried if later fixed in place with the same size and
+    * mtime. Both are the standard object-store trade — crawl landing
+    * zones write immutable, uniquely-named files, where (size,
+    * mtime) equality is exact. A landing zone that rewrites files in
+    * place needs a content-hash column in the manifest (one
+    * full-file digest pass per trigger — deliberately not paid
+    * here). */
   def ingestOnce(spark: SparkSession, warcDir: String,
                  outDir: String): DataFrame = {
     import spark.implicits._

@@ -386,7 +386,13 @@ class CorpusSpec extends SparkSpec {
       "https://host.io?q=1" -> Some("host.io"),
       "mailto:someone@nowhere" -> None,
       "relative/path" -> None,
-      "https://" -> None)
+      "https://" -> None,
+      // bracketed IPv6 authorities: port strips outside the bracket,
+      // brackets drop — the key matches registered-name semantics
+      "https://[::1]:8080/x" -> Some("::1"),
+      "https://[::1]/y" -> Some("::1"),
+      "https://[2001:db8::1]/z" -> Some("2001:db8::1"),
+      "https://u@[2001:DB8::a]:443?q" -> Some("2001:db8::a"))
     val got = cases.map(_._1).toDF("url")
       .select(col("url"),
         graft.functions.TextFunctions.urlHost(col("url")).as("h"))

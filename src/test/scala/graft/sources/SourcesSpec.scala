@@ -236,6 +236,45 @@ class SourcesSpec extends SparkSpec {
     assert(back(3L)._5 == "binary-ish \r\n\r\nWARC/1.0 payload text")
   }
 
+  test("Warc.write rejects CR/LF header values and leaves no temp file") {
+    val dir = Files.createTempDirectory("graft_warc_inj").toString + "/out"
+    val bad = Seq(("https://x.example/a\r\nWARC-Type: forged", "payload"))
+      .toDF("uri", "text")
+      .select(col("uri"), lit("2026-01-01T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"))
+    val e = intercept[org.apache.spark.SparkException](
+      Warc.write(bad.repartition(1), dir))
+    assert(e.getMessage.contains("CR/LF") ||
+      Option(e.getCause).exists(_.getMessage.contains("CR/LF")))
+    // the failed attempt committed nothing: no final part file AND no
+    // orphaned .inprogress temp for parseFile to trip over later
+    val left = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq
+    assert(left.isEmpty, s"leftovers: $left")
+    // a LF-only value is rejected too (it would still break framing)
+    val badLf = Seq(("https://ok", "p")).toDF("uri", "text")
+      .select(col("uri"), lit("2026-01-01\n").as("date"),
+        col("text").cast("binary").as("payload"))
+    intercept[org.apache.spark.SparkException](
+      Warc.write(badLf.repartition(1), dir))
+  }
+
+  test("Warc.write commits via rename: final files only, re-write wins whole") {
+    val dir = Files.createTempDirectory("graft_warc_commit").toString + "/out"
+    def df(n: Int) = (1 to n).map(i => (s"https://x/$i", s"body-$i"))
+      .toDF("uri", "text")
+      .select(col("uri"), lit("d").as("date"),
+        col("text").cast("binary").as("payload"))
+    Warc.write(df(3).repartition(1), dir)
+    // re-write over the same dir (the retry/overwrite path): the
+    // final file is replaced whole, never appended or interleaved
+    Warc.write(df(2).repartition(1), dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq // local-FS .crc sidecars
+    assert(files == Seq("part-00000.warc"), s"got $files")
+    assert(Warc.read(spark, dir + "/*.warc").count() == 2)
+  }
+
   test("Warc: .gz files decompress, incl. concatenated gzip members") {
     def rec(uri: String, body: String): Array[Byte] =
       (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
