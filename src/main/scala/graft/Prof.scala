@@ -87,6 +87,34 @@ object Prof {
         operators.Graph.pageRankTicks(edges, iters = 3).count())
       spark.stop(); return
     }
+    // PROF_BPE_BYTES=1 — byte-level vs char-level fertility row for
+    // BASELINE.md: train the same merge budget in both modes on
+    // sf0.01, encode the sf0.1 corpus through the same trie kernel,
+    // report words/subwords/fertility per mode.
+    if (sys.env.get("PROF_BPE_BYTES").contains("1")) {
+      val fitDocs = sources.Tables.load(spark,
+        "/root/testdata/sf0.01", "documents")
+      val nM = sys.env.getOrElse("PROF_BPE_MERGES", "96").toInt
+      val charMerges = time(s"train char-level ($nM merges)")(
+        operators.Bpe.trainMerges(fitDocs, nM))
+      val byteMerges = time(s"train byte-level ($nM merges)")(
+        operators.Bpe.trainMerges(fitDocs, nM, byteLevel = true))
+      val words = docs.select(explode(TextFunctions.tokens(col("text")))
+        .as("w"))
+      def fert(name: String, enc: org.apache.spark.sql.Column): Unit = {
+        val r = time(s"encode $name")(
+          docs.select(explode(enc).as("t"))
+            .agg(count(lit(1))).head.getLong(0))
+        val nW = words.count()
+        println(f"[prof] $name: words=$nW subwords=$r " +
+          f"fertility=${r.toDouble / nW}%.4f")
+      }
+      fert("char-level", operators.Bpe.encodeLongestMatch(col("text"),
+        operators.Bpe.vocabFromMerges(charMerges)))
+      fert("byte-level", operators.Bpe.encodeBytesLongestMatch(col("text"),
+        operators.Bpe.vocabFromMerges(byteMerges).map(identity)))
+      spark.stop(); return
+    }
     // PROF_LANGID=1 — stage breakdown of q_langid_model
     if (sys.env.get("PROF_LANGID").contains("1")) {
       val text = col("text")
