@@ -313,6 +313,41 @@ object Prof {
       spark.stop(); return
     }
 
+    // PROF_INGEST_SCALE=1 — the manifest-diff scale probe: synthesize
+    // N tiny 1-record WARCs (the cost under test is listing + diff,
+    // not parse), pay the full first trigger, then show the delta and
+    // no-op triggers stay sub-linear in FILE COUNT (the driver-side
+    // manifest map claim at ~1e4-1e5 files).
+    if (sys.env.get("PROF_INGEST_SCALE").contains("1")) {
+      val n = sys.env.getOrElse("PROF_INGEST_SCALE_FILES", "10000").toInt
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_prof_ingest_scale").toString
+      val landing = s"$tmp/landing"; val out = s"$tmp/ingest"
+      new java.io.File(landing).mkdirs()
+      val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://x/1\r\nWARC-Date: d\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+      time(s"land.$n.files (driver loop)") {
+        var i = 0
+        while (i < n) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(landing, f"f$i%06d.warc"), rec)
+          i += 1
+        }
+      }
+      time(s"trigger1.full.$n")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, "zz_extra.warc"), rec)
+      time(s"trigger2.delta.1.of.${n + 1}")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      time(s"trigger3.noop.$n")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      time(s"trigger4.noop.$n")(
+        streaming.WarcIngest.ingestOnce(spark, landing, out).count())
+      spark.stop(); return
+    }
+
     // PROF_BLOOM=1 — the bloomSemiJoin design experiment: on a
     // probe >> build semi join where the build side cannot broadcast
     // (autoBroadcastJoinThreshold=-1 stands in for "too big"),

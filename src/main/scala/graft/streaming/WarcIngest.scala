@@ -126,13 +126,22 @@ object WarcIngest {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(recDir)
 
-    // counts from the durable table, partition-pruned to this
-    // trigger's files (isin width = the DELTA size, not the corpus)
-    val freshHashes = fresh.map(f => md5Hex(f._1))
-    val counts = spark.read.parquet(recDir)
-      .where(col("src_hash").isin(freshHashes.toIndexedSeq: _*))
-      .groupBy("file").count()
-      .as[(String, Long)].collect().toMap
+    // counts from the durable table, read back by EXPLICIT fresh
+    // partition paths: a plain read of recDir would re-discover every
+    // src_hash partition directory ever ingested (measured LINEAR in
+    // total file count — 3.0 s at 1k files, 14.6 s at 10k, even with
+    // an isin prune, because discovery lists before pruning), while
+    // the path list here is O(delta). A zero-record fresh file (the
+    // gzip quarantine) writes no partition dir — existence-filter the
+    // paths and let getOrElse record its 0.
+    val freshPaths = fresh.map(f => s"$recDir/src_hash=${md5Hex(f._1)}")
+      .filter(p => fs.exists(new Path(p)))
+    val counts =
+      if (freshPaths.isEmpty) Map.empty[String, Long]
+      else spark.read.option("basePath", recDir)
+        .parquet(freshPaths.toIndexedSeq: _*)
+        .groupBy("file").count()
+        .as[(String, Long)].collect().toMap
     val summary = fresh.toIndexedSeq.map { case (p, sz, mt) =>
       (p, sz, mt, counts.getOrElse(p, 0L), batch)
     }.toDF("file", "size", "mtime", "n_records", "batch")
