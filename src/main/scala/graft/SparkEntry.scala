@@ -1636,6 +1636,23 @@ object SparkEntry {
     // SQL-replayable (StrictMath trig) → rows-only gate; the
     // invariance + exact-pair-set contracts are property-pinned in
     // MiscOpsSpec
+    // SPECTRAL audio near-dup pairs (the chromaprint-shaped upgrade
+    // of q_audio_fingerprint's FFT-free energy hash): StrictMath-DCT
+    // band fingerprint over square-wave near-dup pairs, same banded
+    // hamming equi-join. Doubles are not SQL-replayable → rows-only
+    // gate; offset/gain/stereo invariances + the exact pair set are
+    // property-pinned in MiscOpsSpec
+    "q_audio_spectral" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.audioSpectralHash64(
+          Multimodal.asMedia(
+            Multimodal.synthPairWavPcmSoft(T(s, d, "documents")
+              .select("doc_id")),
+            "wav", "audio/wav")
+            .select("doc_id", "payload"))
+          .select(col("doc_id").as("id"),
+            col("feat_spectralhash").as("code")),
+        maxHamming = 3, bands = 4)),
     "q_image_dcthash" -> ((s, d) =>
       Dedup.hammingPairs(
         Multimodal.imageDctHash64(

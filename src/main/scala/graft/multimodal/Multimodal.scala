@@ -690,6 +690,159 @@ object Multimodal {
     }(enc)
   }
 
+  /** Near-duplicate WAV pairs sized for a FREQUENCY-domain hash (the
+    * audio sibling of [[synthPairGrayPngSoft]]): docs 2k and 2k+1
+    * share base k — a mono 16-bit clip of two superimposed square
+    * waves whose periods derive from the base (square waves carry
+    * strong, base-DISTINCT low-frequency content, so different bases
+    * land far apart in the spectral hash) — and the odd doc perturbs
+    * ONE mid-clip sample by +512 (amplitude ~5% of the signal, one
+    * time window of the 16): the small local edit a spectral
+    * fingerprint should absorb. All-integer synthesis. Appends
+    * `wav`. */
+  def synthPairWavPcmSoft(df: DataFrame, idCol: String = "doc_id")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("wav", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        require(d >= 0, s"synthPairWavPcmSoft needs a nonnegative id, got $d")
+        val base = d / 2
+        val nFrames = (960 + (base % 5) * 64).toInt
+        val p = (3 + base % 6).toInt
+        val q = (24 + (base % 9) * 8).toInt
+        val rate = 8000f
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, 1, 2, rate, false)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          var s = (if ((i / p) % 2 == 0) 6000 else -6000) +
+            (if ((i / q) % 2 == 0) 4000 else -4000)
+          if (d % 2 == 1 && i == nFrames / 2) s += 512
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit SPECTRAL audio fingerprint — the chromaprint-shaped
+    * frequency-domain twin of [[audioEnergyHash64]] (which is
+    * deliberately FFT-free for SQL-exactness; this one trades the
+    * oracle for real spectral structure, built on the
+    * [[imageDctHash64]] StrictMath-DCT + tick-snap discipline). The
+    * clip's mono mix (per-frame channel AVERAGE — duplicating a mono
+    * signal across channels does not move the hash) splits into 16
+    * index-arithmetic time windows; per window a DCT-II at
+    * frequencies u = 1..4 with orthonormal sqrt(2/len) scaling —
+    * u = 0 EXCLUDED, so a constant sample offset moves no bit (the
+    * cosine rows for u ≥ 1 sum to zero; float residue dies in the
+    * tick snap). The 64 (window, band) coefficients snap to 1e-6
+    * ticks (rint) and threshold at their median: bit 4k+(u−1) set
+    * iff tick > median, strict — ~32 set bits, the balance
+    * [[graft.operators.Dedup.hammingPairs]] banding needs. Positive
+    * gain also preserves every comparison up to tick quantization
+    * (all coefficients scale together). StrictMath keeps the doubles
+    * bit-reproducible across JVMs/executors; floats make the hash
+    * NOT SQL-replayable → rows-only gate, invariances
+    * property-pinned in MiscOpsSpec. Same decode gate as
+    * [[audioEnergyHash64]]; undecodable/null → null; clips shorter
+    * than one frame hash to 0. Appends `feat_spectralhash`. */
+  def audioSpectralHash64(df: DataFrame, payloadCol: String = "payload")
+  : DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField("feat_spectralhash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val in =
+          if (bytes == null) null
+          else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        val fmt = if (in == null) null else in.getFormat
+        val hash: Any =
+          if (fmt == null ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+          else {
+            val channels = fmt.getChannels
+            val data = in.readAllBytes()
+            val n = data.length / (2 * channels)
+            val mono = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var s = 0L
+              var c = 0
+              while (c < channels) {
+                val off = (i * channels + c) * 2
+                s += ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
+                c += 1
+              }
+              mono(i) = s.toDouble / channels
+              i += 1
+            }
+            val ticks = new Array[Long](64)
+            var k = 0
+            while (k < 16) {
+              val start = (k.toLong * n / 16).toInt
+              val end = ((k + 1).toLong * n / 16).toInt
+              val len = end - start
+              if (len > 0) {
+                var u = 1
+                while (u <= 4) {
+                  var acc = 0.0
+                  var x = 0
+                  while (x < len) {
+                    acc += mono(start + x) * StrictMath.cos(
+                      (2 * x + 1) * u * StrictMath.PI / (2.0 * len))
+                    x += 1
+                  }
+                  val coefVal = StrictMath.sqrt(2.0 / len) * acc
+                  ticks(4 * k + (u - 1)) =
+                    StrictMath.rint(coefVal * 1e6).toLong
+                  u += 1
+                }
+              }
+              k += 1
+            }
+            val sorted = ticks.clone()
+            java.util.Arrays.sort(sorted)
+            // even count: element 31 of the sorted 64 (lower median)
+            val med = sorted(31)
+            var code = 0L
+            var idx = 0
+            while (idx < 64) {
+              if (ticks(idx) > med) code |= (1L << idx)
+              idx += 1
+            }
+            code
+          }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: one iterator per partition,
     * `codec.open()` called once per partition before the rows stream

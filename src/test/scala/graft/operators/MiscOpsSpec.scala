@@ -257,6 +257,75 @@ class MiscOpsSpec extends SparkSpec {
       .select("feat_audiohash").head().isNullAt(0))
   }
 
+  // ---- spectral audio fingerprint (rows-only; invariance contracts) ----
+  private def wavOf(samples: Array[Int], channels: Int = 1): Array[Byte] = {
+    val rate = 8000f
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, channels, 2 * channels, rate, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (j <- samples.indices) {
+      pcm(2 * j) = (samples(j) & 0xff).toByte
+      pcm(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def spectralOf(clips: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+    Multimodal.audioSpectralHash64(clips.toDF("doc_id", "payload"))
+      .select("doc_id", "feat_spectralhash")
+      .as[(Long, Long)].collect().toMap
+
+  test("audioSpectralHash64: offset, 2x gain, stereo-dup move zero bits") {
+    val base = Array.tabulate(800)(i =>
+      (if ((i / 5) % 2 == 0) 6000 else -6000) +
+        (if ((i / 40) % 2 == 0) 3000 else -3000))
+    val got = spectralOf(Seq(
+      (0L, wavOf(base)),
+      (1L, wavOf(base.map(_ + 100))), // DC offset: u=0 only, excluded
+      (2L, wavOf(base.map(_ * 2))),   // exact power-of-2 gain
+      (3L, wavOf(base.flatMap(x => Array(x, x)), channels = 2))))
+    assert(got(1L) == got(0L), "offset moved the spectral hash")
+    assert(got(2L) == got(0L), "2x gain moved the spectral hash")
+    assert(got(3L) == got(0L), "stereo duplication moved the spectral hash")
+    assert(got(0L) != 0L)
+    val bits = java.lang.Long.bitCount(got(0L))
+    // strict > at the lower median of 64: at most 32 set, ties reduce
+    assert(bits >= 24 && bits <= 32, s"unbalanced spectral hash: $bits")
+  }
+
+  test("audioSpectralHash64: soft pairs band-join; silence 0; junk null") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val coded = Multimodal.audioSpectralHash64(
+      Multimodal.asMedia(Multimodal.synthPairWavPcmSoft(docs), "wav",
+        "audio/wav").select("doc_id", "payload"))
+      .select(col("doc_id").as("id"), col("feat_spectralhash").as("code"))
+    val pairs = Dedup.hammingPairs(coded, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the +512 one-sample edit perturbs ONE of 16 windows (4 bits max)
+    for (k <- 0L to 4L)
+      assert(pairs.contains((2 * k, 2 * k + 1)),
+        s"sibling pair $k missing: $pairs")
+    // determinism: re-running reproduces the exact pair set
+    val again = Dedup.hammingPairs(coded, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+    // pure silence: every coefficient snaps to tick 0 -> code 0
+    val silent = spectralOf(Seq((7L, wavOf(Array.fill(320)(0)))))
+    assert(silent(7L) == 0L)
+    val junk = Multimodal.audioSpectralHash64(
+      Multimodal.asMedia(Seq((9L, "not a wav")).toDF("doc_id", "text"),
+        "text", "audio/wav").select("doc_id", "payload"))
+      .select("feat_spectralhash").head()
+    assert(junk.isNullAt(0))
+  }
+
   test("imageAHash64: undecodable payload hashes to null") {
     val junk = Multimodal.asMedia(
       Seq((9L, "not a png")).toDF("doc_id", "text"), "text", "image/png")
