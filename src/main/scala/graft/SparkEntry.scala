@@ -1114,6 +1114,22 @@ object SparkEntry {
             (col("doc_id") % 4 + 1).cast("int"))),
           bpeByteVocab)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))),
+    // lossless byte-level tokenize → ids → DETOKENIZE roundtrip (the
+    // dataloader contract byte-level mode exists for): whole-text
+    // GPT-2 encode (whitespace bytes remap and merge like any other),
+    // TOTAL id space (256 base bytes + merge products — no OOV
+    // sentinel anywhere), decode = id → token → concat → unremap.
+    // The oracle is the IDENTITY (the q_warc_roundtrip precedent):
+    // the restored text hash-matches documents.text iff every split,
+    // id and decode decision is lossless on every doc.
+    "q_tokenize_roundtrip_bytes" -> ((s, d) => {
+      val idVocab = Bpe.byteIdVocab(bpeByteVocab)
+      T(s, d, "documents").select(col("doc_id"),
+        Bpe.decodeBytes(
+          Bpe.tokenIdsTotal(
+            Bpe.encodeBytesFullText(col("text"), bpeByteVocab), idVocab),
+          idVocab).as("text"))
+    }),
     // tokenizer FERTILITY stats (the standard tokenizer-evaluation
     // table): per language, words / subwords / chars and
     // subwords-per-word through the real longest-match encoder —
@@ -4557,6 +4573,10 @@ object SparkEntry {
         |  {'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
         |  {'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
         |], 'DESC')[1].l AS lang_pred FROM t""".stripMargin,
+    // byte-level roundtrip: identity — losslessness of the whole
+    // encode→ids→decode chain IS the claim under hash check
+    "q_tokenize_roundtrip_bytes" ->
+      "SELECT doc_id, text FROM documents",
     // model langid: fit (lang, bucket) char-bigram counts, densify
     // langs × observed buckets (zero cells still smooth), window the
     // totals onto the bounded model, probe every instance against

@@ -62,6 +62,52 @@ case class ByteRemapExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "byte_remap"
 }
 
+/** Inverse of [[ByteRemapExpr]]: each display char maps back to its
+  * byte; the byte sequence decodes as UTF-8. The detokenizer's last
+  * step — concat a doc's byte-level tokens, unremap, and the
+  * original text is restored byte-exactly. A char outside the
+  * 256-entry table yields null (not-a-remapped-string is data
+  * corruption, surfaced rather than guessed around). */
+case class ByteUnremapExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  /** Public only for the codegen reference call. */
+  def unremap(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val bytes = new Array[Byte](str.length)
+    var i = 0
+    while (i < str.length) {
+      val b = ByteRemap.charToByte.getOrElse(str.charAt(i), -1)
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    unremap(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unremapper", this,
+      classOf[ByteUnremapExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.unremap($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteUnremapExpr = copy(child = newChild)
+  override def prettyName: String = "byte_unremap"
+}
+
 object ByteRemap {
   /** byte value → display char, the exact GPT-2 construction: the
     * printable Latin-1 ranges keep their own code point; everything
@@ -114,4 +160,7 @@ object ByteRemap {
 
   def apply(c: Column): Column =
     GraftColumnBridge.column(ByteRemapExpr(GraftColumnBridge.expression(c)))
+
+  def unremapCol(c: Column): Column =
+    GraftColumnBridge.column(ByteUnremapExpr(GraftColumnBridge.expression(c)))
 }

@@ -224,4 +224,45 @@ object Bpe {
     flatten(transform(TextFunctions.tokens(text), w =>
       graft.expressions.BpeEncode.longestMatch(
         graft.expressions.ByteRemap(w), vocab)))
+
+  /** FULL-TEXT byte-level encode — the true GPT-2 shape: the WHOLE
+    * string (whitespace included — the space byte remaps to its
+    * display char and merges like any other) is ONE longest-match
+    * sequence. No word pre-split means encode→decode is lossless for
+    * ANY input, whitespace runs, leading/trailing spaces and all —
+    * which is what makes a bit-exact detokenize possible. */
+  def encodeBytesFullText(text: Column, vocab: Seq[String]): Column =
+    graft.expressions.BpeEncode.longestMatch(
+      graft.expressions.ByteRemap(text), vocab)
+
+  /** The GPT-2 id space: ids 0..255 are the single-byte base
+    * alphabet (in byte order), merge products follow — total
+    * coverage by construction, so [[tokenIdsTotal]] never needs an
+    * OOV sentinel. */
+  def byteIdVocab(vocab: Seq[String]): Seq[String] =
+    (graft.expressions.ByteRemap.byteToChar.map(_.toString).toSeq
+      ++ vocab).distinct
+
+  /** Token strings → ids under a TOTAL id vocabulary
+    * ([[byteIdVocab]]): every byte-level token is either a base byte
+    * or a vocab entry, so the lookup is total — a null id would mean
+    * the tokens were not produced by the matching encoder, surfaced
+    * as null rather than masked. */
+  def tokenIdsTotal(tokens: Column, idVocab: Seq[String]): Column = {
+    val idMap = typedLit(idVocab.zipWithIndex.toMap
+      .map { case (t, i) => t -> i.toLong })
+    transform(tokens, t => element_at(idMap, t))
+  }
+
+  /** Ids → text: the dataloader-side DETOKENIZE. Looks each id up in
+    * the id vocabulary (O(1) array index), concatenates the
+    * remapped-space tokens, and inverts the byte remap — bit-exact
+    * inverse of [[encodeBytesFullText]] + [[tokenIdsTotal]] for any
+    * input text. */
+  def decodeBytes(ids: Column, idVocab: Seq[String]): Column = {
+    val arr = typedLit(idVocab)
+    graft.expressions.ByteRemap.unremapCol(
+      array_join(transform(ids, i =>
+        element_at(arr, i.cast("int") + 1)), ""))
+  }
 }

@@ -355,6 +355,59 @@ class BpeSpec extends SparkSpec {
     assert(ByteRemap.unremapString(c3 + a9) == "\u00e9")
   }
 
+  test("byte-level full-text encode -> total ids -> decode is the identity") {
+    val vocab = Seq("ab", "th", "the", ByteRemap.remapString("\u00e9"))
+      .map(ByteRemap.remapString) // idempotent for the ASCII entries
+    val idVocab = Bpe.byteIdVocab(vocab)
+    // base alphabet first: ids 0..255 are the single bytes
+    assert(idVocab.length >= 256 && idVocab.take(256).forall(_.length == 1))
+    val texts = Seq(
+      "the cab",                       // vocab hits + fallback
+      "  leading and   multiple  ",    // whitespace runs survive
+      "tabs\tand\nnewlines\r\n",       // control bytes survive
+      "caf\u00e9 \u65e5\u672c\u8a9e \ud83d\ude42", // multi-byte + astral
+      "",                              // empty text
+      "é")                 // combining mark + private use
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ids = df.select(col("doc_id"), Bpe.tokenIdsTotal(
+      Bpe.encodeBytesFullText(col("text"), vocab), idVocab).as("ids"))
+    // totality: no id is null (no OOV sentinel exists in this space)
+    assert(ids.select(explode(col("ids")).as("i"))
+      .filter(col("i").isNull).count() == 0)
+    val back = ids.select(col("doc_id"),
+      Bpe.decodeBytes(col("ids"), idVocab).as("t"))
+      .as[(Long, String)].collect().toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(back(i.toLong) == t, s"roundtrip broke doc $i")
+    // random unicode fuzz incl. spaces
+    val rnd = new scala.util.Random(23)
+    val fuzz = (0 until 30).map { i =>
+      val cps = (0 to rnd.nextInt(30)).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => 32 // space
+          case 1 => 1 + rnd.nextInt(127)
+          case 2 => 0x80 + rnd.nextInt(0x800 - 0x80)
+          case 3 => 0x800 + rnd.nextInt(0xd800 - 0x800)
+          case _ => 0x10000 + rnd.nextInt(0x1000)
+        }
+      }
+      (1000L + i, cps.map(cp => new String(Character.toChars(cp))).mkString)
+    }
+    val fback = fuzz.toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.decodeBytes(Bpe.tokenIdsTotal(
+        Bpe.encodeBytesFullText(col("text"), vocab), idVocab), idVocab)
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    for ((id, t) <- fuzz) assert(fback(id) == t, s"fuzz $id")
+    // decodeBytes surfaces corruption LOUDLY: an out-of-range id
+    // fails the job (ANSI element_at), never silently drops bytes
+    intercept[org.apache.spark.SparkThrowable] {
+      Seq(Seq(9999L)).toDF("ids")
+        .select(Bpe.decodeBytes(col("ids"), idVocab).as("t")).head()
+    }
+  }
+
   test("trainMerges byteLevel equals the reference over remapped words") {
     val rnd = new scala.util.Random(99)
     val alphabet = Vector("a", "b", "\u00e9", "\u8a9e", "\ud83d\ude42")
