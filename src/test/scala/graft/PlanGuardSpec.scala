@@ -46,6 +46,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Generate"), s"explode generator missing:\n$p")
   }
 
+  test("q_bpe_encode_bytes: scan-stage encode, one aggregation exchange") {
+    val p = plan("q_bpe_encode_bytes")
+    assert(p.contains("longest_match_encode") || p.contains("Generate"),
+      s"trie encode generator missing:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"byte encode must be scan + ONE count exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_tokenize_roundtrip_bytes: pure scan stage, zero exchanges") {
+    val p = plan("q_tokenize_roundtrip_bytes")
+    assert(!p.contains("Exchange"),
+      s"the roundtrip is per-row column work — a shuffle appeared:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_langid_model transform: one per-doc aggregation, no model join") {
+    val p = plan("q_langid_model")
+    // the fit collects driver-side before this plan exists; the
+    // TRANSFORM is a pure scan-stage projection — the literal tick
+    // table + per-row fold mean no model join, no per-class row
+    // blowup, and no aggregation at all (one output row per doc)
+    assert(!p.contains("Join"), s"a model join crept back in:\n$p")
+    assert(!p.contains("Exchange"),
+      s"transform must be shuffle-free (per-row fold + argmax):\n$p")
+    assert(p.contains("char_bigram_buckets"),
+      s"one-walk bigram expression missing:\n$p")
+  }
+
   test("q_corpus_mix never shuffles the corpus side") {
     val p = plan("q_corpus_mix")
     // thresholds reach the corpus scan via broadcast joins; the only
