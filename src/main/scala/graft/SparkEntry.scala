@@ -205,6 +205,156 @@ object SparkEntry {
       |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
       |CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM named)""".stripMargin
 
+  private val crawlScoredModelCtes: String =
+    """|ktxt AS (SELECT gt.doc_id, replace(gt.text, chr(10), ' ') AS text FROM gt JOIN vd USING (doc_id) WHERE vd.keep),
+       |mt AS (SELECT k.doc_id, l.lang_pred AS lang, k.text FROM ktxt k JOIN lg l USING (doc_id) WHERE len(k.text) >= 2),
+       |mg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), i -> substring(text, CAST(i AS INT), 2))) AS gram FROM mt),
+       |mb AS (SELECT doc_id, lang,
+       |CAST(((strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 4096
+       |+ (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 256
+       |+ (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) * 16
+       |+ (strpos('0123456789abcdef', substring(md5(gram), 4, 1)) - 1)) % 256 AS BIGINT) AS bucket FROM mg),
+       |mcb AS (SELECT lang AS cl, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_cb FROM mb GROUP BY 1, 2),
+       |mdense AS (SELECT l.cl, k.bucket, COALESCE(mcb.cnt_cb, CAST(0 AS BIGINT)) AS cnt_cb
+       |FROM (SELECT DISTINCT cl FROM mcb) l CROSS JOIN (SELECT DISTINCT bucket FROM mcb) k
+       |LEFT JOIN mcb ON mcb.cl = l.cl AND mcb.bucket = k.bucket),
+       |mm AS (SELECT cl, bucket, cnt_cb,
+       |CAST(SUM(cnt_cb) OVER (PARTITION BY cl) AS BIGINT) AS tot_c,
+       |CAST(SUM(cnt_cb) OVER (PARTITION BY bucket) AS BIGINT) AS bg_b,
+       |CAST(SUM(cnt_cb) OVER () AS BIGINT) AS tot_all FROM mdense),
+       |mtf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM mb GROUP BY 1, 2),
+       |msc AS (SELECT mtf.doc_id, mm.cl,
+       |CAST(SUM(mtf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(mm.cnt_cb + 1 AS DOUBLE) * CAST(mm.tot_all + 256 AS DOUBLE)) / (CAST(mm.bg_b + 1 AS DOUBLE) * CAST(mm.tot_c + 256 AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_fp
+       |FROM mtf JOIN mm USING (bucket) GROUP BY 1, 2),
+       |mrk AS (SELECT doc_id, cl, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, cl DESC) AS rn FROM msc),
+       |lgm AS (SELECT l.doc_id, COALESCE(m.cl, l.lang_pred) AS lang_pred
+       |FROM lg l LEFT JOIN (SELECT doc_id, cl FROM mrk WHERE rn = 1) m USING (doc_id)),""".stripMargin
+
+  private def crawlScoredOracle(extraCtes: String, langRel: String): String =
+    raw"""WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t0 WHERE len(toks) >= 1),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
+        |ld AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g0),
+        |d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ld GROUP BY doc_id),
+        |du AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |THEN 'https://ads.tracker.net/item-' || CAST(doc_id AS VARCHAR)
+        |ELSE CASE CAST(doc_id % 4 AS INTEGER)
+        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
+        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url FROM d),
+        |hst AS (SELECT doc_id, url,
+        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
+        |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
+        |'^[^@]*@', '')), '(\])?:[0-9]*$$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$$', '\1'), '') AS host FROM du),
+        |sv AS (SELECT doc_id, url FROM hst WHERE host IS NULL OR NOT EXISTS (
+        |SELECT 1 FROM (VALUES ('tracker.net')) bl(domain)
+        |WHERE hst.host = bl.domain OR hst.host LIKE '%.' || bl.domain)),
+        |hx AS (SELECT doc_id,
+        |'<html><head><title>t</title><style type="text/css">body {color:#fff}</style><script>if (1 < 2) { alert("x&y"); }</script></head><body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>'
+        | || text || '</p><div>footer&nbsp;menu</div></body></html>' AS html FROM d),
+        |ex AS (SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(regexp_replace(
+        |replace(replace(replace(replace(replace(replace(
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |'(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |'(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |'(?s)<!--.*?-->', '', 'g'),
+        |'(?i)(</(p|div|li|h[1-6]|tr)>|<br\s*/?>)', chr(10), 'g'),
+        |'<[^>]+>', '', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |'&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |'[ ' || chr(9) || ']+', ' ', 'g'),
+        |' ?' || chr(10) || ' ?', chr(10), 'g'),
+        |chr(10) || '{2,}', chr(10), 'g'),
+        |' ' || chr(10)) AS text FROM hx),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM sv),
+        |bq AS (SELECT doc_id, split_part(u, '?', 1) AS base,
+        |CASE WHEN contains(u, '?') THEN substring(u, len(split_part(u, '?', 1)) + 2) ELSE '' END AS query FROM nf),
+        |pr AS (SELECT doc_id, base,
+        |COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid=') OR p = ''))), '&'), '') AS cq FROM bq),
+        |hp AS (SELECT doc_id, cq, split_part(base, '//', 1) AS scheme,
+        |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
+        |h2 AS (SELECT doc_id, cq, scheme, split_part(hostpath, '/', 1) AS host0,
+        |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
+        |h3 AS (SELECT doc_id, cq, scheme, path, regexp_replace(lower(host0), '^www\.', '') AS hw FROM h2),
+        |cn AS (SELECT doc_id,
+        |lower(scheme) || '//' ||
+        |CASE WHEN lower(scheme) = 'http:' THEN regexp_replace(hw, ':80$$', '')
+        |WHEN lower(scheme) = 'https:' THEN regexp_replace(hw, ':443$$', '')
+        |ELSE hw END ||
+        |regexp_replace(path, '/$$', '') ||
+        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h3),
+        |uk AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canonical_url),
+        |s1 AS (SELECT ex.doc_id, ex.text FROM ex JOIN uk USING (doc_id)),
+        |nn AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g'))) AS nh FROM s1),
+        |nk AS (SELECT MIN(doc_id) AS doc_id FROM nn GROUP BY nh),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN nk USING (doc_id)),
+        |l1 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2),
+        |l2 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l1),
+        |lr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ls[i] AS line FROM l2),
+        |df2 AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM lr GROUP BY line),
+        |lj AS (SELECT lr.doc_id, lr.pos, lr.line, df2.line_df FROM lr JOIN df2 USING (line)),
+        |lined AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN line_df >= 2 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2 OR line = ''), '') AS kept_text
+        |FROM lj GROUP BY doc_id),
+        |gt AS (SELECT doc_id, n_lines, n_removed, kept_text AS text,
+        |list_filter(string_split_regex(kept_text, '[ \n]'), x -> x <> '') AS toks,
+        |list_filter(string_split(kept_text, chr(10)), x -> x <> '') AS lines FROM lined),
+        |gc AS (SELECT doc_id, n_lines, n_removed,
+        |CAST(len(toks) AS BIGINT) AS n_tok,
+        |CAST(len(lines) AS BIGINT) AS g_lines,
+        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
+        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
+        |FROM gt),
+        |vd AS (SELECT doc_id,
+        |(n_tok >= 20 AND n_tok <= 100000
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
+        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
+        |AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
+        |AND CAST(n_bullet AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
+        |AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
+        |AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
+        |AND stop_hits >= 2) AS keep
+        |FROM gc),
+        |kt AS (SELECT gt.doc_id,
+        |list_filter(string_split(replace(gt.text, chr(10), ' '), ' '), x -> x <> '') AS toks
+        |FROM gt JOIN vd USING (doc_id) WHERE vd.keep),
+        |lg AS (SELECT doc_id, list_sort([
+        |{'h': len(list_filter(toks, x -> list_contains(['the','and','of','is','fast','slow'], x))), 'l': 'en'},
+        |{'h': len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))), 'l': 'es'},
+        |{'h': len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))), 'l': 'de'},
+        |{'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
+        |{'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
+        |], 'DESC')[1].l AS lang_pred FROM kt),$extraCtes
+        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM kt),
+        |c2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+        |t2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c2),
+        |p2 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, tok),
+        |s2b AS (SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
+        |CAST(CAST(SUM(p.tf * c.cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) * t.total AS DOUBLE) AS avg_tok_p
+        |FROM p2 p JOIN c2 c USING (tok) CROSS JOIN t2 t
+        |GROUP BY p.doc_id, t.total),
+        |j2 AS (SELECT s.doc_id, l.lang_pred, s.n_tokens, s.avg_tok_p FROM s2b s JOIN $langRel l USING (doc_id)),
+        |rk2 AS (SELECT lang_pred, avg_tok_p,
+        |ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY avg_tok_p DESC) AS r,
+        |COUNT(*) OVER (PARTITION BY lang_pred) AS n FROM j2),
+        |bd2 AS (SELECT lang_pred,
+        |MAX(CASE WHEN r = (n + 2) // 3 THEN avg_tok_p END) AS b1,
+        |MAX(CASE WHEN r = (2 * n + 2) // 3 THEN avg_tok_p END) AS b2
+        |FROM rk2 GROUP BY lang_pred)
+        |SELECT j2.doc_id, j2.lang_pred, j2.n_tokens, j2.avg_tok_p,
+        |CASE WHEN j2.avg_tok_p >= bd2.b1 THEN 'head'
+        |WHEN j2.avg_tok_p >= bd2.b2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j2 JOIN bd2 USING (lang_pred)""".stripMargin
+
   /** The q_tokenize_pack CTE chain over relation `src` (greedy-cursor
     * encode → vocab-id join → ordered id string → pack bins + in-bin
     * offsets), ending at `pk` with the five output columns — shared
@@ -1073,6 +1223,24 @@ object SparkEntry {
           htmlShell(col("text")).as("html")),
         Seq("tracker.net").toDF("domain"),
         minTokens = 20)
+    }),
+    // L16 with the H29 MODEL language ID (bootstrapped on the marker
+    // heuristic — crawl text has no labels): same crawl front, the
+    // char-bigram model fits on marker-labeled kept text, re-predicts
+    // every doc (marker fallback), terciles bucket on the model's
+    // predictions. The oracle shares ONE builder with
+    // q_crawl_prepare_scored plus the H29 fit/argmax CTEs.
+    "q_crawl_prepare_model" -> ((s, d) => {
+      import s.implicits._
+      val blockedUrl = concat(lit("https://ads.tracker.net/item-"),
+        col("doc_id"))
+      CorpusPipeline.crawlPrepareScored(
+        linedDocuments(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, blockedUrl)
+            .otherwise(synthUrl).as("url"),
+          htmlShell(col("text")).as("html")),
+        Seq("tracker.net").toDF("domain"),
+        minTokens = 20, modelLangId = true)
     }),
     // BPE tokenizer fitting, round-1 statistics: the weighted
     // adjacent symbol-pair counts over the distinct-word vocabulary
@@ -3744,130 +3912,16 @@ object SparkEntry {
     // replay) and the unigram-LM tercile replay with the boundary
     // tie contract (>= comparisons, ties take the higher bucket) —
     // all over the kept text with newlines folded to spaces
-    "q_crawl_prepare_scored" ->
-      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t0 WHERE len(toks) >= 1),
-        |g0 AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS pos, toks FROM b),
-        |ld AS (SELECT doc_id, pos, array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS line FROM g0),
-        |d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ld GROUP BY doc_id),
-        |du AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-        |THEN 'https://ads.tracker.net/item-' || CAST(doc_id AS VARCHAR)
-        |ELSE CASE CAST(doc_id % 4 AS INTEGER)
-        |WHEN 0 THEN 'https://Example.COM/articles/item-' || CAST(doc_id // 4 AS VARCHAR)
-        |WHEN 1 THEN 'https://www.example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '/'
-        |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-        |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url FROM d),
-        |hst AS (SELECT doc_id, url,
-        |nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
-        |regexp_extract(string_split(url, '//')[2], '^[^/?#]*'),
-        |'^[^@]*@', '')), '(\])?:[0-9]*$', '\1'), '^www\.', ''), '^\[([^\]]*)\]$', '\1'), '') AS host FROM du),
-        |sv AS (SELECT doc_id, url FROM hst WHERE host IS NULL OR NOT EXISTS (
-        |SELECT 1 FROM (VALUES ('tracker.net')) bl(domain)
-        |WHERE hst.host = bl.domain OR hst.host LIKE '%.' || bl.domain)),
-        |hx AS (SELECT doc_id,
-        |'<html><head><title>t</title><style type="text/css">body {color:#fff}</style><script>if (1 < 2) { alert("x&y"); }</script></head><body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>'
-        | || text || '</p><div>footer&nbsp;menu</div></body></html>' AS html FROM d),
-        |ex AS (SELECT doc_id,
-        |trim(regexp_replace(regexp_replace(regexp_replace(
-        |replace(replace(replace(replace(replace(replace(
-        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |'(?is)<script[^>]*>.*?</script>', '', 'g'),
-        |'(?is)<style[^>]*>.*?</style>', '', 'g'),
-        |'(?s)<!--.*?-->', '', 'g'),
-        |'(?i)(</(p|div|li|h[1-6]|tr)>|<br\s*/?>)', chr(10), 'g'),
-        |'<[^>]+>', '', 'g'),
-        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |'&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-        |'[ ' || chr(9) || ']+', ' ', 'g'),
-        |' ?' || chr(10) || ' ?', chr(10), 'g'),
-        |chr(10) || '{2,}', chr(10), 'g'),
-        |' ' || chr(10)) AS text FROM hx),
-        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM sv),
-        |bq AS (SELECT doc_id, split_part(u, '?', 1) AS base,
-        |CASE WHEN contains(u, '?') THEN substring(u, len(split_part(u, '?', 1)) + 2) ELSE '' END AS query FROM nf),
-        |pr AS (SELECT doc_id, base,
-        |COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid=') OR p = ''))), '&'), '') AS cq FROM bq),
-        |hp AS (SELECT doc_id, cq, split_part(base, '//', 1) AS scheme,
-        |substring(base, len(split_part(base, '//', 1)) + 3) AS hostpath FROM pr),
-        |h2 AS (SELECT doc_id, cq, scheme, split_part(hostpath, '/', 1) AS host0,
-        |substring(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path FROM hp),
-        |h3 AS (SELECT doc_id, cq, scheme, path, regexp_replace(lower(host0), '^www\.', '') AS hw FROM h2),
-        |cn AS (SELECT doc_id,
-        |lower(scheme) || '//' ||
-        |CASE WHEN lower(scheme) = 'http:' THEN regexp_replace(hw, ':80$', '')
-        |WHEN lower(scheme) = 'https:' THEN regexp_replace(hw, ':443$', '')
-        |ELSE hw END ||
-        |regexp_replace(path, '/$', '') ||
-        |CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url FROM h3),
-        |uk AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canonical_url),
-        |s1 AS (SELECT ex.doc_id, ex.text FROM ex JOIN uk USING (doc_id)),
-        |nn AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g'))) AS nh FROM s1),
-        |nk AS (SELECT MIN(doc_id) AS doc_id FROM nn GROUP BY nh),
-        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN nk USING (doc_id)),
-        |l1 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2),
-        |l2 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l1),
-        |lr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ls[i] AS line FROM l2),
-        |df2 AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM lr GROUP BY line),
-        |lj AS (SELECT lr.doc_id, lr.pos, lr.line, df2.line_df FROM lr JOIN df2 USING (line)),
-        |lined AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |CAST(SUM(CASE WHEN line_df >= 2 AND line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE line_df < 2 OR line = ''), '') AS kept_text
-        |FROM lj GROUP BY doc_id),
-        |gt AS (SELECT doc_id, n_lines, n_removed, kept_text AS text,
-        |list_filter(string_split_regex(kept_text, '[ \n]'), x -> x <> '') AS toks,
-        |list_filter(string_split(kept_text, chr(10)), x -> x <> '') AS lines FROM lined),
-        |gc AS (SELECT doc_id, n_lines, n_removed,
-        |CAST(len(toks) AS BIGINT) AS n_tok,
-        |CAST(len(lines) AS BIGINT) AS g_lines,
-        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
-        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
-        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
-        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
-        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
-        |FROM gt),
-        |vd AS (SELECT doc_id,
-        |(n_tok >= 20 AND n_tok <= 100000
-        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
-        |AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
-        |AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
-        |AND CAST(n_bullet AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
-        |AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(g_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
-        |AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
-        |AND stop_hits >= 2) AS keep
-        |FROM gc),
-        |kt AS (SELECT gt.doc_id,
-        |list_filter(string_split(replace(gt.text, chr(10), ' '), ' '), x -> x <> '') AS toks
-        |FROM gt JOIN vd USING (doc_id) WHERE vd.keep),
-        |lg AS (SELECT doc_id, list_sort([
-        |{'h': len(list_filter(toks, x -> list_contains(['the','and','of','is','fast','slow'], x))), 'l': 'en'},
-        |{'h': len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))), 'l': 'es'},
-        |{'h': len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))), 'l': 'de'},
-        |{'h': len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))), 'l': 'fr'},
-        |{'h': len(list_filter(toks, x -> list_contains(['spark','query','data'], x))), 'l': 'zh'}
-        |], 'DESC')[1].l AS lang_pred FROM kt),
-        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM kt),
-        |c2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
-        |t2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c2),
-        |p2 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, tok),
-        |s2b AS (SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
-        |CAST(CAST(SUM(p.tf * c.cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(p.tf) AS BIGINT) * t.total AS DOUBLE) AS avg_tok_p
-        |FROM p2 p JOIN c2 c USING (tok) CROSS JOIN t2 t
-        |GROUP BY p.doc_id, t.total),
-        |j2 AS (SELECT s.doc_id, l.lang_pred, s.n_tokens, s.avg_tok_p FROM s2b s JOIN lg l USING (doc_id)),
-        |rk2 AS (SELECT lang_pred, avg_tok_p,
-        |ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY avg_tok_p DESC) AS r,
-        |COUNT(*) OVER (PARTITION BY lang_pred) AS n FROM j2),
-        |bd2 AS (SELECT lang_pred,
-        |MAX(CASE WHEN r = (n + 2) // 3 THEN avg_tok_p END) AS b1,
-        |MAX(CASE WHEN r = (2 * n + 2) // 3 THEN avg_tok_p END) AS b2
-        |FROM rk2 GROUP BY lang_pred)
-        |SELECT j2.doc_id, j2.lang_pred, j2.n_tokens, j2.avg_tok_p,
-        |CASE WHEN j2.avg_tok_p >= bd2.b1 THEN 'head'
-        |WHEN j2.avg_tok_p >= bd2.b2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM j2 JOIN bd2 USING (lang_pred)""".stripMargin,
+    // The L16 crawl-front + CCNet-tail replay, parameterized on the
+    // language-assignment relation — ONE builder so the marker and
+    // model forms cannot drift: the marker form passes ("", "lg");
+    // the model form appends the H29 fit/argmax CTEs (fit labels =
+    // the marker predictions over the kept text — the bootstrap
+    // self-training shape, exactly what the Spark facade does) and
+    // buckets on model predictions with marker fallback ("lgm").
+    "q_crawl_prepare_scored" -> crawlScoredOracle("", "lg"),
+    "q_crawl_prepare_model" -> crawlScoredOracle(
+      crawlScoredModelCtes, "lgm"),
     // crawl-prepare: the four stages chained as one CTE pipeline —
     // pseudo-line + URL synthesis, canonical-URL keepers, normalized
     // keepers, line df + reassembly, Gopher battery on the rewritten

@@ -222,7 +222,8 @@ object CorpusPipeline {
                          urlCol: String = "url", idCol: String = "doc_id",
                          htmlCol: String = "html",
                          lineMinDf: Long = 2, minTokens: Long = 20,
-                         boundaryForm: Boolean = true): DataFrame = {
+                         boundaryForm: Boolean = true,
+                         modelLangId: Boolean = false): DataFrame = {
     val gated = blocklistFilter(docs, blocklist, urlCol)
       .filter(col("keep"))
       .drop("host", "blocked_by", "keep")
@@ -241,11 +242,33 @@ object CorpusPipeline {
     // materialized partitions (the Graph.connectedComponents
     // discipline); reliable checkpoint() is the flaky-executor
     // hardened variant on a real cluster.
-    val kept = verdict.filter(col("keep"))
+    val marked = verdict.filter(col("keep"))
       .select(col("doc_id"),
         translate(col("kept_text"), "\n", " ").as("__text"))
-      .withColumn("lang_pred", TextFunctions.langId(col("__text")))
+      .withColumn("__marker", TextFunctions.langId(col("__text")))
       .localCheckpoint(true)
+    // modelLangId = the H29 production path, BOOTSTRAPPED on the
+    // marker heuristic (crawl text has no labels — the markers label
+    // the fit corpus, the char-bigram model then re-predicts every
+    // doc; self-training, the CLD-style deployment shape). Markers
+    // stay the fallback for docs the model cannot score (<2 chars —
+    // can't occur past the Gopher minTokens gate, but the contract
+    // is total either way).
+    val kept =
+      if (!modelLangId)
+        marked.withColumnRenamed("__marker", "lang_pred")
+      else {
+        val pred = Corpus.langIdModel(
+          marked.select(col("doc_id"), col("__text"),
+            col("__marker").as("lang")),
+          textCol = "__text")
+          .select(col("doc_id"), col("lang_pred").as("__model"))
+        marked.join(pred, Seq("doc_id"), "left")
+          .withColumn("lang_pred",
+            coalesce(col("__model"), col("__marker")))
+          .drop("__model", "__marker")
+          .localCheckpoint(true) // the narrowing tail is many actions
+      }
     if (boundaryForm)
       Corpus.perplexityBucketsByBoundary(kept, "lang_pred", "doc_id",
         "__text")
