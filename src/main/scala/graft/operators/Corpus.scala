@@ -753,20 +753,43 @@ object Corpus {
   def langIdModel(docs: DataFrame, nBuckets: Int = 256,
                   idCol: String = "doc_id", textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
+    val m = fitLangIdModel(docs, nBuckets, textCol, langCol)
+    applyLangIdModel(docs, m, idCol, textCol, langCol)
+  }
+
+  /** The fitted language-ID model: lang codes in ASC order and the
+    * dense bucket-indexed per-class tick table ([[langIdModel]]'s
+    * FIT half) — a driver-bounded artifact (nLangs × nBuckets longs),
+    * persistable via [[saveLangIdModel]] like every other model
+    * family (IVF centroids, PQ codebooks, BPE merges, unigram
+    * pieces). */
+  case class LangIdModel(langs: Seq[String], ticks: Seq[Seq[Long]]) {
+    require(langs.nonEmpty && langs == langs.distinct.sorted,
+      "langs must be distinct and ASC-sorted")
+    require(ticks.nonEmpty && ticks.forall(_.length == langs.length),
+      "ticks must be nBuckets rows of nLangs entries")
+    def nBuckets: Int = ticks.length
+  }
+
+  /** FIT half of [[langIdModel]]: one explode + one map-side-combined
+    * aggregation + a bounded collect; ticks = floor(1e6 ·
+    * (cnt_cb+1)(tot_all+B) / (bg_b+1)(tot_c+B)). */
+  def fitLangIdModel(docs: DataFrame, nBuckets: Int = 256,
+                     textCol: String = "text",
+                     langCol: String = "lang"): LangIdModel = {
     require(nBuckets > 0 && nBuckets <= 65536,
       "nBuckets must be in 1..65536 (md5Bucket16 range)")
     val text = col(textCol)
     val bucketArr = graft.expressions.CharBigramBuckets(text, nBuckets)
-    // ---- fit: one aggregation, bounded collect ----
     val cnt = docs.filter(length(text) >= 2)
       .select(col(langCol).as("lang"), explode(bucketArr).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).cast("long").as("cnt_cb"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    require(cnt.nonEmpty, "langIdModel: no document has >= 2 characters")
-    // class order is lang ASC; the argmax structs below break ties to
-    // the GREATEST code, independent of this order
+    require(cnt.nonEmpty, "fitLangIdModel: no document has >= 2 characters")
+    // class order is lang ASC; the argmax structs in the transform
+    // break ties to the GREATEST code, independent of this order
     val langs = cnt.keys.map(_._1).toSeq.distinct.sorted
     val totC = langs.map(c =>
       c -> cnt.collect { case ((`c`, _), n) => n }.sum).toMap
@@ -782,15 +805,26 @@ object Corpus {
           ((bgB(bk) + 1L).toDouble * (totC(c) + nBuckets).toDouble))).toLong
     // dense bucket-indexed tick table: element_at on an ARRAY literal
     // is O(1) per row (a map literal would linear-scan its keys)
-    val tickTable: Seq[Seq[Long]] =
-      (0L until nBuckets.toLong).map(bk => langs.map(tick(_, bk)))
-    // ---- transform: one scan, literal model, inline fold + argmax ----
+    LangIdModel(langs,
+      (0L until nBuckets.toLong).map(bk => langs.map(tick(_, bk))))
+  }
+
+  /** TRANSFORM half of [[langIdModel]]: a pure scan-stage projection,
+    * zero shuffles — per-row bucket fold over the literal tick table,
+    * inline array_max argmax (ties → greatest lang code). Train once,
+    * predict across sessions via [[loadLangIdModel]]. */
+  def applyLangIdModel(docs: DataFrame, m: LangIdModel,
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       langCol: String = "lang"): DataFrame = {
+    val text = col(textCol)
+    val bucketArr = graft.expressions.CharBigramBuckets(text, m.nBuckets)
     val scores = aggregate(bucketArr,
-      typedLit(langs.map(_ => 0L)),
+      typedLit(m.langs.map(_ => 0L)),
       (acc, b) => zip_with(acc,
-        element_at(typedLit(tickTable), b.cast("int") + 1),
+        element_at(typedLit(m.ticks), b.cast("int") + 1),
         (x, y) => x + y))
-    val best = array_max(array(langs.zipWithIndex.map { case (c, k) =>
+    val best = array_max(array(m.langs.zipWithIndex.map { case (c, k) =>
       struct(element_at(col("__sc"), k + 1).as("score_fp"),
         lit(c).as("c")) }: _*))
     docs.filter(length(text) >= 2)
@@ -799,5 +833,42 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
         best.getField("c").as("lang_pred"),
         best.getField("score_fp").as("score_fp"))
+  }
+
+  /** Persist a fitted langid model as a parquet table — (bucket,
+    * lang, tick), one row per cell (the Ivf.saveCentroids
+    * discipline). */
+  def saveLangIdModel(spark: org.apache.spark.sql.SparkSession,
+                      m: LangIdModel, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (row, bk) <- m.ticks.zipWithIndex
+      (c, k) <- m.langs.zipWithIndex
+    } yield (bk.toLong, c, row(k)))
+      .toDF("bucket", "lang", "tick")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveLangIdModel]] table; rejects a ragged or
+    * double-written table (every (bucket, lang) cell must appear
+    * exactly once over a dense bucket range) rather than silently
+    * predicting from a corrupted model. */
+  def loadLangIdModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): LangIdModel = {
+    val rows = spark.read.parquet(path).select("bucket", "lang", "tick")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+    val byCell = rows.toMap
+    require(rows.length == byCell.size,
+      s"langid model at $path has duplicate (bucket, lang) cells")
+    val langs = rows.map(_._1._2).distinct.sorted.toSeq
+    val buckets = rows.map(_._1._1).distinct.sorted
+    require(buckets.nonEmpty &&
+      buckets.toSeq == (0L until buckets.length.toLong),
+      s"langid model at $path is not dense in [0, nBuckets)")
+    require(byCell.size == langs.length * buckets.length,
+      s"langid model at $path is ragged: ${byCell.size} cells for " +
+        s"${langs.length} langs x ${buckets.length} buckets")
+    LangIdModel(langs,
+      buckets.toSeq.map(bk => langs.map(c => byCell((bk, c)))))
   }
 }

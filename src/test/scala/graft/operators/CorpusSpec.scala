@@ -662,4 +662,33 @@ class CorpusSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(tout(1L) == "cc" && tout(2L) == "cc")
   }
+  test("langid model persists and round-trips; corrupted tables rejected") {
+    val docs = Seq((10L, "qq", "qqq qqkk kqqk"), (11L, "qq", "kkqq qqq"),
+      (20L, "aa", "aaa aab bba"), (21L, "aa", "bab aab"))
+      .toDF("doc_id", "lang", "text")
+    val m = Corpus.fitLangIdModel(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_model").toString + "/m"
+    Corpus.saveLangIdModel(spark, m, dir)
+    val loaded = Corpus.loadLangIdModel(spark, dir)
+    assert(loaded == m) // langs + every tick bit-exact
+    // predictions through the loaded model equal the inline fit
+    val a = Corpus.applyLangIdModel(docs, loaded)
+      .as[(Long, String, String, Long)].collect().toSet
+    val b = Corpus.langIdModel(docs)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(a == b)
+    // a lost bucket row makes the table non-dense -> rejected
+    spark.read.parquet(dir).filter(col("bucket") =!= 7)
+      .write.mode("overwrite").parquet(dir + "2")
+    val e = intercept[IllegalArgumentException](
+      Corpus.loadLangIdModel(spark, dir + "2"))
+    assert(e.getMessage.contains("dense") || e.getMessage.contains("ragged"))
+    // a doubled cell is rejected, never silently averaged
+    val orig = spark.read.parquet(dir)
+    orig.unionAll(orig.limit(1)).write.mode("overwrite").parquet(dir + "3")
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.loadLangIdModel(spark, dir + "3"))
+    assert(e2.getMessage.contains("duplicate"))
+  }
 }
