@@ -1257,6 +1257,22 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("a"), col("b"), col("cnt"))
     }),
+    // the BYTE-LEVEL trainer's round statistics (the aggregation
+    // every byteLevel=true merge round repeats): weighted adjacent
+    // REMAPPED-BYTE pair counts over the distinct-word vocabulary,
+    // with the non-ASCII suffixes so cross-UTF-8-boundary pairs are
+    // in the table — the FULL pair table (no top-k), every count
+    // hash-checked against the hex-remap replay
+    "q_bpe_pair_counts_bytes" -> ((s, d) => {
+      val suffixed = T(s, d, "documents").select(
+        concat(col("text"), element_at(
+          array(byteSuffixes.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+      val words = Bpe.wordFreqs(suffixed)
+        .select(Bpe.byteSymbols(col("word")).as("symbols"), col("freq"))
+      Bpe.pairCounts(words)
+        .select(col("a"), col("b"), col("cnt"))
+    }),
     // BPE production ENCODE: greedy longest-match (maximal munch)
     // against a fixed literal vocab — the LongestMatchEncode trie
     // expression; output = corpus subword-token frequencies. The
@@ -4028,6 +4044,30 @@ object SparkEntry {
          |fin AS (SELECT out FROM enc WHERE pos > len(word)),
          |ft AS (SELECT unnest(out) AS token FROM fin)
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
+    },
+    // byte-level pair counts: distinct-word freqs -> the hex byte
+    // remap (the q_bpe_encode_bytes chain, over DISTINCT WORDS so the
+    // remap cost is vocabulary-sized) -> adjacent remapped-char pairs
+    // weighted by freq, full table
+    "q_bpe_pair_counts_bytes" -> {
+      val bvals = (0 until 256).mkString(", ")
+      val bchrs = graft.expressions.ByteRemap.byteToChar
+        .map(c => s"chr(${c.toInt})").mkString(", ")
+      val suffix = byteSuffixes.zipWithIndex.map { case (x, i) =>
+        s"WHEN $i THEN ${sqlChrLit(x)}" }.mkString(" ")
+      s"""WITH bmap AS (SELECT unnest([$bvals]) AS b, unnest([$bchrs]) AS c),
+         |t AS (SELECT list_filter(string_split(text || CASE CAST(doc_id % 4 AS INT) $suffix END, ' '), x -> x <> '') AS toks FROM documents),
+         |w0 AS (SELECT unnest(toks) AS word FROM t),
+         |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY word),
+         |wb AS (SELECT word, freq, hex(encode(word)) AS h FROM wf),
+         |wp AS (SELECT word, freq, unnest(generate_series(1, CAST(len(h) // 2 AS BIGINT))) AS bi, h FROM wb),
+         |wv AS (SELECT word, freq, bi,
+         |(strpos('0123456789ABCDEF', substring(h, CAST(2 * bi - 1 AS INT), 1)) - 1) * 16
+         |+ (strpos('0123456789ABCDEF', substring(h, CAST(2 * bi AS INT), 1)) - 1) AS bv FROM wp),
+         |rw AS (SELECT word, freq, string_agg(c, '' ORDER BY bi) AS rword FROM wv JOIN bmap ON bv = b GROUP BY word, freq),
+         |px AS (SELECT freq, unnest(generate_series(1, CAST(len(rword) AS BIGINT) - 1)) AS i, rword FROM rw WHERE len(rword) >= 2)
+         |SELECT substring(rword, CAST(i AS INT), 1) AS a, substring(rword, CAST(i + 1 AS INT), 1) AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |FROM px GROUP BY 1, 2""".stripMargin
     },
     // byte-level encode: the SAME greedy cursor, preceded by the
     // byte remap — hex(encode(word)) gives the UTF-8 bytes as hex
