@@ -163,6 +163,40 @@ object SparkEntry {
        |)
        |SELECT node, rank FROM pr WHERE it = 3""".stripMargin
 
+  /** The SEEDED (TrustRank) tick-PageRank replay: teleport + dangling
+    * mass return only to the seed set (`seedPred` over the node
+    * universe), denominators are |seeds| — otherwise term-for-term
+    * the [[pageRankOracle]] iteration. */
+  private def pageRankSeededOracle(edgesCtes: String,
+                                   seedPred: String): String =
+    s"""WITH RECURSIVE $edgesCtes,
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+       |seeds AS (SELECT node FROM nodes WHERE $seedPred),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |pr AS (
+       |SELECT CAST(0 AS BIGINT) AS it, n0.node,
+       |CAST(CASE WHEN s0.node IS NOT NULL THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rank
+       |FROM nodes n0 LEFT JOIN seeds s0 ON n0.node = s0.node
+       |UNION ALL
+       |SELECT p.it + 1, p2.node,
+       |CAST(CASE WHEN s2.node IS NOT NULL THEN (3 * 1000000000000) // (20 * (SELECT n FROM ns)) ELSE 0 END
+       |+ COALESCE(c.contrib, 0)
+       |+ CASE WHEN s2.node IS NOT NULL THEN
+       |((SELECT COALESCE(SUM(CASE WHEN d2.src IS NULL THEN p3.rank ELSE 0 END), 0)
+       |FROM pr p3 LEFT JOIN deg d2 ON p3.node = d2.src) * 17)
+       |// (20 * (SELECT n FROM ns)) ELSE 0 END AS BIGINT) AS rank
+       |FROM (SELECT DISTINCT it FROM pr WHERE it < 3) p
+       |CROSS JOIN nodes p2
+       |LEFT JOIN seeds s2 ON p2.node = s2.node
+       |LEFT JOIN (
+       |SELECT e.dst AS node, SUM((pp.rank * 17) // (20 * d.outdeg)) AS contrib
+       |FROM pr pp JOIN deg d ON pp.node = d.src JOIN edges e ON e.src = pp.node
+       |GROUP BY e.dst
+       |) c ON c.node = p2.node
+       |)
+       |SELECT node, rank FROM pr WHERE it = 3""".stripMargin
+
   /** The q_corpus_prepare CTE chain (scrub → jaccard-dedup CC →
     * decontaminate → md5 split → word token counts), ending at
     * `tokd` — shared between q_corpus_prepare and the composed
@@ -1614,6 +1648,22 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
           .filter(col("src") =!= col("dst")),
         iters = 3)),
+    // SEEDED PageRank (TrustRank, Gyöngyi et al. 2004): teleport +
+    // dangling mass return only to the trusted seed set (every 5th
+    // node here), so authority flows outward from seeds and far-away
+    // clusters starve — the crawl-pipeline spam-demotion signal.
+    // Same exact-tick discipline; the oracle replays the seeded
+    // iteration with |seeds| denominators
+    "q_pagerank_seeded" -> ((s, d) => {
+      val edges = T(s, d, "documents").select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val seedIds = T(s, d, "documents")
+        .select((col("doc_id") % 97).as("node"))
+        .filter(col("node") % 5 === 0).distinct()
+      Graph.pageRankTicksSeeded(edges, seedIds, iters = 3)
+    }),
     // HOST-level rank (Common Crawl publishes exactly this table):
     // per-doc URLs across 17 hosts → urlHost extraction → simple
     // host graph (distinct, the documented pre-distinct for
@@ -4716,6 +4766,13 @@ object SparkEntry {
       """edges AS (
         |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
         |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin),
+    // seeded form: same graph, seeds = every 5th node, |seeds|
+    // denominators and seed-gated teleport/dangling terms
+    "q_pagerank_seeded" -> pageRankSeededOracle(
+      """edges AS (
+        |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
+        |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin,
+      "node % 5 = 0"),
     // host rank: synthesize per-doc URLs across 17 hosts, extract
     // registered hosts with the L13 regex replay, dedup to a simple
     // host graph, then the identical tick iteration

@@ -266,7 +266,37 @@ object Graph {
   def pageRankTicks(edges: DataFrame, iters: Int,
                     srcCol: String = "src", dstCol: String = "dst",
                     totalTicks: Long = 1000000000000L,
-                    chkEvery: Int = 4): DataFrame = {
+                    chkEvery: Int = 4): DataFrame =
+    pageRankTicksImpl(edges, iters, srcCol, dstCol, totalTicks,
+      chkEvery, seeds = None)
+
+  /** PERSONALIZED PageRank in the same exact tick arithmetic —
+    * TrustRank (Gyöngyi et al. 2004): the teleport mass (3/20 of
+    * every node's rank, plus all dangling mass) returns ONLY to the
+    * seed set instead of uniformly to all nodes, so authority flows
+    * outward from trusted seeds and spam clusters far from them
+    * starve — the crawl-pipeline trust signal that demotes link
+    * farms host-rank alone cannot. `seeds` is one column of node ids
+    * (rows not in the graph's node universe are ignored; must
+    * intersect it). Arithmetic: rank⁰ = ⌊total/|S|⌋ on seeds, 0
+    * elsewhere; per iteration seeds receive ⌊3·total/(20·|S|)⌋ +
+    * ⌊D·17/(20·|S|)⌋ on top of the link contributions every node
+    * gets. Same plan shape, persistence and lineage discipline as
+    * [[pageRankTicks]] — the seed flag rides the node universe
+    * exactly like has_out. With seeds = all nodes this reduces
+    * term-for-term to the uniform iteration. */
+  def pageRankTicksSeeded(edges: DataFrame, seeds: DataFrame, iters: Int,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          totalTicks: Long = 1000000000000L,
+                          chkEvery: Int = 4): DataFrame =
+    pageRankTicksImpl(edges, iters, srcCol, dstCol, totalTicks,
+      chkEvery, seeds = Some(seeds))
+
+  private def pageRankTicksImpl(edges: DataFrame, iters: Int,
+                                srcCol: String, dstCol: String,
+                                totalTicks: Long,
+                                chkEvery: Int,
+                                seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(totalTicks >= 1L, "totalTicks must be positive")
     require(chkEvery >= 1, s"chkEvery must be >= 1, got $chkEvery")
@@ -288,12 +318,36 @@ object Graph {
       .join(deg.select(col("esrc").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // seed flag rides the node universe (the has_out pattern):
+    // uniform PageRank = every node is a seed; TrustRank = the
+    // caller's set, intersected with the graph (an id outside the
+    // universe can neither hold nor receive teleport mass). ONE
+    // persisted node table either way.
+    val seededP = (seeds match {
+      case None => nodes.withColumn("is_seed", lit(true))
+      case Some(sd) =>
+        val sCol = sd.columns.head
+        nodes.join(
+          sd.select(col(sCol).as("node")).distinct()
+            .withColumn("__s", lit(true)),
+          Seq("node"), "left")
+          .select(col("node"), col("has_out"),
+            coalesce(col("__s"), lit(false)).as("is_seed"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = seededP.count()
     require(n >= 1, "pageRankTicks needs at least one edge")
-    val base = (3L * totalTicks) / (20L * n)
+    // teleport denominator = |seeds| (uniform case: |nodes|)
+    val nS = seeds match {
+      case None => n
+      case Some(_) =>
+        seededP.filter(col("is_seed")).count()
+    }
+    require(nS >= 1,
+      "pageRankTicksSeeded: no seed id is a node of the graph")
+    val base = (3L * totalTicks) / (20L * nS)
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var rank = nodes.withColumn("rank", lit(totalTicks / n))
+    var rank = seededP.withColumn("rank",
+        when(col("is_seed"), lit(totalTicks / nS)).otherwise(lit(0L)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     pending += rank
     try {
@@ -309,12 +363,15 @@ object Graph {
         val dang = rank.agg(coalesce(
           sum(when(!col("has_out"), col("rank")).otherwise(lit(0L))),
           lit(0L)).as("dang_mass"))
-        val next = nodes
+        val next = seededP
           .join(contrib, col("node") === col("cnode"), "left")
           .crossJoin(dang)
-          .select(col("node"), col("has_out"),
-            (lit(base) + coalesce(col("contrib"), lit(0L)) +
-              expr(s"(dang_mass * 17) div (${20L * n})")).as("rank"))
+          .select(col("node"), col("has_out"), col("is_seed"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+              coalesce(col("contrib"), lit(0L)) +
+              when(col("is_seed"),
+                expr(s"(dang_mass * 17) div (${20L * nS})"))
+                .otherwise(lit(0L))).as("rank"))
         rank =
           if (i % chkEvery == 0) {
             // eager truncation: materializes, rebases the plan, and
@@ -333,7 +390,7 @@ object Graph {
       pending.foreach(_.unpersist(false))
       out
     } finally {
-      e0.unpersist(false); e.unpersist(false); nodes.unpersist(false)
+      e0.unpersist(false); e.unpersist(false); seededP.unpersist(false)
     }
   }
 }

@@ -90,4 +90,35 @@ class GraphSpec extends SparkSpec {
     assert(multi(1L) > single(1L),
       "a second 0->1 edge must raise node 1's rank")
   }
+  test("pageRankTicksSeeded: mass stays on/flows from seeds; all-seeds = uniform") {
+    import sqlImplicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 9L))
+      .toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    // seeds = every node reduces term-for-term to the uniform form
+    val uniform = graft.operators.Graph.pageRankTicks(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val seededAll = graft.operators.Graph
+      .pageRankTicksSeeded(edges, allNodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(seededAll == uniform)
+    // seeds = {1}: init mass entirely on node 1; node 4 (no inbound,
+    // not a seed) holds ZERO rank forever; ranks deterministic
+    val s1 = graft.operators.Graph
+      .pageRankTicksSeeded(edges, Seq(1L).toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(s1.keySet == uniform.keySet)
+    assert(s1(4L) == 0L, s"non-seed source node gained mass: $s1")
+    assert(s1(1L) > 0L && s1(2L) > 0L)
+    // 9 is only reachable from the non-seed 5 -> zero after round 1
+    assert(s1(9L) == 0L, s"unreachable-from-seed node gained mass: $s1")
+    val again = graft.operators.Graph
+      .pageRankTicksSeeded(edges, Seq(1L).toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == s1)
+    // a seed set disjoint from the graph fails loudly
+    intercept[IllegalArgumentException](graft.operators.Graph
+      .pageRankTicksSeeded(edges, Seq(777L).toDF("node"), iters = 1)
+      .collect())
+  }
 }
