@@ -163,6 +163,33 @@ object SparkEntry {
        |)
        |SELECT node, rank FROM pr WHERE it = 3""".stripMargin
 
+  /** The H29 fit + densify + probe + argmax replay — shared by
+    * q_langid_model and its streaming twin q_stream_langid (the
+    * streamed transform is batch-equivalent by construction). */
+  private val langIdModelOracle: String =
+    """WITH t AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 2),
+        |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), i -> substring(text, CAST(i AS INT), 2))) AS gram FROM t),
+        |b AS (SELECT doc_id, lang,
+        |CAST(((strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substring(md5(gram), 4, 1)) - 1)) % 256 AS BIGINT) AS bucket FROM g),
+        |cb AS (SELECT lang AS c, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_cb FROM b GROUP BY 1, 2),
+        |dense AS (SELECT l.c, k.bucket, COALESCE(cb.cnt_cb, CAST(0 AS BIGINT)) AS cnt_cb
+        |FROM (SELECT DISTINCT c FROM cb) l CROSS JOIN (SELECT DISTINCT bucket FROM cb) k
+        |LEFT JOIN cb ON cb.c = l.c AND cb.bucket = k.bucket),
+        |m AS (SELECT c, bucket, cnt_cb,
+        |CAST(SUM(cnt_cb) OVER (PARTITION BY c) AS BIGINT) AS tot_c,
+        |CAST(SUM(cnt_cb) OVER (PARTITION BY bucket) AS BIGINT) AS bg_b,
+        |CAST(SUM(cnt_cb) OVER () AS BIGINT) AS tot_all FROM dense),
+        |tf AS (SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2, 3),
+        |sc AS (SELECT tf.doc_id, tf.lang, m.c,
+        |CAST(SUM(tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(m.cnt_cb + 1 AS DOUBLE) * CAST(m.tot_all + 256 AS DOUBLE)) / (CAST(m.bg_b + 1 AS DOUBLE) * CAST(m.tot_c + 256 AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_fp
+        |FROM tf JOIN m USING (bucket) GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, lang, c AS lang_pred, score_fp,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, c DESC) AS rn FROM sc)
+        |SELECT doc_id, lang, lang_pred, score_fp FROM rk WHERE rn = 1""".stripMargin
+
   /** The SEEDED (TrustRank) tick-PageRank replay: teleport + dangling
     * mass return only to the seed set (`seedPred` over the node
     * universe), denominators are |seeds| — otherwise term-for-term
@@ -1609,6 +1636,14 @@ object SparkEntry {
     // hash-checked
     "q_langid_model" -> ((s, d) =>
       Corpus.langIdModel(T(s, d, "documents"))),
+    // the STREAMING twin: fit once on the static labeled corpus,
+    // score the document stream at file-arrival time — the transform
+    // is a stateless zero-shuffle scan, so it streams append-mode
+    // with no state store; output is batch-equivalent bit-for-bit
+    // (same oracle)
+    "q_stream_langid" -> ((s, d) =>
+      streaming.EventStreams.streamLangId(s, d,
+        Corpus.fitLangIdModel(T(s, d, "documents")))),
     // WAT outlink extraction (the third Common Crawl container):
     // metadata records' JSON envelopes parse to (src, dst) link
     // edges — the input pageRankTicks ranks. Spark does the real
@@ -4725,29 +4760,8 @@ object SparkEntry {
     // langs × observed buckets (zero cells still smooth), window the
     // totals onto the bounded model, probe every instance against
     // every class, argmax (score desc, class desc) per doc
-    "q_langid_model" ->
-      """WITH t AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 2),
-        |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), i -> substring(text, CAST(i AS INT), 2))) AS gram FROM t),
-        |b AS (SELECT doc_id, lang,
-        |CAST(((strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 4096
-        |+ (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 256
-        |+ (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) * 16
-        |+ (strpos('0123456789abcdef', substring(md5(gram), 4, 1)) - 1)) % 256 AS BIGINT) AS bucket FROM g),
-        |cb AS (SELECT lang AS c, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_cb FROM b GROUP BY 1, 2),
-        |dense AS (SELECT l.c, k.bucket, COALESCE(cb.cnt_cb, CAST(0 AS BIGINT)) AS cnt_cb
-        |FROM (SELECT DISTINCT c FROM cb) l CROSS JOIN (SELECT DISTINCT bucket FROM cb) k
-        |LEFT JOIN cb ON cb.c = l.c AND cb.bucket = k.bucket),
-        |m AS (SELECT c, bucket, cnt_cb,
-        |CAST(SUM(cnt_cb) OVER (PARTITION BY c) AS BIGINT) AS tot_c,
-        |CAST(SUM(cnt_cb) OVER (PARTITION BY bucket) AS BIGINT) AS bg_b,
-        |CAST(SUM(cnt_cb) OVER () AS BIGINT) AS tot_all FROM dense),
-        |tf AS (SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2, 3),
-        |sc AS (SELECT tf.doc_id, tf.lang, m.c,
-        |CAST(SUM(tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(m.cnt_cb + 1 AS DOUBLE) * CAST(m.tot_all + 256 AS DOUBLE)) / (CAST(m.bg_b + 1 AS DOUBLE) * CAST(m.tot_c + 256 AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_fp
-        |FROM tf JOIN m USING (bucket) GROUP BY 1, 2, 3),
-        |rk AS (SELECT doc_id, lang, c AS lang_pred, score_fp,
-        |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, c DESC) AS rn FROM sc)
-        |SELECT doc_id, lang, lang_pred, score_fp FROM rk WHERE rn = 1""".stripMargin,
+    "q_langid_model" -> langIdModelOracle,
+    "q_stream_langid" -> langIdModelOracle,
     // wat outlinks: the envelope JSON is synthesized from pure
     // arithmetic in doc_id, so the oracle replays the two links per
     // doc directly (the WARC/WAT container layer is lossless)

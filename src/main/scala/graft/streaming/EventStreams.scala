@@ -230,6 +230,39 @@ object EventStreams {
     * dimension row (segment → 'unknown') — dropping them silently is
     * the classic enrichment bug.
     * Output: window_start_us, segment, n, sum_value. */
+  /** Streaming language-ID scoring: apply a PRE-FITTED langid model
+    * ([[graft.operators.Corpus.fitLangIdModel]] over a labeled static
+    * corpus — the train-once / stream-forever split every other model
+    * family uses) to a document stream. The transform is a STATELESS
+    * zero-shuffle scan (literal tick table + per-row fold + inline
+    * argmax), so it streams in append mode with NO state store and no
+    * watermark at all — this is exactly what the
+    * model-as-expression-data design buys an ingest path: language
+    * routing at file-arrival time, one task per arriving file.
+    * Batch-equivalence is the contract: the streamed rows equal
+    * `applyLangIdModel` over the same files bit-for-bit (the shared
+    * q_langid_model oracle hash-checks it end to end). */
+  def streamLangId(spark: SparkSession, docsDir: String,
+                   model: graft.operators.Corpus.LangIdModel,
+                   fileGlob: String = "documents.parquet",
+                   queryName: String = "graft_stream_langid")
+  : DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob).parquet(docsDir)
+    val out = graft.operators.Corpus.applyLangIdModel(stream, model)
+    spark.catalog.dropTempView(queryName) // rerun-safe
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def streamStaticJoin(spark: SparkSession, eventsDir: String,
                        fileGlob: String = "events.parquet",
                        windowDur: String = "15 minutes",

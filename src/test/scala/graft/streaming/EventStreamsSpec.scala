@@ -165,4 +165,24 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(out == Seq(("click", 2L, 3.0)))
   }
+  test("streamLangId equals the batch transform bit-for-bit") {
+    import sqlImplicits._
+    val docs = Seq((10L, "qq", "qqq qqkk kqqk"), (11L, "qq", "kkqq qqq"),
+      (20L, "aa", "aaa aab bba"), (21L, "aa", "bab aab"),
+      (30L, "aa", "qqqq kkqq"), (40L, "aa", "x")) // model flips 30; 40 drops
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_langid").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val m = graft.operators.Corpus.fitLangIdModel(docs)
+    val streamed = EventStreams.streamLangId(spark,
+      s"$dir/documents.parquet", m, fileGlob = "*.parquet")
+      .as[(Long, String, String, Long)].collect().toSet
+    val batch = graft.operators.Corpus.applyLangIdModel(docs, m)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(10L, 11L, 20L, 21L, 30L))
+    assert(streamed.find(_._1 == 30L).get._3 == "qq") // text wins
+  }
 }
