@@ -318,6 +318,131 @@ object Corpus {
       uni)
   }
 
+  /** Interpolated Kneser-Ney trigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998 interpolated form) — the scorer a
+    * CCNet/KenLM-replica pipeline reaches for one order above
+    * [[bigramLmScore]]'s stupid backoff. FIT (over `fitDocs`): ONE
+    * trigram-type table `tri(w1,w2,w3,cnt)`; every lower-order
+    * statistic is DERIVED from it (KenLM's adjusted-count
+    * discipline — lower orders count continuation TYPES, not raw
+    * occurrences):
+    *   - context (w1 w2): c2 = Σ cnt (so the top order normalizes
+    *     exactly), n3f = |{w3}| distinct followers;
+    *   - middle order (w2): ccmid = |{(w1,w3)}| trigram types
+    *     through w2, n2f = |{w3}| distinct followers of w2;
+    *   - adjusted bigram (w2 w3): cc3 = |{w1}| distinct predecessors
+    *     (the continuation count N1+(·w2w3));
+    *   - unigram (w3): cc1 = |{w2}| distinct predecessors over
+    *     adjusted bigram types; bg_types = total adjusted bigram
+    *     types (so the unigram level normalizes exactly).
+    * TRANSFORM (over `scoreDocs`), per trigram instance, with the
+    * discount D = 0.75 (= 3/4, EXACT in binary — the arithmetic
+    * stays an exact rational tree until the final floor):
+    *   p1 = cc1/bg_types                      (0 for OOV w3)
+    *   p2 = max(cc3−D,0)/ccmid + ((D·n2f)/ccmid)·p1   (p1 if w2 unseen)
+    *   p3 = max(cnt−D,0)/c2  + ((D·n3f)/c2)·p2        (p2 if ctx unseen)
+    * Each level is a FIXED IEEE double tree (counts ≤ 2^53 are exact
+    * doubles; +,−,×,/ are correctly rounded, so any engine replaying
+    * the same nesting gets the same bits — the bm25TopK discipline),
+    * floored to 1e-9 ticks; tick longs sum exactly in any order. Per
+    * doc: trigram count, tick sum, unseen-context count, OOV count,
+    * and the mean as ONE division. Docs with < 3 tokens emit nothing
+    * (the [[bigramLmScore]] short-doc contract).
+    *
+    * Scale shape: fit is one scan of the (small) target slice into a
+    * trigram-type table plus four SMALL derived aggregations (all
+    * over types, not instances); scoring is one explode + five
+    * broadcast hash probes inside the scan stage + one
+    * map-side-combined aggregation — the only corpus-keyed shuffle.
+    * Set broadcastModel=false to shuffle-join instead when fitting
+    * against something web-scale. */
+  def trigramLmScore(fitDocs: DataFrame, scoreDocs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     broadcastModel: Boolean = true): DataFrame = {
+    val D = 0.75 // = 3/4, exactly representable; max(c-D,0) never
+                 // rounds: integer-c minus 0.75 is exact for c < 2^51
+    // persisted: the trigram-type table feeds FIVE derived model
+    // tables — without the cache the fit corpus would be tokenized
+    // five times. Type-table-sized (vocab^3 bounded by corpus), and
+    // released by materializeAndRelease below
+    val tri = fitDocs
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 3)).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).cast("long").as("cnt_t3"))
+      .withColumn("__p", split(col("trigram"), " "))
+      .select(col("trigram"), col("cnt_t3"),
+        col("__p").getItem(0).as("w1"), col("__p").getItem(1).as("w2"),
+        col("__p").getItem(2).as("w3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tri rows are DISTINCT (w1,w2,w3) types, so within any group a
+    // plain count(*) IS the distinct-type count
+    val ctx = tri.groupBy(concat_ws(" ", col("w1"), col("w2")).as("__ctx"))
+      .agg(sum(col("cnt_t3")).cast("long").as("c2"),
+        count(lit(1)).cast("long").as("n3f"))
+    val cc3t = tri.groupBy(concat_ws(" ", col("w2"), col("w3")).as("__w2w3"))
+      .agg(count(lit(1)).cast("long").as("cc3"))
+    val mid = tri.groupBy(col("w2").as("__w2"))
+      .agg(count(lit(1)).cast("long").as("ccmid"),
+        countDistinct(col("w3")).cast("long").as("n2f"))
+    val uniC = cc3t
+      .groupBy(split(col("__w2w3"), " ").getItem(1).as("__w3"))
+      .agg(count(lit(1)).cast("long").as("cc1"))
+    val totals = cc3t.agg(count(lit(1)).cast("long").as("bg_types"))
+    val triM0 = tri.select("trigram", "cnt_t3")
+    def m(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    // the three per-order trees, each a fixed nesting mirrored
+    // token-for-token by the oracle CTE chain (p1 → p2 → p3)
+    val p1 = when(col("cc1").isNotNull,
+        col("cc1").cast("double") / col("bg_types").cast("double"))
+      .otherwise(lit(0.0))
+    val p2 = when(col("ccmid").isNotNull,
+        when(col("cc3").isNotNull,
+            greatest(col("cc3").cast("double") - lit(D), lit(0.0)))
+          .otherwise(lit(0.0)) / col("ccmid").cast("double") +
+          ((lit(D) * col("n2f").cast("double")) /
+            col("ccmid").cast("double")) * col("__p1"))
+      .otherwise(col("__p1"))
+    val p3 = when(col("c2").isNotNull,
+        when(col("cnt_t3").isNotNull,
+            greatest(col("cnt_t3").cast("double") - lit(D), lit(0.0)))
+          .otherwise(lit(0.0)) / col("c2").cast("double") +
+          ((lit(D) * col("n3f").cast("double")) /
+            col("c2").cast("double")) * col("__p2"))
+      .otherwise(col("__p2"))
+    CacheOps.materializeAndRelease(
+      scoreDocs
+        .select(col(idCol).as("doc_id"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokens(col(textCol)), 3)).as("trigram"))
+        .withColumn("__s", split(col("trigram"), " "))
+        .withColumn("__ctx",
+          concat_ws(" ", col("__s").getItem(0), col("__s").getItem(1)))
+        .withColumn("__w2w3",
+          concat_ws(" ", col("__s").getItem(1), col("__s").getItem(2)))
+        .withColumn("__w2", col("__s").getItem(1))
+        .withColumn("__w3", col("__s").getItem(2))
+        .join(m(triM0), Seq("trigram"), "left")
+        .join(m(ctx), Seq("__ctx"), "left")
+        .join(m(cc3t), Seq("__w2w3"), "left")
+        .join(m(mid), Seq("__w2"), "left")
+        .join(m(uniC), Seq("__w3"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("__p1", p1)
+        .withColumn("__p2", p2)
+        .withColumn("__p3", p3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_trigrams"),
+          sum(floor(lit(1000000000.0) * col("__p3")).cast("long"))
+            .cast("long").as("score_fp"),
+          sum(when(col("c2").isNull, lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_ctx_backoff"),
+          sum(when(col("cc1").isNull, lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_oov"))
+        .withColumn("avg_trigram_p",
+          col("score_fp").cast("double") / col("n_trigrams").cast("double")),
+      tri)
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, Table A1
     * shape): per-document word-count bounds, mean-word-length bounds,
     * symbol-to-word ratio (# and ... marks), bullet-start and

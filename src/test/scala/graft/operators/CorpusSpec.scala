@@ -164,6 +164,109 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trigramLmScore: seen / interpolated / backoff / OOV paths") {
+    // fit "a b c a b d": trigram types (a b c)(b c a)(c a b)(a b d)
+    // each cnt 1; ctx "a b" c2=2 n3f=2; mid b ccmid=2 n2f=2;
+    // cc3 all 1; uni cc1 all 1; bg_types=4. All dyadic rationals.
+    val fit = Seq((10L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // seen: .25/2 + .75*(2/2)*(.25/2 + .75*(2/2)*.25)
+      (2L, "x y z"), // ctx+mid+uni all unseen -> 0, backoff+oov
+      (3L, "z a b"), // ctx unseen, mid a seen: .25 + .75*.25
+      (4L, "a b"))   // < 3 tokens -> not emitted
+      .toDF("doc_id", "text")
+    val out = Corpus.trigramLmScore(fit, score)
+      .select("doc_id", "n_trigrams", "score_fp", "n_ctx_backoff",
+        "n_oov", "avg_trigram_p")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 359375000L, 0L, 0L, 359375000.0)))
+    assert(out(2L) == ((1L, 0L, 1L, 1L, 0.0)))
+    assert(out(3L) == ((1L, 437500000L, 1L, 0L, 437500000.0)))
+  }
+
+  test("trigramLmScore equals a sequential KN reference on random corpora") {
+    val rnd = new scala.util.Random(151)
+    val D = 0.75
+    for (trial <- 1 to 5) {
+      val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+      val docs = (0 until 24).map { i =>
+        val n = 2 + rnd.nextInt(10)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(6))).mkString(" "))
+      }
+      val fitTris = docs.filter(_._1 % 2 == 0)
+        .flatMap(_._2.split(" ").toVector.sliding(3).filter(_.size == 3))
+        .map(_.toVector)
+      val triCnt = fitTris.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val types = triCnt.keySet
+      val ctxC2 = triCnt.groupBy { case (t, _) => (t(0), t(1)) }
+        .view.mapValues(_.values.sum).toMap
+      val ctxN3f = types.groupBy(t => (t(0), t(1)))
+        .view.mapValues(_.size.toLong).toMap
+      val cc3 = types.groupBy(t => (t(1), t(2)))
+        .view.mapValues(_.size.toLong).toMap
+      val ccmid = types.groupBy(_(1)).view.mapValues(_.size.toLong).toMap
+      val n2f = types.groupBy(_(1))
+        .view.mapValues(_.map(_(2)).toSet.size.toLong).toMap
+      val cc1 = cc3.keySet.groupBy(_._2)
+        .view.mapValues(_.size.toLong).toMap
+      val bgTypes = cc3.size.toLong
+      val expect = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").toVector
+        val tris = ts.sliding(3).filter(_.size == 3).map(_.toVector).toVector
+        if (tris.isEmpty) None
+        else {
+          var nCtxB = 0L; var nOov = 0L
+          val ticks = tris.map { tr =>
+            val p1 = cc1.get(tr(2)) match {
+              case Some(c) => c.toDouble / bgTypes.toDouble
+              case None => nOov += 1; 0.0
+            }
+            val p2 = ccmid.get(tr(1)) match {
+              case Some(cm) =>
+                val num = cc3.get((tr(1), tr(2)))
+                  .map(c => math.max(c.toDouble - D, 0.0)).getOrElse(0.0)
+                num / cm.toDouble +
+                  ((D * n2f(tr(1)).toDouble) / cm.toDouble) * p1
+              case None => p1
+            }
+            val p3 = ctxC2.get((tr(0), tr(1))) match {
+              case Some(c2v) =>
+                val num = triCnt.get(tr)
+                  .map(c => math.max(c.toDouble - D, 0.0)).getOrElse(0.0)
+                num / c2v.toDouble +
+                  ((D * ctxN3f((tr(0), tr(1))).toDouble) / c2v.toDouble) * p2
+              case None => nCtxB += 1; p2
+            }
+            math.floor(1000000000.0 * p3).toLong
+          }
+          Some(id -> ((tris.size.toLong, ticks.sum, nCtxB, nOov)))
+        }
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val got = Corpus.trigramLmScore(df.where($"doc_id" % 2 === 0), df)
+        .select("doc_id", "n_trigrams", "score_fp", "n_ctx_backoff", "n_oov")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("trigramLmScore broadcastModel=false matches the broadcast plan") {
+    val docs = Seq((0L, "u v u w v u v"), (1L, "v v z u w"),
+      (2L, "u z z q v u"), (3L, "w u v")).toDF("doc_id", "text")
+    val a = Corpus.trigramLmScore(docs.where($"doc_id" % 2 === 0), docs)
+      .select("doc_id", "n_trigrams", "score_fp", "n_ctx_backoff", "n_oov")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = Corpus.trigramLmScore(docs.where($"doc_id" % 2 === 0), docs,
+        broadcastModel = false)
+      .select("doc_id", "n_trigrams", "score_fp", "n_ctx_backoff", "n_oov")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("bigramLmScore broadcastModel=false matches the broadcast plan") {
     val docs = Seq((0L, "u v u w v"), (1L, "v v z u"), (2L, "u z z q"))
       .toDF("doc_id", "text")
