@@ -245,9 +245,12 @@ object Bpe {
 
   /** Token strings → ids under a TOTAL id vocabulary
     * ([[byteIdVocab]]): every byte-level token is either a base byte
-    * or a vocab entry, so the lookup is total — a null id would mean
-    * the tokens were not produced by the matching encoder, surfaced
-    * as null rather than masked. */
+    * or a vocab entry, so the lookup is total — a foreign token
+    * (one not produced by the matching encoder) FAILS THE JOB under
+    * ANSI mode (element_at on a missing map key throws
+    * MAP_KEY_DOES_NOT_EXIST), which is the right behavior for a
+    * dataloader contract: corrupt token streams abort loudly instead
+    * of flowing a null/masked id into training. */
   def tokenIdsTotal(tokens: Column, idVocab: Seq[String]): Column = {
     val idMap = typedLit(idVocab.zipWithIndex.toMap
       .map { case (t, i) => t -> i.toLong })

@@ -54,13 +54,29 @@ object Warc {
     *   manifest commit discipline): a retried or speculative attempt
     *   can never interleave bytes with the original into one final
     *   file, and a failed job leaves no half-written `part-N.warc`
-    *   for parseFile to silently accept as a truncated prefix. */
+    *   for parseFile to silently accept as a truncated prefix. The
+    *   commit is FIRST-attempt-wins (the driver pre-cleans the
+    *   destination, so re-runs still overwrite): a later attempt
+    *   that finds its part already committed discards its own temp
+    *   rather than delete-then-rename, which under speculation could
+    *   report success with a missing part file. */
   def write(df: DataFrame, dir: String,
             uriCol: String = "uri", dateCol: String = "date",
             payloadCol: String = "payload",
             warcType: String = "response"): Unit = {
     val rows = df.select(col(uriCol).cast("string"),
       col(dateCol).cast("string"), col(payloadCol).cast("binary"))
+    // driver-side pre-clean (overwrite semantics for re-runs into
+    // the same dir, incl. stale .inprogress temps from a crashed
+    // job) so the task-level commit below can be strictly
+    // first-attempt-wins: once a part file exists, it was committed
+    // by a sibling attempt of THIS job and must not be disturbed
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    Option(dfs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "part-*.warc*")))
+      .getOrElse(Array.empty).foreach(s => dfs.delete(s.getPath, false))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       rows.sparkSession.sparkContext.hadoopConfiguration)
     rows.sparkSession.sparkContext.runJob(rows.rdd,
@@ -96,9 +112,19 @@ object Warc {
               out.write(CRLF)
             }
           } finally out.close()
-          // commit: last successful attempt wins the final name whole
-          if (fs.exists(path)) fs.delete(path, false)
-          if (!fs.rename(tmp, path))
+          // commit: FIRST attempt wins whole — the destination was
+          // pre-cleaned by the driver, so it can only exist if a
+          // sibling attempt (speculation, or a retry after a
+          // post-commit failure) already renamed its complete file
+          // into place. Deleting it and re-renaming could leave a
+          // reported-successful job with a MISSING part (our delete
+          // lands, our rename doesn't); both attempts wrote complete
+          // files, so keep the committed one and discard ours. If
+          // two attempts race past the exists check, the loser's
+          // rename either fails (task retries, then discards) or
+          // atomically replaces one complete file with another.
+          if (fs.exists(path)) fs.delete(tmp, false)
+          else if (!fs.rename(tmp, path))
             throw new java.io.IOException(s"rename $tmp -> $path failed")
         } catch { case t: Throwable =>
           fs.delete(tmp, false)

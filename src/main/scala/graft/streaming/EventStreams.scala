@@ -220,16 +220,6 @@ object EventStreams {
     spark.table(queryName)
   }
 
-  /** Stream-static enrichment join: the event stream joined to a
-    * static dimension table (user → segment), then window-aggregated.
-    * Stream-static joins are STATELESS on the stream side — the
-    * static side is just a (re-broadcast per micro-batch) lookup, so
-    * this is the always-on twin of the batch broadcast dim join and
-    * the cheapest enrichment shape at 100 TB: no state store, no
-    * second watermark. Left join keeps events whose user has no
-    * dimension row (segment → 'unknown') — dropping them silently is
-    * the classic enrichment bug.
-    * Output: window_start_us, segment, n, sum_value. */
   /** Streaming language-ID scoring: apply a PRE-FITTED langid model
     * ([[graft.operators.Corpus.fitLangIdModel]] over a labeled static
     * corpus — the train-once / stream-forever split every other model
@@ -263,6 +253,16 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension table (user → segment), then window-aggregated.
+    * Stream-static joins are STATELESS on the stream side — the
+    * static side is just a (re-broadcast per micro-batch) lookup, so
+    * this is the always-on twin of the batch broadcast dim join and
+    * the cheapest enrichment shape at 100 TB: no state store, no
+    * second watermark. Left join keeps events whose user has no
+    * dimension row (segment → 'unknown') — dropping them silently is
+    * the classic enrichment bug.
+    * Output: window_start_us, segment, n, sum_value. */
   def streamStaticJoin(spark: SparkSession, eventsDir: String,
                        fileGlob: String = "events.parquet",
                        windowDur: String = "15 minutes",

@@ -133,15 +133,30 @@ object WarcIngest {
     // an isin prune, because discovery lists before pruning), while
     // the path list here is O(delta). A zero-record fresh file (the
     // gzip quarantine) writes no partition dir — existence-filter the
-    // paths and let getOrElse record its 0.
-    val freshPaths = fresh.map(f => s"$recDir/src_hash=${md5Hex(f._1)}")
-      .filter(p => fs.exists(new Path(p)))
+    // paths and let getOrElse record its 0. The batch filter keeps
+    // only rows THIS trigger wrote: a re-ingested file that now
+    // parses to 0 records writes nothing, so its partition dir still
+    // holds the PREVIOUS batch's rows — without the filter those
+    // stale rows would be attributed to the fresh file.
+    val freshPaths = fresh
+      .map(f => (f._1, s"$recDir/src_hash=${md5Hex(f._1)}"))
+      .filter(p => fs.exists(new Path(p._2)))
     val counts =
       if (freshPaths.isEmpty) Map.empty[String, Long]
       else spark.read.option("basePath", recDir)
-        .parquet(freshPaths.toIndexedSeq: _*)
+        .parquet(freshPaths.map(_._2).toIndexedSeq: _*)
+        .where(col("batch") === batch)
         .groupBy("file").count()
         .as[(String, Long)].collect().toMap
+    // honor the "re-ingest overwrites its own partition" contract for
+    // the zero-record case dynamic overwrite can't express: delete
+    // the stale partition of any fresh file that produced no rows.
+    // Crash between this delete and the manifest rename self-heals —
+    // the file is still fresh to the next trigger, which re-parses
+    // it to 0 records and commits the 0.
+    freshPaths.foreach { case (f, p) =>
+      if (counts.getOrElse(f, 0L) == 0L) fs.delete(new Path(p), true)
+    }
     val summary = fresh.toIndexedSeq.map { case (p, sz, mt) =>
       (p, sz, mt, counts.getOrElse(p, 0L), batch)
     }.toDF("file", "size", "mtime", "n_records", "batch")
@@ -164,7 +179,13 @@ object WarcIngest {
   def records(spark: SparkSession, outDir: String): DataFrame = {
     val recPath = new Path(s"$outDir/records")
     val fs = recPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(recPath)) spark.read.parquet(recPath.toString)
+    // partition dirs, not just the root: a records dir whose every
+    // partition was quarantine-deleted has nothing to infer a schema
+    // from and must compose as empty, same as the never-written case
+    val hasParts = fs.exists(recPath) &&
+      Option(fs.globStatus(new Path(recPath, "src_hash=*")))
+        .getOrElse(Array.empty).nonEmpty
+    if (hasParts) spark.read.parquet(recPath.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(

@@ -161,6 +161,39 @@ class WarcIngestSpec extends SparkSpec {
     assert(idsOf(WarcIngest.records(spark, out)) == Set(1L, 2L))
   }
 
+  test("WarcIngest: a re-ingested file that now parses to 0 records " +
+      "overwrites (empties) its old partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wi").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/ingest"
+    Warc.write(docs(Seq(1L, 2L), "v1").repartition(1), s"$landing/w")
+    val s1 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(s1.length == 1 && s1.head._4 == 2)
+    val path = s1.head._1
+
+    // overwrite the SAME landing file with gzip-invalid bytes of a
+    // different size: fresh (size changed) but parses to 0 records —
+    // dynamic partition overwrite writes nothing for it, so without
+    // the explicit stale-partition delete the old v1 rows would
+    // linger and be attributed to the fresh file
+    val local = new java.io.File(new java.net.URI(path))
+    java.nio.file.Files.write(local.toPath,
+      "WARC/0.0 corrupt rewrite, much longer than before".getBytes("UTF-8"))
+    // drop the Hadoop LocalFileSystem checksum sidecar the original
+    // write created — the rewrite above bypassed it
+    new java.io.File(local.getParentFile, s".${local.getName}.crc").delete()
+
+    val s2 = WarcIngest.ingestOnce(spark, landing, out)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // the fresh file commits 0 records (NOT the stale count of 2)
+    assert(s2.length == 1 && s2.head._1 == path && s2.head._4 == 0)
+    // and its old rows are gone from the durable table
+    assert(WarcIngest.records(spark, out).count() == 0)
+    // quarantine is sticky: unchanged on the next trigger
+    assert(WarcIngest.ingestOnce(spark, landing, out).isEmpty)
+  }
+
   test("WarcIngest: driver-side md5 prune key equals Spark's md5()") {
     // the count read-back prunes partitions with DRIVER-computed md5
     // hex of the path against partitions written with the EXECUTOR
