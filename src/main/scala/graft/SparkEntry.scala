@@ -1577,6 +1577,19 @@ object SparkEntry {
           16, 10).cast("long"))
       Pq.pqTopK(emb, emb.filter(col("vec_id") < 4), 5, cb, "label")
     }),
+    // PQ + exact re-rank (the FAISS IndexRefineFlat composition):
+    // the q_ann_pq ADC chain fetched wide (kAdc = 10 = 2×k), then
+    // the true vectors of just the shortlist re-scored with the
+    // brute-force cosine tree and cut to top-5
+    "q_ann_pq_refine" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = Pq.trainCodebooks(emb, m = 4, k = 8, lloydIters = 1,
+        seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
+          16, 10).cast("long"))
+      val probes = emb.filter(col("vec_id") < 4)
+      Pq.refineTopK(Pq.pqTopK(emb, probes, 10, cb, "label"),
+        emb, probes, 5)
+    }),
     // range-sorted layout + pruned read: write events sorted by ts
     // (narrow per-row-group min/max bands), read back through a
     // one-day ts filter — the scan skips row groups via footer
@@ -1615,10 +1628,34 @@ object SparkEntry {
       val ivf = Similarity.recallAtK(
           Ivf.ivfTopK(emb, probes, 5, nCells = 8, nProbe = 3), exact, 5)
         .withColumn("index", lit("ivf"))
+      // the refine lift, measured: ADC top-5 vs the same 10-wide
+      // shortlist exact-rescored to 5. The baseline is the exact
+      // top-5 WITHIN the label-routed candidate universe (refineTopK
+      // over all same-label pairs IS brute force on that universe —
+      // spec-pinned), so the pq rows isolate QUANTIZATION loss (what
+      // refine recovers) from routing loss (what no re-rank can);
+      // the lsh/ivf rows keep the global-exact baseline
+      val cb = Pq.trainCodebooks(emb, m = 4, k = 8, lloydIters = 1)
+      val short10 = Pq.pqTopK(emb, probes, 10, cb, "label")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      short10.count()
+      val labelPairs = emb
+        .select(col("label"), col("vec_id").as("neighbor_id"))
+        .join(probes.select(col("label"), col("vec_id").as("probe_id")),
+          Seq("label"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+      val exactPq = Pq.refineTopK(labelPairs, emb, probes, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactPq.count()
+      val pqAdc = Similarity.recallAtK(short10, exactPq, 5)
+        .withColumn("index", lit("pq_adc"))
+      val pqRefine = Similarity.recallAtK(
+          Pq.refineTopK(short10, emb, probes, 5), exactPq, 5)
+        .withColumn("index", lit("pq_refine"))
       operators.CacheOps.materializeAndRelease(
-        lsh.unionByName(ivf)
+        lsh.unionByName(ivf).unionByName(pqAdc).unionByName(pqRefine)
           .select("index", "probe_id", "n_exact", "n_hit", "recall"),
-        exact)
+        exact, short10, exactPq)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),
@@ -2769,7 +2806,38 @@ object SparkEntry {
     * squared-L2 argmin + fixed-point tick means), encode; then ADC =
     * the four per-subspace d2 terms summed in subspace order and the
     * per-probe top-5 over label-routed candidates. */
-  private def annPqOracle: String = {
+  private def annPqOracle: String =
+    s"""WITH $annPqScoredCtes
+       |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, adc FROM (
+       |SELECT probe_id, neighbor_id, adc,
+       |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc ASC, neighbor_id) AS rnk
+       |FROM scored) WHERE rnk <= 5""".stripMargin
+
+  /** Oracle for q_ann_pq_refine: the SAME ADC chain fetched wide
+    * (rnk <= 10), then the exact-cosine re-rank CTE — the cosine
+    * tree is the q_ann_brute_topk one verbatim, so the refine
+    * contract ("rescored like brute force, over the shortlist
+    * only") is what the hash checks. */
+  private def annPqRefineOracle: String =
+    s"""WITH $annPqScoredCtes,
+       |short AS (SELECT probe_id, neighbor_id FROM (
+       |SELECT probe_id, neighbor_id,
+       |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc ASC, neighbor_id) AS rnk
+       |FROM scored) WHERE rnk <= 10),
+       |v AS (SELECT vec_id, embedding,
+       |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |FROM embeddings),
+       |rescored AS (SELECT s.probe_id, s.neighbor_id,
+       |CASE WHEN p.nrm * c.nrm = 0 THEN 0.0 ELSE
+       |list_sum(list_transform(list_zip(p.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (p.nrm * c.nrm) END AS cos
+       |FROM short s JOIN v p ON s.probe_id = p.vec_id
+       |JOIN v c ON s.neighbor_id = c.vec_id)
+       |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
+       |SELECT probe_id, neighbor_id, cos,
+       |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |FROM rescored) WHERE rnk <= 5""".stripMargin
+
+  private def annPqScoredCtes: String = {
     val m = 4; val sub = 16
     def d2(vec: String, cent: String, s: Int): String =
       s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
@@ -2796,7 +2864,7 @@ object SparkEntry {
         s"JOIN cb_$s b$s ON b$s.cell = k$s.code").mkString("\n")
     val adcSum = (0 until m).map(s => d2("cand.pv", s"b$s.c", s))
       .mkString(" + ")
-    s"""WITH dv AS (SELECT vec_id, label,
+    s"""dv AS (SELECT vec_id, label,
        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) - 1 AS cell, v AS c
        |FROM (SELECT vec_id, v,
@@ -2808,11 +2876,7 @@ object SparkEntry {
        |WHERE p.vec_id < 4),
        |scored AS (SELECT cand.probe_id, cand.neighbor_id, $adcSum AS adc
        |FROM cand
-       |$codeJoins)
-       |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, adc FROM (
-       |SELECT probe_id, neighbor_id, adc,
-       |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc ASC, neighbor_id) AS rnk
-       |FROM scored) WHERE rnk <= 5""".stripMargin
+       |$codeJoins)""".stripMargin
   }
 
   /** DuckDB oracle SQL per SQL-expressible query (driver runs these
@@ -2859,6 +2923,7 @@ object SparkEntry {
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_ann_pq" -> annPqOracle,
+    "q_ann_pq_refine" -> annPqRefineOracle,
     // layout prune: the write is layout-only, so the oracle is the
     // same filter+agg straight off the raw table (min/max are
     // order-independent — no double sums)

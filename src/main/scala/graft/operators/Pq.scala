@@ -192,4 +192,43 @@ object Pq {
         col("col.id").as("neighbor_id"),
         (-col("col.score")).as("adc"))
   }
+
+  /** Exact re-rank of an ADC shortlist — the FAISS "refine" stage
+    * (IndexRefineFlat): PQ distances are quantized, so the ADC
+    * top-kAdc is fetched a little wide, the TRUE vectors are read
+    * back for just those candidates, and exact cosine re-ranks them
+    * down to k. Standard operating point kAdc = 2-4×k: the refine
+    * recovers the neighbors quantization mis-ranked INSIDE the
+    * shortlist at the cost of |probes| × kAdc exact scorings —
+    * independent of corpus size.
+    *
+    * `shortlist` is any [[pqTopK]]/[[ivfPqTopK]]-shaped result
+    * (probe_id, neighbor_id[, ...]); scoring is
+    * [[Similarity.cosineScore]] — the same expression tree as
+    * brute-force, so refine output is directly comparable to (and at
+    * kAdc = corpus, equal to) the exact result.
+    *
+    * Scale shape: the shortlist is |probes| × kAdc rows — it
+    * BROADCASTS onto the corpus scan, so the true vectors of
+    * shortlisted candidates are fetched by a hash probe inside the
+    * scan stage (raw vectors move for the shortlist only, never the
+    * corpus); probes broadcast the same way; the only shuffle is the
+    * |probes| × k top-k aggregation. */
+  def refineTopK(shortlist: DataFrame, corpus: DataFrame,
+                 probes: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sl = shortlist.select("probe_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      graft.functions.VectorFunctions.norm(col(vecCol)).as("c_nrm"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("p_vec"),
+      graft.functions.VectorFunctions.norm(col(vecCol)).as("p_nrm"))
+    val rescored = c.join(broadcast(sl), Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosineScore.as("cos"))
+    Similarity.topKPerGroup(rescored, "probe_id", k)
+  }
 }

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Precomputed-norm cosine over (probe_id, neighbor_id) pairs
-    * carrying both vectors — the one scoring implementation both
-    * the brute and LSH paths share (recallAtK compares the two
-    * against each other; a scoring fix must reach both). */
-  private def cosineScore: org.apache.spark.sql.Column = {
+    * carrying both vectors — the one scoring implementation the
+    * brute, LSH and PQ-refine paths share (recallAtK compares them
+    * against each other; a scoring fix must reach all three). */
+  private[graft] def cosineScore: org.apache.spark.sql.Column = {
     val denom = col("p_nrm") * col("c_nrm")
     when(denom === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("p_vec"), col("c_vec")) / denom)

@@ -99,6 +99,66 @@ class PqSpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("refineTopK over a full-width shortlist equals bruteForceTopK") {
+    // the refine contract: rescored exactly like brute force, over
+    // the shortlist only — so a shortlist of ALL pairs must
+    // reproduce brute force bit-for-bit (same cosine tree, same
+    // tie rule)
+    val probes = corpus.filter(col("vec_id") <= 3)
+    val all = corpus.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(probes.select(col("vec_id").as("probe_id")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+    val got = Pq.refineTopK(all, corpus, probes, 4)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val want = Similarity.bruteForceTopK(corpus, probes, 4)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.sameElements(want))
+  }
+
+  test("refineTopK lifts (never hurts) ADC-only recall on the same " +
+      "ivf-pq shortlist") {
+    // exact top-5 members inside the shortlist always carry the
+    // highest exact cosines, so the refine keeps ALL of them while
+    // ADC ordering may rank quantized impostors above them —
+    // per-probe refine recall >= adc recall is a theorem; pin it
+    // plus a decent absolute floor on this separable fixture
+    val coarse = Ivf.trainCentroids(corpus, nCells = 2, lloydIters = 2)
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 4)
+    val probes = corpus.filter(col("vec_id") <= 4)
+    val short10 = Pq.ivfPqTopK(corpus, probes, k = 10, coarse, cb,
+      nProbe = 2)
+    val exact = Similarity.bruteForceTopK(corpus, probes, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+      val got = df.filter(col("rank") <= 5)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (p, ex) =>
+        p -> ex.intersect(got.getOrElse(p, Set.empty)).size.toDouble / ex.size
+      }
+    }
+    val adc = recallOf(short10)
+    val ref = recallOf(Pq.refineTopK(short10, corpus, probes, 5))
+    for ((p, r) <- ref) assert(r >= adc(p), s"probe $p: $r < ${adc(p)}")
+    assert(ref.values.sum / ref.size >= 0.6)
+  }
+
+  test("refineTopK plan: shortlist and probes broadcast, no cartesian") {
+    val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
+    val probes = corpus.filter(col("vec_id") <= 3)
+    val out = Pq.refineTopK(
+      Pq.pqTopK(corpus, probes, 6, cb, cellCol = "label"),
+      corpus, probes, 3)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("pqTopK candidate generation is an equi-join on the cell") {
     val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
     val out = Pq.pqTopK(corpus, corpus.filter(col("vec_id") <= 3), k = 3,
