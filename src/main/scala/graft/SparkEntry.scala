@@ -190,6 +190,81 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, c DESC) AS rn FROM sc)
         |SELECT doc_id, lang, lang_pred, score_fp FROM rk WHERE rn = 1""".stripMargin
 
+  /** The H13 Gopher battery replay (minTokens = 30, the driver
+    * query's knob) — a val so q_gopher_rules and the composed
+    * quality-gate oracle share one text. */
+  private val gopherRulesOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |list_filter(string_split_regex(text, '[ \n]'), x -> x <> '') AS toks,
+      |list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      |FROM documents),
+      |c AS (SELECT doc_id,
+      |CAST(len(toks) AS BIGINT) AS n_tok,
+      |CAST(len(lines) AS BIGINT) AS n_lines,
+      |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
+      |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+      |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+      |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+      |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
+      |FROM t)
+      |SELECT doc_id, n_tok AS n_tokens,
+      |CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_tok_len,
+      |CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS symbol_ratio,
+      |CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
+      |CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
+      |CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS alpha_tok_frac,
+      |stop_hits AS n_stop_hits,
+      |(n_tok >= 30 AND n_tok <= 100000
+      | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
+      | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
+      | AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
+      | AND CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
+      | AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
+      | AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
+      | AND stop_hits >= 2) AS keep
+      |FROM c""".stripMargin
+
+  /** The H15 classifier replay (fit + probe in fixed ticks) — a val
+    * shared by q_quality_classifier and the composed gate oracle. */
+  private val qualityClassifierOracle: String =
+    """WITH tok AS (SELECT doc_id, (source IN ('src0','src1','src2','src3')) AS is_pos,
+      |unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, is_pos, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+      |m AS (SELECT tok,
+      |CAST(SUM(CASE WHEN is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_pos,
+      |CAST(SUM(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_neg
+      |FROM tf GROUP BY tok),
+      |mm AS (SELECT tok, cnt_pos, cnt_neg,
+      |CAST(SUM(cnt_pos) OVER () AS BIGINT) AS tot_pos,
+      |CAST(SUM(cnt_neg) OVER () AS BIGINT) AS tot_neg,
+      |CAST(COUNT(*) OVER () AS BIGINT) AS vocab FROM m),
+      |c AS (SELECT tf.doc_id, tf.tf,
+      |tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(mm.cnt_pos + 1 AS DOUBLE) * CAST(mm.tot_neg + mm.vocab AS DOUBLE)) / (CAST(mm.cnt_neg + 1 AS DOUBLE) * CAST(mm.tot_pos + mm.vocab AS DOUBLE)))) AS BIGINT) AS contrib
+      |FROM tf JOIN mm USING (tok))
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |CAST(SUM(contrib) AS BIGINT) AS score_fp,
+      |CAST(SUM(contrib) AS BIGINT) >= CAST(SUM(tf) AS BIGINT) * 1000000 AS keep
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  /** The composed quality-gate replay, shared by q_quality_gate and
+    * its streaming twin q_stream_quality_gate (batch-equivalent by
+    * construction — the foreachBatch leg runs gateVerdict verbatim):
+    * the three certified per-scorer chains (H13 Gopher, H29 langid,
+    * H15 classifier) embedded as subqueries and joined on doc_id,
+    * with the same null-handling the Spark verdict applies (langid
+    * null under 2 chars, classifier keep null-safe false for docs
+    * with no in-vocabulary tokens). */
+  private def qualityGateOracle: String =
+    s"""SELECT g.doc_id, l.lang_pred, g.n_tokens, g.keep AS gopher_keep,
+       |c.n_tokens AS clf_n_tokens, c.score_fp AS clf_score_fp,
+       |COALESCE(c.keep, false) AS clf_keep,
+       |(g.keep AND COALESCE(c.keep, false)) AS keep
+       |FROM ($gopherRulesOracle) g
+       |LEFT JOIN ($langIdModelOracle) l USING (doc_id)
+       |LEFT JOIN ($qualityClassifierOracle) c USING (doc_id)""".stripMargin
+
   /** The SEEDED (TrustRank) tick-PageRank replay: teleport + dangling
     * mass return only to the seed set (`seedPred` over the node
     * universe), denominators are |seeds| — otherwise term-for-term
@@ -1689,6 +1764,33 @@ object SparkEntry {
     "q_stream_langid" -> ((s, d) =>
       streaming.EventStreams.streamLangId(s, d,
         Corpus.fitLangIdModel(T(s, d, "documents")))),
+    // the composed per-document quality gate (batch form): model
+    // langid + Gopher battery + classifier odds joined into one
+    // verdict table — the stateless-given-models slice of the L16
+    // tail, and the body the streaming gate runs per batch
+    "q_quality_gate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      streaming.QualityGate.gateVerdict(docs,
+        Corpus.fitLangIdModel(docs),
+        Corpus.fitQualityModel(docs,
+          col("source").isin("src0", "src1", "src2", "src3")))
+    }),
+    // the STREAMING gate (E11/E12 capstone): train both models once
+    // on the static labeled corpus, then gate the document stream
+    // file-by-file through the foreachBatch leg — three exactly-once
+    // outputs per batch, checkpointed, restart-safe; verdict rows
+    // are batch-equivalent bit-for-bit (same oracle)
+    "q_stream_quality_gate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val (verdict, _, _) = streaming.QualityGate.qualityGate(s, d,
+        Corpus.fitLangIdModel(docs),
+        Corpus.fitQualityModel(docs,
+          col("source").isin("src0", "src1", "src2", "src3")),
+        roundtripDir("quality_gate"),
+        roundtripDir("quality_gate_ckpt"),
+        fileGlob = "documents.parquet", reset = true)
+      verdict
+    }),
     // WAT outlink extraction (the third Common Crawl container):
     // metadata records' JSON envelopes parse to (src, dst) link
     // edges — the input pageRankTicks ranks. Spark does the real
@@ -3678,38 +3780,7 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     // Gopher rules: every count is an exact integer, every ratio ONE
     // IEEE division; '...' counting via non-overlapping replace
-    "q_gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text,
-        |list_filter(string_split_regex(text, '[ \n]'), x -> x <> '') AS toks,
-        |list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
-        |FROM documents),
-        |c AS (SELECT doc_id,
-        |CAST(len(toks) AS BIGINT) AS n_tok,
-        |CAST(len(lines) AS BIGINT) AS n_lines,
-        |CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS char_sum,
-        |CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        |CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
-        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
-        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
-        |CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with','a','is'])) AS BIGINT) AS stop_hits
-        |FROM t)
-        |SELECT doc_id, n_tok AS n_tokens,
-        |CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_tok_len,
-        |CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS symbol_ratio,
-        |CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
-        |CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
-        |CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS alpha_tok_frac,
-        |stop_hits AS n_stop_hits,
-        |(n_tok >= 30 AND n_tok <= 100000
-        | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= CAST(3.0 AS DOUBLE)
-        | AND CAST(char_sum AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) <= CAST(10.0 AS DOUBLE)
-        | AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) < CAST(0.1 AS DOUBLE)
-        | AND CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.9 AS DOUBLE)
-        | AND CAST(n_ell_end AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < CAST(0.3 AS DOUBLE)
-        | AND CAST(n_alpha AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) > CAST(0.8 AS DOUBLE)
-        | AND stop_hits >= 2) AS keep
-        |FROM c""".stripMargin,
+    "q_gopher_rules" -> gopherRulesOracle,
     // stratified sample: integer largest-remainder apportionment over
     // the strata table, then the per-stratum md5-order prefix
     "q_stratified_sample" ->
@@ -3897,25 +3968,7 @@ object SparkEntry {
     // written token-for-token as the Spark side (each factor cast to
     // double BEFORE the multiply), floored to 1e-6 ticks; tick longs
     // sum exactly in any order
-    "q_quality_classifier" ->
-      """WITH tok AS (SELECT doc_id, (source IN ('src0','src1','src2','src3')) AS is_pos,
-        |unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, is_pos, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
-        |m AS (SELECT tok,
-        |CAST(SUM(CASE WHEN is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_pos,
-        |CAST(SUM(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS BIGINT) AS cnt_neg
-        |FROM tf GROUP BY tok),
-        |mm AS (SELECT tok, cnt_pos, cnt_neg,
-        |CAST(SUM(cnt_pos) OVER () AS BIGINT) AS tot_pos,
-        |CAST(SUM(cnt_neg) OVER () AS BIGINT) AS tot_neg,
-        |CAST(COUNT(*) OVER () AS BIGINT) AS vocab FROM m),
-        |c AS (SELECT tf.doc_id, tf.tf,
-        |tf.tf * CAST(floor(CAST(1000000.0 AS DOUBLE) * ((CAST(mm.cnt_pos + 1 AS DOUBLE) * CAST(mm.tot_neg + mm.vocab AS DOUBLE)) / (CAST(mm.cnt_neg + 1 AS DOUBLE) * CAST(mm.tot_pos + mm.vocab AS DOUBLE)))) AS BIGINT) AS contrib
-        |FROM tf JOIN mm USING (tok))
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |CAST(SUM(contrib) AS BIGINT) AS score_fp,
-        |CAST(SUM(contrib) AS BIGINT) >= CAST(SUM(tf) AS BIGINT) * 1000000 AS keep
-        |FROM c GROUP BY doc_id""".stripMargin,
+    "q_quality_classifier" -> qualityClassifierOracle,
     // DSIR: md5-nibble bucket replay (q_export_shards idiom) mod 256,
     // smoothed target/raw likelihood ratio in the same fixed tree
     "q_dsir_weights" ->
@@ -4880,6 +4933,8 @@ object SparkEntry {
     // every class, argmax (score desc, class desc) per doc
     "q_langid_model" -> langIdModelOracle,
     "q_stream_langid" -> langIdModelOracle,
+    "q_quality_gate" -> qualityGateOracle,
+    "q_stream_quality_gate" -> qualityGateOracle,
     // wat outlinks: the envelope JSON is synthesized from pure
     // arithmetic in doc_id, so the oracle replays the two links per
     // doc directly (the WARC/WAT container layer is lossless)

@@ -462,7 +462,8 @@ object Corpus {
                   maxBulletFrac: Double = 0.9,
                   maxEllipsisFrac: Double = 0.3,
                   minAlphaFrac: Double = 0.8,
-                  minStopHits: Int = 2): DataFrame = {
+                  minStopHits: Int = 2,
+                  keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     // multiline tokenizer: the gate runs on multiline text
     // (crawlPrepare feeds it line-dedup'd docs) and a space-only
@@ -487,7 +488,9 @@ object Corpus {
       array(RequiredStopwords.map(lit): _*))).cast("long")
     def ratio(num: Column) =
       num.cast("double") / greatest(nTok, lit(1L)).cast("double")
-    docs.select(col(idCol), nTok.as("n_tokens"),
+    // keepCols ride the same projection (zero-join passthrough — the
+    // quality gate smuggles its scan-stage langid prediction here)
+    docs.select((Seq(col(idCol), nTok.as("n_tokens"),
         ratio(charSum).as("mean_tok_len"),
         ratio(nHash + nEllipsis).as("symbol_ratio"),
         (nBullet.cast("double") / greatest(nLines, lit(1L)).cast("double"))
@@ -495,7 +498,7 @@ object Corpus {
         (nEllipsisEnd.cast("double") / greatest(nLines, lit(1L)).cast("double"))
           .as("ellipsis_frac"),
         ratio(nAlpha).as("alpha_tok_frac"),
-        stopHits.as("n_stop_hits"))
+        stopHits.as("n_stop_hits")) ++ keepCols.map(col)): _*)
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("mean_tok_len") >= minMeanLen &&
@@ -655,6 +658,85 @@ object Corpus {
         .withColumn("keep",
           col("score_fp") >= col("n_tokens") * lit(1000000L)),
       inst)
+  }
+
+  /** FIT half of [[qualityClassifier]] as a persistable model — the
+    * H29 train-once discipline for the H15 scorer: one tokenize pass
+    * over the LABELED corpus produces the per-token odds-tick table
+    * `(tok, tick)`, where tick = floor(1e6 · Laplace class odds) —
+    * the identical fixed double tree, so
+    * [[applyQualityModel]]([[fitQualityModel]]) ≡ [[qualityClassifier]]
+    * bit-for-bit (spec-pinned). Unlike the langid model the vocab is
+    * UNBOUNDED, so the model stays a DataFrame (vocab-sized, MBs
+    * after any min-df floor even at web scale — broadcastable), not
+    * a driver-side case class. */
+  def fitQualityModel(docs: DataFrame, posExpr: Column,
+                      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(coalesce(posExpr, lit(false)).as("is_pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("cnt_pos"),
+        sum(when(!col("is_pos"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("cnt_neg"))
+    val totals = counts.agg(
+      sum(col("cnt_pos")).cast("long").as("tot_pos"),
+      sum(col("cnt_neg")).cast("long").as("tot_neg"),
+      count(lit(1)).cast("long").as("vocab"))
+    val odds = ((col("cnt_pos") + lit(1L)).cast("double") *
+        (col("tot_neg") + col("vocab")).cast("double")) /
+      ((col("cnt_neg") + lit(1L)).cast("double") *
+        (col("tot_pos") + col("vocab")).cast("double"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), floor(lit(1000000.0) * odds).cast("long")
+        .as("tick"))
+  }
+
+  /** TRANSFORM half: score docs against a pre-fitted `(tok, tick)`
+    * model — one explode + one broadcast hash probe (shuffle-join
+    * fallback via broadcastModel=false) + one map-side-combined
+    * aggregation. OOV tokens (absent from the model) are dropped
+    * from both the count and the sum, exactly like
+    * [[qualityClassifier]]'s inner model probe; docs with zero
+    * in-vocabulary tokens are not emitted (no defined mean). */
+  def applyQualityModel(docs: DataFrame, model: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        broadcastModel: Boolean = true): DataFrame = {
+    val m0 = model.select("tok", "tick")
+    val m = if (broadcastModel) broadcast(m0) else m0
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .join(m, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("tick")).cast("long").as("score_fp"))
+      .withColumn("keep",
+        col("score_fp") >= col("n_tokens") * lit(1000000L))
+  }
+
+  /** Persist a fitted quality model — `(tok, tick)` parquet, the
+    * model-artifact discipline (Ivf/Bpe/LangId). */
+  def saveQualityModel(model: DataFrame, path: String): Unit =
+    model.select("tok", "tick").write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveQualityModel]] table; rejects duplicate tokens (an
+    * append-mode double write must fail loud, not double-score). */
+  def loadQualityModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val m = spark.read.parquet(path).select("tok", "tick")
+    val (rows, toks) = {
+      val r = m.agg(count(lit(1)), countDistinct(col("tok")))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(rows > 0, s"quality model at $path is empty")
+    require(rows == toks,
+      s"quality model at $path has duplicate tok rows ($rows rows, " +
+        s"$toks distinct)")
+    m
   }
 
   /** DSIR importance weights (Xie et al. 2023 shape): score every raw
@@ -958,6 +1040,37 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
         best.getField("c").as("lang_pred"),
         best.getField("score_fp").as("score_fp"))
+  }
+
+  /** [[applyLangIdModel]]'s transform as COLUMN functions, for
+    * callers that ride the prediction on an existing projection (the
+    * quality gate's one-scan composition) instead of buying a join
+    * against the apply form's output. Two-step ON PURPOSE — the
+    * caller must stage [[langIdScores]] in its own projection
+    * (withColumn) so the bucket fold is evaluated ONCE per row:
+    * inlining it into the nLangs argmax structs re-runs the fold per
+    * class (higher-order functions don't whole-stage-codegen, so no
+    * subexpression elimination rescues it — measured 2.7x on the
+    * gate at sf0.1). CollapseProject declines to inline a multi-use
+    * non-cheap expression, which is the same guarantee
+    * applyLangIdModel's own two-step select leans on. */
+  def langIdScores(text: Column, m: LangIdModel): Column =
+    aggregate(graft.expressions.CharBigramBuckets(text, m.nBuckets),
+      typedLit(m.langs.map(_ => 0L)),
+      (acc, b) => zip_with(acc,
+        element_at(typedLit(m.ticks), b.cast("int") + 1),
+        (x, y) => x + y))
+
+  /** Argmax over a staged [[langIdScores]] column — null for texts
+    * under 2 chars (no bigram evidence; the apply form FILTERS those
+    * rows, a column must stay total). Ties → greatest lang code, the
+    * applyLangIdModel rule. */
+  def langIdPredictFromScores(scores: Column, text: Column,
+                              m: LangIdModel): Column = {
+    val best = array_max(array(m.langs.zipWithIndex.map { case (c, k) =>
+      struct(element_at(scores, k + 1).as("score_fp"),
+        lit(c).as("c")) }: _*))
+    when(length(text) >= 2, best.getField("c"))
   }
 
   /** Persist a fitted langid model as a parquet table — (bucket,

@@ -387,6 +387,72 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._4)
   }
 
+  test("langIdScores + langIdPredictFromScores equal applyLangIdModel's " +
+      "lang_pred, null under 2 chars") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "de", "der schnelle braune fuchs springt gerne hoch"),
+      (3L, "en", "the lazy dog sleeps all day long"),
+      (4L, "de", "der hund schlaeft den ganzen tag lang"),
+      (5L, "en", "x"))
+      .toDF("doc_id", "lang", "text")
+    val m = Corpus.fitLangIdModel(docs)
+    val viaApply = Corpus.applyLangIdModel(docs, m)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    val viaCol = docs
+      .withColumn("__sc", Corpus.langIdScores(col("text"), m))
+      .select(col("doc_id"),
+        Corpus.langIdPredictFromScores(col("__sc"), col("text"), m)
+          .as("p"))
+      .as[(Long, Option[String])].collect().toMap
+    // the apply form filters <2-char docs; the column is total (null)
+    assert(viaCol(5L).isEmpty && !viaApply.contains(5L))
+    for ((id, p) <- viaApply) assert(viaCol(id).contains(p), s"doc $id")
+  }
+
+  test("applyQualityModel(fitQualityModel) equals qualityClassifier " +
+      "bit-for-bit on random corpora") {
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 20).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, s"src${rnd.nextInt(4)}",
+          (0 until n).map(_ => vocab(rnd.nextInt(8))).mkString(" "))
+      }.toDF("doc_id", "src", "text")
+      val pos = col("src").isin("src0", "src1")
+      val direct = Corpus.qualityClassifier(docs, pos)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      val split = Corpus.applyQualityModel(docs,
+          Corpus.fitQualityModel(docs, pos))
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(direct.sameElements(split), s"trial $trial")
+    }
+  }
+
+  test("quality model save/load round-trips; duplicate tokens rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    val docs = Seq((1L, "hi", "a a b"), (2L, "lo", "c c b"))
+      .toDF("doc_id", "src", "text")
+    val m = Corpus.fitQualityModel(docs, col("src") === "hi")
+    Corpus.saveQualityModel(m, s"$tmp/m")
+    val loaded = Corpus.loadQualityModel(spark, s"$tmp/m")
+    assert(loaded.as[(String, Long)].collect().sortBy(_._1).toSeq
+      == m.as[(String, Long)].collect().sortBy(_._1).toSeq)
+    // scoring through the loaded model = scoring through the fit
+    val a = Corpus.applyQualityModel(docs, m)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val b = Corpus.applyQualityModel(docs, loaded)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // an append-mode double write must fail loud on load
+    m.write.mode("append").parquet(s"$tmp/m")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.loadQualityModel(spark, s"$tmp/m")
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
   test("dsirWeights: same-content docs tie, disjoint content ranks below") {
     val docs = Seq(
       (1L, true, "x y x y x"),  // the target slice
