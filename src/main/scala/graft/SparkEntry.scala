@@ -1761,9 +1761,22 @@ object SparkEntry {
     // is a stateless zero-shuffle scan, so it streams append-mode
     // with no state store; output is batch-equivalent bit-for-bit
     // (same oracle)
-    "q_stream_langid" -> ((s, d) =>
+    // the verified path IS the production one: parquet sink +
+    // streaming checkpoint (fresh per run — the q_stream_to_files
+    // hygiene), not the ad-hoc memory sink
+    "q_stream_langid" -> ((s, d) => {
+      val out = roundtripDir("stream_langid/out")
+      val ckpt = roundtripDir("stream_langid/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      Seq(out, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
       streaming.EventStreams.streamLangId(s, d,
-        Corpus.fitLangIdModel(T(s, d, "documents")))),
+        Corpus.fitLangIdModel(T(s, d, "documents")),
+        sinkDir = Some(out), checkpointDir = Some(ckpt))
+    }),
     // the composed per-document quality gate (batch form): model
     // langid + Gopher battery + classifier odds joined into one
     // verdict table — the stateless-given-models slice of the L16

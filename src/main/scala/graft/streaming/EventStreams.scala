@@ -231,26 +231,49 @@ object EventStreams {
     * routing at file-arrival time, one task per arriving file.
     * Batch-equivalence is the contract: the streamed rows equal
     * `applyLangIdModel` over the same files bit-for-bit (the shared
-    * q_langid_model oracle hash-checks it end to end). */
+    * q_langid_model oracle hash-checks it end to end).
+    *
+    * `sinkDir` routes the scored stream through the PRODUCTION sink
+    * shape — append-mode parquet + streaming checkpoint (the E6
+    * discipline; re-invoking with the same dirs resumes and scores
+    * only new files) — and returns the parquet read-back; the
+    * default memory sink remains for ad-hoc inspection. The spec
+    * pins the two sinks row-equal over the same files. */
   def streamLangId(spark: SparkSession, docsDir: String,
                    model: graft.operators.Corpus.LangIdModel,
                    fileGlob: String = "documents.parquet",
-                   queryName: String = "graft_stream_langid")
+                   queryName: String = "graft_stream_langid",
+                   sinkDir: Option[String] = None,
+                   checkpointDir: Option[String] = None)
   : DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(docsDir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(docsDir)
     val out = graft.operators.Corpus.applyLangIdModel(stream, model)
-    spark.catalog.dropTempView(queryName) // rerun-safe
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    sinkDir match {
+      case Some(dir) =>
+        val ckpt = checkpointDir.getOrElse(s"${dir}_ckpt")
+        val q = out.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", dir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(dir)
+      case None =>
+        spark.catalog.dropTempView(queryName) // rerun-safe
+        val q = out.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(queryName)
+    }
   }
 
   /** Stream-static enrichment join: the event stream joined to a

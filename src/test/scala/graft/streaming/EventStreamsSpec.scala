@@ -185,4 +185,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.map(_._1) == Set(10L, 11L, 20L, 21L, 30L))
     assert(streamed.find(_._1 == 30L).get._3 == "qq") // text wins
   }
+
+  test("streamLangId file sink equals the memory sink and resumes " +
+      "from its checkpoint") {
+    import sqlImplicits._
+    val docs = Seq((10L, "qq", "qqq qqkk kqqk"), (11L, "qq", "kkqq qqq"),
+      (20L, "aa", "aaa aab bba"), (21L, "aa", "bab aab"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_langid_fs").toString
+    // land each batch as ONE parquet FILE (the file stream ignores
+    // non-partition subdirectories)
+    def land(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = dest + ".tmpdir"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dest).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    new java.io.File(s"$dir/docs").mkdirs()
+    land(docs.where($"doc_id" < 20), s"$dir/docs/a.parquet")
+    land(docs.where($"doc_id" >= 20), s"$dir/docs/b.parquet")
+    val m = graft.operators.Corpus.fitLangIdModel(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "lang_pred", "score_fp")
+      .as[(Long, String, String, Long)].collect().toSet
+    val mem = rows(EventStreams.streamLangId(spark, s"$dir/docs", m,
+      fileGlob = "*.parquet"))
+    val file = rows(EventStreams.streamLangId(spark, s"$dir/docs", m,
+      fileGlob = "*.parquet", sinkDir = Some(s"$dir/out"),
+      checkpointDir = Some(s"$dir/ckpt")))
+    assert(file == mem)
+    // production resume: a new file lands, the SAME dirs score only
+    // it — prior output files stay, rows accumulate exactly once
+    val late = Seq((30L, "aa", "aaa bba")).toDF("doc_id", "lang", "text")
+    land(late, s"$dir/docs/c.parquet")
+    val resumed = rows(EventStreams.streamLangId(spark, s"$dir/docs", m,
+      fileGlob = "*.parquet", sinkDir = Some(s"$dir/out"),
+      checkpointDir = Some(s"$dir/ckpt")))
+    assert(resumed == rows(
+      graft.operators.Corpus.applyLangIdModel(docs.unionByName(late), m)))
+  }
 }
