@@ -348,6 +348,104 @@ object Prof {
       spark.stop(); return
     }
 
+    // PROF_STATE_SCALE=1 — the E7 state-backend probe: streaming
+    // state at 10-100x the default fixture, HEAP (the default
+    // HDFS-backed provider, every key in executor heap) vs ROCKSDB
+    // (executor-local disk + block cache). PROF_STATE_MODE=
+    // heap|rocksdb picks ONE provider per JVM (fair cold runs);
+    // PROF_STATE_ROWS sizes the synthesized stream (default 2e6
+    // events, every key distinct — dedup's worst case: state = one
+    // row per key ever seen); PROF_STATE_BATCHES (default 4) lands
+    // that many files so maxFilesPerTrigger=1 forces state to be
+    // LOADED AND COMMITTED across micro-batches — the store's real
+    // read/write path, not one in-batch dedup. Two legs: exact
+    // dedup (dropDuplicatesWithinWatermark) and flatMapGroupsWithState
+    // sessionization. Reports wall time + the final progress's
+    // state-operator metrics (rows, memory/native usage).
+    if (sys.env.get("PROF_STATE_SCALE").contains("1")) {
+      val nRows = sys.env.getOrElse("PROF_STATE_ROWS", "2000000").toLong
+      val mode = sys.env.getOrElse("PROF_STATE_MODE", "heap")
+      val nBatches = sys.env.getOrElse("PROF_STATE_BATCHES", "4").toInt
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_prof_state").toString
+      val evDir = s"$tmp/events"
+      new java.io.File(evDir).mkdirs()
+      val per = nRows / nBatches
+      time(s"land.$nBatches.files.x.$per") {
+        for (b <- 0 until nBatches) {
+          val part = s"$evDir/b$b.parquet.tmpdir"
+          spark.range(b * per, (b + 1) * per)
+            .select(col("id").as("user_id"),
+              timestamp_micros(lit(1700000000000000L) +
+                (col("id") % 86400L) * 1000000L).as("ts"),
+              (col("id") % 100L).cast("double").as("value"))
+            .coalesce(1).write.parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$evDir/b$b.parquet").toPath)
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(part))
+        }
+      }
+      def withProvider[T](f: => T): T =
+        if (mode == "rocksdb") streaming.EventStreams.withRocksDbState(spark)(f)
+        else f
+      def reportState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        q.recentProgress.lastOption
+          .flatMap(p => p.stateOperators.headOption).foreach { s =>
+            println(f"[prof] state.$mode: rows=${s.numRowsTotal} " +
+              f"mem=${s.memoryUsedBytes / 1048576.0}%.1f MiB " +
+              s.customMetrics.entrySet().toArray.map(_.toString)
+                .filter(m => m.contains("Memory") || m.contains("SstFile") ||
+                  m.contains("loadedMap"))
+                .mkString(" "))
+          }
+      val schema = spark.read.parquet(s"$evDir/b0.parquet").schema
+      def stream() = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(evDir)
+      // leg 1: exact streaming dedup — state holds every key seen
+      withProvider {
+        streaming.EventStreams.withStatefulShuffle(spark) {
+          time(s"dedup.$mode.$nRows") {
+            val q = stream()
+              .withWatermark("ts", "48 hours")
+              .dropDuplicatesWithinWatermark(Seq("user_id"))
+              .writeStream.format("noop")
+              .option("checkpointLocation", s"$tmp/ckpt_dedup")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination(); reportState(q); q.recentProgress.length
+          }
+        }
+      }
+      // leg 2: flatMapGroupsWithState sessionization — one open
+      // session per user carried across batches
+      withProvider {
+        streaming.EventStreams.withStatefulShuffle(spark) {
+          time(s"sessions.$mode.$nRows") {
+            import spark.implicits._
+            val q = stream()
+              .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+              .as[streaming.StatefulSessions.Event]
+              .groupByKey(_.user_id)
+              .flatMapGroupsWithState(
+                org.apache.spark.sql.streaming.OutputMode.Update,
+                org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+                streaming.StatefulSessions.step(1800L * 1000000L))
+              .writeStream.format("noop")
+              .option("checkpointLocation", s"$tmp/ckpt_sess")
+              .outputMode("update")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination(); reportState(q); q.recentProgress.length
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     // PROF_BLOOM=1 — the bloomSemiJoin design experiment: on a
     // probe >> build semi join where the build side cannot broadcast
     // (autoBroadcastJoinThreshold=-1 stands in for "too big"),

@@ -28,7 +28,7 @@ object EventStreams {
     * stateful shuffles to a bounded width and restore the session
     * default after; a production cluster sizes this to state volume
     * per executor, independently of the batch shuffle width. */
-  private[streaming] def withStatefulShuffle[T](spark: SparkSession,
+  private[graft] def withStatefulShuffle[T](spark: SparkSession,
                                                 n: Int = 8)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

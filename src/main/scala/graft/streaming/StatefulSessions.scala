@@ -25,7 +25,7 @@ object StatefulSessions {
     * extend or close sessions on gaps > gapMicros. Emits closed
     * sessions plus (for availableNow verification) the still-open
     * one flagged `closed = false`. */
-  private[streaming] def step(gapMicros: Long)(
+  private[graft] def step(gapMicros: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
     val sorted = events.map(_.ts_us).toArray.sorted
