@@ -1524,6 +1524,14 @@ object SparkEntry {
     // fingerprint) the spec property-tests
     "q_winnow_fingerprints" -> ((s, d) =>
       Dedup.winnowFingerprints(T(s, d, "documents"), k = 4, w = 5)),
+    // ROBUST winnowing (Schleimer Fig. 5 tie rule) — rows-only BY
+    // CONSTRUCTION: window i's selection depends on window i-1's (a
+    // per-doc sequential fold, no stateless SQL form); the basic
+    // form's oracle hash-checks the shared shingle/hash/min
+    // machinery, and the spec bit-replays this rule against the
+    // paper's sequential algorithm
+    "q_winnow_robust" -> ((s, d) =>
+      Dedup.winnowFingerprintsRobust(T(s, d, "documents"), k = 4, w = 5)),
     // winnowing copy-detection pairs: shared-fingerprint counts per
     // doc pair after the stop-fingerprint df cap
     "q_winnow_pairs" -> ((s, d) =>

@@ -1007,6 +1007,66 @@ object Dedup {
       .distinct()
   }
 
+  /** ROBUST winnowing (Schleimer et al. 2003 Fig. 5 — the
+    * F20-documented exclusion, now behind its own entry point): same
+    * guarantee and density as [[winnowFingerprints]], but ties
+    * prefer the PREVIOUSLY selected fingerprint — if the prior
+    * selection is still inside the current window and still minimal,
+    * no new fingerprint is emitted. On low-entropy runs (aaaa…) this
+    * emits ONE fingerprint per run instead of one per window
+    * position, which is why MOSS uses it for code (keywords repeat).
+    *
+    * The rule is SEQUENTIAL (window i's choice depends on window
+    * i−1's), so no stateless per-window form exists — but only
+    * WITHIN a document. Per doc it is one left-to-right fold,
+    * expressed as a Catalyst `aggregate` over the window-start
+    * sequence carrying (prevPos, selections) — O(windows × w) per
+    * doc, the same order as the basic form's frame window, zero
+    * extra shuffles (one doc-keyed aggregation to assemble the hash
+    * array, then a scan-stage fold + explode). Across documents the
+    * operator stays embarrassingly parallel — the 100 TB shape is
+    * unchanged.
+    *
+    * Output: (doc_id, fp_pos, fp_hash) — the [[winnowFingerprints]]
+    * schema; property-tested equal to a sequential reference
+    * implementation of the paper's rule, and equal to basic
+    * winnowing whenever no window has a tied minimum. */
+  def winnowFingerprintsRobust(docs: DataFrame, k: Int = 4, w: Int = 5,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val hs = transform(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k),
+      g => md5(g.cast("binary")))
+    val nWin = size(col("__hs"))
+    val selType = "array<struct<fp_pos:int,fp_hash:string>>"
+    val fold = aggregate(
+      when(nWin >= w, sequence(lit(0), nWin - lit(w)))
+        .otherwise(array().cast("array<int>")),
+      struct(lit(-1).as("prev"),
+        array().cast(selType).as("sel")),
+      (st, i) => {
+        val win = slice(col("__hs"), i + 1, lit(w))
+        val m = array_min(win)
+        // previously selected hash still in-window and still minimal
+        val keepPrev = st.getField("prev") >= i &&
+          element_at(col("__hs"), st.getField("prev") + 1) === m
+        // rightmost in-window position carrying the minimum
+        val p = array_max(filter(
+          transform(sequence(lit(0), lit(w - 1)),
+            j => when(element_at(win, j + 1) === m, i + j)),
+          x => x.isNotNull))
+        when(keepPrev, st).otherwise(
+          struct(p.as("prev"),
+            concat(st.getField("sel"),
+              array(struct(p.as("fp_pos"), m.as("fp_hash")))).as("sel")))
+      },
+      st => st.getField("sel"))
+    docs.select(col(idCol).as("doc_id"), hs.as("__hs"))
+      .select(col("doc_id"), explode(fold).as("fp"))
+      .select(col("doc_id"), col("fp.fp_pos"), col("fp.fp_hash"))
+  }
+
   /** Winnowing copy-detection pairs: equi-join the
     * [[winnowFingerprints]] sketches on the fingerprint hash and
     * count shared fingerprints per document pair — the MOSS match

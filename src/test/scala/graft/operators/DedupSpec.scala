@@ -728,6 +728,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // sequential reference for ROBUST winnowing (Schleimer Fig. 5):
+  // ties prefer the previously selected fingerprint while it stays
+  // in-window and minimal; else rightmost minimal
+  private def refWinnowRobust(tokens: Seq[String], k: Int, w: Int)
+  : Seq[(Int, String)] = {
+    if (tokens.size < k) return Seq.empty
+    val hs = tokens.sliding(k).map(g => md5hex(g.mkString(" ")))
+      .toIndexedSeq
+    if (hs.size < w) return Seq.empty
+    var prev = -1
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    for (i <- 0 to hs.size - w) {
+      val win = i until i + w
+      val m = win.map(hs).min
+      if (!(prev >= i && hs(prev) == m)) {
+        val p = win.filter(j => hs(j) == m).max
+        out += ((p, m)); prev = p
+      }
+    }
+    out.toSeq
+  }
+
+  test("winnowFingerprintsRobust equals the sequential Fig. 5 reference") {
+    val rnd = new scala.util.Random(19)
+    val corpora = Seq(
+      // low-entropy runs are the whole point of the robust rule
+      Seq("a a a a a a a a a a", "x y z x y z x y z", "p q", "a a a b"),
+      (1 to 12).map(_ => (1 to 12 + rnd.nextInt(10))
+        .map(_ => s"t${rnd.nextInt(3)}").mkString(" ")))
+    for (texts <- corpora) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowFingerprintsRobust(docs, k = 3, w = 4)
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> refWinnowRobust(t.split(" ").toSeq, 3, 4).toSet
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want)
+    }
+  }
+
+  test("robust winnowing: fewer fingerprints on runs, equal to basic " +
+      "when no window ties") {
+    // "a a a …" (12 tokens → 10 identical hashes, 7 windows): basic
+    // re-selects the rightmost tie every window (7 fingerprints);
+    // robust keeps a selection until it slides out of the window —
+    // one per w windows (positions 3 and 7)
+    val run = Seq((1L, Seq.fill(12)("a").mkString(" "))).toDF("doc_id", "text")
+    val basic = Dedup.winnowFingerprints(run, k = 3, w = 4).count()
+    val robust = Dedup.winnowFingerprintsRobust(run, k = 3, w = 4).count()
+    assert(robust == 2L && basic == 7L)
+    // all-distinct tokens → no ties → the two rules coincide
+    val uniq = Seq((1L, (1 to 15).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = Dedup.winnowFingerprints(uniq, k = 3, w = 4)
+      .as[(Long, Int, String)].collect().toSet
+    val r = Dedup.winnowFingerprintsRobust(uniq, k = 3, w = 4)
+      .as[(Long, Int, String)].collect().toSet
+    assert(b == r && b.nonEmpty)
+  }
+
   test("winnowPairs: match counts, stop-fingerprint cap") {
     // docs 1 and 2 are identical → every fingerprint shared; doc 3
     // is unrelated. With maxDf=10 nothing is capped here; with
