@@ -1223,6 +1223,12 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, d) =>
       Corpus.qualityClassifier(T(s, d, "documents"),
         col("source").isin("src0", "src1", "src2", "src3"))),
+    // FIM transform (code-model infilling data prep): a deterministic
+    // half of the docs rewritten to <PRE>/<SUF>/<MID> sentinel order,
+    // split points md5-drawn over the char length — scan-stage, zero
+    // shuffles, every byte hash-checked by the substring replay
+    "q_fim_transform" -> ((s, d) =>
+      Corpus.fimTransform(T(s, d, "documents"), rate = 0.5)),
     // DSIR importance weights: hashed-bigram likelihood ratio vs the
     // target slice, deterministic top-N selection
     "q_dsir_weights" -> ((s, d) =>
@@ -4956,6 +4962,23 @@ object SparkEntry {
     "q_stream_langid" -> langIdModelOracle,
     "q_quality_gate" -> qualityGateOracle,
     "q_stream_quality_gate" -> qualityGateOracle,
+    // FIM: the md5-nibble draw replay (q_export_shards idiom) for the
+    // gate and both split points, then the same substring arithmetic
+    "q_fim_transform" -> {
+      def b16(sfx: String) = (1 to 4).map(k =>
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$sfx'), $k, 1)) - 1) * ${1L << (4 * (4 - k))}")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, text, len(text) AS n,
+         |(${b16(":fim")}) % 100 < 50 AS fim_applied,
+         |(${b16(":a")}) % (len(text) + 1) AS i
+         |FROM documents),
+         |t AS (SELECT doc_id, text, n, fim_applied, i,
+         |i + (${b16(":b")}) % (n - i + 1) AS j FROM s)
+         |SELECT doc_id, fim_applied,
+         |CASE WHEN fim_applied THEN '<PRE>' || substring(text, 1, CAST(i AS INT)) || '<SUF>' || substring(text, CAST(j + 1 AS INT), CAST(n - j AS INT)) || '<MID>' || substring(text, CAST(i + 1 AS INT), CAST(j - i AS INT))
+         |ELSE text END AS fim_text
+         |FROM t""".stripMargin
+    },
     // wat outlinks: the envelope JSON is synthesized from pure
     // arithmetic in doc_id, so the oracle replays the two links per
     // doc directly (the WARC/WAT container layer is lossless)

@@ -739,6 +739,48 @@ object Corpus {
     m
   }
 
+  /** FIM (fill-in-the-middle) transform — the code-model data-prep
+    * stage (Bavarian et al. 2022; the StarCoder pipeline applies it
+    * at a fixed rate): rewrite a deterministic `rate` fraction of
+    * documents into PSM sentinel order,
+    * `<PRE> prefix <SUF> suffix <MID> middle`, so autoregressive
+    * training teaches infilling with the loss unchanged. ALL
+    * randomness is md5-derived from the doc id (the
+    * [[Sampling.deterministicSplit]] discipline — reproducible
+    * across runs and engines, no rand()): the doc is transformed iff
+    * md5Bucket16(id ‖ ":fim") % 100 < rate·100, and the two split
+    * points 0 ≤ i ≤ j ≤ len are independent md5 draws over the
+    * CHARACTER length (the paper's character-level split, which
+    * avoids token-boundary artifacts; the small modulo bias of a
+    * 16-bit draw is deterministic and documented). Sentinel strings
+    * are parameters — the exact tokens are tokenizer-specific.
+    *
+    * Scale shape: one scan, pure column expressions (md5 + substr +
+    * concat), zero shuffles — the transform runs at read throughput
+    * inside whatever export stage consumes it.
+    *
+    * Output: doc_id, fim_applied, fim_text (untransformed docs pass
+    * through verbatim). prefix‖middle‖suffix always reassembles the
+    * original text (spec-pinned losslessness). */
+  def fimTransform(docs: DataFrame, rate: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val id = col(idCol).cast("string")
+    val text = col(textCol)
+    val len = length(text)
+    val gate = Sampling.md5Bucket16(concat(id, lit(":fim"))) % 100 <
+      math.round(rate * 100).toInt
+    val i = Sampling.md5Bucket16(concat(id, lit(":a"))) % (len + 1)
+    val j = i + Sampling.md5Bucket16(concat(id, lit(":b"))) % (len - i + 1)
+    val fim = concat(lit(preTok), text.substr(lit(1), i),
+      lit(sufTok), text.substr(j + 1, len - j),
+      lit(midTok), text.substr(i + 1, j - i))
+    docs.select(col(idCol), gate.as("fim_applied"),
+      when(gate, fim).otherwise(text).as("fim_text"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023 shape): score every raw
     * document by how much its hashed-bigram profile looks like a
     * TARGET distribution (`targetExpr` — e.g. the wiki-like sources),

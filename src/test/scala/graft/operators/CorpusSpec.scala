@@ -453,6 +453,42 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("fimTransform: lossless PSM reassembly, deterministic, rate gate") {
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ =>
+        "abcé世 ".charAt(rnd.nextInt(6))).mkString)
+    }.toDF("doc_id", "text")
+    val out = Corpus.fimTransform(docs, rate = 0.5)
+      .as[(Long, Boolean, String)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    val re = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+    var applied = 0
+    for ((id, fim, t) <- out) {
+      if (!fim) assert(t == texts(id))
+      else {
+        applied += 1
+        t match {
+          // prefix + middle + suffix reassembles the original
+          case re(p, s, m) => assert(p + m + s == texts(id), s"doc $id")
+          case _ => fail(s"doc $id: sentinel structure missing: $t")
+        }
+      }
+    }
+    // the md5 gate holds the rate loosely at n=200
+    assert(applied > 60 && applied < 140, s"applied=$applied")
+    // deterministic: a second run is bit-identical
+    val again = Corpus.fimTransform(docs, rate = 0.5)
+      .as[(Long, Boolean, String)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // rate 0 passes everything through; rate 1 transforms everything
+    assert(Corpus.fimTransform(docs, rate = 0.0)
+      .filter(col("fim_applied")).count() == 0)
+    assert(Corpus.fimTransform(docs, rate = 1.0)
+      .filter(!col("fim_applied")).count() == 0)
+  }
+
   test("dsirWeights: same-content docs tie, disjoint content ranks below") {
     val docs = Seq(
       (1L, true, "x y x y x"),  // the target slice
