@@ -512,4 +512,28 @@ class PlanGuardSpec extends SparkSpec {
           planStr.take(4000))
     }
   }
+
+  test("q_fim_transform is one codegen'd projection: zero exchanges, " +
+      "zero joins") {
+    val p = plan("q_fim_transform")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"FIM grew a shuffle/join — it must stay scan-stage:\n$p")
+  }
+
+  test("q_quality_gate: langid rides the gopher projection — at most " +
+      "three joins (verdict SMJ + classifier probe + fit totals)") {
+    // the regression this pins: joining the langid APPLY output
+    // against the gopher projection (two scans of the same table
+    // stitched by a 4th join) instead of riding the prediction as a
+    // staged column on one scan
+    val df = SparkEntry.queries("q_quality_gate")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE's toString appends the initial plan — count the final only
+    val p = full.split("== Initial Plan ==").head
+    val joins = "Join \\[".r.findAllIn(p).length +
+      "NestedLoopJoin".r.findAllIn(p).length
+    assert(joins <= 3, s"quality gate grew a join (found $joins):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
