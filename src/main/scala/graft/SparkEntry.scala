@@ -248,6 +248,50 @@ object SparkEntry {
       |CAST(SUM(contrib) AS BIGINT) >= CAST(SUM(tf) AS BIGINT) * 1000000 AS keep
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** The H31 interpolated-KN trigram replay — a val so
+    * q_trigram_lm_score and the composed trigram-bucket oracle
+    * share one text. */
+  private val trigramLmOracle: String =
+    """WITH ft AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |FROM documents WHERE doc_id % 2 = 0),
+        |tri AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt_t3,
+        |string_split(trigram, ' ')[1] AS w1, string_split(trigram, ' ')[2] AS w2, string_split(trigram, ' ')[3] AS w3
+        |FROM (SELECT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS trigram
+        |FROM ft WHERE len(l) >= 3) GROUP BY trigram),
+        |ctx AS (SELECT w1 || ' ' || w2 AS ctxk, CAST(SUM(cnt_t3) AS BIGINT) AS c2,
+        |CAST(COUNT(*) AS BIGINT) AS n3f FROM tri GROUP BY 1),
+        |cc3 AS (SELECT w2 || ' ' || w3 AS w2w3, CAST(COUNT(*) AS BIGINT) AS cc3 FROM tri GROUP BY 1),
+        |mid AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ccmid,
+        |CAST(COUNT(DISTINCT w3) AS BIGINT) AS n2f FROM tri GROUP BY w2),
+        |uni AS (SELECT string_split(w2w3, ' ')[2] AS w3u, CAST(COUNT(*) AS BIGINT) AS cc1 FROM cc3 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bg_types FROM cc3),
+        |st AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS trigram
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents)
+        |WHERE len(l) >= 3),
+        |j AS (SELECT st.doc_id, t.cnt_t3, c.c2, c.n3f, b.cc3, m.ccmid, m.n2f, u.cc1, tt.bg_types
+        |FROM st LEFT JOIN tri t USING (trigram)
+        |LEFT JOIN ctx c ON c.ctxk = string_split(st.trigram, ' ')[1] || ' ' || string_split(st.trigram, ' ')[2]
+        |LEFT JOIN cc3 b ON b.w2w3 = string_split(st.trigram, ' ')[2] || ' ' || string_split(st.trigram, ' ')[3]
+        |LEFT JOIN mid m ON m.w2 = string_split(st.trigram, ' ')[2]
+        |LEFT JOIN uni u ON u.w3u = string_split(st.trigram, ' ')[3]
+        |CROSS JOIN tot tt),
+        |p1t AS (SELECT *, CASE WHEN cc1 IS NOT NULL
+        |THEN CAST(cc1 AS DOUBLE) / CAST(bg_types AS DOUBLE) ELSE 0.0 END AS p1 FROM j),
+        |p2t AS (SELECT *, CASE WHEN ccmid IS NOT NULL
+        |THEN (CASE WHEN cc3 IS NOT NULL THEN greatest(CAST(cc3 AS DOUBLE) - 0.75, 0.0) ELSE 0.0 END) / CAST(ccmid AS DOUBLE)
+        |+ ((0.75 * CAST(n2f AS DOUBLE)) / CAST(ccmid AS DOUBLE)) * p1
+        |ELSE p1 END AS p2 FROM p1t),
+        |p3t AS (SELECT *, CASE WHEN c2 IS NOT NULL
+        |THEN (CASE WHEN cnt_t3 IS NOT NULL THEN greatest(CAST(cnt_t3 AS DOUBLE) - 0.75, 0.0) ELSE 0.0 END) / CAST(c2 AS DOUBLE)
+        |+ ((0.75 * CAST(n3f AS DOUBLE)) / CAST(c2 AS DOUBLE)) * p2
+        |ELSE p2 END AS p3 FROM p2t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |CAST(SUM(CAST(floor(1000000000.0 * p3) AS BIGINT)) AS BIGINT) AS score_fp,
+        |CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_backoff,
+        |CAST(SUM(CASE WHEN cc1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |CAST(CAST(SUM(CAST(floor(1000000000.0 * p3) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_trigram_p
+        |FROM p3t GROUP BY doc_id""".stripMargin
+
   /** The composed quality-gate replay, shared by q_quality_gate and
     * its streaming twin q_stream_quality_gate (batch-equivalent by
     * construction — the foreachBatch leg runs gateVerdict verbatim):
@@ -1185,6 +1229,16 @@ object SparkEntry {
     "q_trigram_lm_score" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Corpus.trigramLmScore(docs.where(col("doc_id") % 2 === 0), docs)
+    }),
+    // CCNet buckets over the trigram KN scorer (CCNet proper buckets
+    // on an n-gram LM perplexity): same fit slice, per-language
+    // tercile boundaries as exact order statistics, scan-stage
+    // bucket assignment — the scorer upgrade composed into the
+    // bucketing machinery rather than a parallel implementation
+    "q_ccnet_buckets_trigram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.perplexityBucketsTrigram(
+        docs.where(col("doc_id") % 2 === 0), docs)
     }),
     // deterministic training-export sharding: md5 shard assignment +
     // in-shard content-hash rank (the no-rand() global shuffle)
@@ -3907,46 +3961,26 @@ object SparkEntry {
     // the three per-order double trees CTE-for-CTE — D = 0.75 is
     // exact in binary, each level's nesting matches the Spark
     // column tree token-for-token, floored to 1e-9 ticks
-    "q_trigram_lm_score" ->
-      """WITH ft AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
-        |FROM documents WHERE doc_id % 2 = 0),
-        |tri AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt_t3,
-        |string_split(trigram, ' ')[1] AS w1, string_split(trigram, ' ')[2] AS w2, string_split(trigram, ' ')[3] AS w3
-        |FROM (SELECT unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS trigram
-        |FROM ft WHERE len(l) >= 3) GROUP BY trigram),
-        |ctx AS (SELECT w1 || ' ' || w2 AS ctxk, CAST(SUM(cnt_t3) AS BIGINT) AS c2,
-        |CAST(COUNT(*) AS BIGINT) AS n3f FROM tri GROUP BY 1),
-        |cc3 AS (SELECT w2 || ' ' || w3 AS w2w3, CAST(COUNT(*) AS BIGINT) AS cc3 FROM tri GROUP BY 1),
-        |mid AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ccmid,
-        |CAST(COUNT(DISTINCT w3) AS BIGINT) AS n2f FROM tri GROUP BY w2),
-        |uni AS (SELECT string_split(w2w3, ' ')[2] AS w3u, CAST(COUNT(*) AS BIGINT) AS cc1 FROM cc3 GROUP BY 1),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bg_types FROM cc3),
-        |st AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS trigram
-        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents)
-        |WHERE len(l) >= 3),
-        |j AS (SELECT st.doc_id, t.cnt_t3, c.c2, c.n3f, b.cc3, m.ccmid, m.n2f, u.cc1, tt.bg_types
-        |FROM st LEFT JOIN tri t USING (trigram)
-        |LEFT JOIN ctx c ON c.ctxk = string_split(st.trigram, ' ')[1] || ' ' || string_split(st.trigram, ' ')[2]
-        |LEFT JOIN cc3 b ON b.w2w3 = string_split(st.trigram, ' ')[2] || ' ' || string_split(st.trigram, ' ')[3]
-        |LEFT JOIN mid m ON m.w2 = string_split(st.trigram, ' ')[2]
-        |LEFT JOIN uni u ON u.w3u = string_split(st.trigram, ' ')[3]
-        |CROSS JOIN tot tt),
-        |p1t AS (SELECT *, CASE WHEN cc1 IS NOT NULL
-        |THEN CAST(cc1 AS DOUBLE) / CAST(bg_types AS DOUBLE) ELSE 0.0 END AS p1 FROM j),
-        |p2t AS (SELECT *, CASE WHEN ccmid IS NOT NULL
-        |THEN (CASE WHEN cc3 IS NOT NULL THEN greatest(CAST(cc3 AS DOUBLE) - 0.75, 0.0) ELSE 0.0 END) / CAST(ccmid AS DOUBLE)
-        |+ ((0.75 * CAST(n2f AS DOUBLE)) / CAST(ccmid AS DOUBLE)) * p1
-        |ELSE p1 END AS p2 FROM p1t),
-        |p3t AS (SELECT *, CASE WHEN c2 IS NOT NULL
-        |THEN (CASE WHEN cnt_t3 IS NOT NULL THEN greatest(CAST(cnt_t3 AS DOUBLE) - 0.75, 0.0) ELSE 0.0 END) / CAST(c2 AS DOUBLE)
-        |+ ((0.75 * CAST(n3f AS DOUBLE)) / CAST(c2 AS DOUBLE)) * p2
-        |ELSE p2 END AS p3 FROM p2t)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-        |CAST(SUM(CAST(floor(1000000000.0 * p3) AS BIGINT)) AS BIGINT) AS score_fp,
-        |CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_backoff,
-        |CAST(SUM(CASE WHEN cc1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |CAST(CAST(SUM(CAST(floor(1000000000.0 * p3) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_trigram_p
-        |FROM p3t GROUP BY doc_id""".stripMargin,
+    "q_trigram_lm_score" -> trigramLmOracle,
+    // trigram-scored CCNet buckets: the full KN replay as a
+    // subquery, then the q_ccnet_buckets_boundary rank recovery over
+    // avg_trigram_p per language (same tie contract: boundary-score
+    // ties take the higher bucket)
+    "q_ccnet_buckets_trigram" ->
+      s"""WITH base AS ($trigramLmOracle),
+         |j AS (SELECT b.doc_id, d.lang, b.n_trigrams, b.avg_trigram_p
+         |FROM base b JOIN documents d USING (doc_id)),
+         |rk AS (SELECT lang, avg_trigram_p,
+         |ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_trigram_p DESC) AS r,
+         |COUNT(*) OVER (PARTITION BY lang) AS n FROM j),
+         |bd AS (SELECT lang,
+         |MAX(CASE WHEN r = (n + 2) // 3 THEN avg_trigram_p END) AS b1,
+         |MAX(CASE WHEN r = (2 * n + 2) // 3 THEN avg_trigram_p END) AS b2
+         |FROM rk GROUP BY lang)
+         |SELECT j.doc_id, j.lang, j.n_trigrams, j.avg_trigram_p,
+         |CASE WHEN j.avg_trigram_p >= bd.b1 THEN 'head'
+         |WHEN j.avg_trigram_p >= bd.b2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM j JOIN bd USING (lang)""".stripMargin,
     // export sharding: the md5Bucket16 nibble replay (q_corpus_mix
     // pattern) mod nShards, rank by (md5 hex, id) within the shard
     "q_export_shards" ->

@@ -921,10 +921,43 @@ object Corpus {
   def perplexityBucketsByBoundary(docs: DataFrame,
                                   groupCol: String = "lang",
                                   idCol: String = "doc_id",
-                                  textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    val scored = lmScore(docs, idCol, textCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+                                  textCol: String = "text"): DataFrame =
+    bucketsByBoundary(
+      lmScore(docs, idCol, textCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(groupCol)),
+          "doc_id"),
+      groupCol, "avg_tok_p", Seq("n_tokens"))
+
+  /** CCNet bucketing over the interpolated-KN TRIGRAM scorer — the
+    * n-gram-LM form of [[perplexityBucketsByBoundary]] (CCNet proper
+    * buckets on a KenLM n-gram perplexity fit on curated text, not a
+    * unigram model): fit [[trigramLmScore]] on `fitDocs` (the curated
+    * target slice), score `docs`, tercile-bucket per `groupCol` with
+    * the same exact-order-statistic boundary machinery and tie
+    * contract. Output: doc_id, group, n_trigrams, avg_trigram_p,
+    * bucket. Docs with < 3 tokens have no trigram score and are not
+    * emitted (the trigramLmScore contract — CCNet drops them too). */
+  def perplexityBucketsTrigram(fitDocs: DataFrame, docs: DataFrame,
+                               groupCol: String = "lang",
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    bucketsByBoundary(
+      trigramLmScore(fitDocs, docs, idCol, textCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(groupCol)),
+          "doc_id"),
+      groupCol, "avg_trigram_p", Seq("n_trigrams"))
+
+  /** The boundary-form tercile core shared by every scorer: exact
+    * per-group boundary VALUES via one batched order-statistic
+    * narrowing, then a scan-stage comparison against the broadcast
+    * (group, b1, b2) table. `scored` carries (doc_id, group,
+    * carryCols, scoreCol). */
+  private[graft] def bucketsByBoundary(scoredIn: DataFrame,
+                                       groupCol: String,
+                                       scoreCol: String,
+                                       carryCols: Seq[String]): DataFrame = {
+    val spark = scoredIn.sparkSession
+    val scored = scoredIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     val sizes = scored.groupBy(col(groupCol)).count().collect()
@@ -938,7 +971,7 @@ object Corpus {
       Seq((r.get(0), (n + 2) / 3), (r.get(0), (2 * n + 2) / 3))
     }.toSeq.distinct
     val kth = OrderStats.kthLargestByGroup(
-      scored, groupCol, "avg_tok_p", targets)
+      scored, groupCol, scoreCol, targets)
     val bounds = sizes.map { r =>
       val grpV = r.get(0)
       val n = r.getLong(1)
@@ -947,7 +980,7 @@ object Corpus {
     }
     val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
-        "__grp", docs.schema(groupCol).dataType),
+        "__grp", scoredIn.schema(groupCol).dataType),
       org.apache.spark.sql.types.StructField(
         "__b1", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField(
@@ -957,11 +990,11 @@ object Corpus {
     CacheOps.materializeAndRelease(
       scored.join(broadcast(boundsDf), col(groupCol) <=> col("__grp"))
         .withColumn("bucket",
-          when(col("avg_tok_p") >= col("__b1"), lit("head"))
-            .when(col("avg_tok_p") >= col("__b2"), lit("middle"))
+          when(col(scoreCol) >= col("__b1"), lit("head"))
+            .when(col(scoreCol) >= col("__b2"), lit("middle"))
             .otherwise(lit("tail")))
-        .select(col("doc_id"), col(groupCol), col("n_tokens"),
-          col("avg_tok_p"), col("bucket")),
+        .select((Seq(col("doc_id"), col(groupCol)) ++
+          carryCols.map(col) :+ col(scoreCol) :+ col("bucket")): _*),
       scored)
   }
 

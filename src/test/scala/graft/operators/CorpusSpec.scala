@@ -453,6 +453,39 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("perplexityBucketsTrigram: terciles over the KN score, tie " +
+      "contract, short docs dropped") {
+    val rnd = new scala.util.Random(97)
+    // 30 docs across two langs, lengths 3..12 so every doc scores
+    val docs = (0 until 30).map { i =>
+      val v = if (i % 2 == 0) Vector("a", "b", "c") else Vector("x", "y")
+      (i.toLong, if (i % 3 == 0) "en" else "de",
+        (0 until 3 + rnd.nextInt(10)).map(_ => v(rnd.nextInt(v.size)))
+          .mkString(" "))
+    } :+ ((99L, "en", "one two")) // < 3 tokens -> dropped
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = Corpus.perplexityBucketsTrigram(
+        df.where($"doc_id" % 2 === 0), df)
+      .select("doc_id", "lang", "avg_trigram_p", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(!out.exists(_._1 == 99L))
+    assert(out.length == 30)
+    // replay terciles per lang from the scores themselves
+    for ((lang, rows) <- out.groupBy(_._2)) {
+      val scores = rows.map(_._3).sorted(Ordering[Double].reverse)
+      val n = scores.length
+      val b1 = scores(((n + 2) / 3 - 1).toInt)
+      val b2 = scores(((2 * n + 2) / 3 - 1).toInt)
+      for ((_, _, p, b) <- rows) {
+        val want = if (p >= b1) "head" else if (p >= b2) "middle" else "tail"
+        assert(b == want, s"$lang $p: $b != $want")
+      }
+    }
+    // buckets genuinely split somewhere (ties may legally empty
+    // "tail" in a group — boundary ties take the higher bucket)
+    assert(out.map(_._4).toSet.size >= 2)
+  }
+
   test("fimTransform: lossless PSM reassembly, deterministic, rate gate") {
     val rnd = new scala.util.Random(41)
     val docs = (0 until 200).map { i =>
