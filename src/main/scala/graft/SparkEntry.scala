@@ -1857,16 +1857,25 @@ object SparkEntry {
           col("source").isin("src0", "src1", "src2", "src3")))
     }),
     // the STREAMING gate (E11/E12 capstone): train both models once
-    // on the static labeled corpus, then gate the document stream
+    // on the static labeled corpus, persist them as their parquet
+    // artifacts, LOAD them back, then gate the document stream
     // file-by-file through the foreachBatch leg — three exactly-once
-    // outputs per batch, checkpointed, restart-safe; verdict rows
-    // are batch-equivalent bit-for-bit (same oracle)
+    // outputs per batch, checkpointed, restart-safe. The save→load
+    // hop is deliberate: the hash-checked path is the production
+    // train-once/deploy-from-artifact one, not an in-process fit
     "q_stream_quality_gate" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val (verdict, _, _) = streaming.QualityGate.qualityGate(s, d,
-        Corpus.fitLangIdModel(docs),
+      Corpus.saveLangIdModel(s, Corpus.fitLangIdModel(docs),
+        roundtripDir("quality_gate_models/langid"))
+      Corpus.saveQualityModel(
         Corpus.fitQualityModel(docs,
           col("source").isin("src0", "src1", "src2", "src3")),
+        roundtripDir("quality_gate_models/clf"))
+      val (verdict, _, _) = streaming.QualityGate.qualityGate(s, d,
+        Corpus.loadLangIdModel(s,
+          roundtripDir("quality_gate_models/langid")),
+        Corpus.loadQualityModel(s,
+          roundtripDir("quality_gate_models/clf")),
         roundtripDir("quality_gate"),
         roundtripDir("quality_gate_ckpt"),
         fileGlob = "documents.parquet", reset = true)

@@ -146,6 +146,47 @@ class QualityGateSpec extends SparkSpec {
         .lastModified() == mt, s"$name was re-gated on resume")
   }
 
+  test("E13 -> E11 chaining: quality-admitted batches feed the " +
+      "near-dup gate by directory") {
+    // the production composition: the quality gate's admitted/
+    // layout IS a landing zone for the near-dup gate — no glue code,
+    // the second stream just watches admitted/batch=*
+    val (lm, qm) = models
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qg_ch").toString
+    val docsDir = s"$tmp/landing"
+    new java.io.File(docsDir).mkdirs()
+    val t0 = System.currentTimeMillis() - 60000
+    val goodA = sentence(goodVocab)
+    // f1: 1 passes quality; 2 fails the classifier
+    writeOneFile(Seq((1L, goodA), (2L, sentence(badVocab)))
+      .toDF("doc_id", "text"), s"$docsDir/a.parquet", t0)
+    // f2: 3 passes quality but near-dups 1; 4 passes and is distinct
+    // (same vocabulary, different shingle ORDER)
+    writeOneFile(Seq((3L, goodA + " trailer"),
+        (4L, sentence(goodVocab.reverse)))
+      .toDF("doc_id", "text"), s"$docsDir/b.parquet", t0 + 5000)
+
+    QualityGate.qualityGate(spark, docsDir, lm, qm,
+      s"$tmp/qg", s"$tmp/qg_ckpt")
+    // quality verdicts: 2 rejected, 1/3/4 admitted (3 is a DUP but
+    // dup-ness is not quality's job)
+    assert(spark.read.parquet(s"$tmp/qg/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+
+    val emptySeed = graft.operators.Dedup.minhashSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), numHashes = 16)
+    val (admitted, quarantine) = IngestGate.nearDupGate(spark,
+      s"$tmp/qg/admitted/batch=*", emptySeed,
+      s"$tmp/ndg", s"$tmp/ndg_ckpt",
+      threshold = 0.7, numHashes = 16, bands = 8)
+    // the near-dup gate catches 3 against 1 — which it only can
+    // because 1 flowed through quality's batch=0 BEFORE 3's batch=1
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 4L))
+    assert(quarantine.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet == Set((3L, 1L)))
+  }
+
   test("cold-start guards: foreign outDir and stale checkpoint both fail fast") {
     val (lm, qm) = models
     val tmp = java.nio.file.Files.createTempDirectory("graft_qg_gd").toString
