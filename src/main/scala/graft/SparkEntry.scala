@@ -1021,6 +1021,14 @@ object SparkEntry {
       T(s, d, "lineitem").groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+    // the 100 TB form of q_quantiles: exact interpolated percentiles
+    // via batched order-statistic narrowing — no group's values ever
+    // buffer in one aggregation task; bit-identical to percentile()
+    // (same oracle, shared verbatim)
+    "q_quantiles_scale" -> ((s, d) =>
+      OrderStats.quantilesByGroup(T(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95))),
     // sketch profile: t-digest percentiles + HLL++ distinct counts —
     // fixed-size mergeable state, the only viable shapes at 100 TB;
     // approximate by design → rows-only check
@@ -3082,6 +3090,9 @@ object SparkEntry {
       .map(q => s"${q}_range" -> oracleSqlBase(q)).toMap +
     // same sharing for the BoundedTopK form of the per-group cap
     ("q_cap_per_group_topk" -> oracleSqlBase("q_cap_per_group")) +
+    // scale-safe exact percentiles: bit-identical to the exact
+    // aggregate, so the oracle is shared verbatim
+    ("q_quantiles_scale" -> oracleSqlBase("q_quantiles")) +
     // warc-to-corpus: the WARC leg is a lossless identity, so the
     // oracle is the L15 crawl-front CTE chain with ONLY the
     // url-synthesis CTE swapped for the doc_id-recoverable fixture —

@@ -297,4 +297,64 @@ object OrderStats {
       state.map(s => (s.grp, s.k) -> s.resolved.get).toMap
     } finally rows.unpersist(false)
   }
+
+  /** EXACT linear-interpolation percentiles per group WITHOUT
+    * buffering any group's values — the scale-safe twin of Spark's
+    * `percentile()` aggregate (whose buffer holds every distinct
+    * value of a group in one task: the B7 scale caveat). Each
+    * requested percentile needs at most the two bracketing order
+    * statistics v[⌊p⌋], v[⌈p⌉] of the ascending multiset at position
+    * p = q·(n−1); those resolve for EVERY (group, percentile) pair
+    * through ONE [[kthLargestByGroup]] batched narrowing (k-th
+    * largest with k = n − i for ascending index i), and the driver
+    * interpolates with Spark's own tree —
+    * (⌈p⌉ − p)·v_lo + (p − ⌊p⌋)·v_hi — so results are BIT-IDENTICAL
+    * to the aggregate (spec-pinned, shared oracle).
+    *
+    * `qs` is (outputColumn, percentile) pairs; output is one row per
+    * group: (groupCol, qs columns...). Nulls are ignored per group
+    * (the aggregate's contract); groups with zero non-null values are
+    * not emitted. Group cardinality must be driver-bounded (the
+    * kthLargestByGroup contract — flags, languages, shards). */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "percentiles must be in [0, 1]")
+    val spark = df.sparkSession
+    val vals = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val sizes = vals.groupBy("__g").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    // ascending 0-based index i ↔ k-th largest with k = n - i
+    val targets = sizes.toSeq.flatMap { case (g, n) =>
+      qs.flatMap { case (_, q) =>
+        val pos = q * (n - 1).toDouble
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        Seq((g, n - lo), (g, n - hi))
+      }
+    }.distinct
+    val kth = kthLargestByGroup(
+      vals.select(col("__g"), col("__v")), "__g", "__v", targets)
+    val rows = sizes.toSeq.map { case (g, n) =>
+      val cells = qs.map { case (_, q) =>
+        val pos = q * (n - 1).toDouble
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = kth((g, n - lo))
+        // Spark Percentile.getPercentile's exact tree
+        if (hi == lo) vLo
+        else (hi - pos) * vLo + (pos - lo) * kth((g, n - hi))
+      }
+      org.apache.spark.sql.Row.fromSeq(g +: cells)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        groupCol, df.schema(groupCol).dataType) +:
+      qs.map { case (name, _) => org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.DoubleType) })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

@@ -154,4 +154,29 @@ class OrderStatsSpec extends SparkSpec {
       .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
     assert(two == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
+
+  test("quantilesByGroup is bit-identical to the percentile() aggregate") {
+    val rnd = new scala.util.Random(29)
+    // adversarial mix: tiny groups (n=1, n=2), duplicate-heavy
+    // values, negative values, a null sprinkle
+    val rows = Seq(("solo", Some(7.25)), ("pair", Some(1.0)),
+        ("pair", Some(2.0)), ("nulls", None), ("nulls", Some(3.5))) ++
+      (0 until 400).map(i => (s"g${i % 3}",
+        if (i % 37 == 0) None
+        else Some((rnd.nextInt(20) - 10) * (if (i % 2 == 0) 1.0 else 0.25))))
+    val df = rows.toDF("grp", "v")
+    val qs = Seq("p10" -> 0.10, "p50" -> 0.50, "p95" -> 0.95, "p100" -> 1.0)
+    val exact = df.groupBy("grp")
+      .agg(expr("percentile(v, 0.10)").as("p10"),
+        expr("percentile(v, 0.50)").as("p50"),
+        expr("percentile(v, 0.95)").as("p95"),
+        expr("percentile(v, 1.0)").as("p100"))
+      .as[(String, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    val scale = graft.operators.OrderStats
+      .quantilesByGroup(df, "grp", "v", qs)
+      .as[(String, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(scale.sameElements(exact))
+  }
 }
