@@ -1203,6 +1203,15 @@ object SparkEntry {
       Sampling.stratifiedSampleByRange(
           T(s, d, "documents"), "lang", "doc_id", 100L, nBuckets = 16)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // weighted sample without replacement (Efraimidis–Spirakis):
+    // inclusion odds proportional to n_chars via the exact
+    // max-of-w-uniforms key (md5 draws, zero floats), top-64 through
+    // the selectTopN narrowing — the key itself is hash-checked
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(T(s, d, "documents"), "doc_id", "n_chars", 64L)
+        .filter(col("selected"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("es_key"))),
     // BM25 retrieval: fixed-point per-term contributions (floored
     // 1e-6 ticks sum exactly in any order) over the inverted index
     "q_bm25_topk" -> ((s, d) => {
@@ -3895,6 +3904,17 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
         |al.alloc FROM documents d JOIN al USING (lang))
         |SELECT doc_id, lang, source FROM p WHERE rk <= alloc""".stripMargin,
+    // weighted sample: the A-ES key replayed draw-for-draw — max of
+    // w md5 hex draws per doc (generate_series unnest), first 15
+    // nibbles as the 60-bit key, row_number over (key desc, id asc)
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars, CAST(n_chars AS BIGINT) AS wt FROM documents WHERE n_chars >= 1),
+        |d AS (SELECT doc_id, unnest(generate_series(1, wt)) AS j FROM w),
+        |kx AS (SELECT doc_id, MAX(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))) AS hx FROM d GROUP BY doc_id),
+        |kn AS (SELECT doc_id, CAST('0x' || substr(hx, 1, 15) AS BIGINT) AS es_key FROM kx),
+        |r AS (SELECT doc_id, es_key, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS rk FROM kn)
+        |SELECT w.doc_id, w.lang, w.source, w.n_chars, r.es_key
+        |FROM w JOIN r USING (doc_id) WHERE r.rk <= 64""".stripMargin,
     // BM25: the per-term double expression tree is written token-for-
     // token as the Spark side (IEEE ops are individually correctly
     // rounded, so identical trees give identical bits), floored to

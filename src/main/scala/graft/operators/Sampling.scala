@@ -337,6 +337,58 @@ object Sampling {
       .select(col(stratumCol).as("__g"), col("__alloc"))
   }
 
+  /** WEIGHTED sample WITHOUT replacement, k rows with inclusion odds
+    * proportional to an integer weight (token/char counts — the draw
+    * a quality-weighted or length-weighted eval slice needs), in the
+    * Efraimidis–Spirakis A-ES scheme (Efraimidis & Spirakis 2006):
+    * rank every row by a key distributed as u^(1/w) and keep the
+    * global top k. The float form (pow/ln of a uniform) is
+    * libm-dependent — different engines round pow differently — so
+    * the key here is the EXACT integer equivalent: u^(1/w) is
+    * distributed as the MAX OF w IID UNIFORMS (both have CDF x^w),
+    * and each uniform is content-derived, md5(id‖":"‖j) for
+    * j = 1..w — a per-row `aggregate` fold over `sequence(1, w)`
+    * (no array of draws materializes beyond the sequence itself),
+    * lexicographic max of fixed-length hex = numeric max, first 15
+    * nibbles parsed to a 60-bit long key. Same distribution, zero
+    * floats, reproducible across runs, retries, partitionings and
+    * engines.
+    *
+    * Selection is [[OrderStats.selectTopN]] on (key desc, id asc) —
+    * the quantile-narrowed exact cutoff, no global sort. Rows with a
+    * null id or a weight that is null or < 1 are never sampled
+    * (selected = false). A weight above `maxDraws` fails the job
+    * loudly (raise_error) rather than silently quantizing the
+    * distribution — the fold is O(w) per row, so the cap is the
+    * contract that keeps the scan linear in Σw; token-count weights
+    * sit orders of magnitude below it.
+    *
+    * Plan shape at 100 TB: the key is ONE scan-stage column (Σw md5
+    * calls total, embarrassingly parallel); selectTopN adds the
+    * narrowing probes but never a global sort; output is the input +
+    * (`es_key`, `selected`). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Long, maxDraws: Long = 65536L): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(maxDraws >= 1, s"maxDraws must be >= 1, got $maxDraws")
+    val reserved = df.columns.toSet.intersect(Set("es_key", "selected"))
+    require(reserved.isEmpty,
+      s"weightedSample reserves column name(s) ${reserved.mkString(", ")}")
+    val idStr = col(idCol).cast("string")
+    val w = col(weightCol).cast("long")
+    // the cap check rides INSIDE the eligible branch, before
+    // sequence(1, w) would materialize w elements
+    val wGuarded = when(w > lit(maxDraws), raise_error(concat(
+        lit(s"weightedSample: weight exceeds maxDraws=$maxDraws at id="),
+        idStr))).otherwise(w)
+    val maxHex = aggregate(sequence(lit(1L), wGuarded), lit(""),
+      (acc, j) => greatest(acc, md5(concat(idStr, lit(":"), j.cast("string")))))
+    val keyed = df.withColumn("es_key",
+      when(col(idCol).isNotNull && w.isNotNull && w >= 1,
+        conv(substring(maxHex, 1, 15), 16, 10).cast("long")))
+    OrderStats.selectTopN(keyed, k, "es_key", idCol)
+  }
+
   /** Per-group quota: keep the first `n` rows of each group in
     * `orderCols` order (domain caps / source balancing). Single
     * window shuffle — one group sorts per task, so this is the

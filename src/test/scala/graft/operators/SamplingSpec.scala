@@ -268,4 +268,82 @@ class SamplingSpec extends SparkSpec {
       s"k-capped aggregate not map-side partial:\n$p")
     assert(p.contains("LeftSemi"), s"keeper join not a semi join:\n$p")
   }
+
+  // ---- weightedSample (Efraimidis–Spirakis, exact max-of-w-uniforms) ----
+
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The sequential A-ES reference: key = first 15 hex nibbles of
+    * max_{j=1..w} md5(id:j), selection = row_number over
+    * (key desc, id asc) <= k — the exact contract weightedSample
+    * distributes. */
+  private def esReference(rows: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val keyed = rows.collect { case (id, w) if w >= 1 =>
+      val hx = (1L to w).map(j => md5hexOf(s"$id:$j")).max
+      id -> java.lang.Long.parseLong(hx.substring(0, 15), 16)
+    }
+    keyed.sortBy { case (id, key) => (-key, id) }.take(k).toMap
+  }
+
+  test("weightedSample matches the sequential A-ES reference bit-for-bit") {
+    val rnd = new scala.util.Random(151)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to rnd.nextInt(120) + 30)
+        .map(i => (i.toLong, rnd.nextInt(50) + 1L))
+      val k = rnd.nextInt(15) + 3
+      val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", k)
+        .filter(col("selected"))
+        .select("id", "es_key").as[(Long, Long)].collect().toMap
+      assert(got == esReference(rows, k), s"trial $trial k=$k")
+    }
+  }
+
+  test("weightedSample: exact size k, partition-layout independent") {
+    val df = (1 to 300).map(i => (i.toLong, (i % 17) + 1L)).toDF("id", "w")
+    val a = Sampling.weightedSample(df.repartition(1), "id", "w", 25L)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 25L)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+    assert(a.size == 25 && a == b)
+  }
+
+  test("weightedSample: null / sub-1 weights never sampled; w=1 is one draw") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-3L)),
+      (5L, Some(1L))).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", 10L)
+      .select("id", "es_key", "selected").as[(Long, Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(Seq(2L, 3L, 4L).forall(id => out(id)._2.isEmpty && !out(id)._3))
+    assert(out(1L)._3 && out(5L)._3)
+    // w = 1 degenerates to the unweighted single content-hash draw
+    val expected1 = java.lang.Long.parseLong(
+      md5hexOf("5:1").substring(0, 15), 16)
+    assert(out(5L)._2.contains(expected1))
+  }
+
+  test("weightedSample: a dominant weight is (content-)deterministically in") {
+    // one row carries weight 5000 vs 199 weight-1 rows: its key is the
+    // max of 5000 uniforms — with these concrete ids the draw is fixed
+    val rows = (1 to 200).map(i => (i.toLong, if (i == 7) 5000L else 1L))
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", 20L)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+    assert(got.contains(7L))
+    assert(got == esReference(rows, 20).keySet)
+  }
+
+  test("weightedSample: weight above maxDraws fails loudly") {
+    val df = Seq((1L, 10L), (2L, 999L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", 1L, maxDraws = 100L)
+        .filter(col("selected")).collect()
+    }
+    assert(e.getMessage != null)
+    // and the reserved-name guard trips before any job runs
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(
+        Seq((1L, 1L)).toDF("id", "es_key"), "id", "es_key", 1L)
+    }
+  }
 }
