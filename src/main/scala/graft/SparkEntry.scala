@@ -1191,6 +1191,11 @@ object SparkEntry {
     // scan-stage column block (minTokens lowered to split this corpus)
     "q_gopher_rules" -> ((s, d) =>
       Corpus.gopherRules(T(s, d, "documents"), minTokens = 30)),
+    // exact heavy hitters (cnt > N/40) WITHOUT a vocabulary shuffle:
+    // per-partition Misra-Gries candidate sketch, broadcast semi-join
+    // confirm, integer threshold — output equals plain groupBy+filter
+    "q_heavy_hitters" -> ((s, d) =>
+      Corpus.heavyHitters(T(s, d, "documents"), k = 40)),
     // exact stratified sample: largest-remainder allocation of 100
     // rows over languages, per-stratum content-hash-order prefix
     "q_stratified_sample" -> ((s, d) =>
@@ -3904,6 +3909,16 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
         |al.alloc FROM documents d JOIN al USING (lang))
         |SELECT doc_id, lang, source FROM p WHERE rk <= alloc""".stripMargin,
+    // heavy hitters: the confirm pass IS plain SQL — token counts
+    // with the integer cnt*k > N bar (the MG sketch only proposes
+    // candidates; the output is exact by construction)
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT c.tok AS token, c.cnt, t.n_total,
+        |CAST(c.cnt AS DOUBLE) / t.n_total AS freq
+        |FROM c, t WHERE c.cnt * 40 > t.n_total""".stripMargin,
     // weighted sample: the A-ES key replayed draw-for-draw — max of
     // w md5 hex draws per doc (generate_series unnest), first 15
     // nibbles as the 60-bit key, row_number over (key desc, id asc)

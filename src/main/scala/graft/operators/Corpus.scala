@@ -18,6 +18,76 @@ object Corpus {
       .groupBy("tok")
       .agg(count(lit(1)).as("df"))
 
+  /** EXACT heavy hitters — every token whose instance count strictly
+    * exceeds N/k (total instances over k) — found WITHOUT ever
+    * shuffling the vocabulary. The naive form (groupBy token, filter)
+    * shuffles |vocab| partial counts, and web-scale vocabularies are
+    * unbounded (hapax-heavy); this is the two-pass sketch-then-verify
+    * shape instead:
+    *
+    *  1. CANDIDATES: a per-partition Misra–Gries summary (Misra &
+    *     Gries 1982) with k−1 counters over the token stream —
+    *     mapPartitions, genuinely imperative per-partition state, the
+    *     legitimate RDD-ish case. MG guarantees per partition that
+    *     any token is undercounted by at most N_p/k; summing the
+    *     guarantee over partitions: a token dropped from EVERY
+    *     summary has f_p ≤ N_p/k everywhere, so f ≤ N/k — i.e. the
+    *     union of partition summaries is a SUPERSET of the true heavy
+    *     hitters, at most tasks·(k−1) candidate rows total.
+    *  2. CONFIRM: broadcast the deduplicated candidates, left-semi
+    *     the token stream against them, and count EXACTLY — a
+    *     map-side-combined aggregation over ≤ tasks·(k−1) keys. The
+    *     integer filter cnt·k > N clears the false positives.
+    *
+    * The candidate SET depends on partition layout; the OUTPUT never
+    * does (superset + exact confirm — spec-pinned across layouts) and
+    * equals the plain groupBy-and-filter bit-for-bit. Output:
+    * (token, cnt, n_total, freq) with freq = cnt/N, one IEEE
+    * division. Cost: two scans of the text (sketch, confirm) plus a
+    * cheap per-doc size scan for N; shuffle volume is O(candidates),
+    * corpus- and vocabulary-size-independent. */
+  def heavyHitters(docs: DataFrame, k: Int, textCol: String = "text")
+  : DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val candidates = tok.as[String].mapPartitions(mgCandidates(k))
+      .toDF("tok").distinct()
+    val total = docs.select(
+      sum(coalesce(size(TextFunctions.tokens(col(textCol))), lit(0)))
+        .cast("long").as("n_total"))
+    tok.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("tok").as("token"), col("cnt"), col("n_total"),
+        (col("cnt").cast("double") / col("n_total")).as("freq"))
+  }
+
+  /** One Misra–Gries pass over a partition's token stream: k−1
+    * counters; an unseen token with all counters full decrements
+    * every counter instead (amortized O(1) per token — each
+    * decrement event pays down k tokens' worth of arrivals). Emits
+    * the surviving counter KEYS; estimates are discarded because the
+    * confirm pass recounts exactly. */
+  private[operators] def mgCandidates(k: Int)(it: Iterator[String])
+  : Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val t = it.next()
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < k - 1 => counters.update(t, 1L)
+        case None =>
+          counters.mapValuesInPlace((_, c) => c - 1)
+          counters.filterInPlace((_, c) => c > 0)
+      }
+    }
+    counters.keysIterator
+  }
+
   /** Top-k characteristic terms per document, ranked by
     * (tf desc, df asc, token asc) — the tf-idf ordering without a
     * float idf: for fixed tf, rarer (lower-df) terms win, which is

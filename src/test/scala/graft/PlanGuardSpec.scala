@@ -211,6 +211,18 @@ class PlanGuardSpec extends SparkSpec {
       s"the rule gate must stay a pure scan-stage column block:\n$p")
   }
 
+  test("q_heavy_hitters: candidates broadcast-semi onto the stream, no vocab shuffle join") {
+    val p = plan("q_heavy_hitters")
+    // the confirm pass probes the broadcast candidate set; the token
+    // stream must never shuffle-join, and the only exchanges are the
+    // candidate distinct + the bounded confirm aggregation (plus the
+    // two 1-row broadcasts)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate set not a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vocabulary-wide shuffle join appeared:\n$p")
+  }
+
   test("q_dedup_normalized: the distinct-agg pair of exchanges, no joins") {
     val p = plan("q_dedup_normalized")
     // count_distinct(text) plans as the standard two-phase distinct

@@ -929,4 +929,84 @@ class CorpusSpec extends SparkSpec {
       Corpus.loadLangIdModel(spark, dir + "3"))
     assert(e2.getMessage.contains("duplicate"))
   }
+
+  // ---- heavyHitters (Misra–Gries candidates + exact confirm) ----
+
+  /** Plain exact reference: token counts over whitespace tokens,
+    * keep cnt·k > N. */
+  private def hhReference(texts: Seq[String], k: Int)
+  : Set[(String, Long, Long, Double)] = {
+    val toks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val n = toks.size.toLong
+    toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .collect { case (t, c) if c * k > n => (t, c, n, c.toDouble / n) }
+      .toSet
+  }
+
+  test("heavyHitters equals the exact groupBy reference on skewed text") {
+    // one token at ~40%, one at ~15%, a long tail of singletons —
+    // vocab (1000+) far exceeds the 19 MG counters, so the decrement
+    // path fires constantly and false candidates must be cleared
+    val rnd = new scala.util.Random(41)
+    val texts = (1 to 200).map { i =>
+      val words = (1 to 20).map { j =>
+        val r = rnd.nextInt(100)
+        if (r < 40) "hot" else if (r < 55) "warm" else s"tail_${i}_$j"
+      }
+      words.mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Corpus.heavyHitters(df, k = 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val expect = hhReference(texts, 5)
+    assert(got == expect)
+    assert(got.map(_._1).contains("hot"))
+  }
+
+  test("heavyHitters output is partition-layout independent") {
+    val rnd = new scala.util.Random(59)
+    val texts = (1 to 120).map(_ => (1 to 30).map { _ =>
+      val r = rnd.nextInt(20)
+      if (r < 8) "a" else if (r < 12) "b" else s"t${rnd.nextInt(500)}"
+    }.mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val one = Corpus.heavyHitters(df.repartition(1), k = 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val many = Corpus.heavyHitters(df.repartition(11), k = 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(one == many && one == hhReference(texts, 8))
+  }
+
+  test("mgCandidates: superset of heavy hitters, bounded size") {
+    val rnd = new scala.util.Random(73)
+    (1 to 20).foreach { trial =>
+      val k = rnd.nextInt(8) + 2
+      val stream = (1 to rnd.nextInt(2000) + 100).map { _ =>
+        if (rnd.nextInt(10) < 4) s"h${rnd.nextInt(3)}"
+        else s"t${rnd.nextInt(300)}"
+      }
+      val cands = Corpus.mgCandidates(k)(stream.iterator).toSet
+      assert(cands.size <= k - 1, s"trial $trial: ${cands.size} > ${k - 1}")
+      val n = stream.size.toLong
+      val heavy = stream.groupBy(identity).collect {
+        case (t, xs) if xs.size.toLong * k > n => t
+      }.toSet
+      assert(heavy.subsetOf(cands),
+        s"trial $trial k=$k: missing ${heavy -- cands}")
+    }
+  }
+
+  test("heavyHitters edges: k=2 majority-only, empty corpus, null text") {
+    val df = Seq((1L, "m m m m m x y z"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // N = 8, majority bar: cnt·2 > 8 → m (5) qualifies, nothing else
+    val got = Corpus.heavyHitters(df, k = 2)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("m", 5L, 8L, 5.0 / 8.0)))
+    assert(Corpus.heavyHitters(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), k = 4).count() == 0)
+    intercept[IllegalArgumentException](Corpus.heavyHitters(df, k = 1))
+  }
 }
