@@ -1217,6 +1217,12 @@ object SparkEntry {
         .filter(col("selected"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("es_key"))),
+    // Z-order layout: per-tile file-skipping stats over the Morton
+    // interleave of (l_orderkey, l_partkey) — exact integer grid
+    // normalization, 64 rectangle tiles, every bound hash-checked
+    "q_zorder_layout" -> ((s, d) =>
+      Layout.zorderStats(T(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        bits = 16, tileBits = 3)),
     // BM25 retrieval: fixed-point per-term contributions (floored
     // 1e-6 ticks sum exactly in any order) over the inverted index
     "q_bm25_topk" -> ((s, d) => {
@@ -3909,6 +3915,24 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
         |al.alloc FROM documents d JOIN al USING (lang))
         |SELECT doc_id, lang, source FROM p WHERE rk <= alloc""".stripMargin,
+    // z-order layout: the grid scale, the top-3-bit de-interleave
+    // and the tile id replayed with the same integer arithmetic
+    // (tile = interleave of the two 3-bit grid prefixes — provably
+    // what Spark's full-16-bit z >> 26 produces)
+    "q_zorder_layout" ->
+      """WITH mm AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xmin, CAST(MAX(l_orderkey) AS BIGINT) AS xmax,
+        |CAST(MIN(l_partkey) AS BIGINT) AS ymin, CAST(MAX(l_partkey) AS BIGINT) AS ymax FROM lineitem),
+        |g AS (SELECT l_orderkey AS x, l_partkey AS y,
+        |(((CAST(l_orderkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1)) >> 13 AS gx,
+        |(((CAST(l_partkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1)) >> 13 AS gy
+        |FROM lineitem, mm),
+        |t AS (SELECT x, y, gx, gy,
+        |((gx & 1) << 0) + (((gx >> 1) & 1) << 2) + (((gx >> 2) & 1) << 4) +
+        |((gy & 1) << 1) + (((gy >> 1) & 1) << 3) + (((gy >> 2) & 1) << 5) AS tile_id FROM g)
+        |SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+        |CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+        |gx, gy FROM t GROUP BY tile_id, gx, gy""".stripMargin,
     // heavy hitters: the confirm pass IS plain SQL — token counts
     // with the integer cnt*k > N bar (the MG sketch only proposes
     // candidates; the output is exact by construction)

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the Z-order
+  * (Morton) clustering Delta/Iceberg expose as OPTIMIZE ZORDER BY.
+  *
+  * Why a layout operator belongs in a 100 TB engine: parquet
+  * min/max footer stats prune files only along the sort order. A
+  * corpus sorted by x answers x-range probes with few files but
+  * y-range probes with ALL files; interleaving the bits of both
+  * keys (z = x₀y₀x₁y₁…) makes every file a near-square RECTANGLE in
+  * (x, y) space, so range probes on EITHER dimension touch
+  * ~2^tileBits of 4^tileBits tiles instead of all of them. The
+  * curve is computed with exact integer arithmetic end to end —
+  * grid normalization is one integer range-scale, the interleave a
+  * fixed fold of shift/and/or — so any engine replays the
+  * assignment bit-identically.
+  */
+object Layout {
+
+  /** Exact integer range-normalization of `v` onto [0, 2^bits):
+    * floor((v − min) · 2^bits / (max − min + 1)). All-long
+    * arithmetic (`div`, not `/` — the double divide misrounds past
+    * 2^53); a range wide enough to overflow the scale product fails
+    * loudly instead of wrapping. Degenerate min == max maps to 0. */
+  def normalizeToGrid(v: Column, minV: Column, maxV: Column, bits: Int)
+  : Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val range = maxV.cast("long") - minV.cast("long") + 1L
+    val guarded = when(range > lit(Long.MaxValue >> bits),
+      raise_error(lit(s"normalizeToGrid: value range overflows the " +
+        s"2^$bits grid scale"))).otherwise(range)
+    call_function("div",
+      (v.cast("long") - minV.cast("long")) * (1L << bits), guarded)
+  }
+
+  /** Morton interleave of two grid coordinates in [0, 2^bits):
+    * bit b of x lands at z-bit 2b, bit b of y at 2b+1. A fixed
+    * shift/and/sum fold — whole-stage-codegen, zero data movement. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Adds the z-curve columns to `df`: grid coords (`zx`, `zy` in
+    * [0, 2^bits)), the full z-value `zval`, and `tile_id` = the top
+    * 2·tileBits z-bits — i.e. the interleave of the top tileBits of
+    * each grid coordinate, which makes every tile an EXACT
+    * axis-aligned rectangle of the grid (2^(bits−tileBits) cells a
+    * side; the property the pruning claim rests on, spec-pinned).
+    * The min/max normalization bounds come from one 1-row aggregate
+    * broadcast back onto the scan — no shuffle of `df` itself. */
+  def withZOrder(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 16, tileBits: Int = 4): DataFrame = {
+    require(tileBits >= 1 && tileBits <= bits,
+      s"tileBits must be in [1,bits], got $tileBits (bits=$bits)")
+    val reserved = df.columns.toSet
+      .intersect(Set("zx", "zy", "zval", "tile_id",
+        "__xmin", "__xmax", "__ymin", "__ymax"))
+    require(reserved.isEmpty,
+      s"withZOrder reserves column name(s) ${reserved.mkString(", ")}")
+    val mm = df.agg(
+      min(col(xCol)).cast("long").as("__xmin"),
+      max(col(xCol)).cast("long").as("__xmax"),
+      min(col(yCol)).cast("long").as("__ymin"),
+      max(col(yCol)).cast("long").as("__ymax"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("zx",
+        normalizeToGrid(col(xCol), col("__xmin"), col("__xmax"), bits))
+      .withColumn("zy",
+        normalizeToGrid(col(yCol), col("__ymin"), col("__ymax"), bits))
+      .withColumn("zval", zValue(col("zx"), col("zy"), bits))
+      .withColumn("tile_id",
+        shiftright(col("zval"), 2 * (bits - tileBits)))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
+
+  /** Per-tile layout statistics — the table a file-skipping planner
+    * reads (one row per would-be file): row count, raw min/max of
+    * both dimensions, and the de-interleaved tile grid coordinates
+    * (`gx`, `gy`) that name the tile's rectangle. One map-side-
+    * combined aggregation over ≤ 4^tileBits keys. */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int = 16, tileBits: Int = 4): DataFrame = {
+    val deinterleave = (src: Column, phase: Int) =>
+      (0 until tileBits).map { b =>
+        shiftleft(shiftright(src, 2 * b + phase).bitwiseAND(lit(1L)), b)
+      }.reduce(_ + _)
+    withZOrder(df, xCol, yCol, bits, tileBits)
+      .groupBy("tile_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).cast("long").as("min_x"),
+        max(col(xCol)).cast("long").as("max_x"),
+        min(col(yCol)).cast("long").as("min_y"),
+        max(col(yCol)).cast("long").as("max_y"))
+      .withColumn("gx", deinterleave(col("tile_id"), 0))
+      .withColumn("gy", deinterleave(col("tile_id"), 1))
+  }
+
+  /** Physically lay the data down in z order: range-partition on
+    * `zval` into nFiles tasks (contiguous z ranges → contiguous
+    * tiles per file), sort within each, one parquet file per task.
+    * Every file's footer then carries TIGHT min/max on BOTH
+    * dimensions — the on-disk form of [[zorderStats]]'s rectangles.
+    * The z columns are dropped before the write: they are layout,
+    * not data, and re-deriving them is one scan-stage expression. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int, bits: Int = 16): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    withZOrder(df, xCol, yCol, bits, tileBits = 1)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zx", "zy", "zval", "tile_id")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -211,6 +211,18 @@ class PlanGuardSpec extends SparkSpec {
       s"the rule gate must stay a pure scan-stage column block:\n$p")
   }
 
+  test("q_zorder_layout: 1-row bounds broadcast; the fact side shuffles only for the tile agg") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"min/max bounds not broadcast back onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact-side shuffle join appeared:\n$p")
+    // the z-value fold and tile id are scan-stage: the only fact-side
+    // exchange is the <= 4^tileBits-key aggregation
+    assert(p.contains("HashAggregate"), s"tile stats not hash-agg:\n$p")
+  }
+
   test("q_heavy_hitters: candidates broadcast-semi onto the stream, no vocab shuffle join") {
     val p = plan("q_heavy_hitters")
     // the confirm pass probes the broadcast candidate set; the token
