@@ -364,14 +364,20 @@ object Sampling {
     * sit orders of magnitude below it.
     *
     * Plan shape at 100 TB: the key is ONE scan-stage column (Σw md5
-    * calls total, embarrassingly parallel); selectTopN adds the
-    * narrowing probes but never a global sort; output is the input +
+    * calls total, embarrassingly parallel), computed over the
+    * corpus exactly twice — once into a persisted COMPACT (id, key)
+    * table that selectTopN's narrowing probes re-read (without the
+    * persist, every narrowing round would re-fold Σw md5 calls —
+    * measured 3x on the sf0.1 pairing), once in the output
+    * projection; the ≤ k winners broadcast back as a left join.
+    * selectTopN itself never global-sorts; output is the input +
     * (`es_key`, `selected`). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Long, maxDraws: Long = 65536L): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
     require(maxDraws >= 1, s"maxDraws must be >= 1, got $maxDraws")
-    val reserved = df.columns.toSet.intersect(Set("es_key", "selected"))
+    val reserved = df.columns.toSet
+      .intersect(Set("es_key", "selected", "__win_id", "__win"))
     require(reserved.isEmpty,
       s"weightedSample reserves column name(s) ${reserved.mkString(", ")}")
     val idStr = col(idCol).cast("string")
@@ -383,10 +389,18 @@ object Sampling {
         idStr))).otherwise(w)
     val maxHex = aggregate(sequence(lit(1L), wGuarded), lit(""),
       (acc, j) => greatest(acc, md5(concat(idStr, lit(":"), j.cast("string")))))
-    val keyed = df.withColumn("es_key",
-      when(col(idCol).isNotNull && w.isNotNull && w >= 1,
-        conv(substring(maxHex, 1, 15), 16, 10).cast("long")))
-    OrderStats.selectTopN(keyed, k, "es_key", idCol)
+    val keyExpr = when(col(idCol).isNotNull && w.isNotNull && w >= 1,
+      conv(substring(maxHex, 1, 15), 16, 10).cast("long"))
+    val keys = df.select(col(idCol), keyExpr.as("es_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = broadcast(
+      OrderStats.selectTopN(keys, k, "es_key", idCol)
+        .filter(col("selected"))
+        .select(col(idCol).as("__win_id"), lit(true).as("__win")))
+    df.withColumn("es_key", keyExpr)
+      .join(winners, col(idCol) === col("__win_id"), "left_outer")
+      .withColumn("selected", coalesce(col("__win"), lit(false)))
+      .drop("__win_id", "__win")
   }
 
   /** Per-group quota: keep the first `n` rows of each group in
