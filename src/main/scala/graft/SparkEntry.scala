@@ -1223,6 +1223,17 @@ object SparkEntry {
     "q_zorder_layout" -> ((s, d) =>
       Layout.zorderStats(T(s, d, "lineitem"), "l_orderkey", "l_partkey",
         bits = 16, tileBits = 3)),
+    // bitext mining (Artetxe-Schwenk margin): parallel pairs across
+    // the vec_id parity split — fwd/bwd top-4 candidates, exact-tick
+    // neighborhood sums, one integer division, per-x argmax over
+    // margin >= 1.10
+    "q_bitext_mine" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.bitextMine(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        k = 4, marginFpMin = 1100000L)
+    }),
     // BM25 retrieval: fixed-point per-term contributions (floored
     // 1e-6 ticks sum exactly in any order) over the inverted index
     "q_bm25_topk" -> ((s, d) => {
@@ -3915,6 +3926,30 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
         |al.alloc FROM documents d JOIN al USING (lang))
         |SELECT doc_id, lang, source FROM p WHERE rk <= alloc""".stripMargin,
+    // bitext mining: the full margin chain replayed — shared cosine
+    // tree, 1e-9 tick floors, exact long neighborhood sums, ONE
+    // integer division, per-x argmax, threshold
+    "q_bitext_mine" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |sqrt(list_sum(list_transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |x AS (SELECT * FROM v WHERE vec_id % 2 = 0), y AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        |sc AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (x.nrm * y.nrm) END AS cos
+        |FROM x CROSS JOIN y),
+        |cf AS (SELECT x_id, y_id, cos, CAST(floor(cos * 1000000000.0) AS BIGINT) AS cos_fp FROM sc),
+        |fw AS (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM cf),
+        |bw AS (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM cf),
+        |sx AS (SELECT x_id, CAST(SUM(cos_fp) AS BIGINT) AS s FROM fw WHERE rk <= 4 GROUP BY x_id),
+        |sy AS (SELECT y_id, CAST(SUM(cos_fp) AS BIGINT) AS s FROM bw WHERE rk <= 4 GROUP BY y_id),
+        |cand AS (SELECT x_id, y_id, cos, cos_fp FROM fw WHERE rk <= 4 UNION SELECT x_id, y_id, cos, cos_fp FROM bw WHERE rk <= 4),
+        |m AS (SELECT c.x_id, c.y_id, c.cos, (c.cos_fp * 8 * 1000000) // (sx.s + sy.s) AS margin_fp
+        |FROM cand c JOIN sx ON c.x_id = sx.x_id JOIN sy ON c.y_id = sy.y_id
+        |WHERE c.cos_fp > 0 AND sx.s + sy.s > 0),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin_fp DESC, y_id) AS brk FROM m)
+        |SELECT x_id, y_id, cos, margin_fp FROM best
+        |WHERE brk = 1 AND margin_fp >= 1100000""".stripMargin,
     // z-order layout: the grid scale, the top-3-bit de-interleave
     // and the tile id replayed with the same integer arithmetic
     // (tile = interleave of the two 3-bit grid prefixes — provably

@@ -98,6 +98,78 @@ object Similarity {
         // ties, and the unrounded score hash-matches DuckDB exactly
         col("col.score").as("cos"))
 
+  /** BITEXT MINING — margin-based parallel-pair extraction across
+    * two embedding corpora (Artetxe & Schwenk 2019, the CCMatrix /
+    * LASER mining criterion): raw cosine over-fires on "hub"
+    * vectors that are close to everything, so each candidate pair
+    * is scored by its cosine RELATIVE to both endpoints'
+    * neighborhood densities,
+    *   margin(x,y) = cos(x,y) / ((avgᵏ(x) + avgᵏ(y)) / 2),
+    * and per x the max-margin y is kept if it clears the threshold.
+    *
+    * Exactness discipline (the bm25 tick pattern): the cosines are
+    * the shared [[cosineScore]] tree (bit-identical across engines);
+    * each is floored to 1e-9 ticks, the two k-neighborhood sums are
+    * exact long sums (order-free), and the margin is ONE integer
+    * division, margin_fp = (cos_fp · 2k · 10⁶) div (sum_x + sum_y) —
+    * so the mined set is reproducible bit-for-bit anywhere. Pairs
+    * with a non-positive cosine or neighborhood sum are not mineable
+    * (a translation candidate is positively correlated by
+    * construction) — also what keeps the integer division in
+    * truncate==floor territory on both engines.
+    *
+    * Candidates are the UNION of forward (x→Y) and backward (y→X)
+    * top-k lists — the paper's 'max' retrieval intersected down by
+    * the per-x argmax. Plan shape: two [[bruteForceTopK]] passes
+    * (broadcast the probing side; at 100 TB swap the candidate
+    * generator for the IVF/LSH index exactly as [[hardNegatives]]
+    * documents — the margin arithmetic composes with any candidate
+    * source), two |side|-row neighborhood-sum tables broadcast back,
+    * one map-side-combined max_by argmax. The dedup `distinct` is exact:
+    * cos(x,y) and cos(y,x) are bit-equal (IEEE multiply commutes;
+    * the zip-fold order is identical).
+    *
+    * Output: (x_id, y_id, cos, margin_fp) — one row per x that
+    * mined a pair at margin_fp ≥ marginFpMin (margin 1.0 ≡ 10⁶). */
+  def bitextMine(xSide: DataFrame, ySide: DataFrame, k: Int,
+                 marginFpMin: Long,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cosFp = floor(col("cos") * 1e9).cast("long")
+    val fwd = bruteForceTopK(ySide, xSide, k, idCol, vecCol)
+      .select(col("probe_id").as("x_id"), col("neighbor_id").as("y_id"),
+        col("cos"), cosFp.as("cos_fp"))
+    val bwd = bruteForceTopK(xSide, ySide, k, idCol, vecCol)
+      .select(col("neighbor_id").as("x_id"), col("probe_id").as("y_id"),
+        col("cos"), cosFp.as("cos_fp"))
+    val sumX = broadcast(fwd.groupBy(col("x_id").as("__sx_id"))
+      .agg(sum(col("cos_fp")).as("__sum_x")))
+    val sumY = broadcast(bwd.groupBy(col("y_id").as("__sy_id"))
+      .agg(sum(col("cos_fp")).as("__sum_y")))
+    val scored = fwd.union(bwd).distinct()
+      .join(sumX, col("x_id") === col("__sx_id"))
+      .join(sumY, col("y_id") === col("__sy_id"))
+      .filter(col("cos_fp") > 0 && (col("__sum_x") + col("__sum_y")) > 0)
+      .withColumn("margin_fp", call_function("div",
+        col("cos_fp") * (2L * k) * 1000000L,
+        col("__sum_x") + col("__sum_y")))
+    // argmax margin per x (ties to the smallest y), then threshold.
+    // max_by carries the payload THROUGH the aggregation (map-side
+    // combined) — a join-back to recover cos planned as a sort-merge
+    // join of two |X|-row sides; the lexicographic (margin, −y)
+    // struct key is the (margin desc, y asc) order exactly
+    scored
+      .groupBy(col("x_id"))
+      .agg(max_by(
+        struct(col("y_id"), col("cos"), col("margin_fp")),
+        struct(col("margin_fp"), -col("y_id"))).as("__best"))
+      .select(col("x_id"), col("__best.y_id").as("y_id"),
+        col("__best.cos").as("cos"),
+        col("__best.margin_fp").as("margin_fp"))
+      .filter(col("margin_fp") >= marginFpMin)
+  }
+
   /** Recall@k of an approximate ANN result against the exact one:
     * per probe, |approx∩exact| / |exact| over the top-k neighbor
     * sets. The standard tuning loop for (nBits, nCells, nProbe) at

@@ -211,6 +211,15 @@ class PlanGuardSpec extends SparkSpec {
       s"the rule gate must stay a pure scan-stage column block:\n$p")
   }
 
+  test("q_bitext_mine: candidate top-k map-side bounded; no shuffle joins anywhere") {
+    val p = plan("q_bitext_mine")
+    assert(p.contains("partial_bounded_top_k"),
+      s"candidate generation lost the k-capped aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"margin attach degenerated to a shuffle join:\n$p")
+    assert(!p.contains("Window"), s"a window sort crept in:\n$p")
+  }
+
   test("q_zorder_layout: 1-row bounds broadcast; the fact side shuffles only for the tile agg") {
     val p = plan("q_zorder_layout")
     assert(p.contains("BroadcastNestedLoopJoin") ||

@@ -70,4 +70,98 @@ class SimilaritySpec extends SparkSpec {
     // negative is 3, then 4, then 5
     assert(out == Seq((1, 3L), (2, 4L), (3, 5L)))
   }
+
+  // ---- bitextMine (Artetxe & Schwenk margin criterion) ----
+
+  /** Sequential reference of the whole mining chain in the same IEEE
+    * order: per-side top-k, 1e-9 tick floors, exact long sums, the
+    * single integer division, argmax per x, threshold. */
+  private def mineRef(xs: Seq[(Long, Array[Float])],
+                      ys: Seq[(Long, Array[Float])],
+                      k: Int, minFp: Long): Set[(Long, Long, Long)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else dot(a, b) / d
+    }
+    def fp(c: Double): Long = math.floor(c * 1e9).toLong
+    def topk(q: Array[Float], side: Seq[(Long, Array[Float])]) =
+      side.map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = xs.map { case (x, v) => x -> topk(v, ys) }.toMap
+    val bwd = ys.map { case (y, v) => y -> topk(v, xs) }.toMap
+    val sumX = fwd.view.mapValues(_.map(t => fp(t._2)).sum).toMap
+    val sumY = bwd.view.mapValues(_.map(t => fp(t._2)).sum).toMap
+    val cands = fwd.toSeq.flatMap { case (x, nn) => nn.map(t => (x, t._1, t._2)) } ++
+      bwd.toSeq.flatMap { case (y, nn) => nn.map(t => (t._1, y, t._2)) }
+    val margins = cands.distinct.flatMap { case (x, y, c) =>
+      val den = sumX(x) + sumY(y)
+      if (fp(c) > 0 && den > 0)
+        Some((x, y, fp(c) * (2L * k) * 1000000L / den))
+      else None
+    }
+    margins.groupBy(_._1).values.flatMap { ms =>
+      val best = ms.minBy { case (_, y, m) => (-m, y) }
+      if (best._3 >= minFp) Some(best) else None
+    }.toSet
+  }
+
+  test("bitextMine matches the sequential margin reference bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    (1 to 3).foreach { trial =>
+      def side(n: Int, off: Long) = (0 until n).map(i =>
+        (off + i, Array.fill(8)(rnd.nextFloat() - 0.3f)))
+      val xs = side(40, 0L)
+      val ys = side(40, 1000L)
+      val got = Similarity.bitextMine(
+        xs.toDF("vec_id", "embedding"), ys.toDF("vec_id", "embedding"),
+        k = 3, marginFpMin = 900000L)
+        .select("x_id", "y_id", "margin_fp")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == mineRef(xs, ys, 3, 900000L), s"trial $trial")
+    }
+  }
+
+  test("bitextMine: the margin demotes hub pairs below exclusive pairs") {
+    // y1 is (nearly) x1's translation; hub is moderately close to
+    // EVERY x — raw cosine would hand several x's the hub, the
+    // margin normalizes it away by its own dense neighborhood
+    val xs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.05f, 1.0f, 0.0f)))
+    val ys = Seq(
+      (11L, Array(1.0f, 0.0f, 0.05f, 0.0f)), // x1's pair
+      (12L, Array(0.5f, 0.5f, 0.5f, 0.5f))) // the hub
+    val mined = Similarity.bitextMine(
+      xs.toDF("vec_id", "embedding"), ys.toDF("vec_id", "embedding"),
+      k = 2, marginFpMin = 0L)
+      .select("x_id", "y_id", "margin_fp")
+      .as[(Long, Long, Long)].collect()
+    val byPair = mined.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair.contains((1L, 11L)), s"true pair not mined: $mined")
+    // the exclusive pair's margin beats every hub pairing
+    val hubMargins = mined.filter(_._2 == 12L).map(_._3)
+    assert(hubMargins.forall(_ < byPair((1L, 11L))),
+      s"hub outscored the exclusive pair: $mined")
+    assert(mined.toSet == mineRef(xs, ys, 2, 0L))
+  }
+
+  test("bitextMine: non-positive cosine or neighborhood never mined") {
+    val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+    val ys = Seq((11L, Array(-1.0f, 0.0f)), (12L, Array(-0.9f, -0.1f)))
+    // every forward cosine from x1 is negative → x1 mines nothing;
+    // x2 pairs positively and mines its best
+    val mined = Similarity.bitextMine(
+      xs.toDF("vec_id", "embedding"), ys.toDF("vec_id", "embedding"),
+      k = 2, marginFpMin = 0L)
+      .select("x_id", "y_id", "margin_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mined.map(_._1) == Set(2L))
+    assert(mined == mineRef(xs, ys, 2, 0L))
+  }
 }
