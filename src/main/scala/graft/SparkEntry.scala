@@ -1208,6 +1208,13 @@ object SparkEntry {
       Sampling.stratifiedSampleByRange(
           T(s, d, "documents"), "lang", "doc_id", 100L, nBuckets = 16)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // distribution matching: down-sample to the target lang mix
+    // (en .4 / es .3 / zh .2 / fr .1; de dropped) — binding group
+    // keeps ~100%, md5-bucket thresholds, corpus never shuffles
+    "q_match_distribution" -> ((s, d) =>
+      Sampling.matchDistribution(T(s, d, "documents"), "lang", "doc_id",
+          Seq("en" -> 0.4, "es" -> 0.3, "zh" -> 0.2, "fr" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("source"))),
     // weighted sample without replacement (Efraimidis–Spirakis):
     // inclusion odds proportional to n_chars via the exact
     // max-of-w-uniforms key (md5 draws, zero floats), top-64 through
@@ -3978,6 +3985,16 @@ object SparkEntry {
         |SELECT c.tok AS token, c.cnt, t.n_total,
         |CAST(c.cnt AS DOUBLE) / t.n_total AS freq
         |FROM c, t WHERE c.cnt * 40 > t.n_total""".stripMargin,
+    // distribution matching: the same fixed IEEE tree (cast-divide,
+    // multiply, floor, 1-bucket floor) and the md5Bucket16 threshold
+    "q_match_distribution" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |t(g, t) AS (VALUES ('en', 0.4), ('es', 0.3), ('zh', 0.2), ('fr', 0.1)),
+        |q AS (SELECT g, t, n, CAST(n AS DOUBLE) / t AS q FROM c JOIN t ON lang = g),
+        |s AS (SELECT MIN(q) AS s FROM q),
+        |th AS (SELECT g, GREATEST(CAST(1 AS BIGINT), CAST(floor(s.s * q.t / CAST(q.n AS DOUBLE) * 65536) AS BIGINT)) AS thresh FROM q, s)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN th ON d.lang = th.g
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) < th.thresh""".stripMargin,
     // weighted sample: the A-ES key replayed draw-for-draw — max of
     // w md5 hex draws per doc (generate_series unnest), first 15
     // nibbles as the 60-bit key, row_number over (key desc, id asc)

@@ -126,6 +126,56 @@ object Sampling {
       .drop("__g", "__thresh")
   }
 
+  /** DISTRIBUTION MATCHING — down-sample each group so the kept
+    * corpus follows a TARGET mix (the Pile/Dolma-style "30% web,
+    * 20% code, …" contract), keeping as much data as the target
+    * allows: the binding group is the one with the least headroom,
+    * scale S = min_g(n_g / t_g), and group g keeps at rate
+    * S·t_g / n_g (the binding group keeps 100%). Groups absent from
+    * `targets` are DROPPED — matching a distribution means nothing
+    * outside it. Rates apply as deterministic md5-bucket thresholds
+    * (the [[temperatureSample]] discipline): floor(rate·65536) over
+    * [[md5Bucket16]], floored at 1 bucket so a pathologically small
+    * positive target under-samples rather than silently vanishing
+    * (documented distortion ≤ 1/65536 of the group). Every
+    * threshold is the same fixed IEEE tree on both engines (casted
+    * division, multiply, floor — no libm), so the kept set is
+    * engine-exact.
+    *
+    * Plan shape at 100 TB: one map-side-combined count per group,
+    * the |targets|-row threshold table broadcast back, a pure
+    * column-expression filter — the corpus itself never shuffles. */
+  def matchDistribution(df: DataFrame, groupCol: String, idCol: String,
+                        targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0), "every target share must be > 0")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target shares must sum to 1")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate group in targets")
+    val reserved = df.columns.toSet
+      .intersect(Set("__g", "__n", "__t", "__q", "__s", "__thresh"))
+    require(reserved.isEmpty,
+      s"matchDistribution reserves column name(s) ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toDF("__g", "__t"))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      // inner join: absent-from-targets groups fall out here, and a
+      // target naming a group with no rows simply cannot bind
+      .join(tgt, col(groupCol) === col("__g"))
+      .withColumn("__q", col("__n").cast("double") / col("__t"))
+    val s = counts.agg(min(col("__q")).as("__s"))
+    val thresholds = counts.crossJoin(broadcast(s))
+      .select(col("__g"),
+        greatest(lit(1L),
+          floor(col("__s") * col("__t") / col("__n").cast("double") * 65536)
+            .cast("long")).as("__thresh"))
+    df.join(broadcast(thresholds), col(groupCol) === col("__g"))
+      .filter(md5Bucket16(col(idCol)) < col("__thresh"))
+      .drop("__g", "__thresh")
+  }
+
   /** Token-budget mixture sampling: per group (training-mix source),
     * keep documents in content-hash order until the group's TOKEN
     * budget is exhausted — the budget a training mixture is actually

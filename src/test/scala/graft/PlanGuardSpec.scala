@@ -211,6 +211,14 @@ class PlanGuardSpec extends SparkSpec {
       s"the rule gate must stay a pure scan-stage column block:\n$p")
   }
 
+  test("q_match_distribution: thresholds broadcast; the corpus never shuffles") {
+    val p = plan("q_match_distribution")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join appeared:\n$p")
+  }
+
   test("q_bitext_mine: candidate top-k map-side bounded; no shuffle joins anywhere") {
     val p = plan("q_bitext_mine")
     assert(p.contains("partial_bounded_top_k"),

@@ -269,6 +269,60 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"keeper join not a semi join:\n$p")
   }
 
+  // ---- matchDistribution (target-mix down-sampling) ----
+
+  private def bucket16(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 4), 16)
+  }
+
+  test("matchDistribution matches the sequential threshold reference") {
+    val rnd = new scala.util.Random(113)
+    val rows = (1 to 1200).map(i =>
+      (i.toLong, s"g${rnd.nextInt(5)}")) // 5 groups, one untargeted
+    val targets = Seq("g0" -> 0.5, "g1" -> 0.25, "g2" -> 0.15, "g3" -> 0.1)
+    val got = Sampling.matchDistribution(
+      rows.toDF("id", "g"), "g", "id", targets)
+      .select("id", "g").as[(Long, String)].collect().toSet
+    // reference: same double tree, same md5 buckets
+    val n = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val q = targets.map { case (g, t) => g -> n(g).toDouble / t }.toMap
+    val s = q.values.min
+    val thresh = targets.map { case (g, t) =>
+      g -> math.max(1L, math.floor(s * t / n(g).toDouble * 65536).toLong)
+    }.toMap
+    val expect = rows.filter { case (id, g) =>
+      thresh.contains(g) && bucket16(id) < thresh(g)
+    }.toSet
+    assert(got == expect)
+    // the untargeted group is gone entirely
+    assert(!got.exists(_._2 == "g4"))
+    // kept mix tracks the target within md5-bucket noise
+    val kept = got.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val tot = kept.values.sum
+    targets.foreach { case (g, t) =>
+      assert(math.abs(kept(g) / tot - t) < 0.08, s"$g off-target")
+    }
+  }
+
+  test("matchDistribution: binding group kept (nearly) whole; guards") {
+    val rows = (1 to 100).map(i => (i.toLong, "small")) ++
+      (1000 to 1899).map(i => (i.toLong, "big"))
+    // small/0.5 binds (q=200 vs big 1125): small keeps ~100%
+    val out = Sampling.matchDistribution(
+      rows.toDF("id", "g"), "g", "id", Seq("small" -> 0.5, "big" -> 0.5))
+      .select("id", "g").as[(Long, String)].collect()
+    val kept = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept("small") >= 98) // ≤ 1/65536 float-floor distortion
+    assert(math.abs(kept("big") - 100) < 30) // ~rate 100/900
+    intercept[IllegalArgumentException](Sampling.matchDistribution(
+      rows.toDF("id", "g"), "g", "id", Seq("a" -> 0.5, "b" -> 0.6)))
+    intercept[IllegalArgumentException](Sampling.matchDistribution(
+      rows.toDF("id", "g"), "g", "id", Seq("a" -> 1.0, "a" -> 0.0)))
+  }
+
   // ---- weightedSample (Efraimidis–Spirakis, exact max-of-w-uniforms) ----
 
   private def md5hexOf(s: String): String =
