@@ -1208,6 +1208,17 @@ object SparkEntry {
       Sampling.stratifiedSampleByRange(
           T(s, d, "documents"), "lang", "doc_id", 100L, nBuckets = 16)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // leakage-safe split: train/val/test keyed on the normalized-
+    // text duplicate group's min doc_id — a dup cluster can never
+    // straddle train and test
+    "q_leakage_safe_split" -> ((s, d) =>
+      Sampling.groupAwareSplit(
+          T(s, d, "documents").withColumn("gk",
+            md5(graft.functions.TextFunctions.normalizeText(col("text"))
+              .cast("binary"))),
+          "gk", "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))),
     // distribution matching: down-sample to the target lang mix
     // (en .4 / es .3 / zh .2 / fr .1; de dropped) — binding group
     // keeps ~100%, md5-bucket thresholds, corpus never shuffles
@@ -1221,6 +1232,15 @@ object SparkEntry {
     // the selectTopN narrowing — the key itself is hash-checked
     "q_weighted_sample" -> ((s, d) =>
       Sampling.weightedSample(T(s, d, "documents"), "doc_id", "n_chars", 64L)
+        .filter(col("selected"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("es_key"))),
+    // the per-group form: 12 weighted draws from EVERY language via
+    // the batched selectTopNByGroup narrowing (52-bit key; no
+    // per-group window sort anywhere)
+    "q_weighted_sample_group" -> ((s, d) =>
+      Sampling.weightedSamplePerGroup(
+          T(s, d, "documents"), "lang", "doc_id", "n_chars", 12L)
         .filter(col("selected"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("es_key"))),
@@ -3985,6 +4005,19 @@ object SparkEntry {
         |SELECT c.tok AS token, c.cnt, t.n_total,
         |CAST(c.cnt AS DOUBLE) / t.n_total AS freq
         |FROM c, t WHERE c.cnt * 40 > t.n_total""".stripMargin,
+    // leakage-safe split: the normalization + md5 group, min-id rep,
+    // and the 256-bucket thresholds (0.9/0.05/0.05 → 230/243)
+    "q_leakage_safe_split" ->
+      """WITH n AS (SELECT doc_id,
+        |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \n\t\r]', ' ', 'g'), '[ \n\t\r]+', ' ', 'g'))) AS gk
+        |FROM documents),
+        |r AS (SELECT gk, MIN(doc_id) AS rep_id FROM n GROUP BY gk),
+        |b AS (SELECT n.doc_id, r.rep_id,
+        |CAST('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 2) AS BIGINT) AS bucket
+        |FROM n JOIN r USING (gk))
+        |SELECT doc_id, rep_id, bucket,
+        |CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // distribution matching: the same fixed IEEE tree (cast-divide,
     // multiply, floor, 1-bucket floor) and the md5Bucket16 threshold
     "q_match_distribution" ->
@@ -3995,6 +4028,17 @@ object SparkEntry {
         |th AS (SELECT g, GREATEST(CAST(1 AS BIGINT), CAST(floor(s.s * q.t / CAST(q.n AS DOUBLE) * 65536) AS BIGINT)) AS thresh FROM q, s)
         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN th ON d.lang = th.g
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) < th.thresh""".stripMargin,
+    // per-group weighted sample: same draws, 13-nibble (52-bit,
+    // double-exact) key, per-lang row_number
+    "q_weighted_sample_group" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars, CAST(n_chars AS BIGINT) AS wt FROM documents WHERE n_chars >= 1),
+        |d AS (SELECT doc_id, unnest(generate_series(1, wt)) AS j FROM w),
+        |kx AS (SELECT doc_id, MAX(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))) AS hx FROM d GROUP BY doc_id),
+        |kn AS (SELECT doc_id, CAST('0x' || substr(hx, 1, 13) AS BIGINT) AS es_key FROM kx),
+        |r AS (SELECT w.doc_id, w.lang, w.source, w.n_chars, kn.es_key,
+        |ROW_NUMBER() OVER (PARTITION BY w.lang ORDER BY kn.es_key DESC, w.doc_id ASC) AS rk
+        |FROM w JOIN kn USING (doc_id))
+        |SELECT doc_id, lang, source, n_chars, es_key FROM r WHERE rk <= 12""".stripMargin,
     // weighted sample: the A-ES key replayed draw-for-draw — max of
     // w md5 hex draws per doc (generate_series unnest), first 15
     // nibbles as the 60-bit key, row_number over (key desc, id asc)

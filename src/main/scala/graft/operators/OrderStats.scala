@@ -357,4 +357,85 @@ object OrderStats {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** PER-GROUP exact top-N by (weight desc, id asc) WITHOUT a
+    * per-group window sort — the group form of [[selectTopN]]:
+    * marks each row `selected` iff it is among its group's first `n`
+    * under that order, bit-identical to `row_number().over(
+    * Window.partitionBy(group).orderBy(weight desc, id asc)) <= n`.
+    * The window form sorts ONE GROUP PER TASK — the per-group hot
+    * ceiling every `_range`/selectTopN twin in this file exists to
+    * remove; here every group's boundary resolves through ONE
+    * batched [[kthLargestByGroup]] narrowing (job count
+    * O(narrowing rounds) total, not O(groups)), the counts above
+    * each boundary come from one grouped aggregation, and only the
+    * boundary-TIED rows (multiplicity-bounded) pass through a
+    * window — partitioned by (group, weight), never the group alone.
+    *
+    * Contracts: `groupCol` must be a string (the driver-side target
+    * bookkeeping is typed); weights are compared as doubles, so they
+    * must be exactly double-representable (integers up to 2^53 —
+    * callers with wider keys truncate first, as
+    * [[graft.operators.Sampling.weightedSamplePerGroup]] does);
+    * rows with a null weight or null group are never selected.
+    * Groups no larger than `n` select every eligible row without
+    * entering the narrowing. `df` is scanned a handful of times —
+    * persist it first unless its lineage is trivial. Driver state:
+    * O(|groups|) (the sizes/boundary maps — the quantilesByGroup
+    * precedent). */
+  def selectTopNByGroup(df: DataFrame, n: Long, weightCol: String,
+                        idCol: String, groupCol: String,
+                        accuracy: Int = 10000,
+                        exactFinishRows: Long = 100000L): DataFrame = {
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"selectTopNByGroup needs a string group column, got " +
+        s"${df.schema(groupCol).dataType}")
+    if (n <= 0L) return df.withColumn("selected", lit(false))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = col(weightCol).cast("double")
+    val eligible = w.isNotNull && col(groupCol).isNotNull
+    val sizes = df.filter(eligible).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .as[(String, Long)].collect().toMap
+    val narrowTargets = sizes.toSeq.collect {
+      case (g, cnt) if cnt > n => (g: Any, n)
+    }
+    val kth: Map[String, Double] =
+      if (narrowTargets.isEmpty) Map.empty
+      else kthLargestByGroup(
+        df.filter(eligible).select(col(groupCol), w.as("__w")),
+        groupCol, "__w", narrowTargets, accuracy, exactFinishRows)
+        .map { case ((g, _), v) => g.asInstanceOf[String] -> v }
+    // full groups (cnt <= n): boundary -inf selects every eligible
+    // row strictly above it; ties AT -inf are impossible for finite
+    // weights, so their slot count is irrelevant
+    val bounds = broadcast(sizes.keys.toSeq
+      .map(g => (g, kth.getOrElse(g, Double.NegativeInfinity)))
+      .toDF("__g", "__wstar"))
+    val cGt = df.filter(eligible)
+      .join(bounds, col(groupCol) === col("__g"))
+      .filter(w > col("__wstar"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .as[(String, Long)].collect().toMap
+    val slots = broadcast(kth.keys.toSeq
+      .map(g => (g, n - cGt.getOrElse(g, 0L)))
+      .toDF("__sg", "__slots"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), w).orderBy(col(idCol).asc)
+    val tieKeep = broadcast(df.filter(eligible)
+      .join(bounds, col(groupCol) === col("__g"))
+      .filter(w === col("__wstar"))
+      .withColumn("__tie_rk", row_number().over(tieW))
+      .join(slots, col(groupCol) === col("__sg"))
+      .filter(col("__tie_rk") <= col("__slots"))
+      .select(col(idCol).as("__tie_id"), lit(true).as("__tie_sel")))
+    df.join(bounds, col(groupCol) === col("__g"), "left_outer")
+      .join(tieKeep, col(idCol) === col("__tie_id"), "left_outer")
+      .withColumn("selected",
+        coalesce((eligible && w > col("__wstar")) ||
+          coalesce(col("__tie_sel"), lit(false)), lit(false)))
+      .drop("__g", "__wstar", "__tie_id", "__tie_sel")
+  }
 }

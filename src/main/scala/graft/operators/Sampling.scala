@@ -48,6 +48,34 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** LEAKAGE-SAFE split: assign train/val/test by the GROUP's
+    * representative (min id), not the row's own id — every row of a
+    * group lands in ONE split. The failure this closes: a per-doc
+    * content-hash split scatters a duplicate cluster's members
+    * across train AND test, and the model is then evaluated on
+    * (near-)copies of training documents. Key the group by whatever
+    * duplication signal the pipeline trusts — the normalized-text
+    * hash, a minhash cluster id, the canonical URL — and the split
+    * inherits exactly that notion of "same document"; residual
+    * leakage is precisely what the grouping missed, nothing more.
+    * Adds `rep_id` plus [[deterministicSplit]]'s `bucket`/`split`
+    * (hashed on rep_id, so the split stays reproducible across
+    * runs/engines AND stable under re-ingestion of more copies —
+    * min(id) only moves if an earlier id arrives).
+    *
+    * Plan: one map-side-combined min per group + one equi-join back
+    * on the group key (both shuffle on the group key — co-partitioned,
+    * exchange-reused) + the pure column split assignment. */
+  def groupAwareSplit(df: DataFrame, groupCol: String, idCol: String,
+                      splits: Seq[(String, Double)]): DataFrame = {
+    val reserved = df.columns.toSet
+      .intersect(Set("rep_id", "bucket", "split"))
+    require(reserved.isEmpty,
+      s"groupAwareSplit reserves column name(s) ${reserved.mkString(", ")}")
+    val reps = df.groupBy(col(groupCol)).agg(min(col(idCol)).as("rep_id"))
+    deterministicSplit(df.join(reps, Seq(groupCol)), "rep_id", splits)
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins
     * (context-window packing for training batches). Deterministic
     * greedy scheme: order by (length desc, id), take the running
@@ -445,6 +473,55 @@ object Sampling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = broadcast(
       OrderStats.selectTopN(keys, k, "es_key", idCol)
+        .filter(col("selected"))
+        .select(col(idCol).as("__win_id"), lit(true).as("__win")))
+    df.withColumn("es_key", keyExpr)
+      .join(winners, col(idCol) === col("__win_id"), "left_outer")
+      .withColumn("selected", coalesce(col("__win"), lit(false)))
+      .drop("__win_id", "__win")
+  }
+
+  /** [[weightedSample]] PER GROUP — k weighted draws from EACH group
+    * (the per-source form a training-mix construction actually runs:
+    * "give me 10k length-weighted docs from every source"). Same
+    * exact A-ES key (max of w md5-derived uniforms — see
+    * [[weightedSample]]), except the key keeps 13 hex nibbles
+    * (52 bits) so it is exactly double-representable: the per-group
+    * selection runs through [[OrderStats.selectTopNByGroup]], whose
+    * batched boundary narrowing compares doubles (the global form's
+    * 60-bit key would silently collide past 2^53 there). Selection is
+    * bit-identical to the per-group (key desc, id asc) row_number —
+    * with NO per-group window sort: one batched narrowing for every
+    * group's boundary at once, ties broken by id on the
+    * (group, key)-partitioned boundary rows only.
+    *
+    * Output: the input plus (`es_key`, `selected`). The compact
+    * (group, id, key) table persists through the narrowing (the
+    * [[weightedSample]] lesson); winners join back by id from the
+    * flagged compact table — broadcast-sized at |groups|·k. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String, k: Long,
+                             maxDraws: Long = 65536L): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(maxDraws >= 1, s"maxDraws must be >= 1, got $maxDraws")
+    val reserved = df.columns.toSet
+      .intersect(Set("es_key", "selected", "__win_id", "__win"))
+    require(reserved.isEmpty,
+      s"weightedSamplePerGroup reserves column name(s) " +
+        reserved.mkString(", "))
+    val idStr = col(idCol).cast("string")
+    val w = col(weightCol).cast("long")
+    val wGuarded = when(w > lit(maxDraws), raise_error(concat(
+        lit(s"weightedSamplePerGroup: weight exceeds maxDraws=$maxDraws" +
+          " at id="), idStr))).otherwise(w)
+    val maxHex = aggregate(sequence(lit(1L), wGuarded), lit(""),
+      (acc, j) => greatest(acc, md5(concat(idStr, lit(":"), j.cast("string")))))
+    val keyExpr = when(col(idCol).isNotNull && w.isNotNull && w >= 1,
+      conv(substring(maxHex, 1, 13), 16, 10).cast("long"))
+    val keys = df.select(col(groupCol), col(idCol), keyExpr.as("es_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = broadcast(
+      OrderStats.selectTopNByGroup(keys, k, "es_key", idCol, groupCol)
         .filter(col("selected"))
         .select(col(idCol).as("__win_id"), lit(true).as("__win")))
     df.withColumn("es_key", keyExpr)

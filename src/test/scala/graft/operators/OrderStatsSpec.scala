@@ -179,4 +179,47 @@ class OrderStatsSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(scale.sameElements(exact))
   }
+
+  test("selectTopNByGroup equals the per-group window definition incl. ties") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 4).foreach { trial =>
+      // small weight range → plenty of boundary ties per group
+      val rows = (1 to rnd.nextInt(400) + 100).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(8).toLong))
+      }
+      val n = rnd.nextInt(20) + 1
+      val df = rows.toDF("id", "g", "w")
+      val got = OrderStats.selectTopNByGroup(df, n, "w", "id", "g")
+        .filter(col("selected")).select("id").as[Long].collect().toSet
+      val expect = rows.collect { case (id, g, Some(w)) => (id, g, w) }
+        .groupBy(_._2).values.flatMap { ms =>
+          ms.sortBy { case (id, _, w) => (-w, id) }.take(n).map(_._1)
+        }.toSet
+      assert(got == expect, s"trial $trial n=$n")
+    }
+  }
+
+  test("selectTopNByGroup: narrowing rounds, edges, null group") {
+    import sqlImplicits._
+    val rows = (1 to 3000).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"g${i % 3}", i.toLong * 13 % 997))
+    val df = rows.toDF("id", "g", "w")
+    // tiny exactFinishRows forces real narrowing rounds per group
+    val got = OrderStats.selectTopNByGroup(df, 25, "w", "id", "g",
+        exactFinishRows = 8L)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+    val expect = rows.filter(_._2 != null).groupBy(_._2).values.flatMap {
+      ms => ms.sortBy { case (id, _, w) => (-w, id) }.take(25).map(_._1)
+    }.toSet
+    assert(got == expect)
+    // null group rows never selected
+    assert(!got.exists(_ % 7 == 0))
+    // n = 0 selects nothing; n >= group sizes selects every eligible row
+    assert(OrderStats.selectTopNByGroup(df, 0, "w", "id", "g")
+      .filter(col("selected")).count() == 0)
+    assert(OrderStats.selectTopNByGroup(df, 100000, "w", "id", "g")
+      .filter(col("selected")).count() == rows.count(_._2 != null))
+  }
 }

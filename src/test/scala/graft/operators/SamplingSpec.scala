@@ -269,6 +269,39 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"keeper join not a semi join:\n$p")
   }
 
+  // ---- groupAwareSplit (leakage-safe splits) ----
+
+  test("groupAwareSplit: a duplicate cluster never straddles splits") {
+    // 400 clusters of 1-4 copies; cluster key = payload hash stand-in
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).flatMap { c =>
+      (0 until rnd.nextInt(4) + 1).map(j => (c * 10L + j, s"cluster_$c"))
+    }
+    val df = rows.toDF("id", "gk")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.groupAwareSplit(df, "gk", "id", splits)
+      .select("id", "gk", "rep_id", "split")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.length == rows.length)
+    // one split per group, rep = min id
+    out.groupBy(_._2).foreach { case (gk, members) =>
+      assert(members.map(_._4).distinct.length == 1, s"$gk straddles")
+      assert(members.forall(_._3 == members.map(_._1).min), s"$gk rep")
+    }
+    // the naive per-row split DOES straddle some multi-member group —
+    // the leakage this operator exists to close
+    val naive = Sampling.deterministicSplit(df, "id", splits)
+      .select("id", "gk", "split").as[(Long, String, String)].collect()
+    val straddled = naive.groupBy(_._2).values
+      .count(ms => ms.map(_._3).distinct.length > 1)
+    assert(straddled > 0, "fixture too weak: naive split never straddled")
+    // and the split is keyed on rep_id exactly like deterministicSplit
+    val repSplit = Sampling.deterministicSplit(
+      out.map(r => r._3 -> 0).toSeq.toDF("rep", "x"), "rep", splits)
+      .select("rep", "split").as[(Long, String)].collect().toMap
+    assert(out.forall(r => repSplit(r._3) == r._4))
+  }
+
   // ---- matchDistribution (target-mix down-sampling) ----
 
   private def bucket16(id: Long): Long = {
@@ -385,6 +418,27 @@ class SamplingSpec extends SparkSpec {
       .filter(col("selected")).select("id").as[Long].collect().toSet
     assert(got.contains(7L))
     assert(got == esReference(rows, 20).keySet)
+  }
+
+  test("weightedSamplePerGroup matches the per-group A-ES reference") {
+    val rnd = new scala.util.Random(211)
+    val rows = (1 to 150).map(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(40) + 1L))
+    val got = Sampling.weightedSamplePerGroup(
+      rows.toDF("id", "g", "w"), "g", "id", "w", k = 7L)
+      .filter(col("selected"))
+      .select("id", "g", "es_key").as[(Long, String, Long)].collect()
+    // reference: 52-bit key, per-group (key desc, id asc) take 7
+    val keyed = rows.map { case (id, g, w) =>
+      val hx = (1L to w).map(j => md5hexOf(s"$id:$j")).max
+      (id, g, java.lang.Long.parseLong(hx.substring(0, 13), 16))
+    }
+    val expect = keyed.groupBy(_._2).values.flatMap { ms =>
+      ms.sortBy { case (id, _, key) => (-key, id) }.take(7)
+    }.toSet
+    assert(got.toSet == expect)
+    // exactly 7 per group (every group has >= 7 eligible rows)
+    assert(got.groupBy(_._2).values.forall(_.length == 7))
   }
 
   test("weightedSample: weight above maxDraws fails loudly") {
