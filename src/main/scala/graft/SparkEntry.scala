@@ -99,6 +99,21 @@ object SparkEntry {
       "\u65e5\u672c", "\ud83d\ude42"))
       .map(graft.expressions.ByteRemap.remapString)
 
+  /** Fixed WordPiece vocabulary for q_wordpiece_encode, shared
+    * verbatim with the DuckDB replay. Designed against the corpus
+    * word list so every kernel path fires: whole-word matches (the,
+    * spark), a longest INITIAL match over its prefixes (fa > f),
+    * longest CONTINUATION matches (##able > ##a\u2026), plain char
+    * chains, first-char [UNK] (query \u2014 no "q"), and mid-word [UNK]
+    * that discards matched prefixes (row/slow \u2014 no "##w"; order/
+    * window \u2014 no "##d"). */
+  private val wordPieceVocabFixed: Seq[String] = Seq(
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "r", "s", "t", "v", "w", "fa", "sp", "spark", "the",
+    "##a", "##b", "##c", "##e", "##g", "##h", "##i", "##l", "##m",
+    "##n", "##o", "##p", "##r", "##s", "##t", "##u", "##y",
+    "##able", "##alue", "##art", "##atch", "##eam", "##erge", "##ta")
+
   /** Fixed literal unigram model (piece → ln-prob ticks) for
     * q_unigram_segment — shared verbatim by the Spark query and the
     * DuckDB oracle. Weights are deliberately NOT monotone in length
@@ -1584,6 +1599,28 @@ object SparkEntry {
             Bpe.encodeBytesFullText(col("text"), bpeByteVocab), idVocab),
           idVocab).as("text"))
     }),
+    // WordPiece (BERT) production encode: greedy longest match under
+    // the position-split vocabulary (word-initial vs ##-continuation
+    // entries are distinct citizens), whole-word [UNK] on any
+    // mid-word failure or >12-char words. The oracle replays the
+    // cursor with a (body, cont) vocab table — a NULL match means
+    // [UNK]-and-jump instead of BPE's single-char fallback, so both
+    // defining WordPiece semantics are hash-checked per decision.
+    "q_wordpiece_encode" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(explode(Bpe.encodeWordPiece(col("text"),
+          wordPieceVocabFixed, maxWordChars = 12)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+    // WordPiece round-1 TRAINING statistics: the scored pair table
+    // the likelihood argmax score(a,b) = cnt_pair/(cnt_a·cnt_b)
+    // reads — pair counts plus both symbol marginals, all exact
+    // longs (the division happens at the driver argmax; the
+    // distributed round ships only integers). Full table.
+    "q_wordpiece_pair_scores" -> ((s, d) =>
+      Bpe.wordPiecePairScores(
+        Bpe.wordFreqs(T(s, d, "documents"))
+          .select(Bpe.wordPieceSymbols(col("word")).as("symbols"),
+            col("freq")))),
     // tokenizer FERTILITY stats (the standard tokenizer-evaluation
     // table): per language, words / subwords / chars and
     // subwords-per-word through the real longest-match encoder —
@@ -5163,6 +5200,55 @@ object SparkEntry {
     // encode→ids→decode chain IS the claim under hash check
     "q_tokenize_roundtrip_bytes" ->
       "SELECT doc_id, text FROM documents",
+    // WordPiece encode: the greedy cursor replayed with a
+    // (body, cont) vocabulary — a row matches only when its
+    // continuation flag equals (pos > 1), a NULL longest-match means
+    // whole-word [UNK] (out is REPLACED, discarding matched pieces)
+    // and the cursor jumps past the end; >12-char words [UNK] in the
+    // anchor row without scanning
+    "q_wordpiece_encode" -> {
+      val bodies = wordPieceVocabFixed
+        .map(t => s"'${t.stripPrefix("##")}'").mkString(", ")
+      val conts = wordPieceVocabFixed
+        .map(t => if (t.startsWith("##")) "true" else "false")
+        .mkString(", ")
+      s"""WITH RECURSIVE vocab AS (SELECT unnest([$bodies]) AS body, unnest([$conts]) AS cont),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS wi, toks FROM t WHERE len(toks) >= 1),
+         |ww AS (SELECT doc_id, wi, toks[wi] AS word FROM w),
+         |enc AS (
+         |SELECT doc_id, wi, word,
+         |CASE WHEN len(word) > 12 THEN CAST(len(word) + 1 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS pos,
+         |CASE WHEN len(word) > 12 THEN ['[UNK]'] ELSE CAST([] AS VARCHAR[]) END AS out FROM ww
+         |UNION ALL
+         |SELECT doc_id, wi, word,
+         |CASE WHEN mlen IS NULL THEN CAST(len(word) + 1 AS BIGINT) ELSE pos + mlen END AS pos,
+         |CASE WHEN mlen IS NULL THEN ['[UNK]']
+         |ELSE list_append(out, CASE WHEN pos = 1 THEN substring(word, pos, mlen) ELSE '##' || substring(word, pos, mlen) END) END AS out FROM (
+         |SELECT e.doc_id, e.wi, e.word, e.pos, e.out,
+         |CAST(MAX(CASE WHEN substring(e.word, e.pos, len(v.body)) = v.body AND v.cont = (e.pos > 1) THEN len(v.body) END) AS BIGINT) AS mlen
+         |FROM enc e LEFT JOIN vocab v ON substring(e.word, e.pos, len(v.body)) = v.body AND v.cont = (e.pos > 1)
+         |WHERE e.pos <= len(e.word)
+         |GROUP BY e.doc_id, e.wi, e.word, e.pos, e.out) s),
+         |fin AS (SELECT out FROM enc WHERE pos > len(word)),
+         |ft AS (SELECT unnest(out) AS token FROM fin)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ft GROUP BY token""".stripMargin
+    },
+    // WordPiece round-1 statistics: ##-marked symbol enumeration per
+    // distinct word (first char plain), weighted pair counts, symbol
+    // marginals joined back — exact integers end to end
+    "q_wordpiece_pair_scores" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+        |sy AS (SELECT word, freq, unnest(generate_series(1, CAST(len(word) AS BIGINT))) AS i FROM wf),
+        |sym AS (SELECT freq, CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), 1) ELSE '##' || substring(word, CAST(i AS INT), 1) END AS s FROM sy),
+        |mg AS (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM sym GROUP BY s),
+        |px AS (SELECT word, freq, unnest(generate_series(1, CAST(len(word) - 1 AS BIGINT))) AS i FROM wf WHERE len(word) >= 2),
+        |pc AS (SELECT CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), 1) ELSE '##' || substring(word, CAST(i AS INT), 1) END AS a,
+        |'##' || substring(word, CAST(i + 1 AS INT), 1) AS b,
+        |CAST(SUM(freq) AS BIGINT) AS cnt_pair FROM px GROUP BY 1, 2)
+        |SELECT pc.a, pc.b, pc.cnt_pair, ma.cnt AS cnt_a, mb.cnt AS cnt_b
+        |FROM pc JOIN mg ma ON pc.a = ma.sym JOIN mg mb ON pc.b = mb.sym""".stripMargin,
     // model langid: fit (lang, bucket) char-bigram counts, densify
     // langs × observed buckets (zero cells still smooth), window the
     // totals onto the bounded model, probe every instance against

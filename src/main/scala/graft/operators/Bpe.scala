@@ -70,8 +70,14 @@ object Bpe {
     * ["aa","aa"]. A single codegen'd fold with (emitted, carry)
     * struct state — the carry is the one-symbol lookahead the
     * non-overlap rule needs. */
-  def mergePair(symbols: Column, a: String, b: String): Column = {
-    val merged = a + b
+  def mergePair(symbols: Column, a: String, b: String): Column =
+    mergePairInto(symbols, a, b, a + b)
+
+  /** [[mergePair]] with an explicit merge PRODUCT — WordPiece merges
+    * drop the right symbol's "##" marker ("h" + "##e" → "he", not
+    * "h##e"), so the product is not always plain concatenation. */
+  def mergePairInto(symbols: Column, a: String, b: String,
+                    merged: String): Column = {
     def st(out: Column, carry: Column) =
       struct(out.as("out"), carry.as("carry"))
     aggregate(
@@ -268,4 +274,112 @@ object Bpe {
       array_join(transform(ids, i =>
         element_at(arr, i.cast("int") + 1)), ""))
   }
+
+  // ------------------------------------------------------------------
+  // WordPiece (Wu et al. 2016; the BERT tokenizer) — the third trainer/
+  // encoder pair next to char/byte BPE and Unigram. Same distributed
+  // shape as BPE (distinct-word table, pair statistics, driver-bounded
+  // merge loop); what changes is the SYMBOL SPACE (word-initial vs
+  // "##"-continuation symbols are distinct vocabulary citizens) and
+  // the MERGE OBJECTIVE (likelihood ratio, not raw count).
+  // ------------------------------------------------------------------
+
+  /** WordPiece character symbols: first char plain, every later char
+    * "##"-prefixed — the marker makes position part of the symbol's
+    * identity, so "t" (word-initial) and "##t" (continuation) train
+    * and count independently, which is the defining WordPiece trait. */
+  def wordPieceSymbols(word: Column): Column = {
+    val chars = charSymbols(word)
+    zip_with(chars, sequence(lit(1), greatest(size(chars), lit(1))),
+      (c, i) => when(i === 1, c).otherwise(concat(lit("##"), c)))
+  }
+
+  /** The WordPiece merge product: the right symbol sheds its "##"
+    * marker ("h"+"##e" → "he", "##l"+"##l" → "##ll"). */
+  def wordPieceMerged(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  /** One training round's SCORED pair table: (a, b, cnt_pair, cnt_a,
+    * cnt_b) — everything the likelihood argmax score(a,b) =
+    * cnt_pair / (cnt_a · cnt_b) needs, all EXACT longs (the division
+    * happens at the driver-side argmax; the distributed part of the
+    * round ships only integers). One corpus-scan-free pass over the
+    * (symbols, freq) vocabulary table: pair counts are the BPE
+    * aggregation, symbol marginals one extra explode+sum whose
+    * output is alphabet-sized, broadcast back onto the pairs. */
+  def wordPiecePairScores(words: DataFrame): DataFrame = {
+    val pairs = pairCounts(words).withColumnRenamed("cnt", "cnt_pair")
+    val syms = words
+      .select(col("freq"), explode(col("symbols")).as("sym"))
+      .groupBy("sym").agg(sum("freq").as("cnt"))
+    pairs
+      .join(broadcast(syms.select(col("sym").as("a"),
+        col("cnt").as("cnt_a"))), "a")
+      .join(broadcast(syms.select(col("sym").as("b"),
+        col("cnt").as("cnt_b"))), "b")
+      .select(col("a"), col("b"), col("cnt_pair"),
+        col("cnt_a"), col("cnt_b"))
+  }
+
+  /** Train `nMerges` WordPiece merges. Each round picks the pair
+    * maximizing the LIKELIHOOD score cnt(ab) / (cnt(a) · cnt(b)) —
+    * the objective that prefers gluing symbols which occur mostly
+    * TOGETHER over symbols which are merely both frequent (the
+    * BPE-vs-WordPiece divergence, pinned by spec) — ties broken
+    * (a asc, b asc) in code-point order, `minCount` on the raw pair
+    * count. The score division runs on exact long counts at the
+    * driver argmax; marginal products are computed in DOUBLE (counts
+    * at corpus scale overflow a long product; the IEEE quotient of
+    * exact integers is deterministic across runs and layouts).
+    * Returns the ordered merge list; products follow
+    * [[wordPieceMerged]] ("##" markers survive merging on the left,
+    * never in the middle). */
+  def trainWordPiece(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+                     textCol: String = "text"): Seq[(String, String)] = {
+    var words = wordFreqs(docs, textCol)
+      .select(wordPieceSymbols(col("word")).as("symbols"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (i <- 1 to nMerges if !done) {
+      val best = wordPiecePairScores(words)
+        .filter(col("cnt_pair") >= minCount)
+        .orderBy(
+          (col("cnt_pair").cast("double") /
+            (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+            .desc,
+          col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        words = words.select(
+          mergePairInto(col("symbols"), a, b,
+            wordPieceMerged(a, b)).as("symbols"), col("freq"))
+        if (i % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Vocabulary for [[encodeWordPiece]] from a trained merge list:
+    * the base alphabet (caller-supplied — word-initial chars plain,
+    * continuation chars "##"-prefixed, exactly the symbols the
+    * trainer started from) plus every merge product. */
+  def wordPieceVocabFromMerges(merges: Seq[(String, String)],
+                               alphabet: Seq[String]): Seq[String] =
+    (alphabet ++ merges.map { case (a, b) => wordPieceMerged(a, b) })
+      .distinct
+
+  /** PRODUCTION WordPiece encoder
+    * ([[graft.expressions.WordPieceEncode]]): whitespace words →
+    * greedy longest match under the position-split vocabulary, whole
+    * word → `unk` on any mid-word failure or when longer than
+    * `maxWordChars` code points. One flat token array per text. */
+  def encodeWordPiece(text: Column, vocab: Seq[String],
+                      unk: String = "[UNK]",
+                      maxWordChars: Int = 100): Column =
+    flatten(transform(TextFunctions.tokens(text), w =>
+      graft.expressions.WordPieceEncode(w, vocab, unk, maxWordChars)))
 }

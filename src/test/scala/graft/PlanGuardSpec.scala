@@ -55,6 +55,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q_wordpiece_encode: scan-stage encode, one aggregation exchange") {
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("wordpiece_encode") || p.contains("Generate"),
+      s"wordpiece encode generator missing:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"wordpiece encode must be scan + ONE count exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_wordpiece_pair_scores: marginals join back as broadcasts") {
+    val p = plan("q_wordpiece_pair_scores")
+    // the symbol-marginal table is alphabet-sized — both join-backs
+    // must broadcast; a sort-merge join here would shuffle the
+    // pair table twice for a table of a few hundred rows
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"marginal joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ crept into alphabet-sized joins:\n$p")
+  }
+
   test("q_tokenize_roundtrip_bytes: pure scan stage, zero exchanges") {
     val p = plan("q_tokenize_roundtrip_bytes")
     assert(!p.contains("Exchange"),
