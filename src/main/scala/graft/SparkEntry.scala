@@ -2012,6 +2012,49 @@ object SparkEntry {
         warcType = "metadata")
       sources.Wat.outlinks(sources.Warc.read(s, s"$base/w"))
     }),
+    // ANCHOR-TEXT corpus from WAT (the other WAT product besides the
+    // link graph): per (target, anchor term), inlink count + DISTINCT
+    // source-host count — the host-deduped incoming-relevance signal
+    // retrieval training pairs and spam demotion read. Spark does the
+    // real WARC write + read + from_json + urlHost; link 1 carries
+    // the doc's 2-word anchor, link 2 only on doc_id % 3 == 0 (the
+    // text-less WAT link rows every real crawl has — dropped by
+    // contract, pinned by the hash). The oracle replays the synthesis
+    // arithmetic (q_wat_outlinks precedent) + the two-level exact
+    // distinct.
+    "q_anchor_text" -> ((s, d) => {
+      val base = roundtripDir("wat_anchors")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val uri = concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example.org/d/"), col("doc_id"))
+      val anchor = array_join(
+        slice(TextFunctions.tokens(col("text")), 1, 2), " ")
+      val src = T(s, d, "documents").select(
+        uri.as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        to_json(struct(struct(
+          struct(uri.as("WARC-Target-URI")).as("WARC-Header-Metadata"),
+          struct(struct(struct(array(
+            struct(
+              concat(lit("https://corpus.example/doc/"),
+                (col("doc_id") * 31 + 7) % 97).as("url"),
+              anchor.as("text")),
+            struct(
+              concat(lit("https://other.example/p/"),
+                col("doc_id") % 13).as("url"),
+              when(col("doc_id") % 3 === 0, anchor)
+                .otherwise(lit(null).cast("string")).as("text")))
+            .as("Links"))
+            .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+            .as("Payload-Metadata")).as("Envelope")))
+          .cast("binary").as("payload"))
+      sources.Warc.write(src.repartition(2), s"$base/w",
+        warcType = "metadata")
+      Graph.anchorTermProfile(
+        sources.Wat.anchorTexts(sources.Warc.read(s, s"$base/w")))
+    }),
     // PageRank over a synthesized link graph in EXACT tick
     // arithmetic (damping 17/20, one floor per term) — deterministic
     // across engines, so DuckDB replays all three iterations by
@@ -5285,6 +5328,25 @@ object SparkEntry {
         |SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR),
         |'https://other.example/p/' || CAST(doc_id % 13 AS VARCHAR)
         |FROM documents""".stripMargin,
+    // anchor text: replay the synthesis (2-word anchor, host from
+    // doc_id % 7, the doc_id % 3 text-less second link) + tokenize +
+    // the two-level exact-distinct aggregation
+    "q_anchor_text" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |an AS (SELECT doc_id, array_to_string(t[1:2], ' ') AS anchor FROM toks),
+        |links AS (
+        |SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS src_host,
+        |'https://corpus.example/doc/' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS dst_url,
+        |anchor FROM an
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org',
+        |'https://other.example/p/' || CAST(doc_id % 13 AS VARCHAR),
+        |anchor FROM an WHERE doc_id % 3 = 0),
+        |tm AS (SELECT dst_url, src_host,
+        |unnest(list_filter(string_split(lower(anchor), ' '), x -> x <> '')) AS term FROM links),
+        |hh AS (SELECT dst_url, term, src_host, CAST(COUNT(*) AS BIGINT) AS n FROM tm GROUP BY 1, 2, 3)
+        |SELECT dst_url, term, CAST(SUM(n) AS BIGINT) AS n_links, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        |FROM hh GROUP BY 1, 2""".stripMargin,
     // pagerank: the same tick iteration as a recursive CTE — the
     // working table is one iteration's rank rows; contribs aggregate
     // over it, the dangling mass folds in as a scalar subquery

@@ -393,4 +393,40 @@ object Graph {
       e0.unpersist(false); e.unpersist(false); seededP.unpersist(false)
     }
   }
+
+  /** Anchor-term profile of the link graph — the OTHER thing WAT is
+    * for besides edges ([[graft.sources.Wat.anchorTexts]]): per
+    * (target URL, anchor term), how many inlinks use the term and
+    * how many DISTINCT SOURCE HOSTS do. The host breadth is the
+    * anti-spam axis (one host repeating "best casino" ten thousand
+    * times is n_links = 10000 but n_hosts = 1; ranking and
+    * pair-mining read n_hosts); term source = whitespace tokens of
+    * the lowercased anchor, host = [[TextFunctions.urlHost]] on the
+    * source URL (null hosts group as one unparseable bucket rather
+    * than vanishing — the inlink still existed).
+    *
+    * Scale shape: exact distinct via the explicit TWO-LEVEL
+    * aggregation — (dst, term, host) first (map-side combined, the
+    * spammy-host fan-in collapses before it ever shuffles), then
+    * (dst, term) counting group rows. No count_distinct expand, no
+    * join; both exchanges key on (dst, term)-prefixed tuples so the
+    * second is narrow. Skew note: a viral target URL is bounded by
+    * its distinct (term, host) combinations after level 1, not by
+    * its raw inlink count.
+    *
+    * @param anchors (src_url, dst_url, anchor) — the
+    *                [[graft.sources.Wat.anchorTexts]] contract
+    * @return (dst_url, term, n_links, n_hosts)
+    */
+  def anchorTermProfile(anchors: DataFrame): DataFrame =
+    anchors
+      .select(col("dst_url"),
+        graft.functions.TextFunctions.urlHost(col("src_url"))
+          .as("src_host"),
+        explode(graft.functions.TextFunctions.tokens(
+          lower(col("anchor")))).as("term"))
+      .groupBy("dst_url", "term", "src_host")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("dst_url", "term")
+      .agg(sum("n").as("n_links"), count(lit(1)).as("n_hosts"))
 }

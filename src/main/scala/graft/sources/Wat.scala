@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
 object Wat {
 
   private val envelopeSchema: StructType = {
-    val links = ArrayType(StructType(Seq(StructField("url", StringType))))
+    val links = ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("text", StringType))))
     val htmlMeta = StructType(Seq(StructField("Links", links)))
     val httpMeta = StructType(Seq(StructField("HTML-Metadata", htmlMeta)))
     val payloadMeta =
@@ -51,4 +53,28 @@ object Wat {
           ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")).as("l"))
       .select(col("src_url"), col("l.url").as("dst_url"))
       .where(col("dst_url").isNotNull)
+
+  /** (src_url, dst_url, anchor) rows — the outlink edges that CARRY
+    * anchor text (the `text` member of a WAT link object). Anchor
+    * text is the classic incoming-relevance signal: what OTHER pages
+    * call a target is training data for retrieval and a quality
+    * feature the target's own content can't fake alone. Links with
+    * no `text` (images, scripts, bare hrefs — most WAT link rows)
+    * are dropped: they belong to [[outlinks]], not the anchor
+    * corpus. Same parse discipline: scan-stage from_json, malformed
+    * payloads and non-metadata records contribute nothing. */
+  def anchorTexts(records: DataFrame): DataFrame =
+    records.where(col("warc_type") === "metadata")
+      .select(
+        from_json(col("payload").cast("string"), envelopeSchema).as("j"),
+        col("target_uri"))
+      .select(
+        coalesce(
+          col("j.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`"),
+          col("target_uri")).as("src_url"),
+        explode(col("j.Envelope.`Payload-Metadata`" +
+          ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")).as("l"))
+      .select(col("src_url"), col("l.url").as("dst_url"),
+        col("l.text").as("anchor"))
+      .where(col("dst_url").isNotNull && col("anchor").isNotNull)
 }

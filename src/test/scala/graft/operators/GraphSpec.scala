@@ -121,4 +121,35 @@ class GraphSpec extends SparkSpec {
       .pageRankTicksSeeded(edges, Seq(777L).toDF("node"), iters = 1)
       .collect())
   }
+
+  test("anchorTermProfile: host-deduped term counts, spam host pinned") {
+    // one spammy host repeats "best casino" 4 times; two honest
+    // hosts each say "casino review" once. n_links counts inlinks,
+    // n_hosts counts DISTINCT hosts — the anti-spam axis.
+    val anchors = (
+      Seq.fill(4)(("https://spam.example/p1", "https://t.org/x",
+        "Best Casino")) ++ Seq(
+        ("https://www.a.org/r", "https://t.org/x", "casino review"),
+        ("https://b.org:8080/r", "https://t.org/x", "Casino review"),
+        ("https://b.org/other", "https://t.org/y", "casino")))
+      .toDF("src_url", "dst_url", "anchor")
+    val got = graft.operators.Graph.anchorTermProfile(anchors)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // terms lowercase; www./port strip means a.org and b.org are the
+    // honest hosts and spam.example collapses to ONE host
+    assert(got(("https://t.org/x", "casino")) == ((6L, 3L)))
+    assert(got(("https://t.org/x", "best")) == ((4L, 1L)))
+    assert(got(("https://t.org/x", "review")) == ((2L, 2L)))
+    assert(got(("https://t.org/y", "casino")) == ((1L, 1L)))
+    // a null host still groups (the inlink existed) — one bucket
+    val withNull = anchors.union(
+      Seq(("no-scheme-at-all", "https://t.org/y", "casino"),
+        ("also-unparseable", "https://t.org/y", "casino"))
+        .toDF("src_url", "dst_url", "anchor"))
+    val ny = graft.operators.Graph.anchorTermProfile(withNull)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(ny(("https://t.org/y", "casino")) == ((3L, 2L)))
+  }
 }

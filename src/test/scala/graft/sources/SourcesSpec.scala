@@ -341,4 +341,29 @@ class SourcesSpec extends SparkSpec {
     assert(Wat.outlinks(Warc.read(spark, dir + "_resp/*.warc"))
       .count() == 0)
   }
+
+  test("Wat.anchorTexts: text-bearing links only, text-less dropped") {
+    val dir = Files.createTempDirectory("graft_wat_anchor").toString
+    val json =
+      """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://a.org/x"},
+        |"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[
+        |{"path":"A@/href","url":"https://b.org/1","text":"Fast Join"},
+        |{"path":"A@/href","url":"https://c.org/2"},
+        |{"path":"IMG@/src","url":"https://img.org/i.png","text":null},
+        |{"path":"A@/href","url":null,"text":"orphan"}
+        |]}}}}}""".stripMargin.replace("\n", "")
+    val recs = Seq(("https://a.org/x", json)).toDF("uri", "json")
+      .select(col("uri"), lit("2026-01-01T00:00:00Z").as("date"),
+        col("json").cast("binary").as("payload"))
+    Warc.write(recs.repartition(1), dir, warcType = "metadata")
+    val out = Wat.anchorTexts(Warc.read(spark, dir + "/*.warc"))
+      .as[(String, String, String)].collect().toSet
+    // only the link with BOTH a url and text survives: the bare
+    // href, the explicit-null image link, and the url-less entry
+    // all belong to outlinks (or nothing), not the anchor corpus
+    assert(out == Set(("https://a.org/x", "https://b.org/1",
+      "Fast Join")))
+    // outlinks still sees the text-less ones (anchor is a SUBSET)
+    assert(Wat.outlinks(Warc.read(spark, dir + "/*.warc")).count() == 3)
+  }
 }
