@@ -2120,6 +2120,25 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // corpus DRIFT term report: the en vs de token distributions
+    // full-outer-joined, probability ticks through the fixed tree,
+    // top-20 by |Δp| — TakeOrderedAndProject, no global sort
+    "q_corpus_drift" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.corpusDriftTerms(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"))
+        .orderBy(col("drift_fp").desc, col("term")).limit(20)
+    }),
+    // one-row divergence summary over the FULL vocabulary: totals,
+    // vocab overlap, total-variation ticks, directional OOV mass —
+    // the admit-this-snapshot? gate numbers
+    "q_corpus_divergence" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.corpusDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"))
+    }),
     "q_tfidf_top_terms" -> ((s, d) =>
       Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
     "q_bigram_counts" -> ((s, d) => Corpus.bigramCounts(T(s, d, "documents"))),
@@ -5393,6 +5412,46 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents) GROUP BY tok""".stripMargin,
+    // corpus drift: per-side counts, full-outer vocab join, the same
+    // fixed floor(1e9·cnt/N) tree, |Δticks|, row_number top-20
+    "q_corpus_drift" ->
+      """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents WHERE lang = 'en') GROUP BY term),
+        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents WHERE lang = 'de') GROUP BY term),
+        |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+        |COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |t AS (SELECT term, cnt_a, cnt_b,
+        |CAST(floor(1.0e9 * CAST(cnt_a AS DOUBLE) / CAST((SELECT SUM(cnt_a) FROM ca) AS DOUBLE)) AS BIGINT) AS p_a_fp,
+        |CAST(floor(1.0e9 * CAST(cnt_b AS DOUBLE) / CAST((SELECT SUM(cnt_b) FROM cb) AS DOUBLE)) AS BIGINT) AS p_b_fp FROM j),
+        |d AS (SELECT term, cnt_a, cnt_b, p_a_fp, p_b_fp, abs(p_a_fp - p_b_fp) AS drift_fp FROM t),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY drift_fp DESC, term ASC) AS rn FROM d)
+        |SELECT term, cnt_a, cnt_b, p_a_fp, p_b_fp, drift_fp FROM rk WHERE rn <= 20""".stripMargin,
+    // divergence summary: the same drift table aggregated over the
+    // FULL vocabulary — integer masses first, fixed trees last
+    "q_corpus_divergence" ->
+      """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents WHERE lang = 'en') GROUP BY term),
+        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents WHERE lang = 'de') GROUP BY term),
+        |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+        |COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |t AS (SELECT term, cnt_a, cnt_b,
+        |CAST(floor(1.0e9 * CAST(cnt_a AS DOUBLE) / CAST((SELECT SUM(cnt_a) FROM ca) AS DOUBLE)) AS BIGINT) AS p_a_fp,
+        |CAST(floor(1.0e9 * CAST(cnt_b AS DOUBLE) / CAST((SELECT SUM(cnt_b) FROM cb) AS DOUBLE)) AS BIGINT) AS p_b_fp FROM j),
+        |g AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a, CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+        |CAST(SUM(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |CAST(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+        |CAST(SUM(abs(p_a_fp - p_b_fp)) AS BIGINT) AS tv_fp,
+        |CAST(SUM(CASE WHEN cnt_b = 0 THEN cnt_a ELSE 0 END) AS BIGINT) AS oov_mass_a,
+        |CAST(SUM(CASE WHEN cnt_a = 0 THEN cnt_b ELSE 0 END) AS BIGINT) AS oov_mass_b FROM t)
+        |SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared, tv_fp,
+        |CAST(floor(1.0e9 * CAST(oov_mass_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS BIGINT) AS oov_a_fp,
+        |CAST(floor(1.0e9 * CAST(oov_mass_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS BIGINT) AS oov_b_fp
+        |FROM g""".stripMargin,
     // replays the polynomial fold token-by-token: same md5, same
     // 7-hex-char hash domain, same modular step — list_prepend(0)
     // supplies the fold's init value (list_reduce has no init arg)

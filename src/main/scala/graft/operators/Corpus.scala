@@ -1254,4 +1254,87 @@ object Corpus {
     LangIdModel(langs,
       buckets.toSeq.map(bk => langs.map(c => byCell((bk, c)))))
   }
+
+  // ------------------------------------------------------------------
+  // Corpus DRIFT — the snapshot-over-snapshot distribution monitor a
+  // continuously-fed training pipeline runs before admitting a new
+  // crawl into the mix: how far has the token distribution moved, in
+  // which direction is mass appearing/vanishing, and WHICH terms
+  // moved it. Everything in the exactness discipline: integer counts,
+  // per-term probability ticks through ONE fixed IEEE tree, long sums.
+  // ------------------------------------------------------------------
+
+  /** Per-term drift table between two corpora: token counts from each
+    * side full-outer-joined on the term (a term missing from one side
+    * is count 0 — exactly the mass-appeared/vanished rows a drift
+    * report exists for), per-side probability ticks p_fp =
+    * floor(1e9 · cnt / N) (the bigramLmScore fixed-tree idiom — each
+    * factor cast to double BEFORE the divide, deterministic across
+    * runs, layouts and engines), drift_fp = |p_a_fp − p_b_fp|.
+    *
+    * Scale shape: each side is ONE map-side-combined vocab
+    * aggregation; the full-outer join keys both vocab tables on the
+    * term (co-partitioned single shuffle each — vocab-sized, corpus
+    * never moves); totals ride as 1-row broadcasts. Top-k consumers
+    * should `orderBy(drift_fp desc, term).limit(k)` — Spark plans
+    * TakeOrderedAndProject: per-partition heaps, no global sort.
+    *
+    * @return (term, cnt_a, cnt_b, p_a_fp, p_b_fp, drift_fp)
+    */
+  def corpusDriftTerms(a: DataFrame, b: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, cn: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as(cn))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val na = ca.agg(sum(col("cnt_a")).cast("long").as("n_a"))
+    val nb = cb.agg(sum(col("cnt_b")).cast("long").as("n_b"))
+    def ticks(cnt: Column, n: Column) =
+      floor(lit(1.0e9) * cnt.cast("double") / n.cast("double"))
+        .cast("long")
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        ticks(col("cnt_a"), col("n_a")).as("p_a_fp"),
+        ticks(col("cnt_b"), col("n_b")).as("p_b_fp"))
+      .withColumn("drift_fp", abs(col("p_a_fp") - col("p_b_fp")))
+  }
+
+  /** One-row corpus-divergence summary over the FULL vocabulary:
+    * token totals, vocab sizes and overlap, total-variation ticks
+    * tv_fp = Σ drift_fp (≈ 2·TV·1e9; per-term ticks ≤ 1e9 so the
+    * long sum holds to a 1e9-term vocabulary), and the directional
+    * out-of-vocabulary mass each way (oov_a_fp = ticks of corpus-A
+    * probability mass on terms corpus B has NEVER seen — the "new
+    * snapshot is full of words the reference mix lacks" alarm,
+    * exact integer sum then one fixed tree). TV is the metric of
+    * choice here because it is EXACT under tick quantization —
+    * KL/JS need logs, which are libm-dependent and belong to the
+    * rows-only family; TV bounds JS (JS ≤ TV·ln 2) when a
+    * paper-comparable number is needed. */
+  def corpusDivergence(a: DataFrame, b: DataFrame,
+                       textCol: String = "text"): DataFrame =
+    corpusDriftTerms(a, b, textCol)
+      .agg(
+        sum(col("cnt_a")).cast("long").as("n_a"),
+        sum(col("cnt_b")).cast("long").as("n_b"),
+        sum(when(col("cnt_a") > 0L, 1L).otherwise(0L))
+          .cast("long").as("vocab_a"),
+        sum(when(col("cnt_b") > 0L, 1L).otherwise(0L))
+          .cast("long").as("vocab_b"),
+        sum(when(col("cnt_a") > 0L && col("cnt_b") > 0L, 1L)
+          .otherwise(0L)).cast("long").as("vocab_shared"),
+        sum(col("drift_fp")).cast("long").as("tv_fp"),
+        sum(when(col("cnt_b") === 0L, col("cnt_a")).otherwise(0L))
+          .cast("long").as("oov_mass_a"),
+        sum(when(col("cnt_a") === 0L, col("cnt_b")).otherwise(0L))
+          .cast("long").as("oov_mass_b"))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_shared"), col("tv_fp"),
+        floor(lit(1.0e9) * col("oov_mass_a").cast("double") /
+          col("n_a").cast("double")).cast("long").as("oov_a_fp"),
+        floor(lit(1.0e9) * col("oov_mass_b").cast("double") /
+          col("n_b").cast("double")).cast("long").as("oov_b_fp"))
 }

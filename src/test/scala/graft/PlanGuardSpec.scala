@@ -75,6 +75,16 @@ class PlanGuardSpec extends SparkSpec {
       s"SMJ crept into alphabet-sized joins:\n$p")
   }
 
+  test("q_corpus_drift: top-20 via TakeOrdered, totals broadcast") {
+    val p = plan("q_corpus_drift")
+    // the top-k must be per-partition heaps, never a global sort of
+    // the vocab table; the 1-row totals attach as broadcasts
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-k fell back to a global sort:\n$p")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r
+      .findAllIn(p).nonEmpty, s"totals not broadcast:\n$p")
+  }
+
   test("q_tokenize_roundtrip_bytes: pure scan stage, zero exchanges") {
     val p = plan("q_tokenize_roundtrip_bytes")
     assert(!p.contains("Exchange"),

@@ -1009,4 +1009,36 @@ class CorpusSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), k = 4).count() == 0)
     intercept[IllegalArgumentException](Corpus.heavyHitters(df, k = 1))
   }
+
+  test("corpusDriftTerms: full-outer vocab, exact tick drift") {
+    // A: x x y (n=3); B: x z (n=2)
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val got = Corpus.corpusDriftTerms(a, b)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // ticks through the same fixed tree the operator uses
+    def tk(c: Long, n: Long) = math.floor(1.0e9 * c.toDouble / n.toDouble).toLong
+    assert(got("x") == ((2L, 1L, tk(2, 3), tk(1, 2), tk(2, 3) - tk(1, 2))))
+    // one-sided terms survive the full outer join with count 0
+    assert(got("y") == ((1L, 0L, tk(1, 3), 0L, tk(1, 3))))
+    assert(got("z") == ((0L, 1L, 0L, tk(1, 2), tk(1, 2))))
+    assert(got.size == 3)
+  }
+
+  test("corpusDivergence: one-row summary, OOV mass both directions") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val r = Corpus.corpusDivergence(a, b)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nA, nB, vA, vB, vS, tv, oovA, oovB) = r
+    assert((nA, nB, vA, vB, vS) == ((3L, 2L, 2L, 2L, 1L)))
+    assert(tv == 166666666L + 333333333L + 500000000L)
+    assert(oovA == 333333333L) // y's mass: floor(1e9 * 1/3)
+    assert(oovB == 500000000L) // z's mass: floor(1e9 * 1/2)
+    // identical corpora: zero drift, zero OOV, full overlap
+    val same = Corpus.corpusDivergence(a, a)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(same == ((3L, 3L, 2L, 2L, 2L, 0L, 0L, 0L)))
+  }
 }
