@@ -2139,6 +2139,24 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") === "de"))
     }),
+    // the STREAMING drift monitor (train-once / monitor-forever):
+    // fit the reference model on the en slice, PERSIST it, load the
+    // artifact back, then score the arriving document stream against
+    // it through the checkpointed foreachBatch leg — one divergence
+    // row per micro-batch, exactly-once via per-batch dir overwrite.
+    // AvailableNow sweeps the dir in one batch here, so the oracle
+    // is the batch divergence of ALL documents vs the en reference
+    "q_stream_drift" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.saveDriftModel(
+        Corpus.fitDriftModel(docs.filter(col("lang") === "en")),
+        roundtripDir("drift_model"))
+      streaming.EventStreams.streamDrift(s, d,
+        Corpus.loadDriftModel(s, roundtripDir("drift_model")),
+        roundtripDir("stream_drift"),
+        roundtripDir("stream_drift_ckpt"),
+        fileGlob = "documents.parquet", reset = true)
+    }),
     "q_tfidf_top_terms" -> ((s, d) =>
       Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
     "q_bigram_counts" -> ((s, d) => Corpus.bigramCounts(T(s, d, "documents"))),
@@ -5451,6 +5469,32 @@ object SparkEntry {
         |SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared, tv_fp,
         |CAST(floor(1.0e9 * CAST(oov_mass_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS BIGINT) AS oov_a_fp,
         |CAST(floor(1.0e9 * CAST(oov_mass_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS BIGINT) AS oov_b_fp
+        |FROM g""".stripMargin,
+    // streamed drift: ONE AvailableNow batch = all documents vs the
+    // persisted en reference — the identical divergence chain with
+    // side A unfiltered, plus the batch stamp
+    "q_stream_drift" ->
+      """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents) GROUP BY term),
+        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents WHERE lang = 'en') GROUP BY term),
+        |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+        |COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |t AS (SELECT term, cnt_a, cnt_b,
+        |CAST(floor(1.0e9 * CAST(cnt_a AS DOUBLE) / CAST((SELECT SUM(cnt_a) FROM ca) AS DOUBLE)) AS BIGINT) AS p_a_fp,
+        |CAST(floor(1.0e9 * CAST(cnt_b AS DOUBLE) / CAST((SELECT SUM(cnt_b) FROM cb) AS DOUBLE)) AS BIGINT) AS p_b_fp FROM j),
+        |g AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a, CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+        |CAST(SUM(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |CAST(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+        |CAST(SUM(abs(p_a_fp - p_b_fp)) AS BIGINT) AS tv_fp,
+        |CAST(SUM(CASE WHEN cnt_b = 0 THEN cnt_a ELSE 0 END) AS BIGINT) AS oov_mass_a,
+        |CAST(SUM(CASE WHEN cnt_a = 0 THEN cnt_b ELSE 0 END) AS BIGINT) AS oov_mass_b FROM t)
+        |SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared, tv_fp,
+        |CAST(floor(1.0e9 * CAST(oov_mass_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS BIGINT) AS oov_a_fp,
+        |CAST(floor(1.0e9 * CAST(oov_mass_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS BIGINT) AS oov_b_fp,
+        |CAST(0 AS BIGINT) AS batch
         |FROM g""".stripMargin,
     // replays the polynomial fold token-by-token: same md5, same
     // 7-hex-char hash domain, same modular step — list_prepend(0)

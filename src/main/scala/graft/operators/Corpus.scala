@@ -1282,12 +1282,21 @@ object Corpus {
     * @return (term, cnt_a, cnt_b, p_a_fp, p_b_fp, drift_fp)
     */
   def corpusDriftTerms(a: DataFrame, b: DataFrame,
-                       textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, cn: String) =
-      df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-        .groupBy("term").agg(count(lit(1)).cast("long").as(cn))
-    val ca = counts(a, "cnt_a")
-    val cb = counts(b, "cnt_b")
+                       textCol: String = "text"): DataFrame =
+    driftTermsFromCounts(
+      driftCounts(a, textCol, "cnt_a"), driftCounts(b, textCol, "cnt_b"))
+
+  /** Token-count table of one corpus side: (term, cnt). */
+  private def driftCounts(df: DataFrame, textCol: String,
+                          cn: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as(cn))
+
+  /** [[corpusDriftTerms]] over pre-aggregated count tables — the
+    * form the streaming leg probes with a PERSISTED reference model
+    * instead of re-counting the reference corpus per batch. */
+  private def driftTermsFromCounts(ca: DataFrame,
+                                   cb: DataFrame): DataFrame = {
     val na = ca.agg(sum(col("cnt_a")).cast("long").as("n_a"))
     val nb = cb.agg(sum(col("cnt_b")).cast("long").as("n_b"))
     def ticks(cnt: Column, n: Column) =
@@ -1316,7 +1325,52 @@ object Corpus {
     * paper-comparable number is needed. */
   def corpusDivergence(a: DataFrame, b: DataFrame,
                        textCol: String = "text"): DataFrame =
-    corpusDriftTerms(a, b, textCol)
+    divergenceFromCounts(
+      driftCounts(a, textCol, "cnt_a"), driftCounts(b, textCol, "cnt_b"))
+
+  /** FIT the drift reference model: the reference corpus reduced to
+    * its (term, cnt) table — what [[driftAgainstModel]] probes and
+    * what persists between snapshots (count the 100 TB reference mix
+    * ONCE, monitor every arriving batch against the artifact). */
+  def fitDriftModel(ref: DataFrame, textCol: String = "text"): DataFrame =
+    driftCounts(ref, textCol, "cnt")
+
+  /** Persist a [[fitDriftModel]] table (the saveQualityModel
+    * discipline). */
+  def saveDriftModel(model: DataFrame, path: String): Unit =
+    model.select("term", "cnt").write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveDriftModel]] table; rejects empties and duplicate
+    * terms (an append-mode double write must fail loud, not
+    * double-count the reference). */
+  def loadDriftModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val m = spark.read.parquet(path).select("term", "cnt")
+    val (rows, terms) = {
+      val r = m.agg(count(lit(1)), countDistinct(col("term")))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(rows > 0, s"drift model at $path is empty")
+    require(rows == terms,
+      s"drift model at $path has duplicate term rows ($rows rows, " +
+        s"$terms distinct)")
+    m
+  }
+
+  /** One-row divergence of a batch AGAINST a fitted reference model
+    * (batch = side A, reference = side B): apply(fit(ref)) ≡
+    * [[corpusDivergence]](batch, ref) bit-for-bit — the fit/apply
+    * contract the streaming drift monitor rides. */
+  def driftAgainstModel(batch: DataFrame, model: DataFrame,
+                        textCol: String = "text"): DataFrame =
+    divergenceFromCounts(
+      driftCounts(batch, textCol, "cnt_a"),
+      model.select(col("term"), col("cnt").as("cnt_b")))
+
+  private def divergenceFromCounts(ca: DataFrame,
+                                   cb: DataFrame): DataFrame =
+    driftTermsFromCounts(ca, cb)
       .agg(
         sum(col("cnt_a")).cast("long").as("n_a"),
         sum(col("cnt_b")).cast("long").as("n_b"),

@@ -229,4 +229,72 @@ class EventStreamsSpec extends SparkSpec {
     assert(resumed == rows(
       graft.operators.Corpus.applyLangIdModel(docs.unionByName(late), m)))
   }
+
+  test("streamDrift: per-batch rows equal the batch form; resume " +
+      "scores only the new file") {
+    import sqlImplicits._
+    val sumCols = Seq("n_a", "n_b", "vocab_a", "vocab_b",
+      "vocab_shared", "tv_fp", "oov_a_fp", "oov_b_fp")
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select(sumCols.map(col): _*).collect().map(_.toSeq).toSet
+    val ref = Seq((1L, "x x y"), (2L, "x w")).toDF("doc_id", "text")
+    val f1 = Seq((10L, "x x z")).toDF("doc_id", "text")
+    val f2 = Seq((11L, "y y q q")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_drift").toString
+    def land(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = dest + ".tmpdir"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dest).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    new java.io.File(s"$dir/docs").mkdirs()
+    land(f1, s"$dir/docs/a.parquet")
+    land(f2, s"$dir/docs/b.parquet")
+    graft.operators.Corpus.saveDriftModel(
+      graft.operators.Corpus.fitDriftModel(ref), s"$dir/model")
+    val model = graft.operators.Corpus.loadDriftModel(spark, s"$dir/model")
+    // one file per micro-batch: each row must equal the BATCH form
+    // over that file alone (fit/apply ≡ corpusDivergence spec rides
+    // driftAgainstModel's own contract)
+    val streamed = EventStreams.streamDrift(spark, s"$dir/docs", model,
+      s"$dir/out", s"$dir/ckpt", maxFilesPerTrigger = Some(1),
+      reset = true)
+    assert(vals(streamed) == vals(
+      graft.operators.Corpus.driftAgainstModel(f1, model).union(
+        graft.operators.Corpus.driftAgainstModel(f2, model))))
+    assert(streamed.select("batch").as[Long].collect().toSet
+      == Set(0L, 1L)) // one row per micro-batch
+    // apply(fit) ≡ the two-corpus batch divergence, bit-for-bit
+    assert(vals(graft.operators.Corpus.driftAgainstModel(f1, model))
+      == vals(graft.operators.Corpus.corpusDivergence(f1, ref)))
+    // resume: a third file lands; only IT is scored, prior batch
+    // dirs stay committed
+    val f3 = Seq((12L, "x")).toDF("doc_id", "text")
+    land(f3, s"$dir/docs/c.parquet")
+    val resumed = EventStreams.streamDrift(spark, s"$dir/docs", model,
+      s"$dir/out", s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    assert(resumed.count() == 3)
+    assert(vals(resumed) -- vals(streamed) ==
+      vals(graft.operators.Corpus.driftAgainstModel(f3, model)))
+    // cold-start guards: foreign outDir and orphaned checkpoint fail
+    val foreign = s"$dir/foreign"
+    new java.io.File(foreign).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$foreign/somefile"), "x".getBytes)
+    intercept[IllegalArgumentException](
+      EventStreams.streamDrift(spark, s"$dir/docs", model,
+        foreign, s"$dir/ckpt2"))
+    intercept[IllegalArgumentException](
+      EventStreams.streamDrift(spark, s"$dir/docs", model,
+        s"$dir/out_fresh", s"$dir/ckpt"))
+    // model loader rejects a double-written (duplicate-term) table
+    model.union(model).write.mode("overwrite").parquet(s"$dir/model_dup")
+    intercept[IllegalArgumentException](
+      graft.operators.Corpus.loadDriftModel(spark, s"$dir/model_dup"))
+  }
 }
