@@ -2120,6 +2120,11 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // PMI collocations: adjacent-pair counts + unigram marginals,
+    // the log-free monotone ratio as one fixed-tree tick, min-count
+    // guard before ranking, top-30 via TakeOrderedAndProject
+    "q_collocations" -> ((s, d) =>
+      Corpus.collocations(T(s, d, "documents"), minCount = 5L, k = 30)),
     // corpus DRIFT term report: the en vs de token distributions
     // full-outer-joined, probability ticks through the fixed tree,
     // top-20 by |Δp| — TakeOrderedAndProject, no global sort
@@ -5430,6 +5435,22 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents) GROUP BY tok""".stripMargin,
+    // collocations: the same pair/unigram counts, the identical
+    // fixed multiply tree, row_number top-30
+    "q_collocations" ->
+      """WITH tt AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(t) AS tok FROM tt) GROUP BY tok),
+        |px AS (SELECT t, unnest(generate_series(1, CAST(len(t) AS BIGINT) - 1)) AS i FROM tt WHERE len(t) >= 2),
+        |pc AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i + 1 AS INT)] AS b, CAST(COUNT(*) AS BIGINT) AS cnt_pair FROM px GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_uni FROM uni),
+        |totb AS (SELECT CAST(SUM(cnt_pair) AS BIGINT) AS n_bi FROM pc),
+        |sc AS (SELECT a, b, cnt_pair, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+        |CAST(floor(((1.0e6 * CAST(cnt_pair AS DOUBLE)) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+        |((CAST(n_bi AS DOUBLE) * CAST(ua.cnt AS DOUBLE)) * CAST(ub.cnt AS DOUBLE))) AS BIGINT) AS pmi_fp
+        |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok
+        |CROSS JOIN tot CROSS JOIN totb WHERE cnt_pair >= 5),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_fp DESC, a ASC, b ASC) AS rn FROM sc)
+        |SELECT a, b, cnt_pair, cnt_a, cnt_b, pmi_fp FROM rk WHERE rn <= 30""".stripMargin,
     // corpus drift: per-side counts, full-outer vocab join, the same
     // fixed floor(1e9·cnt/N) tree, |Δticks|, row_number top-20
     "q_corpus_drift" ->

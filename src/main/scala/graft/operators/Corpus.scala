@@ -129,6 +129,61 @@ object Corpus {
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
 
+  /** COLLOCATION mining (Church & Hanks 1990 — pointwise mutual
+    * information over adjacent token pairs): surface the phrases
+    * ("new york", "machine learning") whose parts occur together far
+    * beyond chance — the classic corpus-analysis pass behind phrase
+    * vocabularies, tokenizer seed phrases, and query suggestion.
+    * PMI = log p(ab)/(p(a)·p(b)) is MONOTONE in the ratio
+    * cnt_ab·N_uni²/(N_bi·cnt_a·cnt_b), so the log never needs to be
+    * taken: pmi_fp = floor(1e6·that ratio) through one fixed IEEE
+    * tree (every factor cast to double BEFORE multiplying — long
+    * products of corpus-scale counts would overflow; doubles span
+    * the range and the fixed tree keeps the quantized rank
+    * engine-exact). `minCount` is Church & Hanks' guard: PMI
+    * explodes on hapax pairs (cnt 1 of two hapax words maxes the
+    * ratio), so rare pairs are excluded before ranking, not after.
+    *
+    * Scale shape: pair counts = one zip_with scan + one
+    * map-side-combined aggregation (bigram-TYPE-sized output);
+    * unigram marginals join back keyed on the word — vocab-sized
+    * equi-joins (NOT broadcast: web vocab is unbounded, both sides
+    * shuffle once on the term key); totals ride 1-row broadcasts;
+    * top-k = TakeOrderedAndProject.
+    *
+    * @return top-k (a, b, cnt_pair, cnt_a, cnt_b, pmi_fp) by
+    *         (pmi_fp desc, a, b)
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L, k: Int = 30,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("t"))
+    val n = greatest(size(col("t")) - 1, lit(0))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cnt_pair"))
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+    val nUni = uni.agg(sum(col("cnt")).cast("long").as("n_uni"))
+    val nBi = pairs.agg(sum(col("cnt_pair")).cast("long").as("n_bi"))
+    def d(c: Column) = c.cast("double")
+    pairs.filter(col("cnt_pair") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("a"), col("b"), col("cnt_pair"), col("cnt_a"),
+        col("cnt_b"),
+        floor(
+          (lit(1.0e6) * d(col("cnt_pair")) * d(col("n_uni")) *
+            d(col("n_uni"))) /
+          (d(col("n_bi")) * d(col("cnt_a")) * d(col("cnt_b"))))
+          .cast("long").as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination: flag corpus documents whose distinct
     * word n-grams overlap a benchmark set by >= tau.
     *

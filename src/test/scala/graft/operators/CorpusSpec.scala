@@ -1010,6 +1010,30 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.heavyHitters(df, k = 1))
   }
 
+  test("collocations: PMI ranks rare-but-together over frequent pairs") {
+    // (c,d) occurs only together: lowest raw count of the survivors
+    // but highest PMI; (a,a)/(b,b) are frequent-but-expected; the
+    // hapax pair (e,f) would MAX the ratio — minCount excludes it
+    val docs = (Seq.fill(5)("a b") ++ Seq.fill(5)("c d") ++
+      Seq("a a a a a a a a a a b b b b b b b b b b", "e f"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Corpus.collocations(docs, minCount = 5L, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(!got.exists(_._1 == "e"))
+    assert(got.map(r => (r._1, r._2))
+      == Seq(("c", "d"), ("a", "a"), ("b", "b"), ("a", "b")))
+    // ticks through the same fixed tree (N_uni = 42, N_bi = 30)
+    val nu = 42.0; val nb = 30.0
+    def tk(cp: Long, ca: Long, cb: Long): Long =
+      math.floor((((1.0e6 * cp) * nu) * nu) / ((nb * ca) * cb)).toLong
+    assert(got.head == (("c", "d", 5L, 5L, 5L, tk(5, 5, 5))))
+    assert(got.find(r => r._1 == "a" && r._2 == "b").get
+      == (("a", "b", 6L, 15L, 15L, tk(6, 15, 15))))
+    assert(got.find(r => r._1 == "a" && r._2 == "a").get._6
+      == tk(9, 15, 15))
+  }
+
   test("corpusDriftTerms: full-outer vocab, exact tick drift") {
     // A: x x y (n=3); B: x z (n=2)
     val a = Seq((1L, "x x y")).toDF("doc_id", "text")
