@@ -2120,6 +2120,19 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // small-file COMPACTION is semantics-free: scatter documents
+    // into 32 tiny files, compact to one, read the compacted table
+    // back — the identity oracle hash-checks that no row was lost,
+    // duplicated or altered (the q_layout_prune discipline); the
+    // file-count and partition-preservation claims are spec-measured
+    "q_compact_layout" -> ((s, d) => {
+      val base = roundtripDir("compact")
+      T(s, d, "documents").repartition(32)
+        .write.mode("overwrite").parquet(s"$base/src")
+      Layout.compactTable(s, s"$base/src", s"$base/dst",
+        targetBytes = 1L << 30)
+      s.read.parquet(s"$base/dst")
+    }),
     // PMI collocations: adjacent-pair counts + unigram marginals,
     // the log-free monotone ratio as one fixed-tree tick, min-count
     // guard before ranking, top-30 via TakeOrderedAndProject
@@ -5435,6 +5448,9 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents) GROUP BY tok""".stripMargin,
+    // compaction is contents-identity — the whole claim
+    "q_compact_layout" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // collocations: the same pair/unigram counts, the identical
     // fixed multiply tree, row_number top-30
     "q_collocations" ->

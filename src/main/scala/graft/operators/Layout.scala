@@ -119,4 +119,97 @@ object Layout {
       .drop("zx", "zy", "zval", "tile_id")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** SMALL-FILE COMPACTION (the other half of OPTIMIZE next to
+    * Z-order): rewrite a parquet table dir — flat or hive-partitioned
+    * (`key=value` subdirs) — into ≈`targetBytes` files, contents
+    * identical, partition layout preserved. The small-files problem
+    * is THE operational tax of incremental ingest at 100 TB: every
+    * streaming trigger and every dynamic-partition overwrite lands
+    * another handful of KB–MB files, and a year later the scan
+    * planner spends longer listing/opening footers than reading data.
+    *
+    * Shape (the Delta/Iceberg OPTIMIZE discipline): the driver lists
+    * file sizes per partition dir (metadata-only, O(files) names —
+    * the WarcIngest listing precedent), computes each partition's
+    * output count n_p = ceil(bytes_p / targetBytes), and schedules
+    * one tiny job per partition, `maxConcurrent` at a time (Delta
+    * runs per-partition compaction bins exactly this way — job count
+    * O(partitions), each job reads only that partition's files). Each
+    * job is read → `coalesce(n_p)` → overwrite-into-`dstDir`:
+    * coalesce merges read splits WITHOUT a shuffle — compaction moves
+    * every byte once, network-free. Reading a leaf dir directly drops
+    * the hive column from the data, and writing the same relative dir
+    * under `dstDir` reconstructs it — so reading dstDir's ROOT
+    * re-derives partition columns exactly as srcDir did.
+    *
+    * NOT in-place: compacting a live table under readers is a
+    * transaction-log problem (Delta's job); this produces a new dir
+    * the caller swaps in. `dstDir` is wiped first (rerun-safe, and a
+    * half-written prior attempt can never mix with a fresh one).
+    *
+    * @return one report row per partition:
+    *         (partition, files_before, bytes_before, files_after) —
+    *         "" is the flat-table partition
+    */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+                   srcDir: String, dstDir: String, targetBytes: Long,
+                   maxConcurrent: Int = 4): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    require(maxConcurrent >= 1,
+      s"maxConcurrent must be >= 1, got $maxConcurrent")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"srcDir '$srcDir' does not exist")
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    require(fs.makeQualified(dst) != fs.makeQualified(src),
+      "compaction is not in-place: dstDir must differ from srcDir")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    // partition dir -> its data files (driver-side, metadata-only)
+    val srcUri = fs.makeQualified(src).toString
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)] // (relative path, bytes)
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // skip commit markers and hidden files, keep data files
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(srcUri).stripPrefix("/")
+        files += ((rel, st.getLen))
+      }
+    }
+    val byPart = files.groupBy { case (rel, _) =>
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "" else rel.substring(0, cut)
+    }.toSeq.sortBy(_._1)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(maxConcurrent)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val report = byPart.map { case (part, fls) =>
+        Future {
+          val bytes = fls.map(_._2).sum
+          val n = math.max(1L,
+            (bytes + targetBytes - 1L) / targetBytes).toInt
+          val sub = if (part.isEmpty) "" else s"/$part"
+          spark.read.parquet(s"$srcDir$sub")
+            .coalesce(n)
+            .write.mode("overwrite").parquet(s"$dstDir$sub")
+          val outFiles = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$dstDir$sub"))
+            .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          (part, fls.size.toLong, bytes, outFiles.toLong)
+        }
+      }.map(Await.result(_, Duration.Inf))
+      import spark.implicits._
+      report.toDF("partition", "files_before", "bytes_before",
+        "files_after")
+    } finally pool.shutdown()
+  }
 }

@@ -89,4 +89,65 @@ class LayoutSpec extends SparkSpec {
       Layout.withZOrder(Seq((1L, 1L, 1L)).toDF("x", "y", "zval"),
         "x", "y"))
   }
+
+  test("compactTable: partition-preserving, contents-identical, " +
+      "measured file-count collapse") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val df = (1L to 600L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    // scatter: 12 files per lang partition = 24 small files
+    df.repartition(12).write.partitionBy("lang")
+      .mode("overwrite").parquet(s"$dir/src")
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$dir/src/lang=en") > 1)
+    val report = Layout.compactTable(spark, s"$dir/src", s"$dir/dst",
+      targetBytes = 1L << 30)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // one fat file per partition; report agrees with the filesystem
+    assert(dataFiles(s"$dir/dst/lang=en") == 1)
+    assert(dataFiles(s"$dir/dst/lang=de") == 1)
+    assert(report("lang=en")._2 == 1L && report("lang=de")._2 == 1L)
+    assert(report("lang=en")._1 == dataFiles(s"$dir/src/lang=en").toLong)
+    // contents identical INCLUDING the re-derived partition column
+    val back = spark.read.parquet(s"$dir/dst")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == df.as[(Long, String, String)].collect().toSet)
+    // a small target splits into ceil(bytes/target) files
+    val bytesEn = report("lang=en") match { case _ =>
+      new java.io.File(s"$dir/src/lang=en").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum }
+    val tgt = bytesEn / 3 + 1
+    val rep2 = Layout.compactTable(spark, s"$dir/src", s"$dir/dst2",
+      targetBytes = tgt)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val wantEn = (bytesEn + tgt - 1) / tgt
+    assert(rep2("lang=en") == wantEn,
+      s"expected ceil split $wantEn, got ${rep2("lang=en")}")
+    // rerun-safe: dst is wiped, not appended into
+    Layout.compactTable(spark, s"$dir/src", s"$dir/dst",
+      targetBytes = 1L << 30)
+    assert(dataFiles(s"$dir/dst/lang=en") == 1)
+    assert(spark.read.parquet(s"$dir/dst").count() == 600)
+    // flat (unpartitioned) tables compact under the "" partition
+    df.drop("lang").repartition(9)
+      .write.mode("overwrite").parquet(s"$dir/flat")
+    val flat = Layout.compactTable(spark, s"$dir/flat", s"$dir/flatc",
+      targetBytes = 1L << 30)
+      .as[(String, Long, Long, Long)].collect()
+    assert(flat.map(_._1).toSeq == Seq(""))
+    assert(flat.head._4 == 1L && dataFiles(s"$dir/flatc") == 1)
+    // guards: in-place compaction and a missing src fail loudly
+    intercept[IllegalArgumentException](
+      Layout.compactTable(spark, s"$dir/src", s"$dir/src", 1L << 30))
+    intercept[IllegalArgumentException](
+      Layout.compactTable(spark, s"$dir/nope", s"$dir/x", 1L << 30))
+  }
 }
