@@ -2120,6 +2120,37 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // robots.txt gate (RFC 9309): synthesize per-host robots files
+    // with comments, blank lines, mixed-case directives, an ignored
+    // Crawl-delay, an empty Disallow, a longer-Allow override, and a
+    // graftbot-specific group on every third host (exact beats *);
+    // parse RELATIONALLY and gate the synthesized frontier for
+    // 'GraftBot'. The oracle replays the synthesis arithmetic — if
+    // the parser misreads any line, decisions hash-mismatch
+    "q_robots_gate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val k = col("doc_id") % 7
+      val urls = docs.select(
+        concat(lit("h"), k, lit(".example.org")).as("host"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("/d/"), col("doc_id")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("/private/p"), col("doc_id")))
+          .otherwise(concat(lit("/tmp/"), col("doc_id"))).as("path"))
+      val hosts = docs.select(k.cast("int").as("k")).distinct()
+        .select(
+          concat(lit("h"), col("k"), lit(".example.org")).as("host"),
+          concat(
+            lit("# synthetic robots\nUser-Agent: *\nCrawl-delay: 3\n" +
+              "Disallow: /private/\nDisallow:\n"),
+            when(col("k") % 2 === 0, lit("Allow: /private/p\n"))
+              .otherwise(lit("")),
+            when(col("k") % 3 === 0,
+              lit("\nUser-agent: graftbot\nDisAllow: /d/\n" +
+                "Disallow: /tmp/\n")).otherwise(lit("")))
+            .as("robots_txt"))
+      Robots.gateUrls(urls, Robots.robotsRules(hosts), "GraftBot")
+    }),
     // small-file COMPACTION is semantics-free: scatter documents
     // into 32 tiny files, compact to one, read the compacted table
     // back — the identity oracle hash-checks that no row was lost,
@@ -5451,6 +5482,28 @@ object SparkEntry {
     // compaction is contents-identity — the whole claim
     "q_compact_layout" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // robots gate: the synthesis arithmetic decides — k%3=0 hosts
+    // have the exact graftbot group (star VOID: /d/, /tmp/ denied,
+    // /private/ untouched), the rest run the star group where the
+    // longer Allow /private/p overrides on even k
+    "q_robots_gate" ->
+      """WITH u AS (SELECT DISTINCT
+        |'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |CASE CAST(doc_id % 3 AS INT)
+        |WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+        |WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path,
+        |CAST(doc_id % 7 AS INT) AS k, CAST(doc_id % 3 AS INT) AS m
+        |FROM documents)
+        |SELECT host, path,
+        |CASE WHEN k % 3 = 0 THEN (m = 1)
+        |ELSE NOT (m = 1 AND k % 2 = 1) END AS allowed,
+        |CASE WHEN k % 3 = 0 AND m = 0 THEN '/d/'
+        |WHEN k % 3 = 0 AND m = 2 THEN '/tmp/'
+        |WHEN k % 3 <> 0 AND m = 1 AND k % 2 = 0 THEN '/private/p'
+        |WHEN k % 3 <> 0 AND m = 1 AND k % 2 = 1 THEN '/private/'
+        |ELSE NULL END AS rule_path
+        |FROM u""".stripMargin,
     // collocations: the same pair/unigram counts, the identical
     // fixed multiply tree, row_number top-30
     "q_collocations" ->
