@@ -2120,6 +2120,19 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // multi-pattern content filter (the C4 badwords scan): ONE
+    // Aho-Corasick pass counts all five patterns — phrases crossing
+    // token boundaries included. The patterns are chosen BORDERLESS
+    // (no proper prefix = suffix), so occurrences can never overlap
+    // and the replace-length replay counts them exactly; overlap
+    // semantics itself is spec-pinned against the naive reference
+    "q_badwords_profile" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        graft.expressions.MultiPatternCount(col("text"),
+          Seq("slow", "spark", "w j", "merge f", "qv")).as("m"))
+        .select(col("doc_id"), col("m.n_hits").as("n_hits"),
+          col("m.n_patterns").as("n_patterns"),
+          (col("m.n_hits") > 0).as("flagged"))),
     // robots.txt gate (RFC 9309): synthesize per-host robots files
     // with comments, blank lines, mixed-case directives, an ignored
     // Crawl-delay, an empty Disallow, a longer-Allow override, and a
@@ -5482,6 +5495,23 @@ object SparkEntry {
     // compaction is contents-identity — the whole claim
     "q_compact_layout" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // badwords: per-pattern replace-length occurrence counts (exact
+    // for borderless patterns — overlap impossible), summed + hit
+    // flags per doc
+    "q_badwords_profile" ->
+      """WITH c AS (SELECT doc_id,
+        |(len(text) - len(replace(text, 'slow', ''))) // 4 AS c1,
+        |(len(text) - len(replace(text, 'spark', ''))) // 5 AS c2,
+        |(len(text) - len(replace(text, 'w j', ''))) // 3 AS c3,
+        |(len(text) - len(replace(text, 'merge f', ''))) // 7 AS c4,
+        |(len(text) - len(replace(text, 'qv', ''))) // 2 AS c5
+        |FROM documents)
+        |SELECT doc_id, CAST(c1 + c2 + c3 + c4 + c5 AS BIGINT) AS n_hits,
+        |CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+        |+ (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END)
+        |+ (CASE WHEN c5 > 0 THEN 1 ELSE 0 END) AS INT) AS n_patterns,
+        |(c1 + c2 + c3 + c4 + c5) > 0 AS flagged
+        |FROM c""".stripMargin,
     // robots gate: the synthesis arithmetic decides — k%3=0 hosts
     // have the exact graftbot group (star VOID: /d/, /tmp/ denied,
     // /private/ untouched), the rest run the star group where the

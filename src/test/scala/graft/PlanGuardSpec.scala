@@ -75,6 +75,14 @@ class PlanGuardSpec extends SparkSpec {
       s"SMJ crept into alphabet-sized joins:\n$p")
   }
 
+  test("q_badwords_profile: one automaton pass in the scan stage") {
+    val p = plan("q_badwords_profile")
+    assert(p.contains("multi_pattern_count"),
+      s"AC expression missing — fell back to per-pattern scans?\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"content filter must be a pure scan projection:\n$p")
+  }
+
   test("q_corpus_drift: top-20 via TakeOrdered, totals broadcast") {
     val p = plan("q_corpus_drift")
     // the top-k must be per-partition heaps, never a global sort of
