@@ -54,6 +54,36 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_COMPACT=1 — L27 scale probe: PROF_COMPACT_PARTS partitions
+    // × PROF_COMPACT_FILES files each of tiny parquet, then time
+    // compactTable end-to-end (listing + per-partition jobs) and the
+    // full-table read before/after. The axis that matters at 100 TB
+    // is PARTITION count (one job each) and FILE count (listing +
+    // footer opens) — not bytes.
+    if (sys.env.get("PROF_COMPACT").contains("1")) {
+      val parts = sys.env.getOrElse("PROF_COMPACT_PARTS", "40").toInt
+      val filesPer = sys.env.getOrElse("PROF_COMPACT_FILES", "50").toInt
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_prof_compact").toString
+      time(s"scatter ${parts}x$filesPer") {
+        docs.limit(parts * filesPer)
+          .withColumn("pk", col("doc_id") % parts)
+          .repartition(filesPer, col("doc_id"))
+          .write.partitionBy("pk").mode("overwrite")
+          .parquet(s"$base/src")
+      }
+      val n0 = time("count BEFORE (small files)")(
+        spark.read.parquet(s"$base/src").count())
+      val rep = time(s"compactTable $parts parts")(
+        operators.Layout.compactTable(spark, s"$base/src",
+          s"$base/dst", targetBytes = 1L << 30).collect())
+      println(s"[prof] partitions=${rep.length} filesBefore=" +
+        s"${rep.map(_.getLong(1)).sum} filesAfter=${rep.map(_.getLong(3)).sum}")
+      val n1 = time("count AFTER (compacted)")(
+        spark.read.parquet(s"$base/dst").count())
+      require(n0 == n1, s"row loss: $n0 != $n1")
+      spark.stop(); return
+    }
     // PROF_HOSTRANK=1 — stage breakdown of q_host_rank: edges
     // derivation (urlHost regex chain + distinct) vs the tick
     // iteration itself, to attribute the bench delta vs q_pagerank.

@@ -154,7 +154,7 @@ object Layout {
     */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
                    srcDir: String, dstDir: String, targetBytes: Long,
-                   maxConcurrent: Int = 4): DataFrame = {
+                   maxConcurrent: Int = 8): DataFrame = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     require(maxConcurrent >= 1,
       s"maxConcurrent must be >= 1, got $maxConcurrent")
@@ -167,49 +167,98 @@ object Layout {
       "compaction is not in-place: dstDir must differ from srcDir")
     if (fs.exists(dst)) fs.delete(dst, true)
     // partition dir -> its data files (driver-side, metadata-only)
-    val srcUri = fs.makeQualified(src).toString
-    val files = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long)] // (relative path, bytes)
-    val it = fs.listFiles(src, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      // skip commit markers and hidden files, keep data files
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = fs.makeQualified(st.getPath).toString
-          .stripPrefix(srcUri).stripPrefix("/")
-        files += ((rel, st.getLen))
-      }
-    }
-    val byPart = files.groupBy { case (rel, _) =>
-      val cut = rel.lastIndexOf('/')
-      if (cut < 0) "" else rel.substring(0, cut)
-    }.toSeq.sortBy(_._1)
-    import java.util.concurrent.Executors
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(maxConcurrent)
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    try {
-      val report = byPart.map { case (part, fls) =>
-        Future {
-          val bytes = fls.map(_._2).sum
-          val n = math.max(1L,
-            (bytes + targetBytes - 1L) / targetBytes).toInt
-          val sub = if (part.isEmpty) "" else s"/$part"
-          spark.read.parquet(s"$srcDir$sub")
-            .coalesce(n)
-            .write.mode("overwrite").parquet(s"$dstDir$sub")
-          val outFiles = fs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$dstDir$sub"))
-            .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          (part, fls.size.toLong, bytes, outFiles.toLong)
+    def dataFiles(rootDir: String): Seq[(String, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(rootDir)
+      val rootUri = fs.makeQualified(root).toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        // skip commit markers and hidden files, keep data files
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          out += ((fs.makeQualified(st.getPath).toString
+            .stripPrefix(rootUri).stripPrefix("/"), st.getLen))
         }
-      }.map(Await.result(_, Duration.Inf))
-      import spark.implicits._
-      report.toDF("partition", "files_before", "bytes_before",
-        "files_after")
-    } finally pool.shutdown()
+      }
+      out.toSeq
+    }
+    def byDir(fls: Seq[(String, Long)]): Map[String, Seq[(String, Long)]] =
+      fls.groupBy { case (rel, _) =>
+        val cut = rel.lastIndexOf('/')
+        if (cut < 0) "" else rel.substring(0, cut)
+      }
+    val byPart = byDir(dataFiles(srcDir)).toSeq.sortBy(_._1)
+    val plan = byPart.map { case (part, fls) =>
+      val bytes = fls.map(_._2).sum
+      (part, fls.size.toLong, bytes,
+        math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt)
+    }
+    // Already-small hive partitions (n = 1) compact in ONE Spark job:
+    // repartition on the partition columns puts each key in exactly
+    // one task, and partitionBy then emits exactly one file per key.
+    // This trades the per-partition-job floor (measured ~0.2 s each —
+    // hours at 10k partitions) for ONE bounded shuffle: every batched
+    // partition is <= targetBytes by definition, so the moved volume
+    // is <= parts × target and no task is ever skew-hot. Partitions
+    // needing a SPLIT (n > 1) and the flat "" table keep the
+    // per-partition coalesce path — shuffle-free, a handful of jobs.
+    val (batched, jobs) = plan.partition { case (p, _, _, n) =>
+      n == 1 && p.nonEmpty
+    }
+    if (batched.nonEmpty) {
+      val partCols = batched.head._1.split('/')
+        .map(_.split("=", 2)(0)).toSeq
+      require(batched.forall(_._1.split('/')
+          .map(_.split("=", 2)(0)).toSeq == partCols),
+        "inconsistent partition column layout under srcDir")
+      // partition values must round-trip VERBATIM: disable type
+      // inference so 'pk=01' cannot re-render as 'pk=1'
+      val infKey =
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(infKey, "true")
+      spark.conf.set(infKey, "false")
+      try {
+        spark.read.option("basePath", srcDir)
+          .parquet(batched.map(b => s"$srcDir/${b._1}"): _*)
+          .repartition(partCols.map(col): _*)
+          .write.partitionBy(partCols: _*)
+          .mode("append").parquet(dstDir) // dst was wiped: append-safe
+      } finally spark.conf.set(infKey, prev)
+    }
+    if (jobs.nonEmpty) {
+      // shared schema: ONE footer read instead of one per job (the
+      // other measured per-job constant); files missing columns of a
+      // later schema read them as null, the parquet contract
+      val schema = spark.read.parquet(jobs.head._1 match {
+        case "" => srcDir
+        case p => s"$srcDir/$p"
+      }).schema
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(maxConcurrent)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        jobs.map { case (part, _, _, n) =>
+          Future {
+            val sub = if (part.isEmpty) "" else s"/$part"
+            spark.read.schema(schema).parquet(s"$srcDir$sub")
+              .coalesce(n)
+              .write.mode("overwrite").parquet(s"$dstDir$sub")
+          }
+        }.foreach(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
+    }
+    // ONE recursive listing of dstDir reports files_after for every
+    // partition — no per-partition listStatus round-trips
+    val after = byDir(dataFiles(dstDir)).map { case (p, fls) =>
+      p -> fls.size.toLong
+    }
+    import spark.implicits._
+    plan.map { case (part, nf, bytes, _) =>
+      (part, nf, bytes, after.getOrElse(part, 0L))
+    }.toDF("partition", "files_before", "bytes_before", "files_after")
   }
 }
