@@ -1362,6 +1362,11 @@ object SparkEntry {
     // half of the docs rewritten to <PRE>/<SUF>/<MID> sentinel order,
     // split points md5-drawn over the char length — scan-stage, zero
     // shuffles, every byte hash-checked by the substring replay
+    // T5 span corruption (the FIM sibling): two md5-placed disjoint
+    // spans → <extra_id_k> sentinels, target in the T5 grammar; one
+    // codegen'd projection, zero shuffles
+    "q_span_corrupt" -> ((s, d) =>
+      Corpus.spanCorrupt(T(s, d, "documents"))),
     "q_fim_transform" -> ((s, d) =>
       Corpus.fimTransform(T(s, d, "documents"), rate = 0.5)),
     // DSIR importance weights: hashed-bigram likelihood ratio vs the
@@ -5415,6 +5420,26 @@ object SparkEntry {
          |CASE WHEN fim_applied THEN '<PRE>' || substring(text, 1, CAST(i AS INT)) || '<SUF>' || substring(text, CAST(j + 1 AS INT), CAST(n - j AS INT)) || '<MID>' || substring(text, CAST(i + 1 AS INT), CAST(j - i AS INT))
          |ELSE text END AS fim_text
          |FROM t""".stripMargin
+    },
+    // span corruption: the same md5-nibble replay for both span
+    // starts, then identical 1-based list slicing — integer division
+    // replays Spark's floor(n·k/S) exactly for non-negative n
+    "q_span_corrupt" -> {
+      def b16(sfx: String) = (1 to 4).map(k =>
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$sfx'), $k, 1)) - 1) * ${1L << (4 * (4 - k))}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+         |d AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n,
+         |(${b16(":sc0")}) AS r0, (${b16(":sc1")}) AS r1 FROM t),
+         |s AS (SELECT doc_id, text, tk, n, (n // 2 >= 2) AS elig,
+         |CASE WHEN n // 2 >= 2 THEN 1 + r0 % (n // 2 - 1) END AS s0,
+         |CASE WHEN n // 2 >= 2 THEN n // 2 + 1 + r1 % (n - n // 2 - 1) END AS s1 FROM d)
+         |SELECT doc_id, elig AS corrupted,
+         |CASE WHEN elig THEN array_to_string(tk[1:s0-1] || ['<extra_id_0>'] || tk[s0+2:s1-1] || ['<extra_id_1>'] || tk[s1+2:n], ' ')
+         |ELSE text END AS sc_input,
+         |CASE WHEN elig THEN array_to_string(['<extra_id_0>'] || tk[s0:s0+1] || ['<extra_id_1>'] || tk[s1:s1+1] || ['<extra_id_2>'], ' ')
+         |END AS sc_target
+         |FROM s""".stripMargin
     },
     // wat outlinks: the envelope JSON is synthesized from pure
     // arithmetic in doc_id, so the oracle replays the two links per

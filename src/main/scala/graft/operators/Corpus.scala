@@ -906,6 +906,68 @@ object Corpus {
       when(gate, fim).otherwise(text).as("fim_text"))
   }
 
+  /** SPAN CORRUPTION (Raffel et al. 2020 — the T5/UL2 denoising
+    * objective prep, the sibling of [[fimTransform]]'s infilling
+    * rewrite): mask `nSpans` disjoint token spans with `<extra_id_k>`
+    * sentinels and emit the (input, target) pair autoregressive
+    * denoising trains on — input = text with spans replaced by
+    * sentinels, target = sentinel-delimited span contents closed by
+    * the final sentinel (the exact T5 target grammar).
+    *
+    * ALL randomness is md5-derived from the doc id (the fimTransform
+    * discipline — reproducible across runs, retries AND engines, no
+    * rand()): the doc's token array splits into `nSpans` equal
+    * segments and span k starts at an md5 draw inside segment k —
+    * disjointness holds BY CONSTRUCTION (one span per segment), no
+    * rejection sampling to replay. Spans are `spanLen` tokens each —
+    * the fixed-length deterministic variant; T5's Poisson(3) span
+    * lengths are a sampling detail, the objective SHAPE (spans →
+    * sentinels → delimited target) is what downstream consumes.
+    * Docs with fewer than nSpans·… tokens (any segment shorter than
+    * spanLen) pass through uncorrupted: corrupted = false, input =
+    * the original text, target = null.
+    *
+    * Scale shape: ONE Project over the scan — token split, md5
+    * draws, fixed slice/concat tree — zero shuffles, whole-stage
+    * codegen; runs at read throughput inside an export stage.
+    */
+  def spanCorrupt(docs: DataFrame, nSpans: Int = 2, spanLen: Int = 2,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nSpans >= 1, s"nSpans must be >= 1, got $nSpans")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val id = col(idCol).cast("string")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // segment k covers [floor(n·k/S)+1, floor(n·(k+1)/S)] (1-based);
+    // the shortest segment is floor(n/S) tokens, so eligibility is
+    // one comparison, not a per-segment check
+    def segStart(k: Int) = floor(n * k / nSpans).cast("int") + 1
+    def segEnd(k: Int) = floor(n * (k + 1) / nSpans).cast("int")
+    val eligible = floor(n / nSpans).cast("int") >= spanLen
+    def draw(k: Int) =
+      Sampling.md5Bucket16(concat(id, lit(s":sc$k"))).cast("int")
+    val starts = (0 until nSpans).map { k =>
+      segStart(k) + draw(k) % (segEnd(k) - segStart(k) - spanLen + 2)
+    }
+    def sentinel(k: Int) = array(lit(s"<extra_id_$k>"))
+    val inputParts = (0 until nSpans).flatMap { k =>
+      val prevEnd = if (k == 0) lit(0) else starts(k - 1) + (spanLen - 1)
+      Seq(slice(toks, prevEnd + 1, starts(k) - prevEnd - 1), sentinel(k))
+    } :+ {
+      val lastEnd = starts(nSpans - 1) + (spanLen - 1)
+      slice(toks, lastEnd + 1, n - lastEnd)
+    }
+    val targetParts = (0 until nSpans).flatMap { k =>
+      Seq(sentinel(k), slice(toks, starts(k), lit(spanLen)))
+    } :+ sentinel(nSpans)
+    docs.select(col(idCol), eligible.as("corrupted"),
+      when(eligible, array_join(concat(inputParts: _*), " "))
+        .otherwise(col(textCol)).as("sc_input"),
+      when(eligible, array_join(concat(targetParts: _*), " "))
+        .otherwise(lit(null).cast("string")).as("sc_target"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023 shape): score every raw
     * document by how much its hashed-bigram profile looks like a
     * TARGET distribution (`targetExpr` — e.g. the wiki-like sources),

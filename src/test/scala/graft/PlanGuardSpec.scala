@@ -75,6 +75,12 @@ class PlanGuardSpec extends SparkSpec {
       s"SMJ crept into alphabet-sized joins:\n$p")
   }
 
+  test("q_span_corrupt is one codegen'd projection, zero exchanges") {
+    val p = plan("q_span_corrupt")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"span corruption must run at scan throughput:\n$p")
+  }
+
   test("q_badwords_profile: one automaton pass in the scan stage") {
     val p = plan("q_badwords_profile")
     assert(p.contains("multi_pattern_count"),

@@ -1034,6 +1034,62 @@ class CorpusSpec extends SparkSpec {
       == tk(9, 15, 15))
   }
 
+  test("spanCorrupt: sentinel reassembly restores the original text") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 120L).map { i =>
+      (i, (1 to (rnd.nextInt(12) + 1)).map(_ =>
+        "tok" + rnd.nextInt(9)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Corpus.spanCorrupt(docs, nSpans = 2, spanLen = 2)
+      .as[(Long, Boolean, String, Option[String])].collect()
+    val byId = docs.as[(Long, String)].collect().toMap
+    for ((id, corrupted, input, target) <- out) {
+      val text = byId(id)
+      val n = text.split(" ").count(_.nonEmpty)
+      assert(corrupted == (n / 2 >= 2), s"doc $id eligibility")
+      if (!corrupted) {
+        assert(input == text && target.isEmpty)
+      } else {
+        // parse the T5 target grammar and splice spans back in
+        val spans = target.get.split("<extra_id_\\d+>").map(_.trim)
+          .filter(_.nonEmpty)
+        assert(spans.length == 2, s"doc $id target: ${target.get}")
+        assert(target.get.endsWith("<extra_id_2>"))
+        var restored = input
+        spans.zipWithIndex.foreach { case (sp, k) =>
+          restored = restored.replace(s"<extra_id_$k>", sp)
+        }
+        assert(restored == text, s"doc $id: '$restored' != '$text'")
+        // each span is exactly spanLen tokens, spans are disjoint
+        assert(spans.forall(_.split(" ").length == 2))
+      }
+    }
+    // bit-identical re-run (no rand() anywhere)
+    val again = Corpus.spanCorrupt(docs, nSpans = 2, spanLen = 2)
+      .as[(Long, Boolean, String, Option[String])].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("spanCorrupt: spans stay inside their segments; nSpans=1 works") {
+    // 8 tokens, 2 spans of 2: span 0 inside tokens 1-4, span 1
+    // inside 5-8 — whatever the draws, the sentinel positions in the
+    // input respect the segment split
+    val docs = Seq((7L, "a b c d e f g h")).toDF("doc_id", "text")
+    val (_, c, input, _) = Corpus.spanCorrupt(docs)
+      .as[(Long, Boolean, String, Option[String])].head()
+    assert(c)
+    val toks = input.split(" ")
+    val i0 = toks.indexOf("<extra_id_0>")
+    val i1 = toks.indexOf("<extra_id_1>")
+    assert(i0 >= 0 && i0 <= 2, input)  // span from first 4 tokens
+    assert(i1 > i0, input)
+    val one = Corpus.spanCorrupt(docs, nSpans = 1, spanLen = 3)
+      .as[(Long, Boolean, String, Option[String])].head()
+    assert(one._2 && one._3.contains("<extra_id_0>")
+      && one._4.get.endsWith("<extra_id_1>"))
+    intercept[IllegalArgumentException](Corpus.spanCorrupt(docs, nSpans = 0))
+  }
+
   test("corpusDriftTerms: full-outer vocab, exact tick drift") {
     // A: x x y (n=3); B: x z (n=2)
     val a = Seq((1L, "x x y")).toDF("doc_id", "text")
