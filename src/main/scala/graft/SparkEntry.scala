@@ -2125,6 +2125,45 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // sitemap → frontier: synthesize one urlset per host (same
+    // path/robots arithmetic as q_robots_gate, plus a priority
+    // hint), parse with from_xml, robots-gate for GraftBot, and
+    // join the priority back — frontier assembly end to end. The
+    // oracle replays the synthesis + the same gate decision table
+    "q_sitemap_frontier" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val k = col("doc_id") % 7
+      val pathCol = when(col("doc_id") % 3 === 0,
+        concat(lit("/d/"), col("doc_id")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("/private/p"), col("doc_id")))
+        .otherwise(concat(lit("/tmp/"), col("doc_id")))
+      val frag = concat(lit("<url><loc>https://h"), k,
+        lit(".example.org"), pathCol, lit("</loc><priority>0."),
+        col("doc_id") % 10, lit("</priority></url>"))
+      val sitemaps = docs.select(k.cast("int").as("k"), frag.as("f"))
+        .groupBy("k")
+        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("f"))),
+          lit("</urlset>")).as("xml"))
+      val cand = sources.Sitemap.urls(sitemaps)
+      val hosts = docs.select(k.cast("int").as("k")).distinct()
+        .select(
+          concat(lit("h"), col("k"), lit(".example.org")).as("host"),
+          concat(
+            lit("# synthetic robots\nUser-Agent: *\nCrawl-delay: 3\n" +
+              "Disallow: /private/\nDisallow:\n"),
+            when(col("k") % 2 === 0, lit("Allow: /private/p\n"))
+              .otherwise(lit("")),
+            when(col("k") % 3 === 0,
+              lit("\nUser-agent: graftbot\nDisAllow: /d/\n" +
+                "Disallow: /tmp/\n")).otherwise(lit("")))
+            .as("robots_txt"))
+      Robots.gateUrls(cand.select("host", "path"),
+          Robots.robotsRules(hosts), "GraftBot")
+        .join(cand.select("host", "path", "priority"),
+          Seq("host", "path"))
+        .select("host", "path", "priority", "allowed")
+    }),
     // multi-pattern content filter (the C4 badwords scan): ONE
     // Aho-Corasick pass counts all five patterns — phrases crossing
     // token boundaries included. The patterns are chosen BORDERLESS
@@ -5537,6 +5576,22 @@ object SparkEntry {
         |+ (CASE WHEN c5 > 0 THEN 1 ELSE 0 END) AS INT) AS n_patterns,
         |(c1 + c2 + c3 + c4 + c5) > 0 AS flagged
         |FROM c""".stripMargin,
+    // sitemap frontier: the robots decision table + the priority
+    // digit, all from the same doc_id arithmetic
+    "q_sitemap_frontier" ->
+      """WITH u AS (SELECT DISTINCT
+        |'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |CASE CAST(doc_id % 3 AS INT)
+        |WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+        |WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path,
+        |'0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+        |CAST(doc_id % 7 AS INT) AS k, CAST(doc_id % 3 AS INT) AS m
+        |FROM documents)
+        |SELECT host, path, priority,
+        |CASE WHEN k % 3 = 0 THEN (m = 1)
+        |ELSE NOT (m = 1 AND k % 2 = 1) END AS allowed
+        |FROM u""".stripMargin,
     // robots gate: the synthesis arithmetic decides — k%3=0 hosts
     // have the exact graftbot group (star VOID: /d/, /tmp/ denied,
     // /private/ untouched), the rest run the star group where the

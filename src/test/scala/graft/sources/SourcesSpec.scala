@@ -342,6 +342,26 @@ class SourcesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("Sitemap.urls: urlset parse, optional fields, junk quarantined") {
+    val xmls = Seq(
+      // well-formed: one full entry, one bare loc (optional fields
+      // absent -> null), one loc with www + port to normalize
+      """<urlset><url><loc>https://a.org/x</loc><priority>0.8</priority><lastmod>2026-01-01</lastmod></url>""" +
+        """<url><loc>https://www.b.org:8080/y/z</loc></url>""" +
+        """<url><loc>https://c.org</loc></url></urlset>""",
+      "{not xml at all",
+      "<urlset></urlset>")
+      .map(Tuple1(_)).toDF("xml")
+    val got = Sitemap.urls(xmls)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      ("a.org", "/x", Some("0.8"), Some("2026-01-01")),
+      // www./port strip via urlHost; path survives verbatim
+      ("b.org", "/y/z", None, None)))
+    // c.org had no path -> dropped; junk and empty urlsets -> 0 rows
+  }
+
   test("Wat.anchorTexts: text-bearing links only, text-less dropped") {
     val dir = Files.createTempDirectory("graft_wat_anchor").toString
     val json =
