@@ -1,9 +1,12 @@
 package graft.plans
 
-import graft.expressions.{ArrayDot, BoundedTopK, MinHashSig, SortedIntersectSize}
+import graft.expressions.{ArrayDot, BoundedTopK, LongestMatchEncode, MinHashSig, MultiPatternCount, SortedIntersectSize, WordPieceEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Spark session extension: registers graft's custom expressions so
   * plain `spark.sql` users can call them.
@@ -59,5 +62,56 @@ object GraftExtensions {
         case Seq(a, b) => SortedIntersectSize(a, b)
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_size(array<bigint> sorted-distinct, array<bigint> sorted-distinct)")
+      }),
+    (new FunctionIdentifier("longest_match_encode"),
+      new ExpressionInfo(classOf[LongestMatchEncode].getName,
+        "longest_match_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(word, vocab) =>
+          LongestMatchEncode(word,
+            stringArray(vocab, "longest_match_encode vocab"))
+        case _ => throw new IllegalArgumentException(
+          "longest_match_encode(word string, vocab array<string> constant)")
+      }),
+    (new FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordPieceEncode].getName,
+        "wordpiece_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(word, vocab) =>
+          WordPieceEncode(word,
+            stringArray(vocab, "wordpiece_encode vocab"), "[UNK]", 100)
+        case Seq(word, vocab, Literal(unk: UTF8String, StringType),
+            Literal(max: Int, _)) =>
+          WordPieceEncode(word,
+            stringArray(vocab, "wordpiece_encode vocab"),
+            unk.toString, max)
+        case _ => throw new IllegalArgumentException(
+          "wordpiece_encode(word string, vocab array<string> constant" +
+            "[, unk string-literal, maxWordChars int-literal])")
+      }),
+    (new FunctionIdentifier("multi_pattern_count"),
+      new ExpressionInfo(classOf[MultiPatternCount].getName,
+        "multi_pattern_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, pats) =>
+          MultiPatternCount(text,
+            stringArray(pats, "multi_pattern_count patterns"))
+        case _ => throw new IllegalArgumentException(
+          "multi_pattern_count(text string, patterns array<string> constant)")
       }))
+
+  /** Fold a constant array<string> argument (an `array('a','b')`
+    * literal in SQL arrives as a foldable CreateArray, not a
+    * Literal) into the Seq the kernel expressions carry as data. */
+  private def stringArray(e: Expression, what: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a constant array<string>")
+    val data = e.eval(null).asInstanceOf[ArrayData]
+    (0 until data.numElements())
+      .map(i => data.getUTF8String(i).toString)
+  }
 }

@@ -40,6 +40,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.length == 4 && sig.distinct.length > 1)
   }
 
+  test("tokenizer and content-filter kernels callable from SQL") {
+    registerAll()
+    // BPE maximal munch with the char fallback
+    assert(spark.sql(
+      "SELECT longest_match_encode('thable', array('the', 'th', 'ab'))")
+      .head().getSeq[String](0) == Seq("th", "ab", "l", "e"))
+    // WordPiece: position-split vocab, whole-word UNK, 4-arg form
+    assert(spark.sql(
+      "SELECT wordpiece_encode('table', array('t', '##able'))")
+      .head().getSeq[String](0) == Seq("t", "##able"))
+    assert(spark.sql(
+      "SELECT wordpiece_encode('tx', array('t', '##able'))")
+      .head().getSeq[String](0) == Seq("[UNK]"))
+    assert(spark.sql(
+      "SELECT wordpiece_encode('table', array('t', '##able'), '<unk>', 3)")
+      .head().getSeq[String](0) == Seq("<unk>")) // over maxWordChars
+    // Aho-Corasick: overlapping occurrences, struct output
+    val m = spark.sql(
+      "SELECT m.n_hits, m.n_patterns FROM (SELECT " +
+        "multi_pattern_count('aaa ba', array('aa', 'ba')) AS m)")
+      .head()
+    assert((m.getLong(0), m.getInt(1)) == ((3L, 2)))
+    // a non-constant vocab is rejected at analysis, not at runtime
+    val e = intercept[Exception](spark.sql(
+      "SELECT wordpiece_encode('x', array(CAST(rand() AS STRING)))")
+      .collect())
+    assert(e.getMessage.contains("constant array<string>"), e.getMessage)
+  }
+
   test("DotProductRewrite: HOF pattern becomes array_dot, results identical") {
     // parquet-backed source: a Seq-based LocalRelation gets evaluated
     // whole by ConvertToLocalRelation before the rewrite can show up
