@@ -1362,6 +1362,18 @@ object SparkEntry {
     // half of the docs rewritten to <PRE>/<SUF>/<MID> sentinel order,
     // split points md5-drawn over the char length — scan-stage, zero
     // shuffles, every byte hash-checked by the substring replay
+    // SFT chat-template rendering: prompt = first 3 tokens,
+    // response = the rest; the rendered row carries the exact
+    // character span of the response (the masked-loss contract) —
+    // both hash-checked against the same assembly arithmetic
+    "q_sft_format" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val pairs = T(s, d, "documents").select(col("doc_id"),
+        array_join(slice(toks, 1, 3), " ").as("prompt"),
+        array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+          " ").as("response"))
+      Corpus.sftRender(pairs, "You are a helpful assistant.")
+    }),
     // T5 span corruption (the FIM sibling): two md5-placed disjoint
     // spans → <extra_id_k> sentinels, target in the T5 grammar; one
     // codegen'd projection, zero shuffles
@@ -5460,6 +5472,19 @@ object SparkEntry {
          |ELSE text END AS fim_text
          |FROM t""".stripMargin
     },
+    // sft: the same template assembly + prefix-length arithmetic
+    "q_sft_format" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |p AS (SELECT doc_id,
+        |array_to_string(tk[1:3], ' ') AS prompt,
+        |array_to_string(tk[4:len(tk)], ' ') AS response FROM t),
+        |r AS (SELECT doc_id,
+        |'<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10) || '<|user|>' || chr(10) || prompt
+        ||| chr(10) || '<|assistant|>' || chr(10) AS pre, response FROM p)
+        |SELECT doc_id, pre || response || '<|end|>' AS sft_text,
+        |CAST(len(pre) AS BIGINT) AS loss_start,
+        |CAST(len(pre) + len(response) AS BIGINT) AS loss_end
+        |FROM r""".stripMargin,
     // span corruption: the same md5-nibble replay for both span
     // starts, then identical 1-based list slicing — integer division
     // replays Spark's floor(n·k/S) exactly for non-negative n

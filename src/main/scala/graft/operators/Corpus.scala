@@ -968,6 +968,39 @@ object Corpus {
         .otherwise(lit(null).cast("string")).as("sc_target"))
   }
 
+  /** SFT chat-template rendering with LOSS-SPAN offsets — the
+    * supervised-fine-tuning export stage: each (prompt, response)
+    * pair renders into the fixed chat template and the row carries
+    * the exact character span [loss_start, loss_end) of the
+    * RESPONSE inside the rendered string — the contract a
+    * masked-loss dataloader needs (loss on assistant tokens only;
+    * shipping the span as data beats re-finding it with string
+    * search downstream, which breaks the moment a response happens
+    * to repeat a template fragment). Offsets are 0-based character
+    * (code point) positions; `substring(sft_text, loss_start + 1,
+    * loss_end - loss_start) == response` is the invariant
+    * (spec-pinned, unicode included).
+    *
+    * Scale shape: one codegen'd Project — concat + two length sums
+    * — zero shuffles, export-stage throughput (the fimTransform
+    * family). */
+  def sftRender(pairs: DataFrame, systemPrompt: String,
+                idCol: String = "doc_id", promptCol: String = "prompt",
+                responseCol: String = "response"): DataFrame = {
+    val pre = s"<|system|>\n$systemPrompt\n<|user|>\n"
+    val mid = "\n<|assistant|>\n"
+    val post = "<|end|>"
+    val lossStart = (lit(pre.codePointCount(0, pre.length).toLong) +
+      length(col(promptCol)) +
+      lit(mid.codePointCount(0, mid.length).toLong)).cast("long")
+    pairs.select(col(idCol),
+      concat(lit(pre), col(promptCol), lit(mid), col(responseCol),
+        lit(post)).as("sft_text"),
+      lossStart.as("loss_start"),
+      (lossStart + length(col(responseCol)).cast("long"))
+        .as("loss_end"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023 shape): score every raw
     * document by how much its hashed-bigram profile looks like a
     * TARGET distribution (`targetExpr` — e.g. the wiki-like sources),

@@ -1034,6 +1034,29 @@ class CorpusSpec extends SparkSpec {
       == tk(9, 15, 15))
   }
 
+  test("sftRender: the loss span is exactly the response, unicode too") {
+    val pairs = Seq(
+      (1L, "what is spark", "a distributed engine"),
+      (2L, "translate 🙂", "naïve café 日本語"),
+      (3L, "empty response", "")).toDF("doc_id", "prompt", "response")
+    val out = Corpus.sftRender(pairs, "sys")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val byId = pairs.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, (_, text, s, e)) <- out) {
+      val (_, prompt, response) = byId(id)
+      // offsets are CODE POINTS: slice via offsetByCodePoints so the
+      // emoji row checks the contract, not UTF-16 accounting
+      val from = text.offsetByCodePoints(0, s.toInt)
+      val to = text.offsetByCodePoints(0, e.toInt)
+      assert(text.substring(from, to) == response, s"doc $id")
+      assert(text.startsWith(s"<|system|>\nsys\n<|user|>\n$prompt"))
+      assert(text.endsWith("<|end|>"))
+    }
+    assert(out(3L)._3 == out(3L)._4) // empty response: empty span
+  }
+
   test("spanCorrupt: sentinel reassembly restores the original text") {
     val rnd = new scala.util.Random(23)
     val docs = (1L to 120L).map { i =>
