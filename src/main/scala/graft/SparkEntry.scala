@@ -1008,6 +1008,11 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max(col("session_idx")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))),
+    // session transcripts: interaction logs as conversation-style
+    // documents — sessionize + in-aggregation ordering + integer
+    // cents; every line of every transcript hash-checked
+    "q_dialogue_assemble" -> ((s, d) =>
+      WindowOps.sessionTranscripts(T(s, d, "events"))),
     "q_range_join_contacts" -> ((s, d) =>
       RangeJoin.contacts3D(
         T(s, d, "lineitem").select(
@@ -3838,6 +3843,21 @@ object SparkEntry {
         |FROM f)
         |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+    // transcripts: the q_sessionize flag/sum replay + per-session
+    // MIN join + ordered string_agg with the same cents tree
+    "q_dialogue_assemble" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |THEN 1 ELSE 0 END AS flag FROM e),
+        |s AS (SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f),
+        |t0 AS (SELECT user_id, sess, MIN(us) AS m0 FROM s GROUP BY 1, 2)
+        |SELECT s.user_id, CAST(s.sess AS BIGINT) AS session_idx,
+        |CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |string_agg(CAST((s.us - t0.m0) // 1000000 AS VARCHAR) || 's ' || s.event_type || ' ' || CAST(s.cents AS VARCHAR), chr(10) ORDER BY s.us, s.event_id) AS transcript
+        |FROM s JOIN t0 ON s.user_id = t0.user_id AND s.sess = t0.sess
+        |GROUP BY s.user_id, s.sess""".stripMargin,
     "q_range_join_contacts" ->
       """WITH pts AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
         |l_quantity AS x, l_extendedprice / 100 AS y, l_discount * 100 AS z

@@ -65,4 +65,47 @@ object WindowOps {
       .withColumn("session_idx",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** SESSION TRANSCRIPT assembly — interaction logs rewritten as
+    * conversation-style DOCUMENTS (the shape assistant session logs
+    * and user-interaction traces take on the way into a training
+    * mix): [[sessionize]] the event stream, then render each
+    * session as one ordered transcript — `"<offset>s <event_type>
+    * <cents>"` lines, offsets in whole seconds from session start,
+    * `value` quantized to integer cents through ONE fixed IEEE tree
+    * (floor(v·100 + 0.5) — a rendered DOUBLE would hash differently
+    * across engines; integers never do).
+    *
+    * Shape: the per-session ordering happens INSIDE the aggregation
+    * — `sort_array(collect_list(struct(ts, event_id, …)))` — so no
+    * second window runs over the event stream; ties are impossible
+    * by the (ts, event_id) struct prefix whatever the input layout.
+    * Session state is bounded by the gap definition, not the
+    * stream: one user's session is minutes of events, never the
+    * whole history.
+    *
+    * @return (user_id, session_idx, n_turns, transcript)
+    */
+  def sessionTranscripts(events: DataFrame,
+                         gapMicros: Long = 1800L * 1000000L): DataFrame = {
+    val se = sessionize(events, Seq("user_id"),
+      unix_micros(col("ts")), gapMicros)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    se.select(col("user_id"), col("session_idx"),
+        struct(col("__ts_us").as("us"), col("event_id").as("eid"),
+          col("event_type").as("et"), cents.as("cents")).as("t"))
+      .groupBy("user_id", "session_idx")
+      .agg(sort_array(collect_list(col("t"))).as("turns"))
+      .select(col("user_id"),
+        col("session_idx").cast("long").as("session_idx"),
+        size(col("turns")).cast("long").as("n_turns"),
+        array_join(transform(col("turns"), t =>
+          concat(
+            ((t.getField("us") -
+              element_at(col("turns"), 1).getField("us")) /
+              lit(1000000L)).cast("long").cast("string"),
+            lit("s "), t.getField("et"), lit(" "),
+            t.getField("cents").cast("string"))), "\n")
+          .as("transcript"))
+  }
 }

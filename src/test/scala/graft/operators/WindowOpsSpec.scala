@@ -47,4 +47,34 @@ class WindowOpsSpec extends SparkSpec {
     assert(out == Seq((10.0, 1L, 10.0), (30.0, 2L, 15.0),
       (50.0, 2L, 25.0), (70.0, 2L, 35.0)))
   }
+
+  test("sessionTranscripts: gap split, second offsets, cents, order") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 7: three events in one session (0s, 5s, 65s), then a
+    // 31-minute gap opens session 2; user 8: one event
+    val events = Seq(
+      // cents: 1.005·100 = 100.4999… in IEEE (1.005 has no exact
+      // double), +0.5 floors to 100 — the FIXED tree is the
+      // contract, not decimal rounding folklore
+      (1L, ts(100), 7L, "view", 1.005),
+      (2L, ts(105), 7L, "click", 2.0),
+      (3L, ts(165), 7L, "buy", 9.99),
+      (4L, ts(165 + 31 * 60), 7L, "view", 0.0),
+      (5L, ts(500), 8L, "signup", 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = WindowOps.sessionTranscripts(events)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((7L, 1L)) ==
+      ((3L, "0s view 100\n5s click 200\n65s buy 999")))
+    assert(got((7L, 2L)) == ((1L, "0s view 0")))
+    assert(got((8L, 1L)) == ((1L, "0s signup 5000")))
+    assert(got.size == 3)
+    // layout independence: the in-aggregation sort decides order
+    val scrambled = WindowOps.sessionTranscripts(events.repartition(5))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(scrambled == got)
+  }
 }
