@@ -856,6 +856,42 @@ object SparkEntry {
     "q_centroid" -> ((s, d) =>
       Aggregations.centroid(T(s, d, "lineitem"), Seq("l_suppkey"),
         Seq("l_quantity", "l_extendedprice"))),
+    // ROLLUP with grouping flags: subtotal rows per returnflag and
+    // the grand total in one pass (Spark expands grouping sets
+    // before the aggregation — one shuffle for all three levels);
+    // sums in the decimal discipline
+    "q_rollup_aggregate" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.decSum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // PIVOT → UNPIVOT roundtrip: wide per-user event-type cents
+    // matrix back to long form ≡ the direct grouped aggregation —
+    // the roundtrip IS the hash-checked claim; cents stay exact
+    // longs so pivot cell order can't move a bit
+    "q_pivot_roundtrip" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val piv = T(s, d, "events")
+        .select(col("user_id"), col("event_type"), cents.as("cents"))
+        .groupBy("user_id").pivot("event_type", types).agg(sum("cents"))
+      piv.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "cents_sum")
+        .where(col("cents_sum").isNotNull)
+    }),
+    // hourly LOCF gap fill per event type: densified bucket grid +
+    // carried-forward cents — the resample/ffill shape; the window
+    // runs over the grid, never the event stream
+    "q_gap_fill" -> ((s, d) => {
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val hour = (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val hc = T(s, d, "events")
+        .select(col("event_type"), hour.as("hour"), cents.as("cents"))
+        .groupBy("event_type", "hour").agg(sum("cents").as("cents"))
+      TimeOps.gapFillLocf(hc, Seq("event_type"), "hour", Seq("cents"))
+    }),
     "q_agg_first" -> ((s, d) =>
       Aggregations.firstPerGroup(
         T(s, d, "lineitem")
@@ -3843,6 +3879,31 @@ object SparkEntry {
         |FROM f)
         |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+    // rollup: the same three grouping levels + GROUPING flags +
+    // the decimal-sum discipline
+    "q_rollup_aggregate" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28, 2))) AS DOUBLE) AS sum_qty,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // pivot roundtrip ≡ the direct grouped aggregation
+    "q_pivot_roundtrip" ->
+      """SELECT user_id, event_type,
+        |CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // gap fill: grid + left join + IGNORE NULLS carry-forward
+    "q_gap_fill" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, MIN(hour) AS b0, MAX(hour) AS b1 FROM hc GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(b0, b1)) AS hour FROM r),
+        |j AS (SELECT g.event_type, g.hour, hc.cents FROM g LEFT JOIN hc ON g.event_type = hc.event_type AND g.hour = hc.hour)
+        |SELECT event_type, hour, cents,
+        |last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+        |cents IS NULL AS cents_gap
+        |FROM j""".stripMargin,
     // transcripts: the q_sessionize flag/sum replay + per-session
     // MIN join + ordered string_agg with the same cents tree
     "q_dialogue_assemble" ->

@@ -49,4 +49,44 @@ object TimeOps {
       .select((unix_micros(col("w.start")).as("window_start_us")
         +: keys.map(col)) ++ Seq(col("n"), col("sum_value")): _*)
   }
+
+  /** GAP FILL with last-observation-carried-forward (the
+    * resample-and-ffill shape every time-series feature pipeline
+    * runs before a model sees regular intervals): densify each
+    * key's bucket axis to the full [min, max] range
+    * (`sequence` + explode — the grid generates distributed, one
+    * row per missing bucket, no driver loop), left-join the
+    * observed buckets back, and fill each `valueCols` entry with
+    * the latest non-null predecessor (`last(ignoreNulls)` over an
+    * unbounded-preceding row window). The first bucket of every key
+    * is observed by construction (the range STARTS at an observed
+    * minimum), so filled values are never null.
+    *
+    * Scale note: the window runs over the BUCKET GRID (keys ×
+    * buckets — hours/days per key), never over the raw event
+    * stream; a key's grid is bounded by its time span, so the
+    * per-partition window state is small even when the underlying
+    * events are not. Emits `<v>_filled` and `<v>_gap` per value
+    * column; original (nullable) columns ride along as evidence.
+    */
+  def gapFillLocf(buckets: DataFrame, keys: Seq[String],
+                  bucketCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty,
+      "gapFillLocf needs at least one key and one value column")
+    val rng = buckets.groupBy(keys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
+    val grid = rng.select(keys.map(col) :+
+      explode(sequence(col("__b0"), col("__b1"))).as(bucketCol): _*)
+    val joined = grid.join(buckets, keys :+ bucketCol, "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    valueCols.foldLeft(joined) { (acc, v) =>
+      acc.withColumn(s"${v}_filled",
+          last(col(v), ignoreNulls = true).over(w))
+        .withColumn(s"${v}_gap", col(v).isNull)
+    }
+  }
 }

@@ -455,6 +455,30 @@ class MiscOpsSpec extends SparkSpec {
     // per-partition open calls directly
     assert(MiscOpsSpec.codecOpens.get() == 3)
   }
+
+  test("gapFillLocf: grid densifies, LOCF carries, gaps flagged") {
+    import sqlImplicits._
+    // key a: buckets 10, 13 observed -> 11, 12 filled from 10;
+    // key b: single bucket -> no gaps
+    val obs = Seq(("a", 10L, 5L), ("a", 13L, 9L), ("b", 99L, 1L))
+      .toDF("k", "bucket", "v")
+    val got = graft.operators.TimeOps
+      .gapFillLocf(obs, Seq("k"), "bucket", Seq("v"))
+      .as[(String, Long, Option[Long], Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size == 5)
+    assert(got(("a", 10L)) == ((Some(5L), 5L, false)))
+    assert(got(("a", 11L)) == ((None, 5L, true)))
+    assert(got(("a", 12L)) == ((None, 5L, true)))
+    assert(got(("a", 13L)) == ((Some(9L), 9L, false)))
+    assert(got(("b", 99L)) == ((Some(1L), 1L, false)))
+    // layout independence
+    val scrambled = graft.operators.TimeOps
+      .gapFillLocf(obs.repartition(4), Seq("k"), "bucket", Seq("v"))
+      .as[(String, Long, Option[Long], Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(scrambled == got)
+  }
 }
 
 object MiscOpsSpec {
