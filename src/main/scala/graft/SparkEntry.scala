@@ -881,6 +881,16 @@ object SparkEntry {
           "event_type", "cents_sum")
         .where(col("cents_sum").isNotNull)
     }),
+    // ordered funnel: signup → view (after) → purchase (after) —
+    // strict min-chain semantics, one row of per-step user counts
+    "q_funnel" -> ((s, d) =>
+      TimeOps.funnel(T(s, d, "events"),
+        Seq("signup", "view", "purchase"))),
+    // weekly retention triangle: cohort = first active week,
+    // exact distinct (user, week) counting
+    "q_retention_cohorts" -> ((s, d) =>
+      TimeOps.retentionCohorts(T(s, d, "events"),
+        7L * 86400L * 1000000L)),
     // hourly LOCF gap fill per event type: densified bucket grid +
     // carried-forward cents — the resample/ffill shape; the window
     // runs over the grid, never the event stream
@@ -3892,6 +3902,22 @@ object SparkEntry {
       """SELECT user_id, event_type,
         |CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // funnel: the same min-chain, three CTE levels
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+        |t2 AS (SELECT e.u, MIN(us) AS t2 FROM e JOIN t1 ON e.u = t1.u WHERE et = 'view' AND us > t1 GROUP BY e.u),
+        |t3 AS (SELECT e.u, MIN(us) AS t3 FROM e JOIN t2 ON e.u = t2.u WHERE et = 'purchase' AND us > t2 GROUP BY e.u)
+        |SELECT (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM e) AS n_users,
+        |(SELECT COUNT(*) FROM t1) AS n_step1,
+        |(SELECT COUNT(*) FROM t2) AS n_step2,
+        |(SELECT COUNT(*) FROM t3) AS n_step3""".stripMargin,
+    // retention: distinct (user, week) -> min-week cohort -> counts
+    "q_retention_cohorts" ->
+      """WITH ub AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS b FROM events),
+        |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
+        |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
     // gap fill: grid + left join + IGNORE NULLS carry-forward
     "q_gap_fill" ->
       """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

@@ -89,4 +89,63 @@ object TimeOps {
         .withColumn(s"${v}_gap", col(v).isNull)
     }
   }
+
+  /** ORDERED FUNNEL over an event log — the product-analytics
+    * staple: how many users performed step 1, then step 2 STRICTLY
+    * AFTER their first step 1, then step 3 strictly after that
+    * earliest qualifying step 2. The strict-order chain is what
+    * separates a funnel from three independent filters (a purchase
+    * BEFORE signup must not convert), and the min-chain definition —
+    * t₁ = first step-1, t₂ = first step-2 after t₁, t₃ = first
+    * step-3 after t₂ — is the standard greedy semantics: if any
+    * ordered chain exists, the min-chain exists.
+    *
+    * Scale shape: one keyed aggregation per step, each joined back
+    * to the (pre-filtered, step-only) event slice on the user key —
+    * never a per-user window over the full stream, never a
+    * collect-and-fold; each stage's frame shrinks monotonically
+    * (users at step k ⊆ step k−1). Returns per-step user counts as
+    * one row: (n_users, n_step1, n_step2, n_step3).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.length == 3, "funnel expects exactly 3 step types")
+    val us = unix_micros(col(tsCol))
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      us.as("us"))
+    val t1 = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("us")).as("t1"))
+    val t2 = e.filter(col("et") === steps(1))
+      .join(t1, "u").filter(col("us") > col("t1"))
+      .groupBy("u").agg(min(col("us")).as("t2"))
+    val t3 = e.filter(col("et") === steps(2))
+      .join(t2, "u").filter(col("us") > col("t2"))
+      .groupBy("u").agg(min(col("us")).as("t3"))
+    val total = e.select(countDistinct(col("u")).as("n_users"))
+    total
+      .crossJoin(t1.agg(count(lit(1)).as("n_step1")))
+      .crossJoin(t2.agg(count(lit(1)).as("n_step2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_step3")))
+  }
+
+  /** RETENTION COHORTS — the other analytics staple: users
+    * cohorted by their FIRST active bucket (week), counted in every
+    * later bucket they return in. (cohort, offset, n_users) is the
+    * retention triangle a dashboard renders; all exact integers.
+    * Shape: distinct (user, bucket) pairs → per-user min bucket →
+    * one co-partitioned join back → one aggregation. */
+  def retentionCohorts(events: DataFrame, bucketMicros: Long,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    require(bucketMicros >= 1L, s"bucketMicros must be >= 1")
+    val bucket = (unix_micros(col(tsCol)) / lit(bucketMicros))
+      .cast("long")
+    val ub = events.select(col(userCol).as("u"), bucket.as("b"))
+      .distinct()
+    val cohort = ub.groupBy("u").agg(min(col("b")).as("cohort"))
+    ub.join(cohort, "u")
+      .groupBy(col("cohort"), (col("b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -479,6 +479,37 @@ class MiscOpsSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(scrambled == got)
   }
+  test("funnel: strict order, greedy min-chain; retention cohorts") {
+    import sqlImplicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1 converts in order: signup@10 view@20 purchase@30
+      (1L, ts(10), "signup"), (1L, ts(20), "view"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE the view chain completes — the
+      // purchase@15 precedes the first view@25, so no step 3
+      (2L, ts(5), "signup"), (2L, ts(15), "purchase"), (2L, ts(25), "view"),
+      // user 3: view before signup does NOT count for step 2; the
+      // later view does
+      (3L, ts(1), "view"), (3L, ts(2), "signup"), (3L, ts(3), "view"),
+      // user 4: never signs up
+      (4L, ts(7), "view"), (4L, ts(8), "purchase"))
+      .map { case (u, t, e) => (u, t, e, 0.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val f = graft.operators.TimeOps
+      .funnel(events, Seq("signup", "view", "purchase"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(f == ((4L, 3L, 3L, 1L))) // users 1,2,3 signup; 1,2,3 view-after; only 1 converts
+    // greedy min-chain: user 2's view@25 counts for step 2 even
+    // though their only purchase was earlier — step 3 stays empty
+    val r = graft.operators.TimeOps
+      .retentionCohorts(events, bucketMicros = 10L * 1000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // buckets of 10s: u1 {1,2,3} cohort 1; u2 {0,1,2} cohort 0;
+    // u3 {0}; u4 {0}
+    assert(r == Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L),
+      (0L, 0L, 3L), (0L, 1L, 1L), (0L, 2L, 1L)))
+  }
 }
 
 object MiscOpsSpec {
