@@ -856,6 +856,12 @@ object SparkEntry {
     "q_centroid" -> ((s, d) =>
       Aggregations.centroid(T(s, d, "lineitem"), Seq("l_suppkey"),
         Seq("l_quantity", "l_extendedprice"))),
+    // ANALYZE-style column statistics: three columns profiled in
+    // ONE table pass (structs inside one aggregation, exploded to
+    // rows) — counts, exact NDV, min/max, quartiles
+    "q_analyze_stats" -> ((s, d) =>
+      Aggregations.columnStats(T(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // ROLLUP with grouping flags: subtotal rows per returnflag and
     // the grand total in one pass (Spark expands grouping sets
     // before the aggregation — one shuffle for all three levels);
@@ -3889,6 +3895,18 @@ object SparkEntry {
         |FROM f)
         |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+    // analyze: one SELECT per column, same aggregate definitions
+    "q_analyze_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column, COUNT(*) AS n_rows,
+           |CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           |quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50,
+           |quantile_cont($c, 0.75) AS p75 FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("\nUNION ALL\n")
+    },
     // rollup: the same three grouping levels + GROUPING flags +
     // the decimal-sum discipline
     "q_rollup_aggregate" ->

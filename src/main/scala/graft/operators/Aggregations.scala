@@ -180,4 +180,61 @@ object Aggregations {
     df.groupBy(groupKeys.map(col): _*)
       .agg(count(lit(1)).as("n_members"))
       .filter(having)
+
+  /** ANALYZE-style COLUMN STATISTICS — what an engine's stats
+    * collector ships (row/null counts, exact NDV, min/max, the
+    * quartile boundaries a cost model or equi-depth histogram
+    * starts from), one output row per profiled column.
+    *
+    * Shape (the measured one — a first draft computed everything in
+    * ONE aggregation with per-column `countDistinct`: Spark plans
+    * multi-distinct as an Expand that multiplies every row by
+    * |cols|+1 and funnels the whole table through the single global
+    * reducer — 16.4 s at sf0.1 vs 1.4 s for this form):
+    *  - counts / nulls / min / max for ALL columns in one pass of
+    *    cheap partial aggregations;
+    *  - exact NDV per column as a DISTRIBUTED two-stage
+    *    (groupBy(col) map-side combine, then count the group rows —
+    *    never a single-task distinct; the cost model needs real
+    *    NDV, the sketch variant is the sketch_profile family);
+    *  - quartiles per column as the B7 exact interpolated
+    *    percentile — its final merge holds ONE column's value map,
+    *    not |cols| of them (the _scale twin exists for columns too
+    *    wide even alone).
+    * The per-leg re-scans prune to a SINGLE column each — in a
+    * columnar format the "extra" passes reread only the bytes of
+    * the column being profiled, not the table. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnStats needs at least one column")
+    val base = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+          .as(s"__nn_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))): _*)
+    val legs = cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)))
+        .filter(col(c).isNotNull)
+        .agg(count(lit(1)).cast("long").as("ndv"))
+        .crossJoin(df.agg(
+          expr(s"percentile($c, 0.25)").as("p25"),
+          expr(s"percentile($c, 0.5)").as("p50"),
+          expr(s"percentile($c, 0.75)").as("p75")))
+        .select(lit(c).as("column"), col("ndv"), col("p25"),
+          col("p50"), col("p75"))
+    }.reduce(_ unionByName _)
+    // ONE crossJoin against the 1-row base (referencing base inside
+    // each leg would recompute the all-columns pass per column);
+    // the per-column base fields project out by a literal CASE chain
+    def pick(prefix: String) = cols.tail.foldLeft(
+      when(col("column") === cols.head, col(s"__${prefix}_${cols.head}"))) {
+      (acc, c) => acc.when(col("column") === c, col(s"__${prefix}_$c"))
+    }
+    legs.crossJoin(broadcast(base))
+      .select(col("column"), col("n_rows"),
+        pick("nn").as("n_null"), col("ndv"),
+        pick("mn").as("min_v"), pick("mx").as("max_v"),
+        col("p25"), col("p50"), col("p75"))
+  }
 }

@@ -76,4 +76,34 @@ class AggregationsSpec extends SparkSpec {
       .select("bin", "n").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("columnStats: one table pass, nulls excluded from ndv/extremes") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (2.0, null), (null, 40.0))
+      .toDF("a", "b")
+    val got = Aggregations.columnStats(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((4L, 1L, 2L)))
+    assert((a.getDouble(4), a.getDouble(5)) == ((1.0, 2.0)))
+    assert(a.getDouble(7) == 2.0) // p50 of (1, 2, 2)
+    val b = got("b")
+    assert((b.getLong(2), b.getLong(3)) == ((1L, 2L)))
+    assert((b.getDouble(4), b.getDouble(5)) == ((10.0, 40.0)))
+    // the scale claim: NO multi-distinct Expand anywhere (the trap
+    // that funnels the whole table through one reducer — measured
+    // 16.4 s vs 1.4 s at sf0.1), and every per-leg scan prunes to
+    // at most one profiled column
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    df.write.mode("overwrite").parquet(dir)
+    val plan = Aggregations.columnStats(
+      spark.read.parquet(dir), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"multi-distinct expand crept back in:\n$plan")
+    // exactly ONE scan reads all profiled columns (the base pass);
+    // every ndv/percentile leg prunes to its single column
+    assert("struct<a:double,b:double>".r.findAllIn(plan).length == 1,
+      s"leg scans stopped pruning (or base duplicated):\n$plan")
+  }
 }
