@@ -1125,6 +1125,35 @@ object SparkEntry {
       AsOfJoin.asOf(clicks, errors, "user_id", "e_user", "ts_us", "e_ts",
         Seq("err_id", "err_value"))
     }),
+    // forward and nearest as-of directions (pandas merge_asof
+    // completion): next error at-or-after each click; the closest
+    // error either way with exact-tie-goes-backward pinned
+    "q_asof_forward" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      AsOfJoin.asOfForward(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us"),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
+            col("event_id").as("err_id"), col("value").as("err_value")),
+        "user_id", "e_user", "ts_us", "e_ts",
+        Seq("err_id", "err_value"))
+    }),
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      AsOfJoin.asOfNearest(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us"),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
+            col("event_id").as("err_id"), col("value").as("err_value")),
+        "user_id", "e_user", "ts_us", "e_ts",
+        Seq("err_id", "err_value"))
+    }),
     // ---- E. time / streaming --------------------------------------------
     "q_window_agg_time" -> ((s, d) =>
       TimeOps.tumblingAgg(T(s, d, "events"), "ts", Seq("event_type"),
@@ -3975,6 +4004,28 @@ object SparkEntry {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
         |quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // forward: rank the >= candidates per click, keep rank 1; a
+    // LEFT join back restores clicks with no later error
+    "q_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |errors AS (SELECT user_id AS e_user, ts_us AS e_ts, event_id AS err_id, value AS err_value FROM ev WHERE event_type = 'error'),
+        |j AS (SELECT c.event_id, e.err_id, e.err_value,
+        |ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY e.e_ts ASC, e.err_id ASC) AS rn
+        |FROM clicks c JOIN errors e ON c.user_id = e.e_user AND e.e_ts >= c.ts_us)
+        |SELECT c.event_id, c.user_id, c.ts_us, j.err_id, j.err_value
+        |FROM clicks c LEFT JOIN j ON c.event_id = j.event_id AND j.rn = 1""".stripMargin,
+    // nearest: rank by |Δts| with the backward-wins tie flag
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |errors AS (SELECT user_id AS e_user, ts_us AS e_ts, event_id AS err_id, value AS err_value FROM ev WHERE event_type = 'error'),
+        |j AS (SELECT c.event_id, e.err_id, e.err_value,
+        |ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |ORDER BY abs(e.e_ts - c.ts_us) ASC, CASE WHEN e.e_ts <= c.ts_us THEN 0 ELSE 1 END ASC, e.err_id ASC) AS rn
+        |FROM clicks c JOIN errors e ON c.user_id = e.e_user)
+        |SELECT c.event_id, c.user_id, c.ts_us, j.err_id, j.err_value
+        |FROM clicks c LEFT JOIN j ON c.event_id = j.event_id AND j.rn = 1""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
         |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),

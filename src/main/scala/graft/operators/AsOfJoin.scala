@@ -50,4 +50,78 @@ object AsOfJoin {
         payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
     carried.filter(col("__side") === 1).drop("__side")
   }
+
+  /** FORWARD as-of join — for each left row, the EARLIEST right row
+    * with the same key and right.ts >= left.ts (pandas
+    * merge_asof(direction='forward')): the exact mirror of [[asOf]],
+    * one window ordered DESCENDING over the same single key shuffle.
+    * Ties (equal ts): the right row is matched (`>=` semantics — in
+    * the descending traversal the right side tag still sorts before
+    * the left row). */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
+        +: lCols.map(col)) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
+        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (Seq(col("__side")) ++ lCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** NEAREST as-of join — the closest right row in EITHER direction
+    * (pandas merge_asof(direction='nearest')); an exact-distance tie
+    * goes to the BACKWARD row (our pinned contract — pandas leaves
+    * it unspecified across versions, a hash-checked operator can't).
+    * Timestamps must be NUMERIC (the distance subtraction is the
+    * definition). Both directional carries ride ONE key shuffle —
+    * same partitioning, two sort orders — then a per-row CASE picks
+    * the closer side; the right TS travels as a hidden payload so
+    * the comparison never re-joins. */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val pay = payloadCols :+ "__rts"
+    val rightX = right.withColumn("__rts", col(rightTs))
+    val l = left.select(
+      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
+        +: lCols.map(col)) ++
+        pay.map(c => lit(null).cast(rightX.schema(c).dataType).as(c)): _*)
+    val r = rightX.select(
+      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
+        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        pay.map(col): _*)
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (Seq(col("__side"), col("__ts")) ++ lCols.map(col) ++
+        pay.map(c => last(col(c), ignoreNulls = true).over(wB)
+          .as(s"${c}__b")) ++
+        pay.map(c => last(col(c), ignoreNulls = true).over(wF)
+          .as(s"${c}__f"))): _*)
+    val bts = col("__rts__b")
+    val fts = col("__rts__f")
+    val useB = bts.isNotNull &&
+      (fts.isNull || (col("__ts") - bts) <= (fts - col("__ts")))
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ payloadCols.map(c =>
+        when(useB, col(s"${c}__b")).otherwise(col(s"${c}__f")).as(c)): _*)
+  }
 }
