@@ -75,6 +75,19 @@ class PlanGuardSpec extends SparkSpec {
       s"SMJ crept into alphabet-sized joins:\n$p")
   }
 
+  test("asof directions: one key exchange, no range join anywhere") {
+    for (q <- Seq("q_asof_forward", "q_asof_nearest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q grew a join — the union-window form must not:\n$p")
+      // the union's two scans may each exchange into the window key;
+      // what must NOT appear is a per-pair range explosion or a
+      // second window partitioning
+      assert("hashpartitioning\\(__k".r.findAllIn(p).toSeq.nonEmpty,
+        s"$q lost the single window key partitioning:\n$p")
+    }
+  }
+
   test("q_span_corrupt is one codegen'd projection, zero exchanges") {
     val p = plan("q_span_corrupt")
     assert(!p.contains("Exchange") && !p.contains("Join"),
