@@ -902,7 +902,11 @@ object SparkEntry {
     // runs over the grid, never the event stream
     "q_gap_fill" -> ((s, d) => {
       val cents = floor(col("value") * 100 + 0.5).cast("long")
-      val hour = (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      // exact integer FLOOR division (matches the oracle's `//` for
+      // negative pre-epoch timestamps; double-divide truncates)
+      val us = unix_micros(col("ts"))
+      val hour = call_function("div",
+        us - pmod(us, lit(3600000000L)), lit(3600000000L))
       val hc = T(s, d, "events")
         .select(col("event_type"), hour.as("hour"), cents.as("cents"))
         .groupBy("event_type", "hour").agg(sum("cents").as("cents"))
@@ -1123,7 +1127,7 @@ object SparkEntry {
         .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
           col("event_id").as("err_id"), col("value").as("err_value"))
       AsOfJoin.asOf(clicks, errors, "user_id", "e_user", "ts_us", "e_ts",
-        Seq("err_id", "err_value"))
+        Seq("err_id", "err_value"), rightTieBreak = Seq("err_id"))
     }),
     // forward and nearest as-of directions (pandas merge_asof
     // completion): next error at-or-after each click; the closest
@@ -1139,7 +1143,7 @@ object SparkEntry {
           .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
             col("event_id").as("err_id"), col("value").as("err_value")),
         "user_id", "e_user", "ts_us", "e_ts",
-        Seq("err_id", "err_value"))
+        Seq("err_id", "err_value"), rightTieBreak = Seq("err_id"))
     }),
     "q_asof_nearest" -> ((s, d) => {
       val ev = T(s, d, "events")
@@ -1152,7 +1156,7 @@ object SparkEntry {
           .select(col("user_id").as("e_user"), col("ts_us").as("e_ts"),
             col("event_id").as("err_id"), col("value").as("err_value")),
         "user_id", "e_user", "ts_us", "e_ts",
-        Seq("err_id", "err_value"))
+        Seq("err_id", "err_value"), rightTieBreak = Seq("err_id"))
     }),
     // ---- E. time / streaming --------------------------------------------
     "q_window_agg_time" -> ((s, d) =>
@@ -4026,13 +4030,19 @@ object SparkEntry {
         |FROM clicks c JOIN errors e ON c.user_id = e.e_user)
         |SELECT c.event_id, c.user_id, c.ts_us, j.err_id, j.err_value
         |FROM clicks c LEFT JOIN j ON c.event_id = j.event_id AND j.rn = 1""".stripMargin,
+    // backward: explicit ROW_NUMBER replay rather than DuckDB's
+    // native ASOF JOIN — native ASOF leaves equal-ts right-row ties
+    // unspecified; the replay pins them by err_id ASC, matching the
+    // operator's rightTieBreak contract
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
         |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
-        |errors AS (SELECT user_id AS e_user, ts_us AS e_ts, event_id AS err_id, value AS err_value FROM ev WHERE event_type = 'error')
-        |SELECT c.event_id, c.user_id, c.ts_us, e.err_id, e.err_value
-        |FROM clicks c ASOF LEFT JOIN errors e
-        |ON c.user_id = e.e_user AND c.ts_us >= e.e_ts""".stripMargin,
+        |errors AS (SELECT user_id AS e_user, ts_us AS e_ts, event_id AS err_id, value AS err_value FROM ev WHERE event_type = 'error'),
+        |j AS (SELECT c.event_id, e.err_id, e.err_value,
+        |ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY e.e_ts DESC, e.err_id ASC) AS rn
+        |FROM clicks c JOIN errors e ON c.user_id = e.e_user AND e.e_ts <= c.ts_us)
+        |SELECT c.event_id, c.user_id, c.ts_us, j.err_id, j.err_value
+        |FROM clicks c LEFT JOIN j ON c.event_id = j.event_id AND j.rn = 1""".stripMargin,
     "q_knn_contacts" ->
       """WITH pts AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
         |l_quantity AS x, l_extendedprice / 100 AS y, l_discount * 100 AS z

@@ -206,21 +206,29 @@ object Aggregations {
     * the column being profiled, not the table. */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
+    require(cols.forall(!_.contains("`")),
+      "columnStats: backticks in column names are not supported")
+    // backtick-quote EVERY name reference: a bare col("a.b") parses
+    // the dot as a struct accessor and expr("percentile(a-b, …)")
+    // parses the hyphen as a minus — quoting makes names with
+    // spaces/dots/hyphens first-class (and the __nn_/__mn_ aliases
+    // inherit the same characters, so their reads quote too)
+    def qc(c: String): Column = col(s"`$c`")
     val base = df.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+        sum(when(qc(c).isNull, 1L).otherwise(0L)).cast("long")
           .as(s"__nn_$c"),
-        min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c"))): _*)
+        min(qc(c)).cast("double").as(s"__mn_$c"),
+        max(qc(c)).cast("double").as(s"__mx_$c"))): _*)
     val legs = cols.map { c =>
-      df.groupBy(col(c)).agg(count(lit(1)))
-        .filter(col(c).isNotNull)
+      df.groupBy(qc(c)).agg(count(lit(1)))
+        .filter(qc(c).isNotNull)
         .agg(count(lit(1)).cast("long").as("ndv"))
         .crossJoin(df.agg(
-          expr(s"percentile($c, 0.25)").as("p25"),
-          expr(s"percentile($c, 0.5)").as("p50"),
-          expr(s"percentile($c, 0.75)").as("p75")))
+          expr(s"percentile(`$c`, 0.25)").as("p25"),
+          expr(s"percentile(`$c`, 0.5)").as("p50"),
+          expr(s"percentile(`$c`, 0.75)").as("p75")))
         .select(lit(c).as("column"), col("ndv"), col("p25"),
           col("p50"), col("p75"))
     }.reduce(_ unionByName _)
@@ -228,8 +236,8 @@ object Aggregations {
     // each leg would recompute the all-columns pass per column);
     // the per-column base fields project out by a literal CASE chain
     def pick(prefix: String) = cols.tail.foldLeft(
-      when(col("column") === cols.head, col(s"__${prefix}_${cols.head}"))) {
-      (acc, c) => acc.when(col("column") === c, col(s"__${prefix}_$c"))
+      when(col("column") === cols.head, qc(s"__${prefix}_${cols.head}"))) {
+      (acc, c) => acc.when(col("column") === c, qc(s"__${prefix}_$c"))
     }
     legs.crossJoin(broadcast(base))
       .select(col("column"), col("n_rows"),

@@ -20,32 +20,72 @@ import org.apache.spark.sql.functions._
   * Ties (left.ts == right.ts): the right row sorts BEFORE the left
   * row (side tag 0 < 1), so an exactly-simultaneous right row IS
   * matched — `<=` semantics, same as DuckDB's ASOF JOIN.
+  *
+  * Ties among RIGHT rows (two right rows, same key, same ts): the
+  * window order must be TOTAL over right rows or the carried payload
+  * is whichever row happens to sort last — nondeterministic across
+  * runs and partitionings, which breaks a hash-checked contract.
+  * `rightTieBreak` names right-side column(s) that pin the winner:
+  * the row with the MINIMUM tie-break value is matched (the
+  * `ORDER BY ts DESC, id ASC LIMIT 1` convention). The tie columns
+  * ride the union as hidden payload — no extra shuffle. Pass a
+  * unique right-row id; empty keeps the (unpinned) legacy behavior.
   */
 object AsOfJoin {
+
+  /** Tag + harmonize the two sides for the union-window plan.
+    * Hidden columns: __k key, __ts event time, __side (0=right,
+    * 1=left), __tb* tie-break values (null on the left side). */
+  private def tagged(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTs: String, rightTs: String,
+                     payloadCols: Seq[String],
+                     rightTieBreak: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val tb = rightTieBreak.zipWithIndex
+    val l = left.select(
+      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
+        +: lCols.map(col)) ++
+        tb.map { case (c, i) =>
+          lit(null).cast(right.schema(c).dataType).as(s"__tb$i") } ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
+        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        tb.map { case (c, i) => col(c).as(s"__tb$i") } ++
+        payloadCols.map(col): _*)
+    l.unionByName(r)
+  }
+
+  /** Window order: ts (given direction), then side (right rows first
+    * at equal ts), then tie-break DESC so the MIN-tie right row is
+    * traversed LAST among its equal-(ts, side) peers and is what
+    * `last(…, ignoreNulls)` carries. Left rows hold null tie values
+    * but never compare on them — __side already separates the sides. */
+  private def orderCols(tsCol: Column, nTie: Int): Seq[Column] =
+    (tsCol +: col("__side") +:
+      (0 until nTie).map(i => col(s"__tb$i").desc)).toSeq
 
   /** Left as-of join.
     * @param left  probe side; all its columns survive
     * @param right reference side: key col, ts col, payload cols
+    * @param rightTieBreak right columns pinning equal-ts right rows
+    *        (minimum wins); pass a unique id for determinism
     * @return left columns + right payload cols (null when no right
     *         row at-or-before the left ts exists) */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
-           payloadCols: Seq[String]): DataFrame = {
+           payloadCols: Seq[String],
+           rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val lCols = left.columns.toSeq
-    // harmonized union schema: key, ts, side, left payload, right payload
-    val l = left.select(
-      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
-        +: lCols.map(col)) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
-        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        payloadCols.map(col): _*)
+    val u = tagged(left, right, leftKey, rightKey, leftTs, rightTs,
+      payloadCols, rightTieBreak)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(orderCols(col("__ts"), rightTieBreak.size): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).select(
+    val carried = u.select(
       (Seq(col("__side")) ++ lCols.map(col) ++
         payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
     carried.filter(col("__side") === 1).drop("__side")
@@ -57,24 +97,19 @@ object AsOfJoin {
     * one window ordered DESCENDING over the same single key shuffle.
     * Ties (equal ts): the right row is matched (`>=` semantics — in
     * the descending traversal the right side tag still sorts before
-    * the left row). */
+    * the left row); equal-ts right rows pin to min rightTieBreak. */
   def asOfForward(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTs: String, rightTs: String,
-                  payloadCols: Seq[String]): DataFrame = {
+                  payloadCols: Seq[String],
+                  rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val lCols = left.columns.toSeq
-    val l = left.select(
-      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
-        +: lCols.map(col)) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
-        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        payloadCols.map(col): _*)
+    val u = tagged(left, right, leftKey, rightKey, leftTs, rightTs,
+      payloadCols, rightTieBreak)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").desc, col("__side"))
+      .orderBy(orderCols(col("__ts").desc, rightTieBreak.size): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).select(
+    val carried = u.select(
       (Seq(col("__side")) ++ lCols.map(col) ++
         payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
     carried.filter(col("__side") === 1).drop("__side")
@@ -88,29 +123,25 @@ object AsOfJoin {
     * definition). Both directional carries ride ONE key shuffle —
     * same partitioning, two sort orders — then a per-row CASE picks
     * the closer side; the right TS travels as a hidden payload so
-    * the comparison never re-joins. */
+    * the comparison never re-joins. Equal-ts right rows within each
+    * direction pin to min rightTieBreak. */
   def asOfNearest(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTs: String, rightTs: String,
-                  payloadCols: Seq[String]): DataFrame = {
+                  payloadCols: Seq[String],
+                  rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val lCols = left.columns.toSeq
     val pay = payloadCols :+ "__rts"
     val rightX = right.withColumn("__rts", col(rightTs))
-    val l = left.select(
-      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side")
-        +: lCols.map(col)) ++
-        pay.map(c => lit(null).cast(rightX.schema(c).dataType).as(c)): _*)
-    val r = rightX.select(
-      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side")
-        +: lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        pay.map(col): _*)
+    val u = tagged(left, rightX, leftKey, rightKey, leftTs, rightTs,
+      pay, rightTieBreak)
     val wB = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(orderCols(col("__ts"), rightTieBreak.size): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").desc, col("__side"))
+      .orderBy(orderCols(col("__ts").desc, rightTieBreak.size): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).select(
+    val carried = u.select(
       (Seq(col("__side"), col("__ts")) ++ lCols.map(col) ++
         pay.map(c => last(col(c), ignoreNulls = true).over(wB)
           .as(s"${c}__b")) ++

@@ -252,10 +252,14 @@ object Layout {
       } finally pool.shutdown()
     }
     // ONE recursive listing of dstDir reports files_after for every
-    // partition — no per-partition listStatus round-trips
-    val after = byDir(dataFiles(dstDir)).map { case (p, fls) =>
-      p -> fls.size.toLong
-    }
+    // partition — no per-partition listStatus round-trips. An empty
+    // source (zero data files) writes nothing and never creates
+    // dstDir — report an empty table instead of listing a missing path
+    val after =
+      if (plan.isEmpty || !fs.exists(dst)) Map.empty[String, Long]
+      else byDir(dataFiles(dstDir)).map { case (p, fls) =>
+        p -> fls.size.toLong
+      }
     import spark.implicits._
     plan.map { case (part, nf, bytes, _) =>
       (part, nf, bytes, after.getOrElse(part, 0L))

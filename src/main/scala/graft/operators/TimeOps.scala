@@ -139,8 +139,14 @@ object TimeOps {
                        userCol: String = "user_id",
                        tsCol: String = "ts"): DataFrame = {
     require(bucketMicros >= 1L, s"bucketMicros must be >= 1")
-    val bucket = (unix_micros(col(tsCol)) / lit(bucketMicros))
-      .cast("long")
+    // FLOOR division in exact integer arithmetic: `a - pmod(a, b)` is
+    // the largest multiple of b <= a for b > 0, so the div is exact —
+    // pre-epoch (negative) timestamps floor like DuckDB's `//`, and
+    // no double rounding at 1e15 magnitudes (`/ … cast long` is a
+    // double divide truncating toward zero — off by one for a < 0)
+    val us = unix_micros(col(tsCol))
+    val bucket = call_function("div",
+      us - pmod(us, lit(bucketMicros)), lit(bucketMicros))
     val ub = events.select(col(userCol).as("u"), bucket.as("b"))
       .distinct()
     val cohort = ub.groupBy("u").agg(min(col("b")).as("cohort"))

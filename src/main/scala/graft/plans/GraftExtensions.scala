@@ -111,7 +111,12 @@ object GraftExtensions {
     if (!ok) throw new IllegalArgumentException(
       s"$what must be a constant array<string>")
     val data = e.eval(null).asInstanceOf[ArrayData]
-    (0 until data.numElements())
-      .map(i => data.getUTF8String(i).toString)
+    (0 until data.numElements()).map { i =>
+      val s = data.getUTF8String(i)
+      if (s == null) throw new IllegalArgumentException(
+        s"$what: array elements must be non-null string literals " +
+          s"(element $i is NULL)")
+      s.toString
+    }
   }
 }

@@ -106,4 +106,13 @@ class AggregationsSpec extends SparkSpec {
     assert("struct<a:double,b:double>".r.findAllIn(plan).length == 1,
       s"leg scans stopped pruning (or base duplicated):\n$plan")
   }
+
+  test("columnStats: column names needing quoting survive the " +
+      "percentile SQL round-trip") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0))
+      .toDF("my col", "a-b.c")
+    val got = Aggregations.columnStats(df, Seq("my col", "a-b.c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    assert(got("my col") == 2.0 && got("a-b.c") == 3.0)
+  }
 }

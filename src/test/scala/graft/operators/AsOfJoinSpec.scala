@@ -82,6 +82,67 @@ class AsOfJoinSpec extends SparkSpec {
     assert(nGot == nWant)
   }
 
+  test("rightTieBreak pins equal-ts right rows to the min id, all " +
+    "directions") {
+    // three right rows share key 1 / ts 100 — without a tie-break the
+    // carried payload is partition-order-dependent; with one it must
+    // be the min rid for backward, forward, and nearest alike
+    val left = Seq((1L, 100L, "at"), (1L, 150L, "after"),
+      (1L, 50L, "before")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 100L, 7L, "r7"), (1L, 100L, 3L, "r3"),
+      (1L, 100L, 5L, "r5")).toDF("rk", "rts", "rid", "rv")
+    def got(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("ts").select("lv", "rid")
+        .as[(String, Option[Long])].collect().toSeq
+    assert(got(AsOfJoin.asOf(left, right, "k", "rk", "ts", "rts",
+      Seq("rid", "rv"), Seq("rid"))) ==
+      Seq(("before", None), ("at", Some(3L)), ("after", Some(3L))))
+    assert(got(AsOfJoin.asOfForward(left, right, "k", "rk", "ts", "rts",
+      Seq("rid", "rv"), Seq("rid"))) ==
+      Seq(("before", Some(3L)), ("at", Some(3L)), ("after", None)))
+    assert(got(AsOfJoin.asOfNearest(left, right, "k", "rk", "ts", "rts",
+      Seq("rid", "rv"), Seq("rid"))) ==
+      Seq(("before", Some(3L)), ("at", Some(3L)), ("after", Some(3L))))
+  }
+
+  test("rightTieBreak matches brute force under heavy ts collisions") {
+    val rnd = new scala.util.Random(47)
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(30).toLong, i.toLong))
+    // ts range of 30 over 150 right rows → many equal-(k, ts) groups
+    val right = (1 to 150).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(30).toLong, i.toLong))
+    val lDf = left.toDF("k", "ts", "lid").repartition(7)
+    val rDf = right.toDF("rk", "rts", "rid").repartition(5)
+    def want(pick: (Long, Long) => Option[Long]) =
+      left.map { case (k, ts, lid) => lid -> pick(k, ts) }.toMap
+    val bGot = AsOfJoin.asOf(lDf, rDf, "k", "rk", "ts", "rts",
+      Seq("rid"), Seq("rid")).select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(bGot == want((k, ts) => {
+      val c = right.filter(r => r._1 == k && r._2 <= ts)
+      if (c.isEmpty) None
+      else Some(c.minBy(r => (-r._2, r._3))._3) // max ts, then min rid
+    }))
+    val fGot = AsOfJoin.asOfForward(lDf, rDf, "k", "rk", "ts", "rts",
+      Seq("rid"), Seq("rid")).select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fGot == want((k, ts) => {
+      val c = right.filter(r => r._1 == k && r._2 >= ts)
+      if (c.isEmpty) None
+      else Some(c.minBy(r => (r._2, r._3))._3) // min ts, then min rid
+    }))
+    val nGot = AsOfJoin.asOfNearest(lDf, rDf, "k", "rk", "ts", "rts",
+      Seq("rid"), Seq("rid")).select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(nGot == want((k, ts) => {
+      val c = right.filter(_._1 == k)
+      if (c.isEmpty) None
+      else Some(c.minBy(r => (math.abs(r._2 - ts),
+        if (r._2 <= ts) 0 else 1, r._3))._3)
+    }))
+  }
+
   test("asOfNearest: exact-distance tie goes to the backward row") {
     val left = Seq((1L, 100L, "l")).toDF("k", "ts", "lv")
     val right = Seq((1L, 90L, "bwd"), (1L, 110L, "fwd"))

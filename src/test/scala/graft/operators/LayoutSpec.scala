@@ -149,5 +149,12 @@ class LayoutSpec extends SparkSpec {
       Layout.compactTable(spark, s"$dir/src", s"$dir/src", 1L << 30))
     intercept[IllegalArgumentException](
       Layout.compactTable(spark, s"$dir/nope", s"$dir/x", 1L << 30))
+    // an existing-but-empty src (zero data files) yields an EMPTY
+    // report, not a FileNotFoundException on the never-created dst
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/empty"))
+    val emptyRep = Layout.compactTable(spark, s"$dir/empty",
+      s"$dir/emptyc", 1L << 30)
+    assert(emptyRep.count() == 0L)
   }
 }

@@ -509,6 +509,16 @@ class MiscOpsSpec extends SparkSpec {
     // u3 {0}; u4 {0}
     assert(r == Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L),
       (0L, 0L, 3L), (0L, 1L, 1L), (0L, 2L, 1L)))
+    // pre-epoch timestamps FLOOR like `//` (the truncating double
+    // divide put -1us in bucket 0 alongside +1us; floor puts it in -1)
+    val preEpoch = Seq(
+      (9L, new java.sql.Timestamp(-1L), "view", 0.0),   // -1 ms → bucket -1
+      (9L, new java.sql.Timestamp(15000L), "view", 0.0)) // 15 s → bucket 1
+      .toDF("user_id", "ts", "event_type", "value")
+    val pre = graft.operators.TimeOps
+      .retentionCohorts(preEpoch, bucketMicros = 10L * 1000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pre == Set((-1L, 0L, 1L), (-1L, 2L, 1L)))
   }
 }
 

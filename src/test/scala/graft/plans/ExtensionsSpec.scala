@@ -67,6 +67,11 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT wordpiece_encode('x', array(CAST(rand() AS STRING)))")
       .collect())
     assert(e.getMessage.contains("constant array<string>"), e.getMessage)
+    // a NULL array element fails with a clear message, not an NPE
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT multi_pattern_count('x', array('a', NULL))").collect())
+    assert(eNull.getMessage.contains("non-null string literals"),
+      eNull.getMessage)
   }
 
   test("DotProductRewrite: HOF pattern becomes array_dot, results identical") {
