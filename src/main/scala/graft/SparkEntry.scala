@@ -68,6 +68,25 @@ object SparkEntry {
     text,
     lit("</p><div>footer&nbsp;menu</div></body></html>"))
 
+  /** Multi-block HTML fixture for q_html_extract_blocks: the doc
+    * text as the content paragraph, surrounded by the boilerplate
+    * taxonomy the block scorer must reject — a link-only nav, a
+    * too-short heading, a link-farm "related" block, and a
+    * stopword-free copyright line (same drift rule as [[htmlShell]]).
+    * Shared verbatim with the oracle SQL. */
+  private val blockShellPre: String =
+    "<html><head><title>t</title>" +
+      "<script>if (1 < 2) { alert(\"x&y\"); }</script>" +
+      "<style>.nav{display:none}</style></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</div><h1>Tiny title</h1><p>"
+  private val blockShellPost: String =
+    "</p><div><a href=\"/r1\">Related article one</a> " +
+      "<a href=\"/r2\">Related article two</a> more</div>" +
+      "<div>Copyright 2024 ExampleCorp All rights reserved</div>" +
+      "<!-- footer --></body></html>"
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -1069,6 +1088,27 @@ object SparkEntry {
     // cents; every line of every transcript hash-checked
     "q_dialogue_assemble" -> ((s, d) =>
       WindowOps.sessionTranscripts(T(s, d, "events"))),
+    // DPO preference pairs over the L29 transcripts: sessions play
+    // rated candidate responses (rating = n_turns), prompt families
+    // key on (opening event type, user cohort); deterministic
+    // max-vs-min pairing with id-broken ties, then the L25
+    // leakage-safe split on the prompt family so a family never
+    // straddles train/test
+    "q_dpo_pairs" -> ((s, d) => {
+      val tr = WindowOps.sessionTranscripts(T(s, d, "events"))
+      val firstLine = element_at(split(col("transcript"), "\n"), 1)
+      val responses = tr.select(
+        concat(element_at(split(firstLine, " "), 2), lit("#"),
+          pmod(col("user_id"), lit(97)).cast("string")).as("prompt"),
+        col("transcript").as("response"),
+        col("n_turns").cast("double").as("rating"),
+        (col("user_id") * 100000 + col("session_idx")).as("id"))
+      val pairs = Preference.dpoPairs(responses)
+      Sampling.groupAwareSplit(
+          pairs.withColumn("gk", md5(col("prompt"))), "gk", "chosen_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .drop("gk")
+    }),
     "q_range_join_contacts" -> ((s, d) =>
       RangeJoin.contacts3D(
         T(s, d, "lineitem").select(
@@ -1287,6 +1327,40 @@ object SparkEntry {
         sketch.filter(pmod(col("id"), lit(5)) === 4),
         sketch.filter(pmod(col("id"), lit(5)) < 4),
         threshold = 0.9, numHashes = 32, bands = 2)
+    }),
+    // FUZZY decontamination: the eval set is every %17 doc with its
+    // LAST TOKEN DROPPED — a perturbed clone exact-shingle overlap
+    // (q_decontaminate) would miss at high shingle n, but whose token
+    // jaccard stays ~1. Bench side broadcast (eval sets are small);
+    // the corpus is probed without ever being shuffled; same
+    // md5-portable family as q_dedup_incremental so DuckDB replays
+    // sketch → band probe → 24-of-32 prefilter → exact jaccard →
+    // per-doc argmax verdict bit-exactly.
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      def md5int15(c: Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      def sketch(df: DataFrame): DataFrame = {
+        val sh = sort_array(array_distinct(transform(
+          TextFunctions.tokens(col("text")), t => md5int15(t))))
+        df.select(col("id"), sh.as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", transform(sequence(lit(0), lit(31)),
+            j => array_min(transform(col("sh"), v =>
+              md5int15(concat(v.cast("string"), lit("_"),
+                j.cast("string")))))))
+      }
+      val docs = T(s, d, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id").as("id"),
+          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+      Dedup.fuzzyDecontaminate(
+        sketch(docs.select(col("doc_id").as("id"), col("text")))
+          .localCheckpoint(),
+        sketch(bench),
+        threshold = 0.9, numHashes = 32, bands = 2)
+        .withColumnRenamed("id", "doc_id")
     }),
     // normalized near-exact dedup: case/punct/whitespace-insensitive
     // hash-groupBy — the first rung of the fuzzy ladder at exact cost
@@ -1523,6 +1597,17 @@ object SparkEntry {
           TextFunctions.htmlExtract(htmlShell(col("text"))).as("extracted"))
         .withColumn("n_chars_out",
           length(col("extracted")).cast("long"))),
+    // block-scored main-content extraction (the jusText rung): each
+    // doc wrapped in nav/heading/link-farm/copyright boilerplate plus
+    // its content paragraph; the scorer must keep exactly the content
+    // (when it is stopword-fluent) and drop the rest — every score
+    // and verdict replayed relationally in the oracle
+    "q_html_extract_blocks" -> ((s, d) =>
+      Boilerplate.htmlExtractBlocks(
+        T(s, d, "documents").select(col("doc_id"),
+          concat(lit(blockShellPre), col("text"),
+            lit(blockShellPost)).as("html")))
+        .withColumn("n_chars_out", length(col("extracted")).cast("long"))),
     // the COMPLETE crawl front (RefinedWeb §3 order): blocklist on
     // URLs only (1 in 7 docs lands on a blocked domain) → HTML
     // main-text extraction (the shared shell's header/footer become
@@ -3996,6 +4081,48 @@ object SparkEntry {
         |string_agg(CAST((s.us - t0.m0) // 1000000 AS VARCHAR) || 's ' || s.event_type || ' ' || CAST(s.cents AS VARCHAR), chr(10) ORDER BY s.us, s.event_id) AS transcript
         |FROM s JOIN t0 ON s.user_id = t0.user_id AND s.sess = t0.sess
         |GROUP BY s.user_id, s.sess""".stripMargin,
+    // DPO pairs: the q_dialogue_assemble sessionize/transcript CTE,
+    // then per-prompt argmax (rating DESC, id ASC) vs argmin
+    // (rating ASC, id DESC), then the q_leakage_safe_split md5 replay
+    "q_dpo_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |THEN 1 ELSE 0 END AS flag FROM e),
+        |s AS (SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f),
+        |t0 AS (SELECT user_id, sess, MIN(us) AS m0 FROM s GROUP BY 1, 2),
+        |tr AS (SELECT s.user_id, CAST(s.sess AS BIGINT) AS session_idx,
+        |CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |string_agg(CAST((s.us - t0.m0) // 1000000 AS VARCHAR) || 's ' || s.event_type || ' ' || CAST(s.cents AS VARCHAR), chr(10) ORDER BY s.us, s.event_id) AS transcript
+        |FROM s JOIN t0 ON s.user_id = t0.user_id AND s.sess = t0.sess
+        |GROUP BY s.user_id, s.sess),
+        |p AS (SELECT string_split(string_split(transcript, chr(10))[1], ' ')[2]
+        | || '#' || CAST(user_id % 97 AS VARCHAR) AS prompt,
+        |transcript AS resp, CAST(n_turns AS DOUBLE) AS rating,
+        |user_id * 100000 + session_idx AS id FROM tr),
+        |ranked AS (SELECT *,
+        |ROW_NUMBER() OVER (PARTITION BY prompt ORDER BY rating DESC, id ASC) AS rc,
+        |ROW_NUMBER() OVER (PARTITION BY prompt ORDER BY rating ASC, id DESC) AS rr,
+        |COUNT(*) OVER (PARTITION BY prompt) AS nc FROM p),
+        |c AS (SELECT prompt, CAST(nc AS BIGINT) AS n_candidates, resp AS chosen,
+        |rating AS chosen_rating, id AS chosen_id FROM ranked WHERE rc = 1),
+        |rj AS (SELECT prompt, resp AS rejected, rating AS rejected_rating,
+        |id AS rejected_id FROM ranked WHERE rr = 1),
+        |pair AS (SELECT c.prompt, c.n_candidates, c.chosen, rj.rejected,
+        |c.chosen_rating, rj.rejected_rating, c.chosen_id, rj.rejected_id,
+        |c.chosen_rating - rj.rejected_rating AS margin
+        |FROM c JOIN rj USING (prompt) WHERE c.n_candidates >= 2),
+        |n2 AS (SELECT *, md5(prompt) AS gk FROM pair),
+        |r2 AS (SELECT gk, MIN(chosen_id) AS rep_id FROM n2 GROUP BY gk)
+        |SELECT n2.prompt, n2.n_candidates, n2.chosen, n2.rejected,
+        |n2.chosen_rating, n2.rejected_rating, n2.chosen_id, n2.rejected_id,
+        |n2.margin, r2.rep_id,
+        |CAST('0x' || substr(md5(CAST(r2.rep_id AS VARCHAR)), 1, 2) AS BIGINT) AS bucket,
+        |CASE WHEN CAST('0x' || substr(md5(CAST(r2.rep_id AS VARCHAR)), 1, 2) AS BIGINT) < 205 THEN 'train'
+        |WHEN CAST('0x' || substr(md5(CAST(r2.rep_id AS VARCHAR)), 1, 2) AS BIGINT) < 230 THEN 'val'
+        |ELSE 'test' END AS split
+        |FROM n2 JOIN r2 USING (gk)""".stripMargin,
     "q_range_join_contacts" ->
       """WITH pts AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
         |l_quantity AS x, l_extendedprice / 100 AS y, l_discount * 100 AS z
@@ -4347,6 +4474,41 @@ object SparkEntry {
         |FROM pre
         |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
         |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.9""".stripMargin,
+    // fuzzy decontamination: the incremental-probe replay pointed at
+    // the dropped-last-token eval clones, finished with the per-doc
+    // argmax (jaccard DESC, bench_id ASC) and the every-doc left join
+    "q_decontaminate_fuzzy" ->
+      """WITH mt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |csh AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,
+        |t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS sh FROM mt),
+        |cnz AS (SELECT * FROM csh WHERE len(sh) > 0),
+        |csig AS (SELECT doc_id, sh, list_transform(range(0, 32), j ->
+        |list_min(list_transform(sh, v ->
+        |CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))) AS sig FROM cnz),
+        |bt AS (SELECT doc_id, toks[1:len(toks)-1] AS btoks FROM mt WHERE doc_id % 17 = 0 AND len(toks) >= 2),
+        |bsh AS (SELECT doc_id, list_sort(list_distinct(list_transform(btoks,
+        |t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS sh FROM bt),
+        |bnz AS (SELECT * FROM bsh WHERE len(sh) > 0),
+        |bsig AS (SELECT doc_id, sh, list_transform(range(0, 32), j ->
+        |list_min(list_transform(sh, v ->
+        |CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))) AS sig FROM bnz),
+        |cband AS (SELECT doc_id, s.band_no, CAST(sig[s.band_no*16+1:(s.band_no+1)*16] AS VARCHAR) AS bkey
+        |FROM csig CROSS JOIN (SELECT unnest([0, 1]) AS band_no) s),
+        |bband AS (SELECT doc_id, s.band_no, CAST(sig[s.band_no*16+1:(s.band_no+1)*16] AS VARCHAR) AS bkey
+        |FROM bsig CROSS JOIN (SELECT unnest([0, 1]) AS band_no) s),
+        |cands AS (SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+        |FROM cband c JOIN bband b ON c.band_no = b.band_no AND c.bkey = b.bkey),
+        |pre AS (SELECT cands.cid, cands.bid, ca.sh AS a_sh, bb.sh AS b_sh
+        |FROM cands JOIN csig ca ON cands.cid = ca.doc_id JOIN bsig bb ON cands.bid = bb.doc_id
+        |WHERE len(list_filter(range(1, 33), i -> ca.sig[i] = bb.sig[i])) >= 24),
+        |j AS (SELECT cid, bid,
+        |CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard FROM pre),
+        |best AS (SELECT cid, bid, jaccard,
+        |ROW_NUMBER() OVER (PARTITION BY cid ORDER BY jaccard DESC, bid ASC) AS rn FROM j)
+        |SELECT cnz.doc_id, coalesce(b.jaccard, 0.0) AS max_jaccard,
+        |b.bid AS bench_id, coalesce(b.jaccard >= 0.9, false) AS contaminated
+        |FROM cnz LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON cnz.doc_id = b.cid""".stripMargin,
     // normalized dedup: the exact normalization chain (explicit char
     // classes — RE2 \s excludes \x0B, Java's includes it, so neither
     // side uses \s), then the same hash-groupBy as exact dedup
@@ -4738,6 +4900,49 @@ object SparkEntry {
         |' ' || chr(10)) AS extracted FROM h)
         |SELECT doc_id, extracted,
         |CAST(length(extracted) AS BIGINT) AS n_chars_out FROM e""".stripMargin,
+    // block-scored extraction: clean → segment at block tags →
+    // per-block visible text + anchor-text chars + stopword tokens →
+    // the keep conjunction → ordered reassembly, all replayed
+    "q_html_extract_blocks" ->
+      ("""WITH h AS (SELECT doc_id,
+        |'<html><head><title>t</title><script>if (1 < 2) { alert("x&y"); }</script><style>.nav{display:none}</style></head><body><div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><h1>Tiny title</h1><p>'
+        | || text ||
+        |'</p><div><a href="/r1">Related article one</a> <a href="/r2">Related article two</a> more</div><div>Copyright 2024 ExampleCorp All rights reserved</div><!-- footer --></body></html>'
+        | AS html FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |'(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |'(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |'(?is)<title[^>]*>.*?</title>', '', 'g'),
+        |'(?s)<!--.*?-->', '', 'g') AS clean FROM h),
+        |seg AS (SELECT doc_id, string_split(regexp_replace(clean,
+        |'(?i)(</?(p|div|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|article|section|header|footer|nav|aside|main|form|pre)(\s[^>]*)?>|<br\s*/?>)',
+        |chr(1), 'g'), chr(1)) AS frags FROM c),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(frags))) AS i, frags FROM seg),
+        |rw AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx, frags[i] AS raw FROM x),
+        |tb AS (SELECT doc_id, block_idx, raw,
+        |trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |regexp_replace(raw, '<[^>]+>', '', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |'[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS text FROM rw),
+        |lk AS (SELECT doc_id, block_idx, text, CAST(length(text) AS BIGINT) AS text_len,
+        |coalesce(list_sum(list_transform(regexp_extract_all(raw, '(?is)<a(\s[^>]*)?>(.*?)</a>', 2),
+        |a -> CAST(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |regexp_replace(a, '<[^>]+>', '', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |'[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g'))) AS BIGINT))), 0) AS link_chars FROM tb),
+        |sc AS (SELECT doc_id, block_idx, text, text_len, link_chars,
+        |len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+        |len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','an','of','and','in','to','is','for','on'], lower(t)))) AS n_stop FROM lk),
+        |kp AS (SELECT doc_id, block_idx, text, text_len,
+        |(text_len >= 25 AND CAST(link_chars AS DOUBLE) / greatest(text_len, 1) <= 0.35
+        |AND (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05 OR text_len >= 200)) AS keep FROM sc),
+        |g AS (SELECT doc_id,
+        |CAST(SUM(CASE WHEN text_len > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |coalesce(string_agg(CASE WHEN keep THEN text END, chr(10) ORDER BY block_idx), '') AS extracted
+        |FROM kp GROUP BY doc_id)
+        |SELECT doc_id, n_blocks, n_kept, extracted,
+        |CAST(length(extracted) AS BIGINT) AS n_chars_out FROM g""").stripMargin,
     // the full crawl front as ONE CTE chain: pseudo-lines, the %7
     // blocked-domain URL override, host-suffix blocklist, the html
     // extraction chain, then the four q_crawl_prepare stages over

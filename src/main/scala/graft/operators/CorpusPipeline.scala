@@ -162,13 +162,26 @@ object CorpusPipeline {
   def crawlPrepareFull(docs: DataFrame, blocklist: DataFrame,
                        urlCol: String = "url", idCol: String = "doc_id",
                        htmlCol: String = "html",
-                       lineMinDf: Long = 2, minTokens: Long = 20)
+                       lineMinDf: Long = 2, minTokens: Long = 20,
+                       blockScored: Boolean = false)
   : DataFrame = {
     val gated = blocklistFilter(docs, blocklist, urlCol)
       .filter(col("keep"))
       .drop("host", "blocked_by", "keep")
-    val extracted = gated.select(col(idCol), col(urlCol),
-      TextFunctions.htmlExtract(col(htmlCol)).as("__crawl_text"))
+    // blockScored: the jusText rung ([[Boilerplate.htmlExtractBlocks]])
+    // drops PER-DOC boilerplate (nav/footer/link farms) before the
+    // corpus-wide line-dedup stage, which then only has to catch the
+    // boilerplate that block evidence alone can't (site-wide repeated
+    // CONTENT lines). Default stays the flat htmlExtract — the
+    // oracle-equality baseline.
+    val extracted =
+      if (blockScored)
+        Boilerplate.htmlExtractBlocks(gated, idCol, htmlCol,
+            carryCols = Seq(urlCol))
+          .select(col(idCol), col(urlCol),
+            col("extracted").as("__crawl_text"))
+      else gated.select(col(idCol), col(urlCol),
+        TextFunctions.htmlExtract(col(htmlCol)).as("__crawl_text"))
     crawlPrepare(extracted, urlCol, idCol, "__crawl_text",
       lineMinDf, minTokens)
   }
