@@ -87,6 +87,59 @@ object SparkEntry {
       "<div>Copyright 2024 ExampleCorp All rights reserved</div>" +
       "<!-- footer --></body></html>"
 
+  /** Shared frontier fixture for q_sitemap_frontier /
+    * q_frontier_schedule: 7 hosts (doc_id % 7), each publishing a
+    * sitemapindex naming its child urlset (the index hop), plus the
+    * synthesized robots corpus — star group with Crawl-delay 3 and
+    * the /private/ rules, an exact graftbot group (no delay) on
+    * k % 3 == 0 hosts. Returns (frontier candidates, robots table).
+    */
+  private def frontierFixture(s: SparkSession, d: String)
+  : (DataFrame, DataFrame) = {
+    val docs = T(s, d, "documents")
+    val k = col("doc_id") % 7
+    val pathCol = when(col("doc_id") % 3 === 0,
+      concat(lit("/d/"), col("doc_id")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("/private/p"), col("doc_id")))
+      .otherwise(concat(lit("/tmp/"), col("doc_id")))
+    val frag = concat(lit("<url><loc>https://h"), k,
+      lit(".example.org"), pathCol, lit("</loc><priority>0."),
+      col("doc_id") % 10, lit("</priority></url>"))
+    // the index hop: each host publishes ONE sitemapindex naming
+    // its child urlset; the frontier discovers children by parsing
+    // the index, then joins the fetched child docs on (host, path)
+    val children = docs.select(k.cast("int").as("k"), frag.as("f"))
+      .groupBy("k")
+      .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("f"))),
+        lit("</urlset>")).as("xml"))
+      .select(concat(lit("h"), col("k"), lit(".example.org")).as("chost"),
+        lit("/sitemap.xml").as("cpath"), col("xml"))
+    val indexes = docs.select(k.cast("int").as("k")).distinct()
+      .select(concat(lit("<sitemapindex><sitemap><loc>https://h"),
+        col("k"), lit(".example.org/sitemap.xml</loc>" +
+          "<lastmod>2024-01-01</lastmod></sitemap></sitemapindex>"))
+        .as("xml"))
+    val cand = sources.Sitemap.urls(
+      sources.Sitemap.indexChildren(indexes)
+        .join(children, col("host") === col("chost") &&
+          col("path") === col("cpath"))
+        .select("xml"))
+    val hosts = docs.select(k.cast("int").as("k")).distinct()
+      .select(
+        concat(lit("h"), col("k"), lit(".example.org")).as("host"),
+        concat(
+          lit("# synthetic robots\nUser-Agent: *\nCrawl-delay: 3\n" +
+            "Disallow: /private/\nDisallow:\n"),
+          when(col("k") % 2 === 0, lit("Allow: /private/p\n"))
+            .otherwise(lit("")),
+          when(col("k") % 3 === 0,
+            lit("\nUser-agent: graftbot\nDisAllow: /d/\n" +
+              "Disallow: /tmp/\n")).otherwise(lit("")))
+          .as("robots_txt"))
+    (cand, hosts)
+  }
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -2318,38 +2371,74 @@ object SparkEntry {
     // join the priority back — frontier assembly end to end. The
     // oracle replays the synthesis + the same gate decision table
     "q_sitemap_frontier" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val k = col("doc_id") % 7
-      val pathCol = when(col("doc_id") % 3 === 0,
-        concat(lit("/d/"), col("doc_id")))
-        .when(col("doc_id") % 3 === 1,
-          concat(lit("/private/p"), col("doc_id")))
-        .otherwise(concat(lit("/tmp/"), col("doc_id")))
-      val frag = concat(lit("<url><loc>https://h"), k,
-        lit(".example.org"), pathCol, lit("</loc><priority>0."),
-        col("doc_id") % 10, lit("</priority></url>"))
-      val sitemaps = docs.select(k.cast("int").as("k"), frag.as("f"))
-        .groupBy("k")
-        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("f"))),
-          lit("</urlset>")).as("xml"))
-      val cand = sources.Sitemap.urls(sitemaps)
-      val hosts = docs.select(k.cast("int").as("k")).distinct()
-        .select(
-          concat(lit("h"), col("k"), lit(".example.org")).as("host"),
-          concat(
-            lit("# synthetic robots\nUser-Agent: *\nCrawl-delay: 3\n" +
-              "Disallow: /private/\nDisallow:\n"),
-            when(col("k") % 2 === 0, lit("Allow: /private/p\n"))
-              .otherwise(lit("")),
-            when(col("k") % 3 === 0,
-              lit("\nUser-agent: graftbot\nDisAllow: /d/\n" +
-                "Disallow: /tmp/\n")).otherwise(lit("")))
-            .as("robots_txt"))
+      val (cand, hosts) = frontierFixture(s, d)
       Robots.gateUrls(cand.select("host", "path"),
           Robots.robotsRules(hosts), "GraftBot")
         .join(cand.select("host", "path", "priority"),
           Seq("host", "path"))
         .select("host", "path", "priority", "allowed")
+    }),
+    // frontier politeness scheduling: the gated F26 frontier paced
+    // per host — Crawl-delay 3 s where the star group applies,
+    // the 1 s crawler default where the exact graftbot group exists
+    // but declares no delay (the most-specific-group contract); slot
+    // order pinned (priority DESC, path), all-long micros timeline
+    "q_frontier_schedule" -> ((s, d) => {
+      val (cand, hosts) = frontierFixture(s, d)
+      val gated = Robots.gateUrls(cand.select("host", "path"),
+          Robots.robotsRules(hosts), "GraftBot")
+        .where(col("allowed"))
+        .join(cand.select("host", "path", "priority"),
+          Seq("host", "path"))
+        .select("host", "path", "priority")
+      Frontier.schedule(gated, Robots.crawlDelays(hosts, "GraftBot"),
+        orderBy = Seq(col("priority").cast("double").desc, col("path")),
+        defaultDelaySec = 1.0)
+    }),
+    // sitemap-index fan-out on its own: per-host indexes declare 3
+    // child sitemaps (one per doc_id%3 family, each with a lastmod);
+    // index parse → (host, path) join to the fetched children →
+    // urlset parse, with the child's identity and freshness carried
+    // through to every emitted URL — the provenance a frontier
+    // scheduler ranks on
+    "q_sitemap_index" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val k = col("doc_id") % 7
+      val m = col("doc_id") % 3
+      val pathCol = when(m === 0, concat(lit("/d/"), col("doc_id")))
+        .when(m === 1, concat(lit("/private/p"), col("doc_id")))
+        .otherwise(concat(lit("/tmp/"), col("doc_id")))
+      val frag = concat(lit("<url><loc>https://h"), k,
+        lit(".example.org"), pathCol, lit("</loc><priority>0."),
+        col("doc_id") % 10, lit("</priority></url>"))
+      val children = docs
+        .select(k.cast("int").as("k"), m.cast("int").as("m"), frag.as("f"))
+        .groupBy("k", "m")
+        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("f"))),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("h"), col("k"), lit(".example.org")).as("chost"),
+          concat(lit("/sitemaps/s"), col("m"), lit(".xml")).as("cpath"),
+          col("xml"))
+      val idxFrag = concat(lit("<sitemap><loc>https://h"), col("k"),
+        lit(".example.org/sitemaps/s"), col("m"),
+        lit(".xml</loc><lastmod>2024-01-0"), col("m") + 1,
+        lit("</lastmod></sitemap>"))
+      val indexes = docs
+        .select(k.cast("int").as("k"), m.cast("int").as("m")).distinct()
+        .select(col("k"), idxFrag.as("f"))
+        .groupBy("k")
+        .agg(concat(lit("<sitemapindex>"),
+          concat_ws("", collect_list(col("f"))),
+          lit("</sitemapindex>")).as("xml"))
+      val kids = sources.Sitemap.indexChildren(indexes)
+      sources.Sitemap.urls(
+        kids.join(children, col("host") === col("chost") &&
+            col("path") === col("cpath"))
+          .select(col("xml"), col("path").as("sitemap_path"),
+            col("lastmod").as("sitemap_lastmod")),
+        carryCols = Seq("sitemap_path", "sitemap_lastmod"))
+        .select("host", "path", "priority",
+          "sitemap_path", "sitemap_lastmod")
     }),
     // multi-pattern content filter (the C4 badwords scan): ONE
     // Aho-Corasick pass counts all five patterns — phrases crossing
@@ -5994,6 +6083,41 @@ object SparkEntry {
         |FROM c""".stripMargin,
     // sitemap frontier: the robots decision table + the priority
     // digit, all from the same doc_id arithmetic
+    // frontier schedule: the gate decision table filtered to allowed,
+    // delay = 3 s (star) or the 1 s default (exact graftbot group,
+    // k%3=0), row_number slots in (priority DESC, path) order
+    "q_frontier_schedule" ->
+      """WITH u AS (SELECT
+        |'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |CASE CAST(doc_id % 3 AS INT)
+        |WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+        |WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path,
+        |'0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+        |CAST(doc_id % 7 AS INT) AS k, CAST(doc_id % 3 AS INT) AS m
+        |FROM documents),
+        |a AS (SELECT host, path, priority, k FROM u
+        |WHERE CASE WHEN k % 3 = 0 THEN (m = 1)
+        |ELSE NOT (m = 1 AND k % 2 = 1) END),
+        |sc AS (SELECT host, path, priority,
+        |CAST(CASE WHEN k % 3 = 0 THEN 1000000 ELSE 3000000 END AS BIGINT) AS delay_us,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |ORDER BY CAST(priority AS DOUBLE) DESC, path ASC) - 1 AS BIGINT) AS slot
+        |FROM a)
+        |SELECT host, path, priority, delay_us, slot,
+        |CAST(slot * delay_us AS BIGINT) AS fetch_at_us FROM sc""".stripMargin,
+    // sitemap index: the synthesis arithmetic decides every output
+    // column — the index/child/urlset XML hops must reproduce it
+    "q_sitemap_index" ->
+      """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |CASE CAST(doc_id % 3 AS INT)
+        |WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+        |WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path,
+        |'0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+        |'/sitemaps/s' || CAST(doc_id % 3 AS VARCHAR) || '.xml' AS sitemap_path,
+        |'2024-01-0' || CAST(doc_id % 3 + 1 AS VARCHAR) AS sitemap_lastmod
+        |FROM documents""".stripMargin,
     "q_sitemap_frontier" ->
       """WITH u AS (SELECT DISTINCT
         |'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,

@@ -36,12 +36,16 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse a (host, robots_txt) table into the flat rule table:
-    * (host, agent, allow, path, path_len). One row per
-    * (group-agent × rule) pair — the join-ready form
-    * [[gateUrls]] probes. */
-  def robotsRules(robots: DataFrame, hostCol: String = "host",
-                  textCol: String = "robots_txt"): DataFrame = {
+  /** Shared line/group pass: explode lines per host, strip comments,
+    * normalize directives, keep `directives`, and attach each line
+    * to its RFC group (consecutive `User-agent:` lines share one
+    * header; a header after rules starts a new group). The directive
+    * set is a parameter because including an extra directive (e.g.
+    * crawl-delay) between two agent lines can change group
+    * boundaries — each consumer states the lines it groups over. */
+  private def groupedDirectives(robots: DataFrame, hostCol: String,
+                                textCol: String,
+                                directives: Seq[String]): DataFrame = {
     val lines = robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "raw")))
@@ -53,17 +57,59 @@ object Robots {
           .as("directive"),
         trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1))
           .as("value"))
-      .where(col("directive").isin("user-agent", "allow", "disallow"))
+      .where(col("directive").isin(directives: _*))
     val w = Window.partitionBy("host").orderBy("line_no")
     // a group STARTS at a user-agent line not preceded by another
     // user-agent line (consecutive agent lines share one header)
-    val grouped = lines
+    lines
       .withColumn("starts",
         (col("directive") === "user-agent" &&
           coalesce(lag(col("directive"), 1).over(w), lit("")) =!=
             "user-agent").cast("long"))
       .withColumn("grp", sum(col("starts")).over(w))
       .where(col("grp") >= 1) // rules before any user-agent line: void
+  }
+
+  /** Per-host Crawl-delay for `agent` — the de-facto extension RFC
+    * 9309 leaves undefined (parsed here, IGNORED by [[robotsRules]],
+    * honored by [[Frontier.schedule]]). Group selection mirrors
+    * [[gateUrls]]: a host with an exact-agent group uses ONLY that
+    * group's delay — if the exact group declares none the host gets
+    * NO row (the scheduler's default applies), even when `*` has
+    * one. Non-numeric values drop; several matching groups take the
+    * MAX delay (the conservative merge). Returns (host, delay_sec).
+    */
+  def crawlDelays(robots: DataFrame, agent: String,
+                  hostCol: String = "host",
+                  textCol: String = "robots_txt"): DataFrame = {
+    val a = lower(lit(agent))
+    val grouped = groupedDirectives(robots, hostCol, textCol,
+      Seq("user-agent", "crawl-delay"))
+    val agents = grouped.where(col("directive") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+    val hostHasExact = agents.where(col("agent") === a)
+      .select("host").distinct().withColumn("has_exact", lit(true))
+    val delays = grouped
+      .where(col("directive") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("host"), col("grp"),
+        col("value").cast("double").as("delay_sec"))
+    agents.join(delays, Seq("host", "grp"))
+      .join(hostHasExact, Seq("host"), "left")
+      .where(col("agent") === a ||
+        (col("agent") === "*" && col("has_exact").isNull))
+      .groupBy("host")
+      .agg(max(col("delay_sec")).as("delay_sec"))
+  }
+
+  /** Parse a (host, robots_txt) table into the flat rule table:
+    * (host, agent, allow, path, path_len). One row per
+    * (group-agent × rule) pair — the join-ready form
+    * [[gateUrls]] probes. */
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  textCol: String = "robots_txt"): DataFrame = {
+    val grouped = groupedDirectives(robots, hostCol, textCol,
+      Seq("user-agent", "allow", "disallow"))
     val agents = grouped.where(col("directive") === "user-agent")
       .select(col("host"), col("grp"), lower(col("value")).as("agent"))
     val rules = grouped

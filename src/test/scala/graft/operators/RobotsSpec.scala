@@ -81,4 +81,45 @@ class RobotsSpec extends SparkSpec {
     assert(g(("h", "/b1"))._1 == false)
     assert(g(("h", "/c1"))._1 == true)
   }
+
+  test("crawlDelays: most-specific group only, max merge, non-numeric " +
+      "dropped, silent exact group yields no row") {
+    val robots = Seq(
+      // h1: star 3 only → bot inherits star
+      ("h1", "User-agent: *\nCrawl-delay: 3\nDisallow: /x"),
+      // h2: exact group with its own delay beats star's
+      ("h2", "User-agent: *\nCrawl-delay: 9\n" +
+        "User-agent: bot\nCrawl-delay: 2.5\nDisallow: /x"),
+      // h3: exact group exists but declares NO delay → no row,
+      // even though star has one
+      ("h3", "User-agent: *\nCrawl-delay: 7\n" +
+        "User-agent: bot\nDisallow: /x"),
+      // h4: two merged exact groups → max wins; junk value dropped
+      ("h4", "User-agent: bot\nCrawl-delay: 1\n" +
+        "User-agent: bot\nCrawl-delay: 4\nCrawl-delay: soon"))
+      .toDF("host", "robots_txt")
+    val got = Robots.crawlDelays(robots, "Bot")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("h1" -> 3.0, "h2" -> 2.5, "h4" -> 4.0))
+  }
+
+  test("Frontier.schedule: per-host pacing, defaults, pinned order, " +
+      "exact long micros") {
+    val urls = Seq(
+      ("a", "/p1", 0.9), ("a", "/p2", 0.5), ("a", "/p0", 0.9),
+      ("b", "/q1", 0.1)).toDF("host", "path", "priority")
+    val delays = Seq(("a", 2.5)).toDF("host", "delay_sec")
+    val got = Frontier.schedule(urls, delays,
+        orderBy = Seq(col("priority").desc, col("path")),
+        defaultDelaySec = 1.0, startUs = 100L)
+      .select("host", "path", "delay_us", "slot", "fetch_at_us")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // host a at 2.5 s: priority 0.9 ties break on path
+      ("a", "/p0", 2500000L, 0L, 100L),
+      ("a", "/p1", 2500000L, 1L, 2500100L),
+      ("a", "/p2", 2500000L, 2L, 5000100L),
+      // host b: no declared delay → the 1 s default
+      ("b", "/q1", 1000000L, 0L, 100L)))
+  }
 }

@@ -362,6 +362,30 @@ class SourcesSpec extends SparkSpec {
     // c.org had no path -> dropped; junk and empty urlsets -> 0 rows
   }
 
+  test("Sitemap.indexChildren + urls carryCols: the index hop") {
+    val idx = Seq(
+      """<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc>""" +
+        """<lastmod>2026-02-01</lastmod></sitemap>""" +
+        """<sitemap><loc>https://a.org/s2.xml</loc></sitemap>""" +
+        """</sitemapindex>""",
+      "garbage").map(Tuple1(_)).toDF("xml")
+    val kids = Sitemap.indexChildren(idx)
+      .as[(String, String, Option[String])].collect().toSet
+    assert(kids == Set(
+      ("a.org", "/s1.xml", Some("2026-02-01")),
+      ("a.org", "/s2.xml", None)))
+    // carryCols ride the urlset explode unchanged
+    val child = Seq(("/s1.xml",
+      """<urlset><url><loc>https://a.org/p1</loc></url>""" +
+        """<url><loc>https://a.org/p2</loc></url></urlset>"""))
+      .toDF("sitemap_path", "xml")
+    val urls = Sitemap.urls(child, carryCols = Seq("sitemap_path"))
+      .select("sitemap_path", "host", "path")
+      .as[(String, String, String)].collect().toSet
+    assert(urls == Set(("/s1.xml", "a.org", "/p1"),
+      ("/s1.xml", "a.org", "/p2")))
+  }
+
   test("Wat.anchorTexts: text-bearing links only, text-less dropped") {
     val dir = Files.createTempDirectory("graft_wat_anchor").toString
     val json =
