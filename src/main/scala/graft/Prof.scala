@@ -626,6 +626,50 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_ANN=1 — the G6 recall harness swept over the IVF-PQ
+    // operating grid (m subspaces × k codewords × kAdc shortlist
+    // width), recall@10 vs the within-label exact baseline, ADC and
+    // refined — the curve BASELINE.md's operating-point table quotes.
+    // PROF_ANN_PROBES widens the probe sample (default 32).
+    if (sys.env.get("PROF_ANN").contains("1")) {
+      import operators.{Pq, Similarity}
+      val emb = sources.Tables.load(spark, sfDir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nProbes = sys.env.getOrElse("PROF_ANN_PROBES", "32").toInt
+      val probes = emb.filter(col("vec_id") < nProbes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kFinal = 10
+      val labelPairs = emb
+        .select(col("label"), col("vec_id").as("neighbor_id"))
+        .join(probes.select(col("label"), col("vec_id").as("probe_id")),
+          Seq("label"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+      val exact = Pq.refineTopK(labelPairs, emb, probes, kFinal)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      val universe = labelPairs.groupBy("probe_id").count()
+        .agg(avg("count")).head.getDouble(0)
+      println(f"[prof] ann grid: probes=$nProbes k=$kFinal " +
+        f"within-label universe ~${universe}%.0f candidates/probe")
+      def rec(df: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(df, exact, kFinal)
+          .agg(avg("recall")).head.getDouble(0)
+      for (m <- Seq(4, 8, 16); kc <- Seq(8, 16)) {
+        val cb = time(s"train m=$m k=$kc")(
+          Pq.trainCodebooks(emb, m = m, k = kc, lloydIters = 1))
+        for (kAdc <- Seq(20, 50, 100)) {
+          val short = Pq.pqTopK(emb, probes, kAdc, cb, "label")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          short.count()
+          val rAdc = rec(short)
+          val rRef = rec(Pq.refineTopK(short, emb, probes, kFinal))
+          println(f"[prof] ann m=$m kcode=$kc kAdc=$kAdc: " +
+            f"recall@10 adc=$rAdc%.3f refined=$rRef%.3f")
+          short.unpersist()
+        }
+      }
+      spark.stop(); return
+    }
     // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
     if (sys.env.contains("PROF_EXPLAIN")) {
       for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)

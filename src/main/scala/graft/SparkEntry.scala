@@ -2143,10 +2143,28 @@ object SparkEntry {
       val pqRefine = Similarity.recallAtK(
           Pq.refineTopK(short10, emb, probes, 5), exactPq, 5)
         .withColumn("index", lit("pq_refine"))
+      // the PUBLISHED operating point (the PROF_ANN grid's pick,
+      // r16): m = dim/4 subspaces × 16 codewords, kAdc = 5×k
+      // shortlist, exact refine — measured 0.91 recall@10 at sf0.1
+      // vs 0.10 for the starved m=4/k=8/kAdc=2×k mechanism setting;
+      // the grid's three levers in BASELINE.md's table
+      val exactPq10 = Pq.refineTopK(labelPairs, emb, probes, 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactPq10.count()
+      val cbOp = Pq.trainCodebooks(emb, m = 16, k = 16, lloydIters = 1)
+      val shortOp = Pq.pqTopK(emb, probes, 50, cbOp, "label")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shortOp.count()
+      val pqAdcOp = Similarity.recallAtK(shortOp, exactPq10, 10)
+        .withColumn("index", lit("pq_adc_op"))
+      val pqRefineOp = Similarity.recallAtK(
+          Pq.refineTopK(shortOp, emb, probes, 10), exactPq10, 10)
+        .withColumn("index", lit("pq_refine_op"))
       operators.CacheOps.materializeAndRelease(
         lsh.unionByName(ivf).unionByName(pqAdc).unionByName(pqRefine)
+          .unionByName(pqAdcOp).unionByName(pqRefineOp)
           .select("index", "probe_id", "n_exact", "n_hit", "recall"),
-        exact, short10, exactPq)
+        exact, short10, exactPq, exactPq10, shortOp)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),

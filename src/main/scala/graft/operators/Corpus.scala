@@ -1180,7 +1180,9 @@ object Corpus {
     val scored = scoredIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
-    val sizes = scored.groupBy(col(groupCol)).count().collect()
+    val sizes = OrderStats.boundedGroupRows(
+      scored.groupBy(col(groupCol)).count(),
+      "bucketsByBoundary", maxGroups = 100000)
     // BOTH tercile boundaries of EVERY language resolve through one
     // batched narrowing (O(rounds) corpus scans total) — the
     // per-language kthLargest loop this replaces ran a scan loop per

@@ -15,6 +15,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object OrderStats {
 
+  /** The driver-bounded-groups contract, made LOUD: collect per-group
+    * rows only after a `limit(max + 1)` probe shows the group count
+    * fits — an over-cardinality group key (a per-doc id instead of a
+    * language/flag/shard) fails with the measured count instead of
+    * an eventual driver OOM. The true count is computed ONLY on the
+    * failure path (no extra job when healthy). */
+  private[graft] def boundedGroupRows(grouped: DataFrame, what: String,
+                                      maxGroups: Int)
+  : Array[org.apache.spark.sql.Row] = {
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
+    val rows = grouped.limit(maxGroups + 1).collect()
+    if (rows.length > maxGroups) {
+      val actual = grouped.count()
+      throw new IllegalArgumentException(
+        s"$what holds per-group state on the driver and is bounded at " +
+          s"$maxGroups groups; measured $actual — group on a coarser " +
+          s"key (language/flag/shard) or raise maxGroups")
+    }
+    rows
+  }
+
   /** Exact k-th largest value of a numeric column (1-based, multiset
     * order statistic), plus the exact count of rows strictly greater
     * than it. No global sort: each iteration picks a pivot with
@@ -317,14 +338,16 @@ object OrderStats {
     * not emitted. Group cardinality must be driver-bounded (the
     * kthLargestByGroup contract — flags, languages, shards). */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                       qs: Seq[(String, Double)]): DataFrame = {
+                       qs: Seq[(String, Double)],
+                       maxGroups: Int = 100000): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
       "percentiles must be in [0, 1]")
     val spark = df.sparkSession
     val vals = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-    val sizes = vals.groupBy("__g").count().collect()
+    val sizes = boundedGroupRows(vals.groupBy("__g").count(),
+      "quantilesByGroup", maxGroups)
       .map(r => r.get(0) -> r.getLong(1)).toMap
     // ascending 0-based index i ↔ k-th largest with k = n - i
     val targets = sizes.toSeq.flatMap { case (g, n) =>
@@ -386,19 +409,22 @@ object OrderStats {
   def selectTopNByGroup(df: DataFrame, n: Long, weightCol: String,
                         idCol: String, groupCol: String,
                         accuracy: Int = 10000,
-                        exactFinishRows: Long = 100000L): DataFrame = {
+                        exactFinishRows: Long = 100000L,
+                        maxGroups: Int = 100000): DataFrame = {
     require(df.schema(groupCol).dataType ==
       org.apache.spark.sql.types.StringType,
       s"selectTopNByGroup needs a string group column, got " +
         s"${df.schema(groupCol).dataType}")
     if (n <= 0L) return df.withColumn("selected", lit(false))
     val spark = df.sparkSession
-    import spark.implicits._
     val w = col(weightCol).cast("double")
     val eligible = w.isNotNull && col(groupCol).isNotNull
-    val sizes = df.filter(eligible).groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__cnt"))
-      .as[(String, Long)].collect().toMap
+    val sizes = boundedGroupRows(
+      df.filter(eligible).groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__cnt")),
+      "selectTopNByGroup", maxGroups)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
     val narrowTargets = sizes.toSeq.collect {
       case (g, cnt) if cnt > n => (g: Any, n)
     }

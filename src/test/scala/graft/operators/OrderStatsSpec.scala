@@ -222,4 +222,25 @@ class OrderStatsSpec extends SparkSpec {
     assert(OrderStats.selectTopNByGroup(df, 100000, "w", "id", "g")
       .filter(col("selected")).count() == rows.count(_._2 != null))
   }
+
+  test("driver-bounded-groups contract fails LOUD with the measured " +
+    "count, not an eventual driver OOM") {
+    val df = (1L to 40L).map(i => (s"g$i", i.toDouble))
+      .toDF("grp", "v")
+    val eQ = intercept[IllegalArgumentException](
+      OrderStats.quantilesByGroup(df, "grp", "v",
+        Seq("p50" -> 0.5), maxGroups = 10))
+    assert(eQ.getMessage.contains("quantilesByGroup") &&
+      eQ.getMessage.contains("bounded at 10") &&
+      eQ.getMessage.contains("measured 40"), eQ.getMessage)
+    val eT = intercept[IllegalArgumentException](
+      OrderStats.selectTopNByGroup(
+        df.withColumn("id", monotonically_increasing_id()),
+        1, "v", "id", "grp", maxGroups = 10))
+    assert(eT.getMessage.contains("selectTopNByGroup") &&
+      eT.getMessage.contains("measured 40"), eT.getMessage)
+    // under the cap: unchanged behavior
+    assert(OrderStats.quantilesByGroup(df, "grp", "v",
+      Seq("p50" -> 0.5), maxGroups = 40).count() == 40)
+  }
 }
