@@ -140,6 +140,64 @@ object SparkEntry {
     (cand, hosts)
   }
 
+  /** Shell for q_crawl_prepare_blocks: the blockShell boilerplate
+    * taxonomy around a MULTI-BLOCK body (each pseudo-line its own
+    * `<p>` — block structure must survive extraction as line
+    * structure for the downstream line-dedup stage). */
+  private val crawlBlocksPre: String =
+    "<html><head><title>t</title>" +
+      "<script>if (1 < 2) { alert(\"x&y\"); }</script>" +
+      "<style>.nav{display:none}</style></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</div><h1>Tiny title</h1>"
+  private val crawlBlocksPost: String =
+    "<div><a href=\"/r1\">Related article one</a> " +
+      "<a href=\"/r2\">Related article two</a> more</div>" +
+      "<div>Copyright 2024 ExampleCorp All rights reserved</div>" +
+      "<!-- footer --></body></html>"
+
+  /** The block-extraction CTE chain spliced into the L15 crawl-front
+    * oracle between its `hx`/`nf` markers (the q_wet_to_corpus
+    * derivation precedent): the q_html_extract_blocks scoring replay
+    * over the lined fixture, ending in `ex(doc_id, text)` exactly
+    * where the flat extraction chain ended. */
+  private val crawlBlocksCtes: String =
+    ("""bh AS (SELECT doc_id,
+      |'<html><head><title>t</title><script>if (1 < 2) { alert("x&y"); }</script><style>.nav{display:none}</style></head><body><div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><h1>Tiny title</h1>'
+      | || array_to_string(list_transform(string_split(text, chr(10)), l -> '<p>' || l || '</p>'), '') ||
+      |'<div><a href="/r1">Related article one</a> <a href="/r2">Related article two</a> more</div><div>Copyright 2024 ExampleCorp All rights reserved</div><!-- footer --></body></html>'
+      | AS html FROM d),
+      |bc AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |'(?is)<script[^>]*>.*?</script>', '', 'g'),
+      |'(?is)<style[^>]*>.*?</style>', '', 'g'),
+      |'(?is)<title[^>]*>.*?</title>', '', 'g'),
+      |'(?s)<!--.*?-->', '', 'g') AS clean FROM bh),
+      |bsg AS (SELECT doc_id, string_split(regexp_replace(clean,
+      |'(?i)(</?(p|div|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|article|section|header|footer|nav|aside|main|form|pre)(\s[^>]*)?>|<br\s*/?>)',
+      |chr(1), 'g'), chr(1)) AS frags FROM bc),
+      |bx AS (SELECT doc_id, unnest(generate_series(1, len(frags))) AS i, frags FROM bsg),
+      |brw AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx, frags[i] AS raw FROM bx),
+      |btb AS (SELECT doc_id, block_idx, raw,
+      |trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |regexp_replace(raw, '<[^>]+>', '', 'g'),
+      |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+      |'[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS btext FROM brw),
+      |blk AS (SELECT doc_id, block_idx, btext, CAST(length(btext) AS BIGINT) AS text_len,
+      |coalesce(list_sum(list_transform(regexp_extract_all(raw, '(?is)<a(\s[^>]*)?>(.*?)</a>', 2),
+      |a -> CAST(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |regexp_replace(a, '<[^>]+>', '', 'g'),
+      |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+      |'[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g'))) AS BIGINT))), 0) AS link_chars FROM btb),
+      |bsc AS (SELECT doc_id, block_idx, btext, text_len, link_chars,
+      |len(list_filter(string_split(btext, ' '), t -> t <> '')) AS n_tokens,
+      |len(list_filter(string_split(btext, ' '), t -> list_contains(['the','a','an','of','and','in','to','is','for','on'], lower(t)))) AS n_stop FROM blk),
+      |bkp AS (SELECT doc_id, block_idx, btext,
+      |(text_len >= 25 AND CAST(link_chars AS DOUBLE) / greatest(text_len, 1) <= 0.35
+      |AND (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05 OR text_len >= 200)) AS keep FROM bsc),
+      |ex AS (SELECT doc_id, coalesce(string_agg(CASE WHEN keep THEN btext END, chr(10) ORDER BY block_idx), '') AS text FROM bkp GROUP BY doc_id),
+      |""").stripMargin
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -1679,6 +1737,27 @@ object SparkEntry {
           htmlShell(col("text")).as("html")),
         Seq("tracker.net").toDF("domain"),
         minTokens = 20)
+    }),
+    // the crawl front with the BLOCK-SCORED extraction stage opted
+    // in (blockScored=true): every pseudo-line rides its own <p>
+    // block through the jusText scorer — per-doc boilerplate
+    // (nav/link-farm/copyright) dies on block evidence BEFORE the
+    // corpus-wide line-dedup stage; the oracle is the L15 chain with
+    // the extraction CTEs swapped for the block-scoring replay
+    "q_crawl_prepare_blocks" -> ((s, d) => {
+      import s.implicits._
+      val blockedUrl = concat(lit("https://ads.tracker.net/item-"),
+        col("doc_id"))
+      val body = concat_ws("", transform(split(col("text"), "\n"),
+        l => concat(lit("<p>"), l, lit("</p>"))))
+      CorpusPipeline.crawlPrepareFull(
+        linedDocuments(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, blockedUrl)
+            .otherwise(synthUrl).as("url"),
+          concat(lit(crawlBlocksPre), body,
+            lit(crawlBlocksPost)).as("html")),
+        Seq("tracker.net").toDF("domain"),
+        minTokens = 20, blockScored = true)
     }),
     // LANDING ZONE to gated corpus: two WARC waves drain through the
     // exactly-once ingest trigger (wave 1 ingested directly; the
@@ -3679,6 +3758,18 @@ object SparkEntry {
         |WHEN 2 THEN 'https://example.com:443/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
         |ELSE 'http://example.com/articles/item-' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section' END END AS url""".stripMargin,
       "ELSE 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) END AS url")) +
+    // blocks leg: the same derived chain, with the flat extraction
+    // CTEs (hx/ex) swapped for the q_html_extract_blocks scoring
+    // replay over the per-line <p> body — derived programmatically
+    // so the block keep-rule and the crawl chain cannot drift
+    ("q_crawl_prepare_blocks" -> {
+      val base = oracleSqlBase("q_crawl_prepare_full")
+      val start = base.indexOf("hx AS (")
+      val end = base.indexOf("nf AS (")
+      require(start >= 0 && end > start,
+        "crawl oracle drifted: hx/ex extraction markers missing")
+      base.substring(0, start) + crawlBlocksCtes + base.substring(end)
+    }) +
     // WET leg: the same derived chain, with the HTML-synthesis +
     // extraction CTEs collapsed to identity — conversion payloads
     // ARE the extracted text (derived programmatically from the L15
