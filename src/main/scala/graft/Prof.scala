@@ -670,6 +670,48 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_BLOCKS=1 — block-extraction throughput at a scaled corpus
+    // (default 20x sf0.1 documents wrapped in the boilerplate shell):
+    // the L30 jusText scorer vs the flat L14 chain, wall seconds and
+    // MB/s of input HTML — the linearity row for BASELINE.md.
+    if (sys.env.get("PROF_BLOCKS").contains("1")) {
+      val rep = sys.env.getOrElse("PROF_BLOCKS_REPLICATE", "20").toInt
+      val shellPre = "<html><head><title>t</title>" +
+        "<script>if (1 < 2) { alert(\"x&y\"); }</script>" +
+        "<style>.nav{display:none}</style></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+        " <a href=\"/c\">Contact</a></div><h1>Tiny title</h1><p>"
+      val shellPost = "</p><div><a href=\"/r1\">Related article one</a> " +
+        "<a href=\"/r2\">Related article two</a> more</div>" +
+        "<div>Copyright 2024 ExampleCorp All rights reserved</div>" +
+        "<!-- footer --></body></html>"
+      val corpus = (1 to rep).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat(lit(shellPre), col("text"), lit(shellPost)).as("html")))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = corpus.agg(count(lit(1)), sum(length(col("html"))))
+        .head
+      val (nDocs, htmlBytes) = (stats.getLong(0), stats.getLong(1))
+      println(s"[prof] blocks corpus: $nDocs docs, $htmlBytes html chars")
+      for (_ <- 1 to 2) { // second rep = warm JIT, quote that one
+        val t0 = System.nanoTime()
+        val kept = operators.Boilerplate.htmlExtractBlocks(corpus)
+          .agg(sum(col("n_kept")), sum(length(col("extracted"))))
+          .head
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] htmlExtractBlocks: $dt%.2f s = " +
+          f"${nDocs / dt}%.0f docs/s, ${htmlBytes / dt / 1e6}%.1f MB/s; " +
+          s"kept_blocks=${kept.getLong(0)} out_chars=${kept.getLong(1)}")
+        val t1 = System.nanoTime()
+        val flat = corpus.select(sum(length(
+          TextFunctions.htmlExtract(col("html"))))).head.getLong(0)
+        val dtF = (System.nanoTime() - t1) / 1e9
+        println(f"[prof] htmlExtract (flat): $dtF%.2f s = " +
+          f"${htmlBytes / dtF / 1e6}%.1f MB/s; out_chars=$flat")
+      }
+      spark.stop(); return
+    }
     // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
     if (sys.env.contains("PROF_EXPLAIN")) {
       for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)
