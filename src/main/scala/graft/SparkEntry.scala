@@ -87,6 +87,34 @@ object SparkEntry {
       "<div>Copyright 2024 ExampleCorp All rights reserved</div>" +
       "<!-- footer --></body></html>"
 
+  /** The md5-portable minhash sketch family (15-hex-nibble token
+    * hashes, 32 per-seed min signatures) shared by the fuzzy
+    * decontamination queries and their streaming gate — the form
+    * DuckDB replays bit-exactly. Input must carry (id, text). */
+  private def md5Sketch(df: DataFrame): DataFrame = {
+    def md5int15(c: Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sh = sort_array(array_distinct(transform(
+      TextFunctions.tokens(col("text")), t => md5int15(t))))
+    df.select(col("id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", transform(sequence(lit(0), lit(31)),
+        j => array_min(transform(col("sh"), v =>
+          md5int15(concat(v.cast("string"), lit("_"),
+            j.cast("string")))))))
+  }
+
+  /** The eval-clone benchmark fixture for the fuzzy decontamination
+    * family: every doc_id % 17 document with its LAST TOKEN DROPPED —
+    * a perturbed clone the exact-shingle gate misses. */
+  private def evalCloneBench(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id").as("id"),
+        array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+  }
+
   /** Shared frontier fixture for q_sitemap_frontier /
     * q_frontier_schedule: 7 hosts (doc_id % 7), each publishing a
     * sitemapindex naming its child urlset (the index hop), plus the
@@ -1448,30 +1476,36 @@ object SparkEntry {
     // sketch → band probe → 24-of-32 prefilter → exact jaccard →
     // per-doc argmax verdict bit-exactly.
     "q_decontaminate_fuzzy" -> ((s, d) => {
-      def md5int15(c: Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      def sketch(df: DataFrame): DataFrame = {
-        val sh = sort_array(array_distinct(transform(
-          TextFunctions.tokens(col("text")), t => md5int15(t))))
-        df.select(col("id"), sh.as("sh"))
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", transform(sequence(lit(0), lit(31)),
-            j => array_min(transform(col("sh"), v =>
-              md5int15(concat(v.cast("string"), lit("_"),
-                j.cast("string")))))))
-      }
       val docs = T(s, d, "documents")
-      val toks = TextFunctions.tokens(col("text"))
-      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id").as("id"),
-          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
       Dedup.fuzzyDecontaminate(
-        sketch(docs.select(col("doc_id").as("id"), col("text")))
+        md5Sketch(docs.select(col("doc_id").as("id"), col("text")))
           .localCheckpoint(),
-        sketch(bench),
+        md5Sketch(evalCloneBench(docs)),
         threshold = 0.9, numHashes = 32, bands = 2)
         .withColumnRenamed("id", "doc_id")
+    }),
+    // the STREAMING decontamination gate (the H38 probe as an
+    // always-on ingest stage, chained after the E11 near-dup gate in
+    // production): the bench sketch is SAVED once as the static index
+    // artifact and LOADED back (the train-once/deploy-from-artifact
+    // hop every model family uses), then the document stream drains
+    // file-by-file through foreachBatch — three exactly-once outputs,
+    // checkpointed, restart-safe. The index never grows, so the
+    // streamed verdict is batch-equivalent BY CONSTRUCTION and the
+    // q_decontaminate_fuzzy oracle is shared verbatim
+    "q_stream_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val idxDir = roundtripDir("decon_gate_index")
+      streaming.DecontaminationGate.saveBenchIndex(
+        md5Sketch(evalCloneBench(docs)), idxDir)
+      val (verdict, _, _) =
+        streaming.DecontaminationGate.decontaminationGate(s, d,
+          streaming.DecontaminationGate.loadBenchIndex(s, idxDir),
+          b => md5Sketch(b.select(col("doc_id").as("id"), col("text"))),
+          roundtripDir("decon_gate"), roundtripDir("decon_gate_ckpt"),
+          threshold = 0.9, numHashes = 32, bands = 2,
+          fileGlob = "documents.parquet", reset = true)
+      verdict.withColumnRenamed("id", "doc_id")
     }),
     // normalized near-exact dedup: case/punct/whitespace-insensitive
     // hash-groupBy — the first rung of the fuzzy ladder at exact cost
@@ -3747,6 +3781,10 @@ object SparkEntry {
     // scale-safe exact percentiles: bit-identical to the exact
     // aggregate, so the oracle is shared verbatim
     ("q_quantiles_scale" -> oracleSqlBase("q_quantiles")) +
+    // streaming decontamination gate: the bench index is static, so
+    // the streamed verdict is batch-equivalent by construction — the
+    // fuzzy-decontamination oracle is shared verbatim
+    ("q_stream_decontaminate" -> oracleSqlBase("q_decontaminate_fuzzy")) +
     // warc-to-corpus: the WARC leg is a lossless identity, so the
     // oracle is the L15 crawl-front CTE chain with ONLY the
     // url-synthesis CTE swapped for the doc_id-recoverable fixture —
