@@ -1515,6 +1515,18 @@ object SparkEntry {
     // scan-stage column block (minTokens lowered to split this corpus)
     "q_gopher_rules" -> ((s, d) =>
       Corpus.gopherRules(T(s, d, "documents"), minTokens = 30)),
+    // host-level crawl-policy mining: gopher verdicts rolled up to
+    // the host grain (13 synthesized hosts), low-yield hosts flagged
+    // as frontier blocklist candidates
+    "q_host_policy" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.hostPolicyStats(
+        Corpus.gopherRules(docs, minTokens = 30),
+        docs.select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 13,
+            lit(".example.org/item-"), col("doc_id")).as("url")),
+        minDocs = 20, maxKeepRate = 0.5)
+    }),
     // exact heavy hitters (cnt > N/40) WITHOUT a vocabulary shuffle:
     // per-partition Misra-Gries candidate sketch, broadcast semi-join
     // confirm, integer threshold — output equals plain groupBy+filter
@@ -4759,6 +4771,18 @@ object SparkEntry {
     // Gopher rules: every count is an exact integer, every ratio ONE
     // IEEE division; '...' counting via non-overlapping replace
     "q_gopher_rules" -> gopherRulesOracle,
+    // host policy: the gopher verdict chain as a nested CTE, the
+    // closed-form %13 host, one grouped rollup with the same fixed
+    // IEEE keep_rate division
+    "q_host_policy" ->
+      (s"""WITH g AS ($gopherRulesOracle),
+        |h AS (SELECT doc_id, 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host FROM documents)
+        |SELECT h.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+        |CAST(SUM(CASE WHEN g.keep THEN g.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |(COUNT(*) >= 20 AND CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) <= 0.5) AS blocklist_candidate
+        |FROM g JOIN h USING (doc_id) GROUP BY h.host""").stripMargin,
     // stratified sample: integer largest-remainder apportionment over
     // the strata table, then the per-stratum md5-order prefix
     "q_stratified_sample" ->

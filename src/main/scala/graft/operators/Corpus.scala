@@ -1543,4 +1543,53 @@ object Corpus {
           col("n_a").cast("double")).cast("long").as("oov_a_fp"),
         floor(lit(1.0e9) * col("oov_mass_b").cast("double") /
           col("n_b").cast("double")).cast("long").as("oov_b_fp"))
+
+  /** HOST-LEVEL crawl-policy mining — the feedback loop that turns
+    * per-document gate verdicts into DOMAIN policy (the RefinedWeb/
+    * CCNet practice of maintaining per-site statistics: a host whose
+    * documents overwhelmingly fail the quality gate is cheaper to
+    * blocklist at the FRONTIER — stage 0, never fetched — than to
+    * keep gating doc by doc). Reference analog: the reference's
+    * per-table row-quality summaries (proteofav/structures.py's
+    * per-chain filters) lifted to the host grain.
+    *
+    * Inputs: a verdict table (idCol, n_tokens, keep) — any gate's
+    * output (gopherRules, crawlPrepare, the quality classifier) —
+    * and the (idCol, urlCol) mapping. Hosts come from
+    * [[graft.functions.TextFunctions.urlHost]]; docs without a
+    * parseable host carry no domain evidence and are dropped.
+    *
+    * Output per host: n_docs, n_kept, keep_rate (one fixed IEEE
+    * division — engine-exact), kept_tokens (the host's surviving
+    * token yield — what the corpus actually gains from crawling it),
+    * and blocklist_candidate = n_docs >= minDocs (enough evidence)
+    * AND keep_rate <= maxKeepRate. The candidate list feeds
+    * [[graft.operators.CorpusPipeline.blocklistFilter]] directly.
+    *
+    * Scale shape: ONE co-partitioned join on the doc id + ONE
+    * map-side-combined aggregation keyed on host — counts and sums
+    * only, so a mega-host is a hot KEY but never a hot BUFFER; no
+    * window, no driver state. */
+  def hostPolicyStats(verdicts: DataFrame, urls: DataFrame,
+                      minDocs: Long, maxKeepRate: Double,
+                      idCol: String = "doc_id",
+                      urlCol: String = "url"): DataFrame = {
+    val hosts = urls.select(col(idCol),
+        TextFunctions.urlHost(col(urlCol)).as("host"))
+      .filter(col("host").isNotNull)
+    verdicts.select(col(idCol), col("n_tokens"), col("keep"))
+      .join(hosts, Seq(idCol))
+      .groupBy("host")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("kept_tokens"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .withColumn("blocklist_candidate",
+        col("n_docs") >= minDocs && col("keep_rate") <= maxKeepRate)
+      .select("host", "n_docs", "n_kept", "keep_rate", "kept_tokens",
+        "blocklist_candidate")
+  }
 }

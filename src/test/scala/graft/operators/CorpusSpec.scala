@@ -1144,4 +1144,36 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(same == ((3L, 3L, 2L, 2L, 2L, 0L, 0L, 0L)))
   }
+
+  test("hostPolicyStats: per-host rollup, evidence floor, hostless " +
+      "docs dropped") {
+    val verdicts = Seq(
+      (1L, 100L, true), (2L, 50L, false), (3L, 80L, true),   // spam.io: 2/3... wait
+      (4L, 10L, false), (5L, 20L, false), (6L, 300L, true),  // mixed
+      (7L, 40L, true))
+      .toDF("doc_id", "n_tokens", "keep")
+    val urls = Seq(
+      (1L, "https://good.org/a"), (2L, "https://good.org/b"),
+      (3L, "https://good.org/c"),
+      (4L, "https://spam.io/x"), (5L, "https://spam.io/y"),
+      (6L, "https://good.org/d"),
+      (7L, "not a url")) // no host -> no domain evidence
+      .toDF("doc_id", "url")
+    val got = Corpus.hostPolicyStats(verdicts, urls,
+        minDocs = 2, maxKeepRate = 0.5)
+      .as[(String, Long, Long, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("good.org", "spam.io")) // doc 7 dropped
+    assert(got("good.org") ==
+      (("good.org", 4L, 3L, 0.75, 480L, false)))
+    assert(got("spam.io") ==
+      (("spam.io", 2L, 0L, 0.0, 0L, true)))
+    // evidence floor: the same spam host with minDocs above its
+    // count is NOT a candidate however bad its rate
+    val floor = Corpus.hostPolicyStats(verdicts, urls,
+        minDocs = 3, maxKeepRate = 0.5)
+      .filter(col("host") === "spam.io")
+      .select("blocklist_candidate").as[Boolean].head()
+    assert(!floor)
+  }
 }
