@@ -465,10 +465,19 @@ object Dedup {
     * candidacy and verification both happen inside the corpus scan
     * stage; the only keyed exchanges carry the LSH-sparse candidate
     * set (per-doc max groupBy, then the report join AQE resolves to
-    * a broadcast of the tiny verdict side). */
+    * a broadcast of the tiny verdict side).
+    *
+    * `broadcastBench = false` is the bench-TOO-BIG form (an eval
+    * union of 1e7+ docs whose sketches exceed broadcast limits — the
+    * H10 bloom-path duality): candidacy becomes a SHUFFLE_HASH join
+    * on the band key — the corpus contributes only its (id, bk)
+    * band-key pairs to that exchange, never text or shingles — and
+    * the verify fetch hash-joins on bench_id. Bit-identical output
+    * (spec-pinned). */
   def fuzzyDecontaminate(corpusSketch: DataFrame, benchSketch: DataFrame,
                          threshold: Double, numHashes: Int = 16,
-                         bands: Int = 4): DataFrame = {
+                         bands: Int = 4,
+                         broadcastBench: Boolean = true): DataFrame = {
     val bench = benchSketch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bench.count()
@@ -476,8 +485,10 @@ object Dedup {
     def bandKeysOf(df: DataFrame, idAs: String) = df.select(
       col("id").as(idAs),
       explode(HashFunctions.bandKeys(col("sig"), bands, rows)).as("bk"))
+    def benchSide(df: DataFrame): DataFrame =
+      if (broadcastBench) broadcast(df) else df.hint("SHUFFLE_HASH")
     val cands = bandKeysOf(corpusSketch, "corpus_id")
-      .join(broadcast(bandKeysOf(bench, "bench_id")), "bk")
+      .join(benchSide(bandKeysOf(bench, "bench_id")), "bk")
       .select(col("corpus_id"), col("bench_id"))
       .distinct()
     val minAgree = math.max(0, math.ceil((threshold - 0.15) * numHashes)).toInt
@@ -487,7 +498,7 @@ object Dedup {
     val verified = cands
       .join(corpusSketch.select(col("id").as("corpus_id"),
         col("sig").as("a_sig"), col("sh").as("a_sh")), "corpus_id")
-      .join(broadcast(bench.select(col("id").as("bench_id"),
+      .join(benchSide(bench.select(col("id").as("bench_id"),
         col("sig").as("b_sig"), col("sh").as("b_sh"))), "bench_id")
       .filter(agree >= minAgree)
       .withColumn("jaccard",

@@ -96,6 +96,52 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(1) == ((2L, 0.0, None, false)))
   }
 
+  test("fuzzyDecontaminate: the bench-too-big (shuffle-hash) form is " +
+    "bit-identical to the broadcast form and actually shuffle-joins") {
+    def md5int15(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val sh = sort_array(array_distinct(transform(
+        TextFunctions.tokens(col("text")), t => md5int15(t))))
+      df.select(col("doc_id").as("id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", transform(sequence(lit(0), lit(31)),
+          j => array_min(transform(col("sh"), v =>
+            md5int15(concat(v.cast("string"), lit("_"),
+              j.cast("string")))))))
+    }
+    val rnd = new scala.util.Random(83)
+    val words = (1 to 40).map(i => s"w$i")
+    def doc(n: Int) =
+      (1 to 30).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = (1L to 60L).map(i => (i, doc(30))).toDF("doc_id", "text")
+    val bench = (101L to 115L).map(i => (i, doc(30))).toDF("doc_id", "text")
+    val cs = sketch(corpus).localCheckpoint()
+    val bs = sketch(bench).localCheckpoint()
+    // the big-bench form FIRST (the cache manager canonicalizes
+    // hints away, so whichever form materializes first serves the
+    // other from cache — the plan assertion must run on a fresh
+    // plan), with the real regime modeled: AQE would re-broadcast a
+    // test-sized bench, hiding the join shape the hint requests
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    val b = try {
+      val b0 = Dedup.fuzzyDecontaminate(cs, bs, 0.5, 32, 16,
+        broadcastBench = false)
+      val p = b0.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("ShuffledHashJoin"),
+        s"big-bench form must shuffle-hash, not broadcast:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), p)
+      b0.collect().map(_.toSeq).toSet
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    val a = Dedup.fuzzyDecontaminate(cs, bs, 0.5, 32, 16)
+    assert(a.collect().map(_.toSeq).toSet == b)
+  }
+
   test("scrubPii replaces emails and long digit runs, counts match") {
     val df = Seq(
       "contact me at a.b@x.io or 1234567 now",
