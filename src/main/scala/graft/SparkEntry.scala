@@ -1055,6 +1055,33 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // half-life freshness score per user: 1-day half-life as of
+    // 2024-02-01 (past the fixture's last event) — exact power-of-two
+    // weights, per-event long ticks, order-independent long sum
+    "q_time_decay" -> ((s, d) =>
+      TimeOps.halfLifeScore(T(s, d, "events"), "user_id", "ts", "value",
+        halfLifeMicros = 86400L * 1000000L,
+        asOfUs = 1706745600000000L)),
+    // ---- governance audits (documents/customer/orders tables) ----
+    // k-anonymity / l-diversity: quasi-identifiers are segment ×
+    // nation × a synthetic 20-bucket zip (custkey % 20 — the
+    // linkable-attribute stand-in); sensitive = account balance.
+    // Output rows = |equivalence classes|, corpus-size independent
+    "q_k_anonymity" -> ((s, d) =>
+      Audit.kAnonymity(
+        T(s, d, "customer").withColumn("zip", col("c_custkey") % 20),
+        Seq("c_mktsegment", "c_nationkey", "zip"), "c_acctbal", k = 10)),
+    // referential integrity over two key edges in one report: a
+    // damaged dim (customers with custkey%3=0 dropped — the
+    // simulated lost-partition) and an intact edge as the control
+    "q_fk_audit" -> ((s, d) =>
+      Audit.referentialIntegrity("orders->customer",
+          T(s, d, "orders"), "o_custkey",
+          T(s, d, "customer").filter(col("c_custkey") % 3 =!= 0),
+          "c_custkey")
+        .unionByName(Audit.referentialIntegrity("lineitem->orders",
+          T(s, d, "lineitem"), "l_orderkey",
+          T(s, d, "orders"), "o_orderkey"))),
     // hourly LOCF gap fill per event type: densified bucket grid +
     // carried-forward cents — the resample/ffill shape; the window
     // runs over the grid, never the event stream
@@ -4302,6 +4329,46 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // half-life decay: integer half-life count clamped to [0,62],
+    // weight denominator is an exact BIGINT shift, per-event tick =
+    // floor(1e6·value / 2^k) — two IEEE double ops, then long sums
+    "q_time_decay" ->
+      """WITH e AS (SELECT user_id, value,
+        |least(CAST(62 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |  (1706745600000000 - epoch_us(ts)) // 86400000000)) AS k
+        |FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(SUM(CAST(floor(1000000.0 * value / CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS decayed_ticks,
+        |CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS raw_sum
+        |FROM e GROUP BY user_id""".stripMargin,
+    // k-anonymity: one grouped pass; class sizes and sensitive
+    // diversity are plain integer aggregates
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(c_custkey % 20 AS BIGINT) AS zip,
+        |CAST(COUNT(*) AS BIGINT) AS class_size,
+        |CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+        |COUNT(*) < 10 AS at_risk_k,
+        |COUNT(DISTINCT c_acctbal) < 2 AS at_risk_l
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    // fk audit: orphan membership is NOT IN over the (non-null)
+    // parent key set; ppm is long floor-division
+    "q_fk_audit" ->
+      """WITH p1 AS (SELECT DISTINCT c_custkey AS pk FROM customer WHERE c_custkey % 3 <> 0),
+        |t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child, CAST(COUNT(o_custkey) AS BIGINT) AS n_fk FROM orders),
+        |o1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys
+        |FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT pk FROM p1)),
+        |p2 AS (SELECT DISTINCT o_orderkey AS pk FROM orders),
+        |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child, CAST(COUNT(l_orderkey) AS BIGINT) AS n_fk FROM lineitem),
+        |o2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        |FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT pk FROM p2))
+        |SELECT 'orders->customer' AS relation, n_child, n_child - n_fk AS n_null_fk,
+        |n_orphans, n_orphan_keys,
+        |CASE WHEN n_fk > 0 THEN (n_orphans * 1000000) // n_fk ELSE CAST(0 AS BIGINT) END AS orphan_ppm
+        |FROM t1, o1
+        |UNION ALL
+        |SELECT 'lineitem->orders', n_child, n_child - n_fk, n_orphans, n_orphan_keys,
+        |CASE WHEN n_fk > 0 THEN (n_orphans * 1000000) // n_fk ELSE CAST(0 AS BIGINT) END
+        |FROM t2, o2""".stripMargin,
     // gap fill: grid + left join + IGNORE NULLS carry-forward
     "q_gap_fill" ->
       """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

@@ -154,4 +154,42 @@ object TimeOps {
       .groupBy(col("cohort"), (col("b") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** HALF-LIFE DECAYED SCORE — freshness weighting for recency-aware
+    * ranking (host authority that fades, user activity scores, crawl
+    * re-fetch priority): each event contributes value / 2^age, age
+    * counted in whole half-lives before `asOfUs`. The usual
+    * exp(−λ·Δt) is NOT engine-portable (libm exp differs in the last
+    * bit across engines); quantizing age to integer half-lives makes
+    * the weight an EXACT power of two — 2^k is a long shift, and
+    * 1e6·value / 2^k is two IEEE-pinned double ops identical in any
+    * IEEE-754 engine — so the per-event tick
+    * floor(1e6 · value / 2^k) is bit-exact, and the per-key SUM of
+    * longs is partition-order-independent. Ages are clamped to
+    * [0, 62]: future events score as fresh (k=0) rather than
+    * exploding, and 2^62 already underweights by ~4.6e18 — beyond
+    * any double's contribution at 1e6 scale.
+    *
+    * Scale shape: one hash aggregation on the key — map-side
+    * combine reduces the shuffle to |keys| partial sums; the decay
+    * arithmetic is per-row, stage-fused into the scan.
+    * Output: key, n_events, decayed_ticks (Σ floor(1e6·v/2^k)),
+    * raw_sum (decimal-exact undecayed contrast). */
+  def halfLifeScore(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, halfLifeMicros: Long,
+                    asOfUs: Long): DataFrame = {
+    require(halfLifeMicros >= 1L, "halfLifeMicros must be >= 1")
+    val age = lit(asOfUs) - unix_micros(col(tsCol))
+    val k = least(lit(62L), greatest(lit(0L),
+      call_function("div", age - pmod(age, lit(halfLifeMicros)),
+        lit(halfLifeMicros))))
+    val weightDen = call_function("shiftleft", lit(1L), k.cast("int"))
+      .cast("double")
+    val tick = floor(lit(1e6) * col(valueCol) / weightDen).cast("long")
+    events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(tick).as("decayed_ticks"),
+        sum(col(valueCol).cast(DecimalType(28, 2))).cast("double")
+          .as("raw_sum"))
+  }
 }
