@@ -2711,6 +2711,27 @@ object SparkEntry {
     }),
     "q_tfidf_top_terms" -> ((s, d) =>
       Corpus.tfIdfTopTerms(T(s, d, "documents"), 3)),
+    // ROUGE-1/2 over (full text, first-half-of-same-doc) pairs — the
+    // truncated reference makes recall < precision by construction;
+    // clipped multiset overlap, tick ratios, no libm anywhere
+    "q_rouge_score" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val ref = array_join(slice(toks, lit(1),
+        greatest(lit(1), (size(toks) / lit(2)).cast("int"))), " ")
+      Eval.rougeN(T(s, d, "documents")
+          .select(col("doc_id"), col("text").as("cand"), ref.as("ref")),
+        "doc_id", "cand", "ref", Seq(1, 2))
+    }),
+    // corpus-level BLEU kernel over the same pairs: clipped p1..p4,
+    // linear brevity, pinned-association product ticks — one row
+    "q_bleu_corpus" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val ref = array_join(slice(toks, lit(1),
+        greatest(lit(1), (size(toks) / lit(2)).cast("int"))), " ")
+      Eval.bleuKernel(T(s, d, "documents")
+          .select(col("doc_id"), col("text").as("cand"), ref.as("ref")),
+        "doc_id", "cand", "ref")
+    }),
     "q_bigram_counts" -> ((s, d) => Corpus.bigramCounts(T(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
@@ -6009,6 +6030,79 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
         |row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfc.df ASC, tf.tok ASC) AS rnk
         |FROM tf JOIN dfc ON tf.tok = dfc.tok) WHERE rnk <= 3""".stripMargin,
+    // ROUGE: clipped multiset n-gram overlap — per-(id, gram) counts
+    // joined, Σ least; guarded tick ratios share the Spark tree
+    "q_rouge_score" ->
+      """WITH t AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS ct FROM documents),
+        |p AS (SELECT id, ct, ct[1:greatest(1, len(ct) // 2)] AS rt FROM t),
+        |c1c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (SELECT id, unnest(ct) AS g FROM p) GROUP BY 1, 2),
+        |c1r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (SELECT id, unnest(rt) AS g FROM p) GROUP BY 1, 2),
+        |o1 AS (SELECT id, CAST(SUM(least(cc, cr)) AS BIGINT) AS overlap FROM c1c JOIN c1r USING (id, g) GROUP BY id),
+        |r1 AS (SELECT p.id, CAST(1 AS BIGINT) AS n, COALESCE(o1.overlap, CAST(0 AS BIGINT)) AS overlap,
+        |CAST(len(ct) AS BIGINT) AS cand_total, CAST(len(rt) AS BIGINT) AS ref_total
+        |FROM p LEFT JOIN o1 ON p.id = o1.id),
+        |c2c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(ct) - 1), i -> ct[i] || ' ' || ct[i + 1])) AS g FROM p) GROUP BY 1, 2),
+        |c2r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(rt) - 1), i -> rt[i] || ' ' || rt[i + 1])) AS g FROM p) GROUP BY 1, 2),
+        |o2 AS (SELECT id, CAST(SUM(least(cc, cr)) AS BIGINT) AS overlap FROM c2c JOIN c2r USING (id, g) GROUP BY id),
+        |r2 AS (SELECT p.id, CAST(2 AS BIGINT) AS n, COALESCE(o2.overlap, CAST(0 AS BIGINT)) AS overlap,
+        |CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS cand_total, CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS ref_total
+        |FROM p LEFT JOIN o2 ON p.id = o2.id),
+        |q AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |dd AS (SELECT id, n, overlap, cand_total, ref_total,
+        |CASE WHEN cand_total > 0 THEN CAST(overlap AS DOUBLE) / CAST(cand_total AS DOUBLE) ELSE 0.0 END AS pd,
+        |CASE WHEN ref_total > 0 THEN CAST(overlap AS DOUBLE) / CAST(ref_total AS DOUBLE) ELSE 0.0 END AS rd FROM q)
+        |SELECT id, n, overlap, cand_total, ref_total,
+        |CAST(floor(1000000.0 * pd) AS BIGINT) AS p_ticks,
+        |CAST(floor(1000000.0 * rd) AS BIGINT) AS r_ticks,
+        |CASE WHEN pd + rd > 0 THEN CAST(floor(1000000.0 * ((2.0 * pd) * rd) / (pd + rd)) AS BIGINT)
+        |ELSE CAST(0 AS BIGINT) END AS f_ticks
+        |FROM dd""".stripMargin,
+    // BLEU kernel: corpus-sums of the same clipped machinery for
+    // n=1..4; linear brevity; pinned-association product ticks
+    "q_bleu_corpus" ->
+      """WITH t AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS ct FROM documents),
+        |p AS (SELECT id, ct, ct[1:greatest(1, len(ct) // 2)] AS rt FROM t),
+        |c1c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (SELECT id, unnest(ct) AS g FROM p) GROUP BY 1, 2),
+        |c1r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (SELECT id, unnest(rt) AS g FROM p) GROUP BY 1, 2),
+        |c2c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(ct) - 1), i -> array_to_string(ct[i:i+1], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |c2r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(rt) - 1), i -> array_to_string(rt[i:i+1], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |c3c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(ct) - 2), i -> array_to_string(ct[i:i+2], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |c3r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(rt) - 2), i -> array_to_string(rt[i:i+2], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |c4c AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(ct) - 3), i -> array_to_string(ct[i:i+3], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |c4r AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |SELECT id, unnest(list_transform(generate_series(1, len(rt) - 3), i -> array_to_string(rt[i:i+3], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |k1 AS (SELECT CAST(COALESCE(SUM(least(cc, cr)), 0) AS BIGINT) AS clip_1 FROM c1c JOIN c1r USING (id, g)),
+        |k2 AS (SELECT CAST(COALESCE(SUM(least(cc, cr)), 0) AS BIGINT) AS clip_2 FROM c2c JOIN c2r USING (id, g)),
+        |k3 AS (SELECT CAST(COALESCE(SUM(least(cc, cr)), 0) AS BIGINT) AS clip_3 FROM c3c JOIN c3r USING (id, g)),
+        |k4 AS (SELECT CAST(COALESCE(SUM(least(cc, cr)), 0) AS BIGINT) AS clip_4 FROM c4c JOIN c4r USING (id, g)),
+        |tt AS (SELECT CAST(SUM(len(ct)) AS BIGINT) AS tot_1,
+        |CAST(SUM(greatest(len(ct) - 1, 0)) AS BIGINT) AS tot_2,
+        |CAST(SUM(greatest(len(ct) - 2, 0)) AS BIGINT) AS tot_3,
+        |CAST(SUM(greatest(len(ct) - 3, 0)) AS BIGINT) AS tot_4,
+        |CAST(SUM(len(rt)) AS BIGINT) AS ref_len FROM p),
+        |w AS (SELECT * FROM k1, k2, k3, k4, tt),
+        |dd AS (SELECT *,
+        |CASE WHEN tot_1 > 0 THEN CAST(clip_1 AS DOUBLE) / CAST(tot_1 AS DOUBLE) ELSE 0.0 END AS p1,
+        |CASE WHEN tot_2 > 0 THEN CAST(clip_2 AS DOUBLE) / CAST(tot_2 AS DOUBLE) ELSE 0.0 END AS p2,
+        |CASE WHEN tot_3 > 0 THEN CAST(clip_3 AS DOUBLE) / CAST(tot_3 AS DOUBLE) ELSE 0.0 END AS p3,
+        |CASE WHEN tot_4 > 0 THEN CAST(clip_4 AS DOUBLE) / CAST(tot_4 AS DOUBLE) ELSE 0.0 END AS p4,
+        |CASE WHEN ref_len > 0 THEN least(1.0, CAST(tot_1 AS DOUBLE) / CAST(ref_len AS DOUBLE)) ELSE 0.0 END AS bp
+        |FROM w)
+        |SELECT clip_1, tot_1, clip_2, tot_2, clip_3, tot_3, clip_4, tot_4, ref_len,
+        |CAST(floor(1000000.0 * p1) AS BIGINT) AS p1_ticks,
+        |CAST(floor(1000000.0 * p2) AS BIGINT) AS p2_ticks,
+        |CAST(floor(1000000.0 * p3) AS BIGINT) AS p3_ticks,
+        |CAST(floor(1000000.0 * p4) AS BIGINT) AS p4_ticks,
+        |CAST(floor(1000000.0 * bp) AS BIGINT) AS bp_ticks,
+        |CAST(floor(1000000000000.0 * ((((bp * p1) * p2) * p3) * p4)) AS BIGINT) AS bleu_ticks
+        |FROM dd""".stripMargin,
     "q_bigram_counts" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
         |b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram

@@ -81,10 +81,83 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_size"
 }
 
+/** Clipped MULTISET overlap of two SORTED `array<string>` columns —
+  * Σ_g min(count_left(g), count_right(g)), the kernel of ROUGE /
+  * BLEU modified n-gram precision. Same allocation-free merge walk
+  * as [[SortedIntersectSize]], over UTF8String binary order (what
+  * `sort_array` uses), with duplicates KEPT: a run of c copies on
+  * the left and r on the right matches exactly min(c, r) position
+  * pairs — the two-pointer `==` branch advances both sides, so each
+  * copy pairs at most once. Running it scan-fused per (candidate,
+  * reference) row removes the per-(id, gram) explode + shuffle + join
+  * an aggregation-based clip pays — measured 8.7 s → sub-second at
+  * sf0.1 for the ROUGE driver query. Null if either side is null.
+  */
+case class SortedOverlapStrings(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter")
+      val c = ctx.freshName("cmp")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapStrings =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_multiset_overlap"
+}
+
 object SortedIntersect {
   /** Intersection size of two sorted-distinct long arrays. */
   def size(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Clipped multiset overlap (Σ min multiplicities) of two SORTED
+    * string arrays — duplicates kept; sort with `sort_array` first. */
+  def clippedOverlap(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedOverlapStrings(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Exact Jaccard of two sorted-distinct long arrays:

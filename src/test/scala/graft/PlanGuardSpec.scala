@@ -694,4 +694,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(joins <= 3, s"quality gate grew a join (found $joins):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_rouge_score: zero-shuffle scan stage — overlap is the " +
+      "codegen'd sorted-merge walk, never an explode+agg+join") {
+    val p = plan("q_rouge_score")
+    assert(!p.contains("Exchange"),
+      s"rouge grew a shuffle — the clip must stay scan-fused:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(p.contains("sorted_multiset_overlap"),
+      s"clipped-overlap expression missing from the plan:\n$p")
+  }
+
+  test("q_bleu_corpus: scan stage + exactly one single-row aggregation") {
+    val p = plan("q_bleu_corpus")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"bleu must be scan + ONE corpus-agg exchange:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"the one exchange must be the single-row aggregate:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
 }
