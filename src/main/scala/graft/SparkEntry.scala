@@ -1311,6 +1311,12 @@ object SparkEntry {
       OrderStats.quantilesByGroup(T(s, d, "lineitem"),
         "l_returnflag", "l_extendedprice",
         Seq("p50" -> 0.5, "p95" -> 0.95))),
+    // robust outlier profile: median/MAD flagging per group on the
+    // same scale-safe exact-percentile machinery (k = 5·MAD, strict)
+    "q_robust_outliers" -> ((s, d) =>
+      OrderStats.robustOutliersByGroup(
+        T(s, d, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", k = 5.0)),
     // sketch profile: t-digest percentiles + HLL++ distinct counts —
     // fixed-size mergeable state, the only viable shapes at 100 TB;
     // approximate by design → rows-only check
@@ -4471,6 +4477,20 @@ object SparkEntry {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
         |quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // robust outliers: quantile_cont medians (bit-matching the exact
+    // percentile machinery, the B7 bridge), strict 5*MAD flag, ppm
+    // in long floor-division
+    "q_robust_outliers" ->
+      """WITH m AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+        |FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag AS g, l_extendedprice AS v, med,
+        |abs(l_extendedprice - med) AS dev FROM lineitem JOIN m ON l_returnflag = m.g),
+        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY g),
+        |s AS (SELECT d.g, CAST(COUNT(*) AS BIGINT) AS n, MIN(d.med) AS med, MIN(md.mad) AS mad,
+        |CAST(SUM(CASE WHEN dev > 5.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON d.g = md.g GROUP BY d.g)
+        |SELECT g AS l_returnflag, n, med, mad, n_outliers,
+        |(n_outliers * 1000000) // n AS out_ppm FROM s""".stripMargin,
     // forward: rank the >= candidates per click, keep rank 1; a
     // LEFT join back restores clicks with no later error
     "q_asof_forward" ->

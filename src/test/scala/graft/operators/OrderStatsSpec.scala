@@ -243,4 +243,39 @@ class OrderStatsSpec extends SparkSpec {
     assert(OrderStats.quantilesByGroup(df, "grp", "v",
       Seq("p50" -> 0.5), maxGroups = 40).count() == 40)
   }
+
+  test("robustOutliersByGroup: median/MAD flagging with hand-checked values") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 10.0), ("b", 10.0), ("b", 10.0))
+      .toDF("g", "v")
+    val out = OrderStats.robustOutliersByGroup(df, "g", "v", k = 5.0)
+      .orderBy("g")
+      .select("g", "n", "med", "mad", "n_outliers", "out_ppm")
+      .as[(String, Long, Double, Double, Long, Long)].collect().toSeq
+    // a: med 3, devs [2,1,0,1,97] -> mad 1; only 97 > 5*1 -> 1/5
+    // b: constant group -> mad 0; dev 0 > 0 is FALSE (strict) -> 0
+    assert(out == Seq(("a", 5L, 3.0, 1.0, 1L, 200000L),
+      ("b", 3L, 10.0, 0.0, 0L, 0L)))
+  }
+
+  test("robustOutliersByGroup: the mean/zscore failure case stays robust") {
+    // one 1e9 point drags a mean past every inlier; the median moves
+    // one rank and only the planted point flags
+    val df = ((1 to 99).map(i => ("g", i.toDouble)) :+ (("g", 1e9)))
+      .toDF("g", "v")
+    val row = OrderStats.robustOutliersByGroup(df, "g", "v", k = 5.0)
+      .select("n", "n_outliers").as[(Long, Long)].head()
+    assert(row == ((100L, 1L)))
+  }
+
+  test("robustOutliersByGroup: scaleSafe form is bit-identical") {
+    val df = Seq(("a", 1.5), ("a", 2.25), ("a", 7.125), ("a", -3.0),
+      ("b", 0.5), ("b", 0.5), ("b", 99.0), ("c", 42.0))
+      .toDF("g", "v")
+    val exact = OrderStats.robustOutliersByGroup(df, "g", "v", k = 2.0)
+      .orderBy("g").collect().toSeq
+    val scale = OrderStats.robustOutliersByGroup(df, "g", "v", k = 2.0,
+      scaleSafe = true).orderBy("g").collect().toSeq
+    assert(exact == scale)
+  }
 }
