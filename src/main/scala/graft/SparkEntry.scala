@@ -2487,6 +2487,16 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
           .filter(col("src") =!= col("dst")),
         iters = 3)),
+    // deterministic label propagation on the same 97-node graph:
+    // 3 synchronous ticks, most-frequent-neighbor label, ties to the
+    // smallest — integer state, replayed tick-for-tick in SQL
+    "q_label_propagation" -> ((s, d) =>
+      Graph.labelPropagation(
+        T(s, d, "documents").select(
+          (col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + 7) % 97).as("dst"))
+          .filter(col("src") =!= col("dst")),
+        iters = 3)),
     // SEEDED PageRank (TrustRank, Gyöngyi et al. 2004): teleport +
     // dangling mass return only to the trusted seed set (every 5th
     // node here), so authority flows outward from seeds and far-away
@@ -2541,6 +2551,13 @@ object SparkEntry {
       T(s, d, "documents").select(col("doc_id"),
         TextFunctions.polyFingerprint(col("text")).as("fp"))),
     "q_vocab_df" -> ((s, d) => Corpus.tokenDf(T(s, d, "documents"))),
+    // boolean retrieval THROUGH the inverted index: build postings,
+    // serve a 3-term query — the oracle replays the DIRECT per-doc
+    // distinct-term count, so the hash-match proves the index
+    // roundtrip (postings neither drop nor duplicate a doc)
+    "q_boolean_search" -> ((s, d) =>
+      Corpus.searchIndex(Corpus.invertedIndex(T(s, d, "documents")),
+        Seq("spark", "merge", "vector"))),
     // sitemap → frontier: synthesize one urlset per host (same
     // path/robots arithmetic as q_robots_gate, plus a priority
     // hint), parse with from_xml, robots-gate for GraftBot, and
@@ -6374,6 +6391,23 @@ object SparkEntry {
       """edges AS (
         |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
         |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin),
+    // label propagation: the 3 ticks unrolled — per tick, neighbor
+    // votes counted and the (count DESC, lab ASC) argmax kept
+    "q_label_propagation" -> {
+      val step = (i: Int) =>
+        s"""l$i AS (SELECT dst AS node, lab FROM (
+           |SELECT e.dst, l.lab, COUNT(*) AS c,
+           |ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+           |FROM l${i - 1} l JOIN e ON e.src = l.node GROUP BY e.dst, l.lab) WHERE rn = 1)""".stripMargin
+      s"""WITH b AS (SELECT CAST(doc_id % 97 AS BIGINT) AS s, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS d
+         |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+         |e AS (SELECT s AS src, d AS dst FROM b UNION SELECT d, s FROM b),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, lab FROM l3""".stripMargin
+    },
     // seeded form: same graph, seeds = every 5th node, |seeds|
     // denominators and seed-gated teleport/dangling terms
     "q_pagerank_seeded" -> pageRankSeededOracle(
@@ -6413,6 +6447,12 @@ object SparkEntry {
       """SELECT tok, COUNT(*) AS df FROM (
         |SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
         |FROM documents) GROUP BY tok""".stripMargin,
+    // boolean search: the direct form — per-doc distinct query terms
+    "q_boolean_search" ->
+      """WITH dt AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+        |FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit, COUNT(*) = 3 AS and_match
+        |FROM dt WHERE tok IN ('spark', 'merge', 'vector') GROUP BY doc_id""".stripMargin,
     // compaction is contents-identity — the whole claim
     "q_compact_layout" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",

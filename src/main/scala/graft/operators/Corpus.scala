@@ -1592,4 +1592,47 @@ object Corpus {
       .select("host", "n_docs", "n_kept", "keep_rate", "kept_tokens",
         "blocklist_candidate")
   }
+
+  /** INVERTED INDEX — the materialize-once search structure a corpus
+    * serves keyword queries from (BM25's [[bm25TopK]] sibling for
+    * boolean retrieval): one row per distinct token with its sorted
+    * posting list and document frequency. At corpus scale the table
+    * is written out partitioned/bucketed BY TOKEN so a query's terms
+    * prune to |terms| buckets; here it stays a DataFrame. Posting
+    * lists are `sort_array(collect_list(...))` — set-exact and
+    * deterministic (doc ids are distinct per token by construction,
+    * so sorting pins the order regardless of shuffle arrival).
+    *
+    * Scale note: a stopword's posting row IS data-sized — real
+    * deployments cap or drop postings with df above a threshold
+    * (`maxDf`, the CCNet/Lucene stop-row discipline); the cap is an
+    * exact relational filter, not a heuristic.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    maxDf: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") <= maxDf)
+
+  /** Boolean retrieval over an [[invertedIndex]]: docs matching ANY
+    * query term, with the distinct-term hit count and the AND flag
+    * (n_hit = |terms|). The index side prunes to the |terms| posting
+    * rows BEFORE any explode — the work is Σ posting lengths of the
+    * query's terms, never corpus size; the per-doc rollup shuffles
+    * those postings once, map-side combined.
+    */
+  def searchIndex(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "boolean search needs at least one term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms would double-count hits: $terms")
+    index.filter(col("tok").isin(terms: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("and_match", col("n_hit") === terms.size)
+  }
 }

@@ -429,4 +429,64 @@ object Graph {
       .agg(count(lit(1)).as("n"))
       .groupBy("dst_url", "term")
       .agg(sum("n").as("n_links"), count(lit(1)).as("n_hosts"))
+
+  /** SYNCHRONOUS LABEL PROPAGATION (community detection — Raghavan
+    * et al. 2007) over the UNDIRECTED simple graph, made fully
+    * deterministic and hence hash-checkable: labels start as node
+    * ids; each tick every node adopts the label most frequent among
+    * its neighbors, ties broken by SMALLEST label (classic LPA picks
+    * randomly — a hash-checked operator cannot), for a FIXED tick
+    * count (convergence-stop is order-dependent; fixed ticks are
+    * exact, the pageRankTicks discipline). The link-spam use: after
+    * a few ticks, tightly interlinked host clusters (link farms)
+    * collapse onto one label while organic neighborhoods stay mixed
+    * — the cluster-size rollup is the demotion signal.
+    *
+    * Integer-only state, so results are bit-identical across
+    * partitionings and engines. Per tick: ONE join (edges ⋈ labels,
+    * both sides hash-partitioned on the join key), ONE (dst, label)
+    * count (map-side combined — a node's repeated-label votes
+    * collapse before the shuffle), ONE per-node argmax as a
+    * max(struct(count, −label)) aggregate — never a window over the
+    * vote stream. Edges symmetrize + dedup ONCE (persisted);
+    * iteration state rebases via eager localCheckpoint each tick.
+    *
+    * @param edges directed (src, dst) pairs; symmetrized internally,
+    *              self-loops dropped, multi-edges collapse (a vote
+    *              per NEIGHBOR, not per link)
+    * @return (node, lab) after `iters` ticks
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val votes = sym
+          .join(labels, sym("src") === labels("node"))
+          .select(col("dst"), col("lab"))
+          .groupBy("dst", "lab").agg(count(lit(1)).as("c"))
+        val next = votes
+          .groupBy("dst")
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        val prev = labels
+        labels = next.localCheckpoint(true)
+        prev.unpersist(false)
+      }
+      labels
+    } finally {
+      sym.unpersist(false)
+    }
+  }
 }

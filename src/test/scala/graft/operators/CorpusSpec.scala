@@ -1176,4 +1176,33 @@ class CorpusSpec extends SparkSpec {
       .select("blocklist_candidate").as[Boolean].head()
     assert(!floor)
   }
+
+  test("invertedIndex + searchIndex roundtrip with sorted postings") {
+    import sqlImplicits._
+    val docs = Seq((3L, "b a b"), (1L, "a c"), (2L, "c d")).toDF("doc_id", "text")
+    val idx = Corpus.invertedIndex(docs)
+    val a = idx.filter($"tok" === "a").select("df", "postings")
+      .as[(Long, Seq[Long])].head()
+    assert(a == ((2L, Seq(1L, 3L))))  // sorted despite 3 arriving first
+    val hits = Corpus.searchIndex(idx, Seq("a", "c"))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(hits == Seq((1L, 2L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
+  test("invertedIndex maxDf drops stop-token posting rows") {
+    import sqlImplicits._
+    val docs = Seq((1L, "the a"), (2L, "the b"), (3L, "the c"))
+      .toDF("doc_id", "text")
+    val idx = Corpus.invertedIndex(docs, maxDf = 2)
+    assert(idx.filter($"tok" === "the").count() == 0)
+    assert(idx.filter($"tok" === "a").count() == 1)
+  }
+
+  test("searchIndex refuses duplicate query terms") {
+    import sqlImplicits._
+    val idx = Corpus.invertedIndex(Seq((1L, "a")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException](
+      Corpus.searchIndex(idx, Seq("a", "a")))
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

@@ -152,4 +152,37 @@ class GraphSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(ny(("https://t.org/y", "casino")) == ((3L, 2L)))
   }
+
+  test("labelPropagation: two triangles bridged by one edge keep " +
+      "their own min labels") {
+    import sqlImplicits._
+    // triangle A {1,2,3}, triangle B {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced: A converges to 1 by tick 2; B's min-tie cascade
+    // (11,12 -> 10's label 3 at tick 2; 10 -> majority 3 at tick 3)
+    // lands the whole B triangle on 3 — TWO distinct communities,
+    // neither bleeding across the bridge
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L), out.toString)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 3L), out.toString)
+    assert(out.values.toSet.size == 2, out.toString)
+  }
+
+  test("labelPropagation: multi-edges collapse to one vote") {
+    import sqlImplicits._
+    // 5 parallel edges 1-2 must not outvote the 3 distinct
+    // neighbors {3,4,5} of node 2 all carrying label 0 via node 0
+    val star = Seq((0L, 3L), (0L, 4L), (0L, 5L),
+      (3L, 2L), (4L, 2L), (5L, 2L))
+    val multi = Seq.fill(5)((1L, 2L))
+    val edges = (star ++ multi).toDF("src", "dst")
+    val l1 = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // tick1: 3,4,5 -> 0 (min of {0,2}); 2 -> 1? no: neighbors of 2
+    // are {1,3,4,5} one vote each, min label 1 wins the 4-way tie;
+    // tick2: 2's neighbors {1,3,4,5} now carry {lab(1),0,0,0} -> 0
+    assert(l1(2L) == 0L, l1.toString)
+  }
 }
