@@ -87,6 +87,44 @@ object Prof {
     // PROF_HOSTRANK=1 — stage breakdown of q_host_rank: edges
     // derivation (urlHost regex chain + distinct) vs the tick
     // iteration itself, to attribute the bench delta vs q_pagerank.
+    // PROF_TRIANGLES=1 — stage breakdown of q_triangle_stats
+    if (sys.env.get("PROF_TRIANGLES").contains("1")) {
+      val edges = docs.select((col("doc_id") % 97).as("src"),
+        (call_function("div", col("doc_id"), lit(97L)) % 97).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val base = edges.select(col("src").cast("long").as("s"),
+        col("dst").cast("long").as("d"))
+      val e1 = base.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct()
+      time("e1 distinct count")(e1.count())
+      val e1m = e1.localCheckpoint(true)
+      val deg = e1m.select(col("a").as("n"))
+        .unionByName(e1m.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      time("deg count")(deg.count())
+      val degm = deg.localCheckpoint(true)
+      val withDeg = e1m
+        .join(degm.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(degm.select(col("n").as("b"), col("deg").as("db")), "b")
+      val lowerFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val eo = withDeg.select(
+        when(lowerFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowerFirst, col("b")).otherwise(col("a")).as("v"))
+      time("eo count")(eo.count())
+      val eom = eo.localCheckpoint(true)
+      val wedges = eom.as("x").join(eom.as("y"),
+          col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+        .select(col("x.v").as("cu"), col("y.v").as("cv"))
+      time("wedges count")(wedges.count())
+      val tri = wedges.join(eom,
+        col("cu") === col("u") && col("cv") === col("v"))
+      time("triangles count")(tri.count())
+      for (r <- 1 to 2)
+        time(s"full triangleStats (run $r)")(
+          operators.Graph.triangleStats(edges).collect().toSeq)
+      spark.stop(); return
+    }
     if (sys.env.get("PROF_HOSTRANK").contains("1")) {
       val srcU = concat(lit("https://h"),
         (col("doc_id") % 17).cast("string"),

@@ -2340,6 +2340,18 @@ object SparkEntry {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // char-diversity gibberish signal: fixed-alphabet histogram via
+    // the length-of-removal trick, Rényi-2 collision ppm in pure
+    // long arithmetic — scan-fused, zero shuffle
+    "q_char_diversity" -> ((s, d) =>
+      T(s, d, "documents")
+        .withColumn("__cd", TextFunctions.charDiversity(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("__cd.n_alpha").as("n_alpha"),
+          col("__cd.n_distinct_alpha").as("n_distinct_alpha"),
+          col("__cd.collision_ppm").as("collision_ppm"),
+          (col("__cd.collision_ppm") > 100000L).as("repetitive"))),
     // MODEL-based language ID (the production upgrade of q_langid's
     // marker heuristic): char-bigram naive-Bayes-style scorer fit on
     // the corpus's own labels, md5-hashed buckets, tick likelihood
@@ -2497,6 +2509,15 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
           .filter(col("src") =!= col("dst")),
         iters = 3)),
+    // exact triangle census on a richer 97-node graph (dst from the
+    // doc_id HIGH digits so edges vary): forward algorithm, pure
+    // long arithmetic end to end
+    "q_triangle_stats" -> ((s, d) =>
+      Graph.triangleStats(
+        T(s, d, "documents").select(
+          (col("doc_id") % 97).as("src"),
+          (call_function("div", col("doc_id"), lit(97L)) % 97).as("dst"))
+          .filter(col("src") =!= col("dst")))),
     // SEEDED PageRank (TrustRank, Gyöngyi et al. 2004): teleport +
     // dangling mass return only to the trusted seed set (every 5th
     // node here), so authority flows outward from seeds and far-away
@@ -6391,6 +6412,43 @@ object SparkEntry {
       """edges AS (
         |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
         |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin),
+    // triangle census: same forward orientation — each triangle is
+    // exactly one apex wedge whose closing oriented edge exists
+    "q_triangle_stats" ->
+      """WITH b AS (SELECT CAST(doc_id % 97 AS BIGINT) AS s, CAST((doc_id // 97) % 97 AS BIGINT) AS d
+        |FROM documents WHERE doc_id % 97 <> (doc_id // 97) % 97),
+        |e1 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b2 FROM b),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM
+        |(SELECT a AS n FROM e1 UNION ALL SELECT b2 AS n FROM e1) GROUP BY n),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e1),
+        |eo AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e1.a < e1.b2) THEN e1.a ELSE e1.b2 END AS u,
+        |CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e1.a < e1.b2) THEN e1.b2 ELSE e1.a END AS v
+        |FROM e1 JOIN deg da ON e1.a = da.n JOIN deg db ON e1.b2 = db.n),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM eo x JOIN eo y ON x.u = y.u AND x.v <> y.v JOIN eo z ON z.u = x.v AND z.v = y.v)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |CASE WHEN n_wedges > 0 THEN (3000000 * n_triangles) // n_wedges ELSE CAST(0 AS BIGINT) END AS global_cc_ppm
+        |FROM nn, ne, tr""".stripMargin,
+    // char diversity: the SAME alphabet constant drives both engines
+    // — per-char counts by length-of-removal, pure integer collision
+    "q_char_diversity" -> {
+      val cnts = graft.functions.TextFunctions.diversityAlphabet.map(c =>
+        s"(len(text) - len(replace(text, '$c', '')))")
+      val nAlpha = cnts.mkString("(", " + ", ")")
+      val sumSq = cnts.map(c => s"$c * $c").mkString("(", " + ", ")")
+      val nDist = cnts.map(c => s"(CASE WHEN $c > 0 THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+         |CAST($nAlpha AS BIGINT) AS n_alpha,
+         |CAST($nDist AS BIGINT) AS n_distinct_alpha,
+         |CAST($sumSq AS BIGINT) AS sum_sq FROM documents)
+         |SELECT doc_id, n_chars, n_alpha, n_distinct_alpha,
+         |CASE WHEN n_alpha > 0 THEN (1000000 * sum_sq) // (n_alpha * n_alpha) ELSE CAST(0 AS BIGINT) END AS collision_ppm,
+         |CASE WHEN n_alpha > 0 THEN (1000000 * sum_sq) // (n_alpha * n_alpha) ELSE CAST(0 AS BIGINT) END > 100000 AS repetitive
+         |FROM c""".stripMargin
+    },
     // label propagation: the 3 ticks unrolled — per tick, neighbor
     // votes counted and the (count DESC, lab ASC) argmax kept
     "q_label_propagation" -> {

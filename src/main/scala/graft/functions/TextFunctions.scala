@@ -324,4 +324,40 @@ object TextFunctions {
         t => conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(2147483647L)))
+
+  /** The fixed alphabet the char-diversity profile histograms over
+    * (the synthetic-corpus charset; real deployments extend it). */
+  val diversityAlphabet: String = "abcdefghijklmnopqrstuvwxyz "
+
+  /** CHARACTER-DIVERSITY profile — the gibberish/keyboard-mash
+    * signal (collapsed-char spam like "aaaa…" or two-key mashing
+    * scores near 1e6; organic English sits far lower): per-character
+    * counts over a FIXED alphabet via the length-of-removal trick
+    * (the badwords-counting precedent — `translate` here, `replace`
+    * in SQL; exact, scan-fused, no per-char explode), then the
+    * Rényi-2 collision probability Σc² / n² in exact ppm. Shannon
+    * entropy needs libm ln — not engine-portable; collision
+    * probability is the same monotone repetitiveness axis in pure
+    * LONG arithmetic (no IEEE op anywhere). Safe to 2^63: n ≤ 3e9
+    * alphabet chars per doc before 1e6·Σc² can overflow — far past
+    * any document.
+    *
+    * @return struct(n_alpha, n_distinct_alpha, collision_ppm) */
+  def charDiversity(text: Column,
+                    alphabet: String = diversityAlphabet): Column = {
+    require(alphabet.nonEmpty && alphabet.distinct == alphabet,
+      "alphabet must be non-empty with distinct characters")
+    val counts = alphabet.map { c =>
+      (length(text) - length(translate(text, c.toString, "")))
+        .cast("long")
+    }
+    val nAlpha = counts.reduce(_ + _)
+    val sumSq = counts.map(c => c * c).reduce(_ + _)
+    val nDistinct = counts.map(c => when(c > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    struct(nAlpha.as("n_alpha"), nDistinct.as("n_distinct_alpha"),
+      when(nAlpha > 0,
+        call_function("div", lit(1000000L) * sumSq, nAlpha * nAlpha))
+        .otherwise(lit(0L)).as("collision_ppm"))
+  }
 }

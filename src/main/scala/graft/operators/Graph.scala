@@ -489,4 +489,76 @@ object Graph {
       sym.unpersist(false)
     }
   }
+
+  /** EXACT TRIANGLE COUNT + global clustering coefficient — the
+    * graph-shape statistic separating organic link neighborhoods
+    * (high closure) from spray-pattern spam and scraper farms (star
+    * shapes, near-zero closure). The FORWARD algorithm (Schank &
+    * Wagner 2005): orient each undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, so every node's
+    * out-degree is bounded by O(sqrt(E)) regardless of raw degree —
+    * a celebrity host with 10M inlinks contributes wedges only
+    * through its few HIGHER-ranked neighbors, not its 10M fans; the
+    * wedge self-join that explodes on a raw adjacency stays bounded
+    * by arboricity. Each triangle {u,v,w} (orientation order
+    * u<v<w) appears as EXACTLY one wedge (u→v, u→w) whose closing
+    * edge v→w exists — one join on the apex, one co-partitioned join
+    * on the closing pair, all-long keys, no double counting to
+    * divide away.
+    *
+    * Output (one row): n_nodes, n_edges (undirected simple),
+    * n_wedges (Σ d(d−1)/2), n_triangles, and the global clustering
+    * coefficient 3·triangles/wedges in exact ppm (pure long
+    * floor-division — not even an IEEE op in the chain).
+    */
+  def triangleStats(edges: DataFrame,
+                    srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val base = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+    // canonical undirected simple edges
+    val e1 = base.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e1)
+    try {
+      val deg = e1.select(col("a").as("n"))
+        .unionByName(e1.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += deg
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val nEdges = e1.agg(count(lit(1)).as("n_edges"))
+      // orient by (deg, id): u = the smaller endpoint under that order
+      val withDeg = e1
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      val lowerFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val eo = withDeg.select(
+          when(lowerFirst, col("a")).otherwise(col("b")).as("u"),
+          when(lowerFirst, col("b")).otherwise(col("a")).as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += eo
+      val wedges = eo.as("x").join(eo.as("y"),
+          col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+        .select(col("x.v").as("cu"), col("y.v").as("cv"))
+      val tri = wedges.join(eo,
+          col("cu") === col("u") && col("cv") === col("v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val out = nNodes.crossJoin(nEdges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            expr("(3000000 * n_triangles) div n_wedges"))
+            .otherwise(lit(0L)).as("global_cc_ppm"))
+      // materialize before releasing the cached intermediates
+      out.localCheckpoint(true)
+    } finally {
+      cached.foreach(_.unpersist(false))
+    }
+  }
 }

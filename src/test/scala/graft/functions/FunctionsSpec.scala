@@ -168,4 +168,30 @@ class FunctionsSpec extends SparkSpec {
       .collect().toSeq
     assert(got == Seq(None, None, Some("example.com")))
   }
+
+  test("charDiversity: collapsed-char spam maxes collision; mixed text low") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("aaaa", "abab", "the quick brown fox", "", "!!!")
+      .toDF("text")
+      .select(TextFunctions.charDiversity(col("text")).as("cd"))
+      .select("cd.n_alpha", "cd.n_distinct_alpha", "cd.collision_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    // "aaaa": 4 of one char -> 16/16 = 1e6 exactly
+    assert(df(0) == ((4L, 1L, 1000000L)))
+    // "abab": 2*(2^2)/16 = 0.5
+    assert(df(1) == ((4L, 2L, 500000L)))
+    // pangram-ish text: far below the repetitive bar
+    assert(df(2)._3 < 100000L, df(2).toString)
+    // empty / out-of-alphabet text guards to 0, not a 0/0
+    assert(df(3) == ((0L, 0L, 0L)))
+    assert(df(4) == ((0L, 0L, 0L)))
+  }
+
+  test("charDiversity refuses a duplicate-char alphabet") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[IllegalArgumentException](
+      TextFunctions.charDiversity(col("text"), "aab"))
+    assert(e.getMessage.contains("distinct"))
+  }
 }

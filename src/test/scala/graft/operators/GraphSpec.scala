@@ -185,4 +185,33 @@ class GraphSpec extends SparkSpec {
     // tick2: 2's neighbors {1,3,4,5} now carry {lab(1),0,0,0} -> 0
     assert(l1(2L) == 0L, l1.toString)
   }
+
+  test("triangleStats: K4 census — 4 triangles, cc = 1") {
+    import sqlImplicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(k4)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // 4 nodes, 6 edges, wedges = 4 * C(3,2) = 12, triangles = 4,
+    // cc = 3*4/12 = 1 -> 1e6 ppm
+    assert(r == ((4L, 6L, 12L, 4L, 1000000L)))
+  }
+
+  test("triangleStats: a star has wedges but no triangles") {
+    import sqlImplicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleStats(star)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((5L, 4L, 6L, 0L, 0L)))
+  }
+
+  test("triangleStats: directed duplicates and self-loops collapse") {
+    import sqlImplicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 3L)).toDF("src", "dst")
+    val r = Graph.triangleStats(messy)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // simple triangle on {1,2,3}: 3 edges, 3 wedges, 1 triangle
+    assert(r == ((3L, 3L, 3L, 1L, 1000000L)))
+  }
 }
