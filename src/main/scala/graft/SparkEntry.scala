@@ -2213,6 +2213,16 @@ object SparkEntry {
           16, 10).cast("long"),
         tickScale = Some(1000000L))
     }),
+    // k-means cluster profile: the SAME md5-seeded tick-mean Lloyd
+    // fit as q_ann_ivf, read as topic clusters — per cell size,
+    // majority label, exact-ppm purity (oracle derived from the
+    // q_ann_ivf training replay so the fits cannot drift)
+    "q_kmeans_profile" -> ((s, d) =>
+      Ivf.clusterProfile(T(s, d, "embeddings"), nCells = 8,
+        lloydIters = 2,
+        seedHash = c => conv(substring(md5(c.cast("string")), 1, 15),
+          16, 10).cast("long"),
+        tickScale = Some(1000000L))),
     // PQ-ADC search (the FAISS memory-compression path): m=4
     // per-subspace codebooks trained with the replayable md5 seed of
     // q_ann_ivf + fixed-point tick Lloyd means; routing = label (the
@@ -3885,6 +3895,23 @@ object SparkEntry {
     // scale-safe exact percentiles: bit-identical to the exact
     // aggregate, so the oracle is shared verbatim
     ("q_quantiles_scale" -> oracleSqlBase("q_quantiles")) +
+    // k-means profile: the q_ann_ivf oracle's training + assignment
+    // CTE chain (dv → seed → two Lloyd rounds → cc) reused verbatim —
+    // derived programmatically so the two fits stay in lockstep —
+    // with the search tail swapped for the per-cell label rollup
+    ("q_kmeans_profile" -> {
+      val base = oracleSqlBase("q_ann_ivf")
+      val cut = base.indexOf("pc AS (")
+      require(cut >= 0, "ivf oracle drifted: pc marker missing")
+      base.substring(0, cut) +
+        """kp AS (SELECT cc.cell, e.label, CAST(COUNT(*) AS BIGINT) AS c
+          |FROM cc JOIN embeddings e ON cc.vec_id = e.vec_id GROUP BY 1, 2),
+          |t AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_vecs FROM kp GROUP BY cell),
+          |r AS (SELECT cell, label, c, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label ASC) AS rn FROM kp)
+          |SELECT t.cell, t.n_vecs, CAST(r.label AS BIGINT) AS top_label,
+          |r.c AS top_label_n, (1000000 * r.c) // t.n_vecs AS purity_ppm
+          |FROM t JOIN r ON t.cell = r.cell AND r.rn = 1""".stripMargin
+    }) +
     // streaming decontamination gate: the bench index is static, so
     // the streamed verdict is batch-equivalent by construction — the
     // fuzzy-decontamination oracle is shared verbatim

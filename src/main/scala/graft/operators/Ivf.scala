@@ -195,4 +195,43 @@ object Ivf {
         col("col.id").as("neighbor_id"),
         col("col.score").as("cos"))
   }
+
+  /** K-MEANS CLUSTER PROFILE — the curation view of the IVF
+    * partitioning ([[trainCentroids]]'s cells read as TOPIC clusters,
+    * the SemDeDup/cluster-balanced-sampling lens): per cell, member
+    * count, the majority label (ties to the smallest — deterministic)
+    * and its exact-ppm purity. A skewed size column says the
+    * embedding space is lumpy (re-seed or raise nCells); low purity
+    * says clusters cut across labels — both are the decisions a
+    * curation pipeline makes BEFORE sampling per cluster.
+    *
+    * Scale shape: training is the bounded Lloyd loop (state
+    * O(cells × dim)); assignment is a scan-stage argmin over the
+    * broadcast centroid literals; the profile is one (cell, label)
+    * map-side-combined count + one per-cell argmax aggregate —
+    * max(struct(count, −label)), never a window over members.
+    */
+  def clusterProfile(corpus: DataFrame, nCells: Int,
+                     lloydIters: Int = 2,
+                     labelCol: String = "label",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     seedHash: Column => Column = c => xxhash64(c),
+                     tickScale: Option[Long] = None): DataFrame = {
+    val cents = trainCentroids(corpus, nCells, lloydIters, idCol,
+      vecCol, seedHash, tickScale)
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val counts = corpus
+      .select(nearestCell(dvec, cents).as("cell"),
+        col(labelCol).cast("long").as("lab"))
+      .groupBy("cell", "lab").agg(count(lit(1)).as("c"))
+    counts.groupBy("cell")
+      .agg(sum(col("c")).as("n_vecs"),
+        max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("m.nl")).as("top_label"),
+        col("m.c").as("top_label_n"),
+        call_function("div", lit(1000000L) * col("m.c"), col("n_vecs"))
+          .as("purity_ppm"))
+  }
 }

@@ -104,4 +104,34 @@ class IvfSpec extends SparkSpec {
     val neigh = out.select("neighbor_id").as[Long].collect().toSet
     assert(neigh.nonEmpty && neigh.forall(_ % 2 == 0)) // even ids = +5 cluster
   }
+
+  test("clusterProfile: sizes, majority labels, exact purity") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    // two well-separated 2-d blobs; labels mostly follow the blobs
+    // with one dissenter in cluster A
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.1f), 0), (2L, Seq(0.1f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f), 1), // dissenter
+      (4L, Seq(9.0f, 9.1f), 1), (5L, Seq(9.1f, 9.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ivf.clusterProfile(rows, nCells = 2, lloydIters = 2)
+      .orderBy("n_vecs")
+      .select("n_vecs", "top_label", "top_label_n", "purity_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // blob B: 2 members both label 1 -> purity 1e6; blob A: 3 members
+    // majority label 0 (2 of 3) -> floor(2e6/3)
+    assert(out == Seq((2L, 1L, 2L, 1000000L),
+      (3L, 0L, 2L, 666666L)))
+  }
+
+  test("clusterProfile: majority ties break to the smallest label") {
+    import sqlImplicits._
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.0f), 7), (2L, Seq(0.1f, 0.1f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ivf.clusterProfile(rows, nCells = 1, lloydIters = 1)
+      .select("top_label").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
 }
