@@ -1317,6 +1317,28 @@ object SparkEntry {
       OrderStats.robustOutliersByGroup(
         T(s, d, "lineitem").select("l_returnflag", "l_extendedprice"),
         "l_returnflag", "l_extendedprice", k = 5.0)),
+    // winsorization — the TRANSFORM twin of the outlier report:
+    // values clamped to the exact per-group [p05, p95]
+    "q_winsorize" -> ((s, d) =>
+      OrderStats.winsorizeByGroup(
+        T(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice")),
+    // Luhn-gated PII: two planted 13–19 digit runs per doc (a fixed
+    // card-shaped constant + a doc_id-derived 16-digit number whose
+    // validity the CHECKSUM decides — no fixture-side answer key);
+    // regex finds candidates, mod-10 keeps real card shapes
+    "q_pii_luhn" -> ((s, d) => {
+      val planted = concat(col("text"), lit(" 4532015112830366 "),
+        (lit(1000000000000000L) +
+          (col("doc_id") * 987654321L) % 9000000000000000L)
+          .cast("string"))
+      val cands = TextFunctions.cardCandidates(planted)
+      T(s, d, "documents").select(col("doc_id"),
+        size(cands).cast("long").as("n_candidates"),
+        size(filter(cands, c => TextFunctions.luhnValid(c)))
+          .cast("long").as("n_valid"))
+    }),
     // sketch profile: t-digest percentiles + HLL++ distinct counts —
     // fixed-size mergeable state, the only viable shapes at 100 TB;
     // approximate by design → rows-only check
@@ -4542,6 +4564,33 @@ object SparkEntry {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
         |quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // winsorize: exact [p05, p95] clamp per group, clip evidence
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |quantile_cont(l_extendedprice, 0.05) AS lo,
+        |quantile_cont(l_extendedprice, 0.95) AS hi
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_w,
+        |(l_extendedprice < lo OR l_extendedprice > hi) AS clipped
+        |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin,
+    // Luhn PII: same planted runs, same substring checksum walk
+    "q_pii_luhn" ->
+      """WITH p AS (SELECT doc_id,
+        |text || ' 4532015112830366 ' || CAST(1000000000000000 + (doc_id * 987654321) % 9000000000000000 AS VARCHAR) AS t
+        |FROM documents),
+        |c AS (SELECT doc_id, regexp_extract_all(t, '[0-9]{13,19}') AS cands FROM p)
+        |SELECT doc_id,
+        |CAST(len(cands) AS BIGINT) AS n_candidates,
+        |CAST(len(list_filter(cands, s ->
+        |list_sum(list_transform(range(1, len(s) + 1), i ->
+        |CASE WHEN i % 2 = 0 THEN
+        |CASE WHEN 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) > 9
+        |THEN 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) - 9
+        |ELSE 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) END
+        |ELSE CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) END)) % 10 = 0
+        |)) AS BIGINT) AS n_valid
+        |FROM c""".stripMargin,
     // robust outliers: quantile_cont medians (bit-matching the exact
     // percentile machinery, the B7 bridge), strict 5*MAD flag, ppm
     // in long floor-division

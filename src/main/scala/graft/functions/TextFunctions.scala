@@ -329,6 +329,34 @@ object TextFunctions {
     * (the synthetic-corpus charset; real deployments extend it). */
   val diversityAlphabet: String = "abcdefghijklmnopqrstuvwxyz "
 
+  /** Luhn (mod-10) checksum over a digit string — TRUE iff the
+    * number self-validates. The checksum is what separates a real
+    * card number from a phone number, order id, or timestamp that
+    * happens to be 13–19 digits: a regex-only PII scrubber overfires
+    * on all of those (~90% of random digit runs fail Luhn, so the
+    * check removes ~10x the false positives). From the right,
+    * every second digit doubles (−9 when >9); valid ⇔ sum % 10 = 0.
+    * Pure per-row integer HOF arithmetic — scan-fused,
+    * engine-portable (the SQL replay is the same substring walk). */
+  def luhnValid(numStr: Column): Column = {
+    val n = length(numStr)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = call_function("substring", numStr, n - i + lit(1), lit(1))
+          .cast("int")
+        val dd = d * 2
+        acc + when(pmod(i, lit(2)) === 0,
+          when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Card-number candidates: maximal 13–19 digit runs. */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))
+
   /** CHARACTER-DIVERSITY profile — the gibberish/keyboard-mash
     * signal (collapsed-char spam like "aaaa…" or two-key mashing
     * scores near 1e6; organic English sits far lower): per-character

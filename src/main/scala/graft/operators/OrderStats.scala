@@ -514,4 +514,30 @@ object OrderStats {
       .withColumn("out_ppm",
         call_function("div", col("n_outliers") * 1000000L, col("n")))
   }
+
+  /** WINSORIZATION — the transform twin of [[robustOutliersByGroup]]:
+    * every value clamps to its group's exact [lo, hi] percentile
+    * band (feature pipelines run this before anything
+    * magnitude-sensitive sees the column; unlike dropping outliers
+    * it keeps the row — the tail information degrades gracefully
+    * instead of vanishing). Exact Percentile bounds (one grouped
+    * pass; the B7 exact-form caveat) broadcast back; the clamp is a
+    * scan-stage least/greatest, and `clipped` rides as evidence.
+    */
+  def winsorizeByGroup(df: DataFrame, groupCol: String,
+                       valueCol: String, lo: Double = 0.05,
+                       hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)").as("__lo"),
+        expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)").as("__hi"))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn("clipped", v < col("__lo") || v > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -194,4 +194,25 @@ class FunctionsSpec extends SparkSpec {
       TextFunctions.charDiversity(col("text"), "aab"))
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("luhnValid: known card numbers pass, a one-digit flip fails") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("4532015112830366", "4532015112830367",
+      "79927398713", "79927398710")
+      .toDF("s").select(TextFunctions.luhnValid(col("s")))
+      .as[Boolean].collect().toSeq
+    // 4532... is a valid test PAN; 799...13 is the classic Luhn
+    // example; the trailing-digit flips invert both verdicts
+    assert(out == Seq(true, false, true, false))
+  }
+
+  test("cardCandidates: only 13-19 digit runs qualify") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("call 555-1234 ref 4532015112830366 id 123456789012")
+      .toDF("t").select(TextFunctions.cardCandidates(col("t")))
+      .as[Seq[String]].head()
+    assert(out == Seq("4532015112830366"))
+  }
 }

@@ -278,4 +278,16 @@ class OrderStatsSpec extends SparkSpec {
       scaleSafe = true).orderBy("g").collect().toSeq
     assert(exact == scale)
   }
+
+  test("winsorizeByGroup clamps to the exact band and flags clips") {
+    val df = Seq(("g", 1L, 0.0), ("g", 2L, 10.0), ("g", 3L, 20.0),
+      ("g", 4L, 30.0), ("g", 5L, 1000.0)).toDF("grp", "id", "v")
+    // p25 = 10, p75 = 30 over [0,10,20,30,1000]
+    val out = OrderStats.winsorizeByGroup(df, "grp", "v",
+        lo = 0.25, hi = 0.75)
+      .orderBy("id").select("id", "v_w", "clipped")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 10.0, true), (2L, 10.0, false),
+      (3L, 20.0, false), (4L, 30.0, false), (5L, 30.0, true)))
+  }
 }
