@@ -2798,6 +2798,10 @@ object SparkEntry {
           .select(col("doc_id"), col("text").as("cand"), ref.as("ref")),
         "doc_id", "cand", "ref", Seq(1, 2))
     }),
+    // distinct-n diversity (mode-collapse detector for generated
+    // corpora): distinct/total n-grams per order, guarded ticks
+    "q_distinct_ngrams" -> ((s, d) =>
+      Eval.distinctN(T(s, d, "documents"), "text", Seq(1, 2))),
     // corpus-level BLEU kernel over the same pairs: clipped p1..p4,
     // linear brevity, pinned-association product ticks — one row
     "q_bleu_corpus" -> ((s, d) => {
@@ -6193,6 +6197,19 @@ object SparkEntry {
         |CASE WHEN pd + rd > 0 THEN CAST(floor(1000000.0 * ((2.0 * pd) * rd) / (pd + rd)) AS BIGINT)
         |ELSE CAST(0 AS BIGINT) END AS f_ticks
         |FROM dd""".stripMargin,
+    // distinct-n: two-level exact distinct, guarded tick ratio
+    "q_distinct_ngrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ct FROM documents),
+        |g1 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(ct) AS g FROM t) GROUP BY g),
+        |g2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |SELECT unnest(list_transform(generate_series(1, len(ct) - 1), i -> ct[i] || ' ' || ct[i + 1])) AS g FROM t) GROUP BY g),
+        |r1 AS (SELECT CAST(1 AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(SUM(c) AS BIGINT) AS n_total FROM g1),
+        |r2 AS (SELECT CAST(2 AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(SUM(c) AS BIGINT) AS n_total FROM g2),
+        |q AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT n, n_distinct, n_total,
+        |CASE WHEN n_total > 0 THEN CAST(floor(1000000.0 * (CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE))) AS BIGINT)
+        |ELSE CAST(0 AS BIGINT) END AS distinct_ticks
+        |FROM q""".stripMargin,
     // BLEU kernel: corpus-sums of the same clipped machinery for
     // n=1..4; linear brevity; pinned-association product ticks
     "q_bleu_corpus" ->

@@ -96,6 +96,31 @@ object Eval {
           .otherwise(lit(0L)).cast("long").as("f_ticks"))
   }
 
+  /** GENERATION-DIVERSITY metric (distinct-n, Li et al. 2016): per
+    * order n, distinct n-grams / total n-grams over the whole
+    * corpus — the mode-collapse detector for generated data (a
+    * sampler stuck on templates scores near 0; diverse text near 1).
+    * One explode + one two-level exact-distinct aggregation per
+    * order (map-side combine collapses repeats before the shuffle —
+    * never a countDistinct Expand); ratios are the usual guarded
+    * IEEE tick. */
+  def distinctN(docs: DataFrame, textCol: String,
+                ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty, "need at least one n-gram order")
+    val toks = TextFunctions.tokens(col(textCol))
+    ns.map { n =>
+      val g = docs.select(explode(ngrams(toks, n)).as("g"))
+      val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_total"))
+      counts.select(lit(n.toLong).as("n"), col("n_distinct"),
+        col("n_total"),
+        when(col("n_total") > 0,
+          floor(lit(1e6) * (col("n_distinct").cast("double")
+            / col("n_total").cast("double"))))
+          .otherwise(lit(0L)).cast("long").as("distinct_ticks"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Corpus-level BLEU kernel (one row): clipped modified precision
     * p_n for n = 1..4 micro-averaged over all pairs, candidate /
     * reference corpus lengths, a LINEAR brevity factor

@@ -72,4 +72,16 @@ class EvalSpec extends SparkSpec {
     assert(df.select(Eval.ngrams(col("toks"), 3).as("g"))
       .select(size(col("g"))).as[Int].head() == 0)
   }
+
+  test("distinctN: template collapse scores low, diverse text high") {
+    val docs = Seq("a b a b", "a b a b", "c d e f").toDF("text")
+    val out = Eval.distinctN(docs, "text", Seq(1, 2))
+      .orderBy("n")
+      .select("n", "n_distinct", "n_total", "distinct_ticks")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // unigrams: {a,b,c,d,e,f} = 6 distinct of 12; bigrams: 'a b' x4,
+    // 'b a' x2 + {c d, d e, e f} = 5 distinct of 9
+    assert(out == Seq((1L, 6L, 12L, 500000L),
+      (2L, 5L, 9L, math.floor(1e6 * 5.0 / 9.0).toLong)))
+  }
 }
