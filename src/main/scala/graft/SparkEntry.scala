@@ -2413,6 +2413,25 @@ object SparkEntry {
         Corpus.fitLangIdModel(T(s, d, "documents")),
         sinkDir = Some(out), checkpointDir = Some(ckpt))
     }),
+    // streaming PII gate: documents land scrubbed, with the Luhn
+    // card census riding as evidence — same planted-runs fixture as
+    // q_pii_luhn, exactly-once file sink, batch-replayed oracle
+    "q_stream_pii" -> ((s, d) => {
+      val out = roundtripDir("stream_pii/out")
+      val ckpt = roundtripDir("stream_pii/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      Seq(out, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      streaming.EventStreams.streamPiiGate(s, d,
+        plant = t => concat(t, lit(" 4532015112830366 "),
+          (lit(1000000000000000L) +
+            (col("doc_id") * 987654321L) % 9000000000000000L)
+            .cast("string")),
+        sinkDir = Some(out), checkpointDir = Some(ckpt))
+    }),
     // the composed per-document quality gate (batch form): model
     // langid + Gopher battery + classifier odds joined into one
     // verdict table — the stateless-given-models slice of the L16
@@ -4578,6 +4597,27 @@ object SparkEntry {
         |least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_w,
         |(l_extendedprice < lo OR l_extendedprice > hi) AS clipped
         |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin,
+    // streaming PII gate: the batch replay of the per-file transform
+    // — planted runs, scrub regexes, and the Luhn walk in one pass
+    "q_stream_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |text || ' 4532015112830366 ' || CAST(1000000000000000 + (doc_id * 987654321) % 9000000000000000 AS VARCHAR) AS t
+        |FROM documents),
+        |c AS (SELECT doc_id, t, regexp_extract_all(t, '[0-9]{13,19}') AS cands FROM p)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |CAST(len(cands) AS BIGINT) AS n_candidates,
+        |CAST(len(list_filter(cands, s ->
+        |list_sum(list_transform(range(1, len(s) + 1), i ->
+        |CASE WHEN i % 2 = 0 THEN
+        |CASE WHEN 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) > 9
+        |THEN 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) - 9
+        |ELSE 2 * CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) END
+        |ELSE CAST(substring(s, CAST(len(s) - i + 1 AS INT), 1) AS INT) END)) % 10 = 0
+        |)) AS BIGINT) AS n_valid_cards,
+        |regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM c""".stripMargin,
     // Luhn PII: same planted runs, same substring checksum walk
     "q_pii_luhn" ->
       """WITH p AS (SELECT doc_id,

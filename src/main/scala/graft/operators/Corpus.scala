@@ -1635,4 +1635,31 @@ object Corpus {
       .agg(count(lit(1)).as("n_hit"))
       .withColumn("and_match", col("n_hit") === terms.size)
   }
+
+  /** Per-document PII profile + scrub — the batch body the streaming
+    * ingest gate runs per micro-batch ([[graft.streaming.EventStreams
+    * .streamPiiGate]]), extending the H-family regex scrub with the
+    * Luhn-gated card count ([[TextFunctions.luhnValid]]): emails,
+    * long digit runs, card-shaped candidates and how many
+    * CHECKSUM-validate, plus the scrubbed text (emails → <EMAIL>,
+    * digit runs → <NUM> — card runs are digit runs, so they scrub
+    * with the same pass). Stateless scan-stage columns only: the
+    * streamed transform is batch-equivalent by construction.
+    *
+    * @param plant test-fixture hook: a column transform applied to
+    *              the text before profiling (the synthetic corpus
+    *              carries no digits — driver queries plant
+    *              deterministic runs); identity in production */
+  def piiProfile(docs: DataFrame, textCol: String = "text",
+                 plant: Column => Column = identity): DataFrame = {
+    val t = plant(col(textCol))
+    val cands = TextFunctions.cardCandidates(t)
+    docs.select(col("doc_id"),
+      TextFunctions.emailCount(t).cast("long").as("n_emails"),
+      TextFunctions.longNumCount(t).cast("long").as("n_longnums"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(cands, c => TextFunctions.luhnValid(c)))
+        .cast("long").as("n_valid_cards"),
+      TextFunctions.scrubPii(t).as("scrubbed"))
+  }
 }

@@ -276,6 +276,55 @@ object EventStreams {
     }
   }
 
+  /** STREAMING PII gate — the scrub-before-landing leg of the ingest
+    * battery (E11 near-dup, E12 langid, E13 quality, E15
+    * decontamination; this closes the privacy gate): every arriving
+    * document file is profiled ([[graft.operators.Corpus.piiProfile]]
+    * — emails, digit runs, Luhn-validated card shapes) and lands
+    * SCRUBBED, so raw PII never reaches the corpus tables
+    * downstream consumers read. Stateless scan-stage transform →
+    * append parquet sink + checkpoint: exactly-once by the file-sink
+    * commit log, batch-equivalent by construction (the oracle
+    * replays the batch body over the same files).
+    */
+  def streamPiiGate(spark: SparkSession, docsDir: String,
+                    plant: org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column = identity,
+                    fileGlob: String = "documents.parquet",
+                    queryName: String = "graft_stream_pii",
+                    sinkDir: Option[String] = None,
+                    checkpointDir: Option[String] = None)
+  : DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob).parquet(docsDir)
+    val out = graft.operators.Corpus.piiProfile(stream, plant = plant)
+    sinkDir match {
+      case Some(dir) =>
+        val ckpt = checkpointDir.getOrElse(s"${dir}_ckpt")
+        val q = out.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", dir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(dir)
+      case None =>
+        spark.catalog.dropTempView(queryName) // rerun-safe
+        val q = out.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(queryName)
+    }
+  }
+
   /** STREAMING corpus-drift monitor — the always-on twin of
     * [[graft.operators.Corpus.corpusDivergence]]: fit the reference
     * model ONCE on the trusted mix

@@ -297,4 +297,50 @@ class EventStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.operators.Corpus.loadDriftModel(spark, s"$dir/model_dup"))
   }
+
+  test("streamPiiGate: batch-equivalent scrub, exactly-once resume") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "write to bob@example.com about card 4532015112830366 now"),
+      (2L, "order 123456789012345678 from alice@test.org"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_pii").toString
+    def land(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = dest + ".tmpdir"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dest).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    new java.io.File(s"$dir/docs").mkdirs()
+    land(docs.where($"doc_id" <= 2), s"$dir/docs/a.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_emails", "n_longnums", "n_candidates",
+        "n_valid_cards", "scrubbed")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    val streamed = rows(EventStreams.streamPiiGate(spark, s"$dir/docs",
+      fileGlob = "*.parquet", sinkDir = Some(s"$dir/out"),
+      checkpointDir = Some(s"$dir/ckpt")))
+    val batch = rows(graft.operators.Corpus.piiProfile(
+      docs.where($"doc_id" <= 2)))
+    assert(streamed == batch)
+    // the valid test PAN checksum-passes; the 18-digit order id fails
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5 == 1L && byId(2L)._5 == 0L)
+    // nothing card-shaped or email-shaped survives into scrubbed
+    assert(streamed.forall { r =>
+      !r._6.contains("4532015112830366") && !r._6.contains("@") })
+    // resume: only the late file lands new rows, exactly once
+    land(docs.where($"doc_id" === 3), s"$dir/docs/b.parquet")
+    val resumed = rows(EventStreams.streamPiiGate(spark, s"$dir/docs",
+      fileGlob = "*.parquet", sinkDir = Some(s"$dir/out"),
+      checkpointDir = Some(s"$dir/ckpt")))
+    assert(resumed == rows(graft.operators.Corpus.piiProfile(docs)))
+  }
 }
