@@ -1031,6 +1031,22 @@ object SparkEntry {
           Aggregations.decSum(col("l_quantity")).as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // CUBE: all four grouping sets in one pass — rollup's lattice
+    // completion (the (·, linestatus) slice rollup never emits)
+    "q_cube_aggregate" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.decSum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // typo-tolerant vocabulary match: complete length-band blocking
+    // + exact integer Levenshtein (identical DP in both engines)
+    "q_fuzzy_match" -> ((s, d) =>
+      Corpus.fuzzyMatch(
+        Corpus.tokenDf(T(s, d, "documents")).select("tok"),
+        Seq("sparq", "merg", "vektor", "windoww", "batch"),
+        maxDist = 1)),
     // PIVOT → UNPIVOT roundtrip: wide per-user event-type cents
     // matrix back to long form ≡ the direct grouped aggregation —
     // the roundtrip IS the hash-checked claim; cents stay exact
@@ -4445,6 +4461,21 @@ object SparkEntry {
         |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // cube: the full grouping-set lattice
+    "q_cube_aggregate" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28, 2))) AS DOUBLE) AS sum_qty,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // fuzzy match: the same complete length band + levenshtein bar
+    "q_fuzzy_match" ->
+      """WITH v AS (SELECT DISTINCT unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |q AS (SELECT unnest(['sparq', 'merg', 'vektor', 'windoww', 'batch']) AS query)
+        |SELECT query, tok, CAST(levenshtein(query, tok) AS BIGINT) AS dist
+        |FROM q JOIN v ON abs(len(query) - len(tok)) <= 1
+        |WHERE levenshtein(query, tok) <= 1""".stripMargin,
     // pivot roundtrip ≡ the direct grouped aggregation
     "q_pivot_roundtrip" ->
       """SELECT user_id, event_type,

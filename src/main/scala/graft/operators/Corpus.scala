@@ -1662,4 +1662,46 @@ object Corpus {
         .cast("long").as("n_valid_cards"),
       TextFunctions.scrubPii(t).as("scrubbed"))
   }
+
+  /** FUZZY VOCABULARY MATCH — typo-tolerant term lookup (query
+    * correction, entity-name reconciliation, OCR-noise repair)
+    * with a COMPLETE-by-construction candidate stage: edit distance
+    * <= k implies |len(a) − len(b)| <= k, so blocking each query
+    * term into its 2k+1 candidate LENGTHS loses no true match
+    * (first-letter or n-gram blocking, the usual shortcuts, silently
+    * drop prefix-edited pairs). Candidates equi-join on length —
+    * the vocab side shuffles once on a short-int key, or broadcasts
+    * when the query list is small (Catalyst picks) — then the exact
+    * Levenshtein filter keeps dist <= k. Levenshtein is the classic
+    * DP (no transpositions) in BOTH engines — integer, so the
+    * verdict is hash-exact.
+    *
+    * @param vocab   (tok) distinct terms, e.g. [[tokenDf]] keys
+    * @param terms   query terms (driver-side literals; a DataFrame
+    *                overload is the scale path for big query sets)
+    * @param maxDist inclusive edit-distance bar (k)
+    * @return (query, tok, dist) for every vocab term within k */
+  def fuzzyMatch(vocab: DataFrame, terms: Seq[String],
+                 maxDist: Int): DataFrame = {
+    require(terms.nonEmpty, "fuzzyMatch needs at least one query term")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val spark = vocab.sparkSession
+    import scala.jdk.CollectionConverters._
+    // each query term exploded to its admissible candidate lengths
+    val q = spark.createDataFrame(
+      terms.flatMap { t =>
+        (math.max(1, t.length - maxDist) to (t.length + maxDist))
+          .map(l => org.apache.spark.sql.Row(t, l))
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__ql",
+          org.apache.spark.sql.types.IntegerType))))
+    vocab.select(col("tok"), length(col("tok")).as("__tl"))
+      .join(broadcast(q), col("__tl") === col("__ql"))
+      .select(col("query"), col("tok"),
+        levenshtein(col("query"), col("tok")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

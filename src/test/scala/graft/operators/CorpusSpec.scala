@@ -1205,4 +1205,25 @@ class CorpusSpec extends SparkSpec {
       Corpus.searchIndex(idx, Seq("a", "a")))
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("fuzzyMatch: length banding is complete for prefix/suffix edits") {
+    import sqlImplicits._
+    val vocab = Seq("spark", "spar", "sparks", "park", "merge", "xyz")
+      .toDF("tok")
+    val out = Corpus.fuzzyMatch(vocab, Seq("spark"), maxDist = 1)
+      .orderBy("tok").select("tok", "dist")
+      .as[(String, Long)].collect().toSeq
+    // deletions, insertions AND the 2-edit 'park' boundary all judged
+    assert(out == Seq(("park", 1L), ("spar", 1L), ("spark", 0L),
+      ("sparks", 1L)))
+  }
+
+  test("fuzzyMatch: maxDist 0 reduces to exact membership") {
+    import sqlImplicits._
+    val vocab = Seq("a", "ab").toDF("tok")
+    val out = Corpus.fuzzyMatch(vocab, Seq("ab", "zz"), maxDist = 0)
+      .select("query", "tok", "dist")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("ab", "ab", 0L)))
+  }
 }
