@@ -2576,6 +2576,17 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
           .filter(col("src") =!= col("dst")),
         iters = 3)),
+    // component-size histogram over the 97-node graph — the dedup
+    // cluster-health audit (giant-component share, singleton mass)
+    "q_component_sizes" -> ((s, d) => {
+      val e = T(s, d, "documents").select(
+        (col("doc_id") % 97).as("a_id"),
+        ((col("doc_id") * 31 + 7) % 97).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+      val nodes = e.select(col("a_id").as("id"))
+        .unionByName(e.select(col("b_id").as("id"))).distinct()
+      Graph.componentSizes(nodes, e)
+    }),
     // exact triangle census on a richer 97-node graph (dst from the
     // doc_id HIGH digits so edges vary): forward algorithm, pure
     // long arithmetic end to end
@@ -6576,6 +6587,18 @@ object SparkEntry {
       """edges AS (
         |SELECT CAST(doc_id % 97 AS BIGINT) AS src, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS dst
         |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97)""".stripMargin),
+    // component sizes: transitive-closure reach + min label (the CC
+    // replay), then the two-level size histogram
+    "q_component_sizes" ->
+      """WITH RECURSIVE b AS (SELECT DISTINCT CAST(doc_id % 97 AS BIGINT) AS a, CAST((doc_id * 31 + 7) % 97 AS BIGINT) AS c
+        |FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+        |n AS (SELECT DISTINCT a AS id FROM b UNION SELECT c FROM b),
+        |sym AS (SELECT a AS src, c AS dst FROM b UNION SELECT c, a FROM b),
+        |reach AS (SELECT id AS src, id AS dst FROM n
+        |UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+        |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM lab GROUP BY comp)
+        |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY size""".stripMargin,
     // triangle census: same forward orientation — each triangle is
     // exactly one apex wedge whose closing oriented edge exists
     "q_triangle_stats" ->

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{ArrayDot, BoundedTopK, LongestMatchEncode, MinHashSig, MultiPatternCount, SortedIntersectSize, WordPieceEncode}
+import graft.expressions.{ArrayDot, BoundedTopK, LongestMatchEncode, MinHashSig, MultiPatternCount, SortedIntersectSize, SortedOverlapStrings, WordPieceEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -98,6 +98,14 @@ object GraftExtensions {
             stringArray(pats, "multi_pattern_count patterns"))
         case _ => throw new IllegalArgumentException(
           "multi_pattern_count(text string, patterns array<string> constant)")
+      }),
+    (new FunctionIdentifier("sorted_multiset_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapStrings].getName,
+        "sorted_multiset_overlap"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedOverlapStrings(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_multiset_overlap(array<string> sorted, array<string> sorted)")
       }))
 
   /** Fold a constant array<string> argument (an `array('a','b')`
