@@ -713,4 +713,52 @@ class PlanGuardSpec extends SparkSpec {
       s"the one exchange must be the single-row aggregate:\n$p")
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
+
+  test("q_fk_audit: each edge is ONE membership join + ONE aggregate — " +
+      "no anti-join + scalar crossJoin cascade") {
+    val p = plan("q_fk_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // two edges, each: one membership join; the left-anti draft
+    // carried 4 aggregations and a crossJoin per edge
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).length <= 2,
+      s"fk audit grew joins beyond the two membership probes:\n$p")
+  }
+
+  test("q_k_anonymity: single grouped pass, no Expand multiplication") {
+    val p = plan("q_k_anonymity")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    // the single within-group distinct plans as two-stage aggregate —
+    // never the multi-distinct Expand that multiplies every row
+    assert(!p.contains("Expand"), s"Expand crept into the plan:\n$p")
+  }
+
+  test("q_time_decay: decay arithmetic fuses into the scan — one " +
+      "aggregation exchange only") {
+    val p = plan("q_time_decay")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"decay must be scan + ONE keyed agg exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_triangle_stats: no cartesian anywhere in the census") {
+    val p = plan("q_triangle_stats")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_char_diversity and q_pii_luhn stay shuffle-free scan stages") {
+    for (q <- Seq("q_char_diversity", "q_pii_luhn")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q_winsorize: percentile bounds broadcast back — never a " +
+      "shuffled bounds join or a window") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join not broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
 }
