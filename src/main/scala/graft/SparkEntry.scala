@@ -1071,6 +1071,30 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // SCD2 dimension history from the event change log: per-user
+    // validity intervals over the (ts, event_id)-pinned change order
+    "q_scd2_history" -> ((s, d) =>
+      TimeOps.scd2History(
+        T(s, d, "events").withColumn("cents",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "user_id", "ts", "event_id", Seq("event_type", "cents"))),
+    // homoglyph scrub: confusables planted into every 3rd doc map
+    // back to ASCII — `restored` hash-checks the roundtrip; mixed-
+    // script tokens are the evasion signature
+    "q_homoglyph_scrub" -> ((s, d) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        translate(col("text"), "ae", "\u0430\u0435"))
+        .otherwise(col("text"))
+      T(s, d, "documents")
+        .withColumn("__t", planted)
+        .select(col("doc_id"),
+          TextFunctions.homoglyphCount(col("__t")).as("n_confusables"),
+          TextFunctions.mixedScriptTokenCount(col("__t"))
+            .as("n_mixed_tokens"),
+          TextFunctions.homoglyphNormalize(col("__t")).as("normalized"),
+          (TextFunctions.homoglyphNormalize(col("__t")) === col("text"))
+            .as("restored"))
+    }),
     // half-life freshness score per user: 1-day half-life as of
     // 2024-02-01 (past the fixture's last event) — exact power-of-two
     // weights, per-event long ticks, order-independent long sum
@@ -4508,6 +4532,29 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // scd2: the same lead() over the pinned change order
+    "q_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+        |CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |epoch_us(ts) AS valid_from_us,
+        |LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        |LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+    // homoglyph scrub: from/to strings interpolated from the SAME
+    // Scala constants the Spark expression reads — single source
+    "q_homoglyph_scrub" -> {
+      val from = graft.functions.TextFunctions.homoglyphFrom
+      val to = graft.functions.TextFunctions.homoglyphTo
+      s"""WITH p AS (SELECT doc_id, text,
+         |CASE WHEN doc_id % 3 = 0 THEN translate(text, 'ae', '${"\u0430\u0435"}') ELSE text END AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |CAST(len(t) - len(translate(t, '$from', '')) AS BIGINT) AS n_confusables,
+         |CAST(len(list_filter(list_filter(string_split(t, ' '), x -> x <> ''), x -> regexp_matches(x, '[a-z]') AND regexp_matches(x, '[$from]'))) AS BIGINT) AS n_mixed_tokens,
+         |translate(t, '$from', '$to') AS normalized,
+         |translate(t, '$from', '$to') = text AS restored
+         |FROM p""".stripMargin
+    },
     // half-life decay: integer half-life count clamped to [0,62],
     // weight denominator is an exact BIGINT shift, per-event tick =
     // floor(1e6·value / 2^k) — two IEEE double ops, then long sums

@@ -329,6 +329,36 @@ object TextFunctions {
     * (the synthetic-corpus charset; real deployments extend it). */
   val diversityAlphabet: String = "abcdefghijklmnopqrstuvwxyz "
 
+  /** Confusable (homoglyph) characters and their ASCII targets — the
+    * spam-evasion alphabet: Cyrillic а е о р с х у і ѕ and Greek
+    * ο α ν render identically to Latin letters, so "viаgra" slips
+    * every ASCII keyword filter while reading as "viagra". ONE
+    * constant pair drives the Spark expression AND the oracle SQL
+    * (both engines implement Postgres translate). Written as \\u
+    * escapes per the §5 rule — composed/confusable spellings are
+    * indistinguishable in an editor. */
+  val homoglyphFrom: String =
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0456\u0455" + // Cyrillic a e o p c x y i s
+      "\u03bf\u03b1\u03bd" // Greek omicron/alpha/nu
+  val homoglyphTo: String = "aeopcxyis" + "oav"
+
+  /** Map confusables to their ASCII look-alikes (1:1 translate). */
+  def homoglyphNormalize(text: Column): Column =
+    translate(text, homoglyphFrom, homoglyphTo)
+
+  /** Count of confusable characters present. */
+  def homoglyphCount(text: Column): Column =
+    (length(text) - length(translate(text, homoglyphFrom, "")))
+      .cast("long")
+
+  /** Tokens mixing ASCII letters WITH confusables — the evasion
+    * signature (an all-Cyrillic word is just Russian; "viаgra" with
+    * one swapped а is an attack). */
+  def mixedScriptTokenCount(text: Column): Column =
+    size(filter(tokens(text),
+      t => t.rlike("[a-z]") && t.rlike(s"[$homoglyphFrom]")))
+      .cast("long")
+
   /** Luhn (mod-10) checksum over a digit string — TRUE iff the
     * number self-validates. The checksum is what separates a real
     * card number from a phone number, order id, or timestamp that

@@ -155,6 +155,27 @@ object TimeOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** SCD TYPE-2 HISTORY — the slowly-changing-dimension build every
+    * warehouse runs over a change log: each key's changes become
+    * validity intervals [valid_from_us, valid_to_us) with the open
+    * current row marked. One per-key window (lead over the pinned
+    * (ts, tie) total order — the tie column makes simultaneous
+    * changes deterministic, the C15 discipline); at 100 TB the
+    * window partitions by the dimension key, so no partition exceeds
+    * one key's change count. */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2History needs attribute columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("valid_from_us"), col(tieCol))
+    changes.select((Seq(col(keyCol), col(tieCol)) ++
+        attrCols.map(col) :+
+        unix_micros(col(tsCol)).as("valid_from_us")): _*)
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** HALF-LIFE DECAYED SCORE — freshness weighting for recency-aware
     * ranking (host authority that fades, user activity scores, crawl
     * re-fetch priority): each event contributes value / 2^age, age

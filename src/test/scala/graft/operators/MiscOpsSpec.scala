@@ -520,6 +520,40 @@ class MiscOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(pre == Set((-1L, 0L, 1L), (-1L, 2L, 1L)))
   }
+  test("scd2History: validity intervals, tie order, current flag") {
+    val df = Seq(
+      (1L, 100L, 1000000L, "bronze"),
+      (1L, 101L, 2000000L, "silver"),
+      (1L, 102L, 2000000L, "gold"),   // same ts: event_id pins order
+      (2L, 200L, 5000000L, "bronze"))
+      .toDF("user_id", "event_id", "us", "tier")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = TimeOps.scd2History(df, "user_id", "ts", "event_id",
+        Seq("tier"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+      .select("user_id", "tier", "valid_from_us", "valid_to_us",
+        "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "bronze", 1000000L, Some(2000000L), false),
+      (1L, "silver", 2000000L, Some(2000000L), false),
+      (1L, "gold", 2000000L, None, true),
+      (2L, "bronze", 5000000L, None, true)))
+  }
+
+  test("homoglyph: roundtrip restore, evasion detection, no false " +
+      "positive on an all-confusable word") {
+    import graft.functions.TextFunctions
+    // vi<CYR a>gra mixes scripts; the all-Cyrillic word does not
+    val df = Seq("buy vi\u0430gra now", "\u0430\u0435 ok").toDF("t")
+      .select(
+        TextFunctions.homoglyphCount(col("t")).as("n"),
+        TextFunctions.mixedScriptTokenCount(col("t")).as("mixed"),
+        TextFunctions.homoglyphNormalize(col("t")).as("norm"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(df(0) == ((1L, 1L, "buy viagra now")))
+    assert(df(1) == ((2L, 0L, "ae ok")))
+  }
 }
 
 object MiscOpsSpec {
