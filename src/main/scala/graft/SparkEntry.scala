@@ -1495,6 +1495,11 @@ object SparkEntry {
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), Seq("source"), 0.9)),
+    // threshold sweep: one pair pass at 0.7, four cheap aggregates —
+    // the tuning curve read before committing to a jaccard bar
+    "q_dedup_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(T(s, d, "documents"), Seq("source"),
+        Seq(0.7, 0.8, 0.9, 0.95))),
     // same clusters via the O(log d) alternating-stars algorithm —
     // the two independent implementations must agree bit-for-bit
     // with the same recursive-CTE oracle
@@ -6093,6 +6098,25 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9""".stripMargin,
+    // sweep: pair CTE once (no threshold), per-bar filtered aggregates
+    "q_dedup_sweep" ->
+      """WITH toks AS (
+        |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+        |FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |pr AS (
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |j AS (SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+        |FROM pr JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id),
+        |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+        |s AS (
+        |SELECT CAST(0.7 AS DOUBLE) AS threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_dup_docs FROM j WHERE jac >= 0.7
+        |UNION ALL SELECT CAST(0.8 AS DOUBLE), CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT b_id) AS BIGINT) FROM j WHERE jac >= 0.8
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT b_id) AS BIGINT) FROM j WHERE jac >= 0.9
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE), CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT b_id) AS BIGINT) FROM j WHERE jac >= 0.95)
+        |SELECT threshold, n_pairs, n_dup_docs, tot.n - n_dup_docs AS n_survivors FROM s, tot""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toks AS (
         |SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok

@@ -162,6 +162,37 @@ object Dedup {
       base, prefix)
   }
 
+  /** DEDUP THRESHOLD SWEEP — the tuning curve BEFORE committing to a
+    * jaccard bar: pair generation runs ONCE at the loosest requested
+    * threshold (prefix filtering is recall-complete for everything
+    * above it), then each threshold is a cheap filtered aggregate
+    * over the materialized pair table — pairs surviving, documents
+    * flagged (distinct larger-id side: the kept-min casualty count,
+    * an upper bound — the exact survivor count needs the F6 cluster
+    * pass, which the CHOSEN threshold then runs), survivors. One
+    * expensive stage, |thresholds| cheap ones; reading the curve is
+    * how 0.8-vs-0.9 stops being folklore for a given corpus.
+    */
+  def thresholdSweep(docs: DataFrame, blockingKeys: Seq[String],
+                     thresholds: Seq[Double],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.forall(t => t > 0 && t <= 1),
+      s"thresholds must be in (0, 1], got $thresholds")
+    val pairs = ngramJaccardPairs(docs, blockingKeys, thresholds.min,
+      idCol, textCol)
+    val total = docs.select(col(idCol)).distinct().count()
+    thresholds.sorted.map { t =>
+      pairs.filter(col("jaccard") >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(countDistinct(col("b_id")), lit(0L)).as("n_dup_docs"))
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_dup_docs"),
+          (lit(total) - col("n_dup_docs")).as("n_survivors"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Directed set-containment near-dup pairs: (a, b) where
     * |A∩B| / |A| ≥ τ — doc a's token set is (nearly) subsumed by
     * doc b's (the boilerplate-page / quoted-reply / truncated-copy

@@ -824,4 +824,23 @@ class DedupSpec extends SparkSpec {
     for (a <- 0L until 6L; b <- (a + 1) until 6L)
       assert(fps(a).intersect(fps(b)).nonEmpty, s"pair ($a,$b)")
   }
+
+  test("thresholdSweep: monotone curve with exact counts per bar") {
+    import sqlImplicits._
+    // A/B identical (jac 1.0); A/C share 3 of 4 tokens (jac 0.6) --
+    // wait: |A|=3,|C|=4,inter=3 -> 3/4 = 0.75; D unrelated
+    val docs = Seq(
+      (1L, "x", "a b c"), (2L, "x", "a b c"),
+      (3L, "x", "a b c d"), (4L, "x", "zz yy")).toDF("doc_id", "source", "text")
+    val out = Dedup.thresholdSweep(docs, Seq("source"),
+        Seq(0.7, 0.8, 1.0))
+      .orderBy("threshold")
+      .select("threshold", "n_pairs", "n_dup_docs", "n_survivors")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    // pairs: (1,2)=1.0, (1,3)=(2,3)=0.75
+    assert(out == Seq(
+      (0.7, 3L, 2L, 2L),   // dup docs {2, 3}
+      (0.8, 1L, 1L, 3L),   // only (1,2)
+      (1.0, 1L, 1L, 3L)))
+  }
 }
