@@ -1071,6 +1071,16 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // interval-overlap self-join: each event opens a 5-minute
+    // window; overlapping windows per user pair up via the banded
+    // (user, bucket) equi-join — never a per-user theta join
+    "q_interval_join" -> ((s, d) =>
+      RangeJoin.intervalSelfJoin(
+        T(s, d, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + 300000000L).as("e_us")),
+        "user_id", "event_id", "s_us", "e_us",
+        bucketMicros = 300000000L)),
     // SCD2 dimension history from the event change log: per-user
     // validity intervals over the (ts, event_id)-pinned change order
     "q_scd2_history" -> ((s, d) =>
@@ -4537,6 +4547,15 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // interval join: the direct overlap theta-join — fine in a
+    // single-node engine, the banded form's correctness bar
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |epoch_us(ts) + 300000000 AS en FROM events)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |least(a.en, b.en) - greatest(a.s, b.s) AS overlap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |AND a.s < b.en AND b.s < a.en""".stripMargin,
     // scd2: the same lead() over the pinned change order
     "q_scd2_history" ->
       """SELECT user_id, event_id, event_type,

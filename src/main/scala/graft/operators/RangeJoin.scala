@@ -169,4 +169,49 @@ object RangeJoin {
         df(idCol).cast("long") === col("src"), "left")
       .drop("__ci_pk", "src")
   }
+
+  /** BANDED INTERVAL-OVERLAP SELF-JOIN — the log-correlation /
+    * genomics staple ([start, end) pairs per key that overlap in
+    * time), with the candidate stage COMPLETE by construction: two
+    * overlapping intervals share at least one fixed-width time
+    * bucket, so exploding each interval into the buckets it touches
+    * and equi-joining on (key, bucket) loses no true pair — the
+    * banded form of the D4 grid join, 1-D edition. The quadratic
+    * per-key theta-join a naive `a.s < b.e AND b.s < a.e` plans
+    * (one key's whole history through one task) never appears; work
+    * is Σ per-(key, bucket) occupancy², which the bucket width
+    * tunes against interval length. Duplicate candidates from
+    * multi-bucket overlaps collapse with one distinct; the exact
+    * overlap predicate then keeps true pairs only.
+    *
+    * @param bucketMicros band width — pick ≈ the typical interval
+    *        length (too small: more duplicate candidates; too
+    *        large: denser buckets)
+    * @return (key, a_id, b_id, overlap_us) with a_id < b_id and
+    *         overlap_us = min(ends) − max(starts) > 0 */
+  def intervalSelfJoin(df: DataFrame, keyCol: String, idCol: String,
+                       startUsCol: String, endUsCol: String,
+                       bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1L, "bucketMicros must be >= 1")
+    def fdiv(c: Column) = call_function("div",
+      c - pmod(c, lit(bucketMicros)), lit(bucketMicros))
+    val banded = df.select(col(keyCol).as("__k"),
+        col(idCol).as("__id"),
+        col(startUsCol).cast("long").as("__s"),
+        col(endUsCol).cast("long").as("__e"))
+      .filter(col("__e") > col("__s"))
+      .withColumn("__b",
+        explode(sequence(fdiv(col("__s")), fdiv(col("__e") - 1))))
+    val a = banded.toDF("k", "a_id", "a_s", "a_e", "b")
+    val b = banded.toDF("k", "b_id", "b_s", "b_e", "b")
+    a.join(b, Seq("k", "b"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("k").as(keyCol), col("a_id"), col("b_id"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"))
+      .distinct()
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col(keyCol), col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+  }
 }

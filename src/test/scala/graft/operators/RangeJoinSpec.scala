@@ -49,4 +49,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("intervalSelfJoin: banded candidates equal the exact theta join") {
+    import sqlImplicits._
+    // overlap, touch (end exclusive - no pair), contain, cross-key
+    val df = Seq(
+      ("u", 1L, 0L, 100L), ("u", 2L, 50L, 150L),   // overlap 50
+      ("u", 3L, 150L, 200L),                        // touches 2: no
+      ("u", 4L, 10L, 20L),                          // inside 1: 10
+      ("v", 5L, 0L, 100L))                          // other key
+      .toDF("k", "id", "s", "e")
+    // tiny bucket (7) forces multi-bucket spans + duplicate collapse
+    val out = RangeJoin.intervalSelfJoin(df, "k", "id", "s", "e",
+        bucketMicros = 7L)
+      .orderBy("a_id", "b_id")
+      .select("k", "a_id", "b_id", "overlap_us")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("u", 1L, 2L, 50L), ("u", 1L, 4L, 10L)))
+    // same answer with a huge bucket (single band per interval)
+    val out2 = RangeJoin.intervalSelfJoin(df, "k", "id", "s", "e",
+        bucketMicros = 1000L)
+      .orderBy("a_id", "b_id")
+      .select("k", "a_id", "b_id", "overlap_us")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out2 == out)
+  }
 }
