@@ -1071,6 +1071,11 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // association rules over per-user event-type baskets: exact
+    // support/confidence/lift in long ppm — no IEEE op anywhere
+    "q_assoc_rules" -> ((s, d) =>
+      Corpus.associationRules(T(s, d, "events"),
+        "user_id", "event_type")),
     // interval-overlap self-join: each event opens a 5-minute
     // window; overlapping windows per user pair up via the banded
     // (user, bucket) equi-join — never a per-user theta join
@@ -4547,6 +4552,19 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // association rules: the same distinct-basket counts + long ppm
+    "q_assoc_rules" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events WHERE event_type IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM ui),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_item FROM ui GROUP BY i),
+        |p AS (SELECT a.i AS a, b.i AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |FROM ui a JOIN ui b ON a.k = b.k AND a.i < b.i GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |(p.n_ab * 1000000) // tot.n_baskets AS support_ppm,
+        |(p.n_ab * 1000000) // ia.n_item AS conf_a_to_b_ppm,
+        |(p.n_ab * 1000000) // ib.n_item AS conf_b_to_a_ppm,
+        |((p.n_ab * 1000000) * tot.n_baskets) // (ia.n_item * ib.n_item) AS lift_ppm
+        |FROM p JOIN ic ia ON p.a = ia.i JOIN ic ib ON p.b = ib.i, tot""".stripMargin,
     // interval join: the direct overlap theta-join — fine in a
     // single-node engine, the banded form's correctness bar
     "q_interval_join" ->

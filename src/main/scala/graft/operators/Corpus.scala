@@ -1704,4 +1704,44 @@ object Corpus {
         levenshtein(col("query"), col("tok")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** ASSOCIATION RULES over per-key item baskets — market-basket
+    * support / confidence / lift (the classic co-occurrence miner;
+    * H35's PMI is ADJACENT-token collocation, this is set
+    * co-occurrence within a basket): for every item pair (a < b),
+    * how many baskets hold both, and the directional confidences
+    * plus lift, ALL in exact long floor-division ppm — counts are
+    * integers, so no IEEE op anywhere. Shape: distinct (key, item)
+    * pairs (map-side combined), a per-key self-join bounded by
+    * items-per-basket² (never baskets²), two broadcast item-count
+    * joins, one single-row total. A basket with 10k distinct items
+    * is the caller's skew bug, not this operator's — the join
+    * explodes quadratically per basket by definition of the measure.
+    */
+  def associationRules(df: DataFrame, keyCol: String,
+                       itemCol: String): DataFrame = {
+    val ui = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val tot = ui.agg(countDistinct(col("__k")).as("n_baskets"))
+    val ic = ui.groupBy(col("__i")).agg(count(lit(1)).as("n_item"))
+    val pairs = ui.toDF("k", "a").join(ui.toDF("k", "b"), "k")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(ic.select(col("__i").as("a"),
+        col("n_item").as("n_a"))), "a")
+      .join(broadcast(ic.select(col("__i").as("b"),
+        col("n_item").as("n_b"))), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        call_function("div", col("n_ab") * 1000000L, col("n_baskets"))
+          .as("support_ppm"),
+        call_function("div", col("n_ab") * 1000000L, col("n_a"))
+          .as("conf_a_to_b_ppm"),
+        call_function("div", col("n_ab") * 1000000L, col("n_b"))
+          .as("conf_b_to_a_ppm"),
+        call_function("div",
+          (col("n_ab") * 1000000L) * col("n_baskets"),
+          col("n_a") * col("n_b")).as("lift_ppm"))
+  }
 }

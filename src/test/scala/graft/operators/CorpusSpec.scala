@@ -1226,4 +1226,24 @@ class CorpusSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(out == Seq(("ab", "ab", 0L)))
   }
+
+  test("associationRules: hand-checked support, confidence, lift") {
+    import sqlImplicits._
+    // baskets: u1={x,y}, u2={x,y}, u3={x}, u4={y,z} -> N=4
+    val df = Seq(("u1", "x"), ("u1", "y"), ("u1", "y"), // dup collapses
+      ("u2", "x"), ("u2", "y"), ("u3", "x"), ("u4", "y"), ("u4", "z"))
+      .toDF("k", "item")
+    val out = Corpus.associationRules(df, "k", "item")
+      .orderBy("a", "b")
+      .select("a", "b", "n_ab", "n_a", "n_b", "support_ppm",
+        "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // xy: n_ab=2, n_x=3, n_y=3 -> support 500000, conf 666666 both,
+    // lift = 2*4/(3*3) = 888888; yz: n_ab=1, n_y=3, n_z=1 ->
+    // support 250000, conf y->z 333333, z->y 1000000, lift 4/3
+    assert(out == Seq(
+      ("x", "y", 2L, 3L, 3L, 500000L, 666666L, 666666L, 888888L),
+      ("y", "z", 1L, 3L, 1L, 250000L, 333333L, 1000000L, 1333333L)))
+  }
 }
