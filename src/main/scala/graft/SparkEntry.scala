@@ -1071,6 +1071,11 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // per-type daily trend: OLS slope from exact long sums, the one
+    // division pinned IEEE — is this event type growing?
+    "q_trend_slope" -> ((s, d) =>
+      TimeOps.trendSlope(T(s, d, "events"), "event_type", "ts",
+        "value", bucketMicros = 86400L * 1000000L)),
     // association rules over per-user event-type baskets: exact
     // support/confidence/lift in long ppm — no IEEE op anywhere
     "q_assoc_rules" -> ((s, d) =>
@@ -4552,6 +4557,23 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // trend slope: the same long sums + the same pinned final tree
+    "q_trend_slope" ->
+      """WITH daily AS (SELECT event_type,
+        |epoch_us(ts) // 86400000000 AS x0,
+        |CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |FROM events GROUP BY 1, 2),
+        |z AS (SELECT event_type, MIN(x0) AS xmin FROM daily GROUP BY 1),
+        |pts AS (SELECT d.event_type, d.x0 - z.xmin AS x, d.y FROM daily d JOIN z ON d.event_type = z.event_type),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |CASE WHEN n * sxx - sx * sx <> 0
+        |THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_bucket,
+        |CASE WHEN n * sxx - sx * sx <> 0
+        |THEN CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept_cents
+        |FROM s""".stripMargin,
     // association rules: the same distinct-basket counts + long ppm
     "q_assoc_rules" ->
       """WITH ui AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events WHERE event_type IS NOT NULL),

@@ -155,6 +155,47 @@ object TimeOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** GROUPED TREND SLOPE — per-key OLS over a pre-aggregated daily
+    * series (activity trending up or down?): y = exact daily cents,
+    * x = day index, slope/intercept from the closed-form normal
+    * equations. Exactness: every Σ (x, y, xy, x²) is an exact LONG
+    * over the rolled-up series — the only IEEE ops are the four
+    * final casts and the one division, the same pinned tree in the
+    * SQL replay. Scale shape: the daily rollup is ONE map-side-
+    * combined aggregation (row-level points never cross the shuffle
+    * as x/y pairs); the regression then runs over |keys × days|
+    * rows. Degenerate series (one distinct x) yield null slope
+    * rather than a division blowup. */
+  def trendSlope(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1L, "bucketMicros must be >= 1")
+    val us = unix_micros(col(tsCol))
+    val bucket = call_function("div",
+      us - pmod(us, lit(bucketMicros)), lit(bucketMicros))
+    val daily = events
+      .groupBy(col(keyCol), bucket.as("__x"))
+      .agg(sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("__y"))
+    // re-zero x per key so Σx² stays small and the intercept is
+    // "cents at the key's first bucket"
+    val x0 = daily.groupBy(col(keyCol)).agg(min(col("__x")).as("__x0"))
+    val pts = daily.join(x0, Seq(keyCol))
+      .select(col(keyCol), (col("__x") - col("__x0")).as("x"), col("__y").as("y"))
+    val sums = pts.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val det = sums("n") * col("sxx") - col("sx") * col("sx")
+    sums.select(col(keyCol), col("n"),
+      when(det =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / det.cast("double")).as("slope_cents_per_bucket"),
+      when(det =!= 0,
+        (col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double")
+          / det.cast("double")).as("intercept_cents"))
+  }
+
   /** SCD TYPE-2 HISTORY — the slowly-changing-dimension build every
     * warehouse runs over a change log: each key's changes become
     * validity intervals [valid_from_us, valid_to_us) with the open

@@ -554,6 +554,23 @@ class MiscOpsSpec extends SparkSpec {
     assert(df(0) == ((1L, 1L, "buy viagra now")))
     assert(df(1) == ((2L, 0L, "ae ok")))
   }
+  test("trendSlope: exact OLS on a noiseless line; degenerate key nulls") {
+    // key a: daily cents follow y = 300x + 700 exactly -> slope 300
+    // (values in dollars: 3x + 7); key b: single day -> null slope
+    val rows = (0 to 4).map(x => ("a", x.toLong * 86400000000L, 3.0 * x + 7.0)) :+
+      (("b", 0L, 9.99))
+    val df = rows.toDF("k", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeOps.trendSlope(df, "k", "ts", "value",
+        bucketMicros = 86400000000L)
+      .orderBy("k")
+      .select("k", "n", "slope_cents_per_bucket", "intercept_cents")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("a", 5L, Some(300.0), Some(700.0)),
+      ("b", 1L, None, None)))
+  }
+
 }
 
 object MiscOpsSpec {
