@@ -1071,6 +1071,12 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // per-group r² between quantity and (whole-unit) price — pure
+    // rational, no sqrt; Σy² is the long-overflow bound, so price
+    // quantizes to units (the documented caller contract)
+    "q_corr_r2" -> ((s, d) =>
+      TimeOps.groupedR2(T(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
     // per-type daily trend: OLS slope from exact long sums, the one
     // division pinned IEEE — is this event type growing?
     "q_trend_slope" -> ((s, d) =>
@@ -4557,6 +4563,23 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // r²: the same long sums and pinned final tree
+    "q_corr_r2" ->
+      """WITH q AS (SELECT l_returnflag,
+        |CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS x,
+        |CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT) AS y
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0.0
+        |THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |/ ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+        |FROM s""".stripMargin,
     // trend slope: the same long sums + the same pinned final tree
     "q_trend_slope" ->
       """WITH daily AS (SELECT event_type,

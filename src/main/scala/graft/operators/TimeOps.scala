@@ -155,6 +155,47 @@ object TimeOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** GROUPED r² (coefficient of determination) between two
+    * cents-scalable columns — [[trendSlope]]'s sibling for "are
+    * these two measures related per group?". Pearson r needs a
+    * sqrt (libm, not engine-portable); r² is PURE RATIONAL:
+    * (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — every sum an
+    * exact long over scale-quantized values, the final tree a
+    * handful of pinned IEEE ops identical in SQL. One map-side-
+    * combined aggregation; zero-variance groups null out.
+    *
+    * CALLER CONTRACT: pick scales so n·max(x)²·scale² fits a long —
+    * Σy² is the binding term (2-decimal money at 1e7+ rows wants
+    * scale 1, i.e. whole units; the quantization is part of the
+    * measure's definition, not an approximation of this code). */
+  def groupedR2(df: DataFrame, keyCol: String,
+                xCol: String, yCol: String,
+                xScale: Long = 1L, yScale: Long = 1L): DataFrame = {
+    require(xScale >= 1 && yScale >= 1, "scales must be >= 1")
+    val x = floor(col(xCol) * xScale + 0.5).cast("long")
+    val y = floor(col(yCol) * yScale + 0.5).cast("long")
+    val sums = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol), x.as("x"), y.as("y"))
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    // the combinations run in DOUBLE: n·Σy² overflows a long at
+    // ~1e5 rows of unit-scaled money (silent wrap in Spark, an
+    // ERROR in DuckDB); each exact long sum casts once and the rest
+    // is one pinned IEEE tree, identical in both engines
+    def d(c: Column) = c.cast("double")
+    val cov = d(sums("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(sums("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(sums("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    sums.select(col(keyCol), col("n"),
+      when(vx =!= 0.0 && vy =!= 0.0,
+        (cov * cov) / (vx * vy)).as("r2"))
+  }
+
   /** GROUPED TREND SLOPE — per-key OLS over a pre-aggregated daily
     * series (activity trending up or down?): y = exact daily cents,
     * x = day index, slope/intercept from the closed-form normal

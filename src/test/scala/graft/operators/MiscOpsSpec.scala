@@ -571,6 +571,16 @@ class MiscOpsSpec extends SparkSpec {
       ("b", 1L, None, None)))
   }
 
+  test("groupedR2: perfect line = 1, constant column nulls out") {
+    val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 5.0), ("b", 2.0, 5.0), ("b", 3.0, 5.0))
+      .toDF("k", "x", "y")
+    val out = TimeOps.groupedR2(df, "k", "x", "y")
+      .orderBy("k").select("k", "n", "r2")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("a", 3L, Some(1.0)), ("b", 3L, None)))
+  }
+
 }
 
 object MiscOpsSpec {
