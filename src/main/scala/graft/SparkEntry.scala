@@ -1071,6 +1071,10 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // lang × source independence: ticked chi-square + Cramér's V —
+    // the corpus mix-shift detector, all order-independent longs
+    "q_chi_square" -> ((s, d) =>
+      Aggregations.chiSquare(T(s, d, "documents"), "lang", "source")),
     // per-group r² between quantity and (whole-unit) price — pure
     // rational, no sqrt; Σy² is the long-overflow bound, so price
     // quantizes to units (the documented caller contract)
@@ -4563,6 +4567,27 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // chi-square: same cell ticks, same integer rollup
+    "q_chi_square" ->
+      """WITH c AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ta FROM c GROUP BY a),
+        |rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS tb FROM c GROUP BY b),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM c),
+        |g AS (SELECT ra.a, ra.ta, rb.b, rb.tb, COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+        |FROM ra CROSS JOIN rb LEFT JOIN c ON c.a = ra.a AND c.b = rb.b),
+        |cells AS (SELECT
+        |CAST(floor(1000000.0 * ((CAST(g.o * tot.n - g.ta * g.tb AS DOUBLE) * CAST(g.o * tot.n - g.ta * g.tb AS DOUBLE))
+        |/ CAST(tot.n * g.ta * g.tb AS DOUBLE))) AS BIGINT) AS cell_ticks,
+        |tot.n AS n, tot.n_a AS n_a, tot.n_b AS n_b
+        |FROM g, tot)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |CAST(SUM(cell_ticks) AS BIGINT) AS chi2_ticks,
+        |CASE WHEN least(n_a, n_b) > 1
+        |THEN CAST(SUM(cell_ticks) AS BIGINT) // (n * (least(n_a, n_b) - 1))
+        |ELSE CAST(0 AS BIGINT) END AS cramers_v2_ppm
+        |FROM cells GROUP BY n, n_a, n_b""".stripMargin,
     // r²: the same long sums and pinned final tree
     "q_corr_r2" ->
       """WITH q AS (SELECT l_returnflag,

@@ -245,4 +245,52 @@ object Aggregations {
         pick("mn").as("min_v"), pick("mx").as("max_v"),
         col("p25"), col("p50"), col("p75"))
   }
+
+  /** CONTINGENCY CHI-SQUARE + Cramér's V — categorical association
+    * between two columns (is `lang` independent of `source`? the
+    * mix-shift detector for corpus slices). Observed/expected counts
+    * are exact integers/rationals; each cell's (O−E)²/E term floors
+    * ONCE to 1e-6 ticks (the pageRankTicks discipline), so the
+    * cross-partition SUM is LONG arithmetic — order-independent and
+    * hash-exact, where a double Σ over cells would pick up
+    * partition-order ULPs. Cramér's V² derives from the ticked χ²
+    * by integer division (a DEFINED derived metric, mirrored in the
+    * replay). Shape: one (a, b) count aggregation, two broadcast
+    * marginal joins, one single-row rollup; cells = |A|×|B|.
+    * Output: n, n_a, n_b, dof, chi2_ticks, cramers_v2_ppm. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("__a").agg(sum(col("o")).as("ta"))
+    val rb = cells.groupBy("__b").agg(sum(col("o")).as("tb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("__a")).as("n_a"),
+      countDistinct(col("__b")).as("n_b"))
+    // DENSIFY: a zero-observed cell still contributes (its E is not
+    // 0) — the grid is marginals × marginals with o coalesced, the
+    // langIdModel dense-CTE precedent
+    val joined = ra.crossJoin(rb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    // (O − E)²/E with E = ta·tb/n, as the algebraically-equal
+    // (O·n − ta·tb)² / (n·ta·tb) — numerator/denominator exact longs
+    // cast once, ONE pinned double division, then the tick floor
+    val num = (col("o") * col("n") - col("ta") * col("tb"))
+    val term = (num.cast("double") * num.cast("double")) /
+      (col("n") * col("ta") * col("tb")).cast("double")
+    joined
+      .select(col("n"), col("n_a"), col("n_b"),
+        floor(lit(1e6) * term).cast("long").as("cell_ticks"))
+      .groupBy("n", "n_a", "n_b")
+      .agg(sum(col("cell_ticks")).as("chi2_ticks"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("chi2_ticks"),
+        when(least(col("n_a"), col("n_b")) > 1,
+          call_function("div", col("chi2_ticks"),
+            col("n") * (least(col("n_a"), col("n_b")) - 1)))
+          .otherwise(lit(0L)).as("cramers_v2_ppm"))
+  }
 }

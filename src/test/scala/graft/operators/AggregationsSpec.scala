@@ -115,4 +115,22 @@ class AggregationsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
     assert(got("my col") == 2.0 && got("a-b.c") == 3.0)
   }
+
+  test("chiSquare: independent table near zero, perfect association high") {
+    import sqlImplicits._
+    // perfectly associated 2x2: a1 only with b1, a2 only with b2
+    val assoc = Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2"))
+    val r1 = Aggregations.chiSquare(assoc.toDF("x", "y"), "x", "y")
+      .select("n", "dof", "chi2_ticks", "cramers_v2_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    // chi2 = n = 10 for a perfect 2x2 -> 1e7 ticks; V^2 = 1 -> 1e6
+    assert(r1 == ((10L, 1L, 10000000L, 1000000L)))
+    // perfectly independent 2x2 (counts proportional): chi2 = 0
+    val indep = Seq.fill(4)(("a1", "b1")) ++ Seq.fill(2)(("a1", "b2")) ++
+      Seq.fill(2)(("a2", "b1")) ++ Seq.fill(1)(("a2", "b2"))
+    val r2 = Aggregations.chiSquare(indep.toDF("x", "y"), "x", "y")
+      .select("chi2_ticks").as[Long].head()
+    // not exactly proportional (4:2 vs 2:1 IS proportional) -> 0
+    assert(r2 == 0L, s"expected 0 ticks, got $r2")
+  }
 }
