@@ -1071,6 +1071,10 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) =>
       TimeOps.retentionCohorts(T(s, d, "events"),
         7L * 86400L * 1000000L)),
+    // Benford first-digit audit over order totals — the fabricated-
+    // numbers screen; expected ppm are JVM-baked literal ticks
+    "q_benford_profile" -> ((s, d) =>
+      Audit.benfordProfile(T(s, d, "orders"), "o_totalprice")),
     // lang × source independence: ticked chi-square + Cramér's V —
     // the corpus mix-shift detector, all order-independent longs
     "q_chi_square" -> ((s, d) =>
@@ -4567,6 +4571,22 @@ object SparkEntry {
         |c AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
         |SELECT c.cohort, ub.b - c.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM ub JOIN c ON ub.u = c.u GROUP BY c.cohort, ub.b - c.cohort""".stripMargin,
+    // benford: expected ticks interpolated from the SAME Scala bake
+    "q_benford_profile" -> {
+      val values = graft.operators.Audit.benfordTicks
+        .map { case (d, t) => s"($d, CAST($t AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH e(digit, benford_ppm) AS (VALUES $values),
+         |c AS (SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |CAST(COUNT(*) AS BIGINT) AS n
+         |FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+         |SELECT e.digit, COALESCE(c.n, CAST(0 AS BIGINT)) AS n,
+         |(COALESCE(c.n, CAST(0 AS BIGINT)) * 1000000) // tot.n_total AS obs_ppm,
+         |e.benford_ppm,
+         |abs((COALESCE(c.n, CAST(0 AS BIGINT)) * 1000000) // tot.n_total - e.benford_ppm) AS dev_ppm
+         |FROM e LEFT JOIN c ON e.digit = c.digit, tot""".stripMargin
+    },
     // chi-square: same cell ticks, same integer rollup
     "q_chi_square" ->
       """WITH c AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o

@@ -90,4 +90,46 @@ object Audit {
             col("n_fk_nonnull")))
           .otherwise(lit(0L)).as("orphan_ppm"))
   }
+
+  /** Benford's-law ticks for digits 1..9: floor(1e6·log10(1+1/d)),
+    * computed ONCE here on the JVM and interpolated as integer
+    * literals into the oracle SQL — the single-source bake that
+    * keeps libm log10 out of BOTH engines' query plans. */
+  val benfordTicks: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong
+  }
+
+  /** BENFORD FIRST-DIGIT PROFILE — the classic fabricated-numbers
+    * audit (real-world magnitudes spread across scales follow
+    * P(d) = log10(1+1/d); invented or clipped figures don't): per
+    * first significant digit, observed count and ppm vs the Benford
+    * ppm, plus each digit's absolute deviation — Σdev/2 is the total
+    * variation distance, all INTEGER ticks (the expected ppm are
+    * baked literals, observed ppm is long floor-division, no libm in
+    * the plan). First digit = head of the integer
+    * part's decimal string — exact and identical in every engine for
+    * |v| ≥ 1 (the operator's contract: rows under 1 are excluded; a
+    * fractional rendering would ride each engine's float-formatting
+    * rounding). One grouped count; output = ≤ 9 rows.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val firstDigit = substring(
+      floor(abs(col(valueCol))).cast("long").cast("string"), 1, 1)
+    val counts = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+      .groupBy(firstDigit.cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = df.sparkSession.createDataFrame(
+      benfordTicks.map { case (d, t) => (d, t) }).toDF("digit", "benford_ppm")
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    expected.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        call_function("div", col("n") * 1000000L, col("n_total"))
+          .as("obs_ppm"),
+        col("benford_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("obs_ppm") - col("benford_ppm")))
+  }
 }

@@ -75,4 +75,21 @@ class AuditSpec extends SparkSpec {
       .select("decayed_ticks").as[Long].head()
     assert(out == math.floor(1e6 * 1e18 / math.pow(2, 62)).toLong)
   }
+
+  test("benfordProfile: digit census, zero-fill, baked expectation") {
+    // 111, 19, 150 -> digit 1 x3; 25 -> 2; 0.5 excluded (|v| < 1)
+    val df = Seq(111.0, 19.0, 150.0, 25.0, 0.5).toDF("v")
+    val out = Audit.benfordProfile(df, "v")
+      .orderBy("digit")
+      .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 9)
+    assert(out.head == ((1, 3L, 750000L, 301029L, 448971L)))
+    assert(out(1)._2 == 1L && out(1)._3 == 250000L)
+    // digits 3..9 present with n = 0 and dev = their benford ppm
+    assert(out.drop(2).forall(r => r._2 == 0L && r._5 == r._4))
+    // the baked table is the closed-form log10 floor
+    assert(Audit.benfordTicks.head == ((1, 301029L)))
+    assert(Audit.benfordTicks.map(_._2).sum <= 1000000L)
+  }
 }
