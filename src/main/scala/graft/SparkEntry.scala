@@ -2911,6 +2911,10 @@ object SparkEntry {
     // corpora): distinct/total n-grams per order, guarded ticks
     "q_distinct_ngrams" -> ((s, d) =>
       Eval.distinctN(T(s, d, "documents"), "text", Seq(1, 2))),
+    // vocabulary Gini: token-mass inequality — the flattened-Zipf
+    // synthetic-corpus flag; one vocab-bounded window, long sums
+    "q_gini_vocab" -> ((s, d) =>
+      Corpus.giniConcentration(T(s, d, "documents"))),
     // corpus-level BLEU kernel over the same pairs: clipped p1..p4,
     // linear brevity, pinned-association product ticks — one row
     "q_bleu_corpus" -> ((s, d) => {
@@ -6477,6 +6481,17 @@ object SparkEntry {
         |CASE WHEN pd + rd > 0 THEN CAST(floor(1000000.0 * ((2.0 * pd) * rd) / (pd + rd)) AS BIGINT)
         |ELSE CAST(0 AS BIGINT) END AS f_ticks
         |FROM dd""".stripMargin,
+    // gini: same ascending rank + pinned final tree
+    "q_gini_vocab" ->
+      """WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY tok),
+        |r AS (SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f ASC, tok ASC) AS BIGINT) AS i FROM f),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |CAST(SUM(i * f) AS BIGINT) AS s_if FROM r)
+        |SELECT n_vocab, n_tokens,
+        |CAST(floor(1000000.0 * ((2.0 * CAST(s_if AS DOUBLE)) / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |- (CAST(n_vocab AS DOUBLE) + 1.0) / CAST(n_vocab AS DOUBLE))) AS BIGINT) AS gini_ticks
+        |FROM s""".stripMargin,
     // distinct-n: two-level exact distinct, guarded tick ratio
     "q_distinct_ngrams" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ct FROM documents),

@@ -1744,4 +1744,35 @@ object Corpus {
           (col("n_ab") * 1000000L) * col("n_baskets"),
           col("n_a") * col("n_b")).as("lift_ppm"))
   }
+
+  /** VOCABULARY GINI CONCENTRATION — how unequally token mass is
+    * spread (near 1: a few stop-tokens dominate — normal for natural
+    * language; an unusually LOW value on web text flags synthetic or
+    * templated corpora whose generators flatten the Zipf curve).
+    * Gini over ascending-sorted frequencies:
+    * G = 2·Σ(i·f_i)/(n·Σf) − (n+1)/n, ranks from ONE window over the
+    * VOCAB table — |vocab| rows, not corpus rows (the H2 rollup
+    * already collapsed the corpus); the (freq, token) order is total
+    * so ranks are deterministic. Sums are exact longs (contract:
+    * rank·freq fits — i.e. |vocab|·max_freq < 2^63; split by shard
+    * beyond that), the final tree is pinned IEEE, output one row
+    * with the tick floor. */
+  def giniConcentration(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val freqs = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").asc, col("tok").asc)
+    val ranked = freqs.withColumn("i", row_number().over(w).cast("long"))
+    val sums = ranked.agg(count(lit(1)).as("n_vocab"),
+      sum(col("f")).as("n_tokens"),
+      sum(col("i") * col("f")).as("s_if"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    sums.select(col("n_vocab"), col("n_tokens"),
+      floor(lit(1e6) *
+        ((lit(2.0) * d(col("s_if"))) / (d(col("n_vocab")) * d(col("n_tokens")))
+          - (d(col("n_vocab")) + 1.0) / d(col("n_vocab"))))
+        .cast("long").as("gini_ticks"))
+  }
 }

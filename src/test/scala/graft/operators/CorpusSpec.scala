@@ -1246,4 +1246,23 @@ class CorpusSpec extends SparkSpec {
       ("x", "y", 2L, 3L, 3L, 500000L, 666666L, 666666L, 888888L),
       ("y", "z", 1L, 3L, 1L, 250000L, 333333L, 1000000L, 1333333L)))
   }
+
+  test("giniConcentration: uniform = 0-ish, one-token dominance high") {
+    import sqlImplicits._
+    // 4 tokens once each: perfectly equal -> G = 2*(1+2+3+4)/(4*4)
+    // - 5/4 = 1.25 - 1.25 = 0
+    val uniform = Seq("a b c d").toDF("text")
+    val u = Corpus.giniConcentration(uniform)
+      .select("n_vocab", "n_tokens", "gini_ticks")
+      .as[(Long, Long, Long)].head()
+    assert(u == ((4L, 4L, 0L)))
+    // 'z' 9 times + 'a' once: G = 2*(1*1+2*9)/(2*10) - 3/2 = 0.4 —
+    // but 1.9 is inexact in binary, so the IEEE tree lands a hair
+    // under and the tick FLOORS to 399999: the claim is determinism
+    // (both engines, any partitioning), not decimal prettiness
+    val skew = Seq(("a " + Seq.fill(9)("z").mkString(" "))).toDF("text")
+    val s = Corpus.giniConcentration(skew)
+      .select("gini_ticks").as[Long].head()
+    assert(s == 399999L, s.toString)
+  }
 }
