@@ -226,6 +226,61 @@ object SparkEntry {
       |ex AS (SELECT doc_id, coalesce(string_agg(CASE WHEN keep THEN btext END, chr(10) ORDER BY block_idx), '') AS text FROM bkp GROUP BY doc_id),
       |""").stripMargin
 
+  /** Shared IVF-training + assignment CTE chain (dv → md5-ordered
+    * seed pick → two Lloyd rounds with fixed-point tick means → cc
+    * final assignment) — the common prefix of the q_ann_ivf and
+    * q_kmeans_profile oracles, ending right after `cc` so each
+    * composes its own tail (`pc…`/`kp…`). A named constant, not a
+    * substring cut on a CTE marker: renaming a CTE now breaks the
+    * one query that uses it at SQL time, never registry construction
+    * for an unrelated query. */
+  private val ivfTrainCtes: String =
+    """WITH dv AS (
+      |SELECT vec_id, embedding,
+      |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |FROM embeddings),
+      |seed AS (
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) - 1 AS cell, v AS c
+      |FROM (SELECT vec_id, v,
+      |CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM dv)
+      |ORDER BY h LIMIT 8),
+      |a0 AS (
+      |SELECT vec_id, v, cell FROM (
+      |SELECT d.vec_id, d.v, s.cell,
+      |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+      |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+      |FROM dv d CROSS JOIN seed s) WHERE rn = 1),
+      |m1 AS (
+      |SELECT cell, i.i AS pos,
+      |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+      |FROM a0 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
+      |c1 AS (
+      |SELECT s.cell, COALESCE(mm.c, s.c) AS c
+      |FROM seed s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell) mm
+      |ON s.cell = mm.cell),
+      |a1 AS (
+      |SELECT vec_id, v, cell FROM (
+      |SELECT d.vec_id, d.v, s.cell,
+      |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+      |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+      |FROM dv d CROSS JOIN c1 s) WHERE rn = 1),
+      |m2 AS (
+      |SELECT cell, i.i AS pos,
+      |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+      |FROM a1 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
+      |c2 AS (
+      |SELECT s.cell, COALESCE(mm.c, s.c) AS c
+      |FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell) mm
+      |ON s.cell = mm.cell),
+      |cc AS (
+      |SELECT vec_id, cell FROM (
+      |SELECT d.vec_id, s.cell,
+      |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+      |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
+      |FROM dv d CROSS JOIN c2 s) WHERE rn = 1),
+      |""".stripMargin
+
   /** Fixed literal vocab for q_bpe_encode — shared verbatim by the
     * Spark query and the DuckDB oracle so every greedy-longest-match
     * split decision is replayed bit-exactly on both sides. */
@@ -1398,6 +1453,53 @@ object SparkEntry {
         T(s, d, "lineitem").select("l_orderkey", "l_linenumber",
           "l_returnflag", "l_extendedprice"),
         "l_returnflag", "l_extendedprice")),
+    // the ONE-PASS sketch path of the order-statistics family: per
+    // group, KLL discrete quantiles next to the exact percentile()
+    // answer and the measured rank error in exact ppm of the group
+    // size — the self-auditing harness shape (F8). Rows-only: the
+    // sketch's compaction survivors depend on merge order, which no
+    // SQL replay can reproduce; the SPEC pins the error bound.
+    "q_quantile_sketch" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+      val sk = OrderStats.sketchQuantilesByGroup(li,
+        "l_returnflag", "l_extendedprice",
+        Seq("sk_p50" -> 0.5, "sk_p95" -> 0.95))
+      val ex = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex_p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("ex_p95"))
+      def rkErr(skc: Column, q: Double) = {
+        // measured rank error: |rank(sketch value) − q·(n−1)| in ppm
+        // of n, rank from one conditional count against the data
+        abs(sum(when(col("l_extendedprice") <= skc, 1L).otherwise(0L))
+          .cast("double") - lit(1.0) -
+          lit(q) * (count(lit(1)).cast("double") - lit(1.0))) * 1e6 /
+          count(lit(1)).cast("double")
+      }
+      val err = li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(floor(rkErr(col("sk_p50"), 0.5)).cast("long")
+          .as("p50_rank_err_ppm"),
+          floor(rkErr(col("sk_p95"), 0.95)).cast("long")
+            .as("p95_rank_err_ppm"))
+      sk.join(ex, Seq("l_returnflag")).join(err, Seq("l_returnflag"))
+        .select("l_returnflag", "n", "sk_p50", "ex_p50",
+          "p50_rank_err_ppm", "sk_p95", "ex_p95", "p95_rank_err_ppm")
+    }),
+    // winsorization on the sketch scale path: same clamp shape as
+    // q_winsorize but bounds from the one-pass KLL aggregate — no
+    // per-group buffering, no group-cardinality bound. Rows-only
+    // (merge-order-dependent bounds); the spec pins the error.
+    "q_winsorize_scale" -> ((s, d) =>
+      OrderStats.winsorizeByGroup(
+        T(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", scaleSafe = true)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          min("l_extendedprice_w").as("w_min"),
+          max("l_extendedprice_w").as("w_max"))),
     // Luhn-gated PII: two planted 13–19 digit runs per doc (a fixed
     // card-shaped constant + a doc_id-derived 16-digit number whose
     // validity the CHECKSUM decides — no fixture-side answer key);
@@ -4034,15 +4136,12 @@ object SparkEntry {
     // scale-safe exact percentiles: bit-identical to the exact
     // aggregate, so the oracle is shared verbatim
     ("q_quantiles_scale" -> oracleSqlBase("q_quantiles")) +
-    // k-means profile: the q_ann_ivf oracle's training + assignment
-    // CTE chain (dv → seed → two Lloyd rounds → cc) reused verbatim —
-    // derived programmatically so the two fits stay in lockstep —
-    // with the search tail swapped for the per-cell label rollup
+    // k-means profile: composes the SAME named ivfTrainCtes constant
+    // as the q_ann_ivf oracle (dv → seed → two Lloyd rounds → cc) so
+    // the two fits stay in lockstep by construction — with the
+    // search tail swapped for the per-cell label rollup
     ("q_kmeans_profile" -> {
-      val base = oracleSqlBase("q_ann_ivf")
-      val cut = base.indexOf("pc AS (")
-      require(cut >= 0, "ivf oracle drifted: pc marker missing")
-      base.substring(0, cut) +
+      ivfTrainCtes +
         """kp AS (SELECT cc.cell, e.label, CAST(COUNT(*) AS BIGINT) AS c
           |FROM cc JOIN embeddings e ON cc.vec_id = e.vec_id GROUP BY 1, 2),
           |t AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_vecs FROM kp GROUP BY cell),
@@ -4639,13 +4738,16 @@ object SparkEntry {
         |pts AS (SELECT d.event_type, d.x0 - z.xmin AS x, d.y FROM daily d JOIN z ON d.event_type = z.event_type),
         |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts GROUP BY 1)
+        |CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM s)
         |SELECT event_type, n,
-        |CASE WHEN n * sxx - sx * sx <> 0
-        |THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_bucket,
-        |CASE WHEN n * sxx - sx * sx <> 0
-        |THEN CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept_cents
-        |FROM s""".stripMargin,
+        |CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+        |THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope_cents_per_bucket,
+        |CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+        |THEN (sxxd * syd - sxd * sxyd) / (nd * sxxd - sxd * sxd) END AS intercept_cents
+        |FROM d""".stripMargin,
     // association rules: the same distinct-basket counts + long ppm
     "q_assoc_rules" ->
       """WITH ui AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events WHERE event_type IS NOT NULL),
@@ -4657,7 +4759,7 @@ object SparkEntry {
         |(p.n_ab * 1000000) // tot.n_baskets AS support_ppm,
         |(p.n_ab * 1000000) // ia.n_item AS conf_a_to_b_ppm,
         |(p.n_ab * 1000000) // ib.n_item AS conf_b_to_a_ppm,
-        |((p.n_ab * 1000000) * tot.n_baskets) // (ia.n_item * ib.n_item) AS lift_ppm
+        |CAST(floor(CAST(p.n_ab AS DOUBLE) * 1000000.0 * CAST(tot.n_baskets AS DOUBLE) / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))) AS BIGINT) AS lift_ppm
         |FROM p JOIN ic ia ON p.a = ia.i JOIN ic ib ON p.b = ib.i, tot""".stripMargin,
     // interval join: the direct overlap theta-join — fine in a
     // single-node engine, the banded form's correctness bar
@@ -6380,52 +6482,8 @@ object SparkEntry {
     // cell, exact decimal(28,9) means), empty cells keep the prior
     // centroid, then inverted-file search (corpus -> 1 cell, probe ->
     // 3 cells), cosine, top-5
-    "q_ann_ivf" ->
-      """WITH dv AS (
-        |SELECT vec_id, embedding,
-        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |FROM embeddings),
-        |seed AS (
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) - 1 AS cell, v AS c
-        |FROM (SELECT vec_id, v,
-        |CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM dv)
-        |ORDER BY h LIMIT 8),
-        |a0 AS (
-        |SELECT vec_id, v, cell FROM (
-        |SELECT d.vec_id, d.v, s.cell,
-        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
-        |FROM dv d CROSS JOIN seed s) WHERE rn = 1),
-        |m1 AS (
-        |SELECT cell, i.i AS pos,
-        |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
-        |FROM a0 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
-        |c1 AS (
-        |SELECT s.cell, COALESCE(mm.c, s.c) AS c
-        |FROM seed s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell) mm
-        |ON s.cell = mm.cell),
-        |a1 AS (
-        |SELECT vec_id, v, cell FROM (
-        |SELECT d.vec_id, d.v, s.cell,
-        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
-        |FROM dv d CROSS JOIN c1 s) WHERE rn = 1),
-        |m2 AS (
-        |SELECT cell, i.i AS pos,
-        |CAST(SUM(CAST(floor(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
-        |FROM a1 CROSS JOIN generate_series(1, 64) i(i) GROUP BY cell, i.i),
-        |c2 AS (
-        |SELECT s.cell, COALESCE(mm.c, s.c) AS c
-        |FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell) mm
-        |ON s.cell = mm.cell),
-        |cc AS (
-        |SELECT vec_id, cell FROM (
-        |SELECT d.vec_id, s.cell,
-        |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-        |list_sum(list_transform(range(1, 65), i -> (d.v[i] - s.c[i]) * (d.v[i] - s.c[i]))), s.cell) AS rn
-        |FROM dv d CROSS JOIN c2 s) WHERE rn = 1),
-        |pc AS (
+    "q_ann_ivf" -> (ivfTrainCtes +
+      """pc AS (
         |SELECT vec_id AS probe_id, cell FROM (
         |SELECT d.vec_id, s.cell,
         |ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -6441,7 +6499,7 @@ object SparkEntry {
         |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos FROM (
         |SELECT probe_id, neighbor_id, cos,
         |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
-        |FROM scored) WHERE rnk <= 5""".stripMargin,
+        |FROM scored) WHERE rnk <= 5""".stripMargin),
     "q_tfidf_top_terms" ->
       """WITH tf AS (
         |SELECT doc_id, tok, COUNT(*) AS tf FROM (

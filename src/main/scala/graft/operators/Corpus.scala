@@ -1710,8 +1710,14 @@ object Corpus {
     * H35's PMI is ADJACENT-token collocation, this is set
     * co-occurrence within a basket): for every item pair (a < b),
     * how many baskets hold both, and the directional confidences
-    * plus lift, ALL in exact long floor-division ppm — counts are
-    * integers, so no IEEE op anywhere. Shape: distinct (key, item)
+    * plus lift. Support/confidence are exact long floor-division ppm
+    * (numerators bounded by n_ab·1e6 < 2^63 for any real corpus);
+    * lift's numerator is n_ab·1e6·n_baskets — a LONG tree would
+    * silently wrap in Spark past ~3e6 baskets while the DuckDB
+    * replay errors (the groupedR2 overflow class) — so lift runs
+    * through a pinned IEEE double tree with a tick floor, identical
+    * in the SQL replay: overflow degrades to rounding, gracefully
+    * and identically in both engines. Shape: distinct (key, item)
     * pairs (map-side combined), a per-key self-join bounded by
     * items-per-basket² (never baskets²), two broadcast item-count
     * joins, one single-row total. A basket with 10k distinct items
@@ -1740,9 +1746,10 @@ object Corpus {
           .as("conf_a_to_b_ppm"),
         call_function("div", col("n_ab") * 1000000L, col("n_b"))
           .as("conf_b_to_a_ppm"),
-        call_function("div",
-          (col("n_ab") * 1000000L) * col("n_baskets"),
-          col("n_a") * col("n_b")).as("lift_ppm"))
+        floor(col("n_ab").cast("double") * lit(1000000.0) *
+            col("n_baskets").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long").as("lift_ppm"))
   }
 
   /** VOCABULARY GINI CONCENTRATION — how unequally token mass is

@@ -166,7 +166,15 @@ object Dedup {
     * jaccard bar: pair generation runs ONCE at the loosest requested
     * threshold (prefix filtering is recall-complete for everything
     * above it), then each threshold is a cheap filtered aggregate
-    * over the materialized pair table — pairs surviving, documents
+    * over the materialized pair table. "Materialized" is load-
+    * bearing and lives INSIDE [[ngramJaccardPairs]]: its result
+    * comes back persisted and eagerly counted
+    * (CacheOps.materializeAndRelease), so although the candidate-
+    * join subtree appears |thresholds| times in the unioned LOGICAL
+    * plan, every per-threshold aggregate executes as an
+    * InMemoryTableScan of the one cached pair table (plan-guarded in
+    * the spec) — the join itself never re-runs. Per threshold: pairs
+    * surviving, documents
     * flagged (distinct larger-id side: the kept-min casualty count,
     * an upper bound — the exact survivor count needs the F6 cluster
     * pass, which the CHOSEN threshold then runs), survivors. One

@@ -465,6 +465,52 @@ object OrderStats {
       .drop("__g", "__wstar", "__tie_id", "__tie_sel")
   }
 
+  /** ONE-PASS per-group quantiles via the mergeable KLL sketch
+    * ([[graft.expressions.KllQuantiles]]) — the order-statistics
+    * family's 100 TB default. Unlike the exact `percentile()`
+    * aggregate (ONE group's values buffered in one task) this holds
+    * O(k·log(n/k)) state per group at ANY group size, with map-side
+    * combine, and unlike [[quantilesByGroup]]'s exact narrowing it is
+    * ONE aggregation job, not O(rounds) — the constant that made the
+    * `_range` twins toy-priced goes away entirely. The price is rank
+    * error (≤ ~1% of n at k = 200, spec-measured; EXACT while a
+    * group's count stays under the level-0 capacity) and a discrete
+    * (non-interpolating) quantile. Output: one row per group,
+    * (groupCol, qs columns...), groups with zero non-null values not
+    * emitted — the [[quantilesByGroup]] contract, with NO group-
+    * cardinality bound: the result is a plain aggregate, never
+    * collected. */
+  def sketchQuantilesByGroup(df: DataFrame, groupCol: String,
+                             valueCol: String, qs: Seq[(String, Double)],
+                             k: Int = 200): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "percentiles must be in [0, 1]")
+    val agg = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.KllQuantiles
+        .kllQuantiles(col("__v"), qs.map(_._2), k).as("__qs"))
+    agg.select(col(groupCol) +: qs.zipWithIndex.map {
+      case ((name, _), i) => element_at(col("__qs"), i + 1).as(name)
+    }: _*)
+  }
+
+  /** Loud cardinality guard + driver round-trip for an exact-path
+    * GROUP FRAME (one row per group) that is about to broadcast: the
+    * frame is collected through [[boundedGroupRows]] (fails with the
+    * measured count past `maxGroups`) and re-created as a local
+    * relation, so the guard probe IS the broadcast build — the
+    * expensive aggregate underneath runs ONCE, not once for the
+    * probe and again for the join. */
+  private def guardedBroadcastFrame(frame: DataFrame, what: String,
+                                    maxGroups: Int): DataFrame = {
+    val rows = boundedGroupRows(frame, what, maxGroups)
+    frame.sparkSession.createDataFrame(
+      frame.sparkSession.sparkContext
+        .parallelize(rows.toIndexedSeq, 1), frame.schema)
+  }
+
   /** ROBUST OUTLIER PROFILE per group — median / MAD flagging, the
     * trimming rule that survives the exact contamination a
     * mean/stddev z-score breaks under (one 1e9 outlier drags the
@@ -472,39 +518,59 @@ object OrderStats {
     * group: n, median, MAD (median absolute deviation), outlier
     * count (|v − med| > k·MAD, strict) and rate in exact ppm.
     *
-    * Two forms, bit-identical (spec-pinned), both quantile_cont-
-    * exact: the default runs Spark's exact Percentile aggregate
-    * twice (one shuffle per pass; buffers ONE group's values per
-    * task — the B7 exact-form caveat, fine while every group fits a
-    * task); `scaleSafe = true` swaps both medians onto
+    * Three forms. The default and `scaleSafe = true` are
+    * bit-identical (spec-pinned), both quantile_cont-exact: the
+    * default runs Spark's exact Percentile aggregate twice (one
+    * shuffle per pass; buffers ONE group's values per task — the B7
+    * exact-form caveat, fine while every group fits a task, and now
+    * LOUD past `maxGroups` group keys via the guarded broadcast);
+    * `scaleSafe = true` swaps both medians onto
     * [[quantilesByGroup]]'s batched kthLargestByGroup narrowing —
     * no per-group buffering at any group size, at the documented
     * `_range`-family toy constant (measured 8.8 s vs 1.5 s at
     * sf0.1's 3 groups; the constant is narrowing rounds, not data).
-    * Group frames (|groups| rows, driver-bounded by maxGroups)
-    * broadcast back — the data-sized side never reshuffles.
+    * `sketched = true` is the 100 TB default: both medians come from
+    * the ONE-PASS mergeable KLL aggregate
+    * ([[sketchQuantilesByGroup]]) — no per-group buffering, no
+    * narrowing rounds, no group-cardinality bound (the group frames
+    * join WITHOUT a broadcast: at unbounded group counts AQE picks
+    * the join side) — at the sketch's spec-pinned rank error.
     */
   def robustOutliersByGroup(df: DataFrame, groupCol: String,
                             valueCol: String, k: Double = 5.0,
                             scaleSafe: Boolean = false,
+                            sketched: Boolean = false,
+                            sketchK: Int = 200,
                             maxGroups: Int = 100000): DataFrame = {
+    require(!(scaleSafe && sketched),
+      "pick ONE of scaleSafe (exact narrowing) or sketched (KLL)")
     val med =
-      if (scaleSafe) quantilesByGroup(df, groupCol, valueCol,
+      if (sketched) sketchQuantilesByGroup(df, groupCol, valueCol,
+        Seq(("med", 0.5)), sketchK)
+      else if (scaleSafe) quantilesByGroup(df, groupCol, valueCol,
         Seq(("med", 0.5)), maxGroups)
-      else df.filter(col(valueCol).isNotNull).groupBy(col(groupCol))
-        .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), 0.5)")
-          .as("med"))
+      else guardedBroadcastFrame(
+        df.filter(col(valueCol).isNotNull).groupBy(col(groupCol))
+          .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), 0.5)")
+            .as("med")),
+        "robustOutliersByGroup", maxGroups)
+    val medSide = if (sketched) med else broadcast(med)
     val dev = df.select(col(groupCol),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .join(broadcast(med), Seq(groupCol))
+      .join(medSide, Seq(groupCol))
       .withColumn("__dev", abs(col("__v") - col("med")))
     val mad =
-      if (scaleSafe) quantilesByGroup(dev, groupCol, "__dev",
+      if (sketched) sketchQuantilesByGroup(dev, groupCol, "__dev",
+        Seq(("mad", 0.5)), sketchK)
+      else if (scaleSafe) quantilesByGroup(dev, groupCol, "__dev",
         Seq(("mad", 0.5)), maxGroups)
-      else dev.groupBy(col(groupCol))
-        .agg(expr("percentile(__dev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+      else guardedBroadcastFrame(
+        dev.groupBy(col(groupCol))
+          .agg(expr("percentile(__dev, 0.5)").as("mad")),
+        "robustOutliersByGroup", maxGroups)
+    val madSide = if (sketched) mad else broadcast(mad)
+    dev.join(madSide, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         min(col("med")).as("med"),
@@ -520,21 +586,40 @@ object OrderStats {
     * band (feature pipelines run this before anything
     * magnitude-sensitive sees the column; unlike dropping outliers
     * it keeps the row — the tail information degrades gracefully
-    * instead of vanishing). Exact Percentile bounds (one grouped
-    * pass; the B7 exact-form caveat) broadcast back; the clamp is a
-    * scan-stage least/greatest, and `clipped` rides as evidence.
+    * instead of vanishing). Default: exact Percentile bounds (one
+    * grouped pass; the B7 exact-form caveat — buffers ONE group's
+    * values per task, now LOUD past `maxGroups` group keys)
+    * broadcast back. `scaleSafe = true` is the 100 TB path: bounds
+    * from the ONE-PASS mergeable KLL sketch
+    * ([[sketchQuantilesByGroup]]) — O(k·log n) state per group at
+    * any group size, no narrowing rounds, no cardinality bound (the
+    * bounds frame joins without a broadcast hint; AQE picks the
+    * side) — at the sketch's spec-pinned rank error. Either way the
+    * clamp is a scan-stage least/greatest, and `clipped` rides as
+    * evidence.
     */
   def winsorizeByGroup(df: DataFrame, groupCol: String,
                        valueCol: String, lo: Double = 0.05,
-                       hi: Double = 0.95): DataFrame = {
+                       hi: Double = 0.95,
+                       scaleSafe: Boolean = false,
+                       sketchK: Int = 200,
+                       maxGroups: Int = 100000): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi,
       s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
-    val bounds = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)").as("__lo"),
-        expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)").as("__hi"))
+    val bounds =
+      if (scaleSafe) sketchQuantilesByGroup(df, groupCol, valueCol,
+        Seq(("__lo", lo), ("__hi", hi)), sketchK)
+      else guardedBroadcastFrame(
+        df.filter(col(valueCol).isNotNull)
+          .groupBy(col(groupCol))
+          .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)")
+            .as("__lo"),
+            expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)")
+              .as("__hi")),
+        "winsorizeByGroup", maxGroups)
+    val boundsSide = if (scaleSafe) bounds else broadcast(bounds)
     val v = col(valueCol).cast("double")
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(boundsSide, Seq(groupCol))
       .withColumn(s"${valueCol}_w",
         least(greatest(v, col("__lo")), col("__hi")))
       .withColumn("clipped", v < col("__lo") || v > col("__hi"))

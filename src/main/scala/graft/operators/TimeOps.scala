@@ -200,9 +200,13 @@ object TimeOps {
     * series (activity trending up or down?): y = exact daily cents,
     * x = day index, slope/intercept from the closed-form normal
     * equations. Exactness: every Σ (x, y, xy, x²) is an exact LONG
-    * over the rolled-up series — the only IEEE ops are the four
-    * final casts and the one division, the same pinned tree in the
-    * SQL replay. Scale shape: the daily rollup is ONE map-side-
+    * over the rolled-up series; the normal-equation COMBINATIONS run
+    * in double — each exact sum casts ONCE and the determinant /
+    * numerators are a pinned IEEE tree identical in the SQL replay
+    * (the groupedR2 discipline: n·Σxy as a raw long product silently
+    * wraps in Spark at large per-bucket cent sums while DuckDB
+    * errors — the double tree degrades gracefully and identically in
+    * both engines). Scale shape: the daily rollup is ONE map-side-
     * combined aggregation (row-level points never cross the shuffle
     * as x/y pairs); the regression then runs over |keys × days|
     * rows. Degenerate series (one distinct x) yield null slope
@@ -227,14 +231,17 @@ object TimeOps {
       sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
-    val det = sums("n") * col("sxx") - col("sx") * col("sx")
+    // each exact long sum casts ONCE; every combination is double —
+    // no n·Σxy long product to wrap at large per-bucket cent sums
+    val (nD, sxD, syD, sxyD, sxxD) = (sums("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val det = nD * sxxD - sxD * sxD
     sums.select(col(keyCol), col("n"),
-      when(det =!= 0,
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / det.cast("double")).as("slope_cents_per_bucket"),
-      when(det =!= 0,
-        (col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double")
-          / det.cast("double")).as("intercept_cents"))
+      when(det =!= 0.0,
+        (nD * sxyD - sxD * syD) / det).as("slope_cents_per_bucket"),
+      when(det =!= 0.0,
+        (sxxD * syD - sxD * sxyD) / det).as("intercept_cents"))
   }
 
   /** SCD TYPE-2 HISTORY — the slowly-changing-dimension build every

@@ -843,4 +843,35 @@ class DedupSpec extends SparkSpec {
       (0.8, 1L, 1L, 3L),   // only (1,2)
       (1.0, 1L, 1L, 3L)))
   }
+
+  test("thresholdSweep plan guard: per-threshold legs scan the cached " +
+    "pair table, never re-run the candidate join") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "x", "a b c"), (2L, "x", "a b c"),
+      (3L, "x", "a b c d"), (4L, "x", "zz yy")).toDF("doc_id", "source", "text")
+    val sweep = Dedup.thresholdSweep(docs, Seq("source"), Seq(0.7, 0.8, 1.0))
+    sweep.count()
+    // walk the final plan but STOP at cache scans: anything inside
+    // the InMemoryRelation ran once when ngramJaccardPairs counted it
+    def outsideCache(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      p match {
+        case _: InMemoryTableScanExec => Seq(p)
+        case a: AdaptiveSparkPlanExec => p +: outsideCache(a.executedPlan)
+        case q: QueryStageExec => p +: outsideCache(q.plan)
+        case other => p +: other.children.flatMap(outsideCache)
+      }
+    }
+    val nodes = outsideCache(sweep.queryExecution.executedPlan).map(_.nodeName)
+    // every threshold leg reads the ngramJaccardPairs cache ...
+    assert(nodes.count(_ == "InMemoryTableScan") >= 3,
+      s"expected one cached pair-table scan per threshold:\n${nodes.mkString(",")}")
+    // ... and no join (the candidate join, the set-fetch joins) ever
+    // re-runs outside it
+    assert(!nodes.exists(_.contains("Join")),
+      s"candidate join leaked outside the cache:\n${nodes.mkString(",")}")
+  }
 }
