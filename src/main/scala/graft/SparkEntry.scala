@@ -2954,6 +2954,40 @@ object SparkEntry {
         targetBytes = 1L << 30)
       s.read.parquet(s"$base/dst")
     }),
+    // keyed MERGE into the bucket-partitioned manifest table
+    // (snapshot-isolated upsert/delete — the "apply this day's delta
+    // to the corpus table" operator): three batches — full load,
+    // upsert (price bump on even keys) + insert (shifted keys),
+    // upsert (status recode) + delete — applied through the commit
+    // path; the final snapshot must equal the relational replay of
+    // the same three batches. Crash-window, pointer-carry-over,
+    // compaction and vacuum claims are spec-proven.
+    "q_merge_upsert" -> ((s, d) => {
+      val dir = roundtripDir("merge_upsert")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val base = T(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      MergeTable.merge(s, dir, base, Seq("o_orderkey"), nBuckets = 32)
+      val b2 = base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice")))
+      MergeTable.merge(s, dir, b2, Seq("o_orderkey"), nBuckets = 32)
+      val b3 = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("_del", lit(true))
+        .unionByName(base
+          .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("_del", lit(false)))
+      MergeTable.merge(s, dir, b3, Seq("o_orderkey"), nBuckets = 32,
+        deleteCol = Some("_del"))
+      MergeTable.snapshot(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    }),
     // PMI collocations: adjacent-pair counts + unigram marginals,
     // the log-free monotone ratio as one fixed-tree tick, min-count
     // guard before ranking, top-30 via TakeOrderedAndProject
@@ -6972,6 +7006,29 @@ object SparkEntry {
     // compaction is contents-identity — the whole claim
     "q_compact_layout" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // keyed merge: the same three batches replayed relationally —
+    // each batch's survivors are the anti-join on the delta's keys,
+    // plus its non-delete rows
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |b2 AS (
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        |FROM base WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice
+        |FROM base WHERE o_orderkey % 97 = 0),
+        |a2 AS (
+        |SELECT b.* FROM base b LEFT JOIN b2 ON b.o_orderkey = b2.o_orderkey
+        |WHERE b2.o_orderkey IS NULL
+        |UNION ALL SELECT * FROM b2),
+        |del3 AS (SELECT o_orderkey FROM base WHERE o_orderkey % 7 = 0),
+        |up3 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice
+        |FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+        |SELECT a.* FROM a2 a
+        |LEFT JOIN del3 ON a.o_orderkey = del3.o_orderkey
+        |LEFT JOIN up3 u ON a.o_orderkey = u.o_orderkey
+        |WHERE del3.o_orderkey IS NULL AND u.o_orderkey IS NULL
+        |UNION ALL SELECT * FROM up3""".stripMargin,
     // badwords: per-pattern replace-length occurrence counts (exact
     // for borderless patterns — overlap impossible), summed + hit
     // flags per doc
