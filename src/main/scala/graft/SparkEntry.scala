@@ -2531,11 +2531,59 @@ object SparkEntry {
       val pqRefineOp = Similarity.recallAtK(
           Pq.refineTopK(shortOp, emb, probes, 10), exactPq10, 10)
         .withColumn("index", lit("pq_refine_op"))
+      // RESIDUAL IVF-PQ (r17, the FAISS composition proper): the res
+      // twin's codes quantize within-cell residuals, the raw twin
+      // quantizes raw vectors at IDENTICAL routing and codebook
+      // budget (m=16, k=16) — their gap is the residual ADC lift.
+      // The sf embeddings are near-uniform within a label (no coarse
+      // cluster structure — the r16 saturation finding), so residuals
+      // ≈ raw there (measured: both 0.25, zero lift — the documented
+      // property, not a bug); the lift surface needs coarse
+      // structure, so it is IMPOSED deterministically in-universe:
+      // ±60.0 on EVERY dimension, sign = hash(label, dim) — all 16
+      // subspaces then carry 10 label positions at 60× the fine
+      // scale, which is exactly the geometry where a raw codebook
+      // burns its codewords re-describing positions. Coarse model =
+      // the 10 per-label means (the model is an input contract, as
+      // in FAISS — a hash-seeded 8-cell Lloyd on 10 tight clusters
+      // merges/splits cells and muddies what is being measured).
+      val shifted = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            (pmod(xxhash64(col("label") * 64 + i), lit(2))
+              .cast("double") * 2.0 - 1.0) * 60.0).as("embedding"))
+      val coarse = shifted
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .orderBy("label").collect()
+        .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val probesS = shifted.filter(col("vec_id") < 8)
+      val exactS = Similarity.bruteForceTopK(shifted, probesS, 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactS.count()
+      val cbRawS = Pq.trainCodebooks(shifted, m = 16, k = 16,
+        lloydIters = 1)
+      val ivfpqAdc = Similarity.recallAtK(
+          Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbRawS, nProbe = 1),
+          exactS, 10)
+        .withColumn("index", lit("ivfpq_adc_op"))
+      val cbResS = Pq.trainCodebooks(shifted, m = 16, k = 16,
+        lloydIters = 1, coarse = Some(coarse))
+      val ivfpqResAdc = Similarity.recallAtK(
+          Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbResS, nProbe = 1,
+            residual = true),
+          exactS, 10)
+        .withColumn("index", lit("ivfpq_res_adc_op"))
       operators.CacheOps.materializeAndRelease(
         lsh.unionByName(ivf).unionByName(pqAdc).unionByName(pqRefine)
           .unionByName(pqAdcOp).unionByName(pqRefineOp)
+          .unionByName(ivfpqAdc).unionByName(ivfpqResAdc)
           .select("index", "probe_id", "n_exact", "n_hit", "recall"),
-        exact, short10, exactPq, exactPq10, shortOp)
+        exact, short10, exactPq, exactPq10, shortOp, exactS)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),

@@ -31,6 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Residual of `dvec` against the coarse centroid named by `cell`
+    * (0-based): v − coarse[cell], element-wise. The subtraction is
+    * one zip_with over the broadcast centroid-matrix literal —
+    * scan-fused, engine-portable (a fixed IEEE tree). */
+  def residualTo(dvec: Column, cell: Column,
+                 coarse: Seq[Seq[Double]]): Column = {
+    val cents = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    zip_with(dvec, element_at(cents, cell.cast("int") + 1),
+      (x, c) => x - c)
+  }
+
+  /** Residual against the vector's OWN nearest coarse centroid —
+    * what IVF-PQ quantizes (Jégou et al. 2011 §III-A: within a cell
+    * the residuals are centered near zero, so the same m×k codebook
+    * budget spends its resolution on the fine structure instead of
+    * re-describing the coarse cell's position; the measured ADC
+    * recall lift is in the G6 harness). */
+  def residualVec(dvec: Column, coarse: Seq[Seq[Double]]): Column =
+    residualTo(dvec, Ivf.nearestCell(dvec, coarse), coarse)
+
   /** Train the m per-subspace codebooks. Returns
     * codebooks(s)(j) = sub-centroid j of subspace s (each dim/m
     * wide). Every subspace seeds from the SAME hash-ordered corpus
@@ -39,15 +59,24 @@ object Pq {
     * tickScale trains with fixed-point tick means (floor(v·10⁶)
     * longs + ONE final IEEE division) — order-independent AND
     * engine-portable, unlike a double→decimal cast whose rounding
-    * point differs between engines (the §5 determinism rule). */
+    * point differs between engines (the §5 determinism rule).
+    *
+    * `coarse` switches on RESIDUAL training (IVF-PQ proper): every
+    * vector is replaced by its residual against its nearest coarse
+    * centroid before slicing — seeds included, so the codebooks
+    * model the within-cell distribution. Callers must then encode
+    * and score residuals too ([[ivfPqTopK]] with `residual = true`
+    * does all three consistently). */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
                      lloydIters: Int = 1,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      seedHash: Column => Column = c => xxhash64(c),
-                     tickScale: Option[Long] = Some(1000000L))
+                     tickScale: Option[Long] = Some(1000000L),
+                     coarse: Option[Seq[Seq[Double]]] = None)
   : Seq[Seq[Seq[Double]]] = {
-    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val raw = transform(col(vecCol), x => x.cast("double"))
+    val dvec = coarse.map(cs => residualVec(raw, cs)).getOrElse(raw)
     // ONE seed job for all subspaces: every subspace seeds from the
     // SAME k hash-ordered rows, so collect the full vectors once and
     // slice driver-side — not m corpus sorts (plus it supplies dim,
@@ -166,24 +195,40 @@ object Pq {
     * [[Ivf.nearestCell]] (probes replicated to their nProbe nearest
     * cells), then PQ-ADC scoring within the routed cells. Train both
     * models once ([[Ivf.trainCentroids]], [[trainCodebooks]]) and
-    * reuse across query batches. */
+    * reuse across query batches.
+    *
+    * `residual = true` is IVF-PQ proper (requires codebooks trained
+    * with the same `coarse` passed to [[trainCodebooks]]): each
+    * corpus vector's codes quantize its residual against its own
+    * cell's centroid, and the probe's ADC query vector is ITS
+    * residual against the ROUTED cell — both sides subtract the same
+    * centroid, so ADC approximates the true within-cell distance
+    * with the codebook resolution spent on fine structure, not on
+    * re-describing the cell. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                 coarse: Seq[Seq[Double]],
                 codebooks: Seq[Seq[Seq[Double]]], nProbe: Int,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                residual: Boolean = false): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      Ivf.nearestCell(dvec, coarse).as("cell"),
-      encode(dvec, codebooks).as("codes"))
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), dvec.as("__v"))
+      .withColumn("cell", Ivf.nearestCell(col("__v"), coarse))
+      .select(col("neighbor_id"), col("cell"),
+        encode(if (residual) residualTo(col("__v"), col("cell"), coarse)
+          else col("__v"), codebooks).as("codes"))
     val cellsRanked =
       slice(array_sort(Ivf.cellScores(dvec, coarse)), 1, nProbe)
     val p = probes.select(col(idCol).as("probe_id"), dvec.as("p_vec"),
       explode(cellsRanked.getField("cell")).as("cell"))
+    val queryVec =
+      if (residual) residualTo(col("p_vec"), col("cell"), coarse)
+      else col("p_vec")
     val scored = coded.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        adc(col("p_vec"), col("codes"), codebooks).as("adc"))
+        adc(queryVec, col("codes"), codebooks).as("adc"))
     scored.groupBy(col("probe_id"))
       .agg(BoundedTopK.boundedTopK(-col("adc"), col("neighbor_id"), k)
         .as("top"))

@@ -146,6 +146,74 @@ class PqSpec extends SparkSpec {
     assert(ref.values.sum / ref.size >= 0.6)
   }
 
+  test("residualVec subtracts each vector's nearest coarse centroid") {
+    val coarse = Seq(Seq(-4.0, 0.0, -4.0, 0.0), Seq(4.0, 0.0, 4.0, 0.0))
+    val dvec = transform(col("embedding"), x => x.cast("double"))
+    val got = corpus.select(dvec.as("v"),
+        Pq.residualVec(dvec, coarse).as("r"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    got.foreach { case (v, r) =>
+      val near = coarse.minBy(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val want = v.zip(near).map { case (x, c) => x - c }
+      assert(r == want, s"$v")
+    }
+  }
+
+  test("residual codebooks lift ADC recall on coarse-dominated " +
+      "structure at the same codebook budget") {
+    // three well-separated coarse clusters (±100) with ±1 fine
+    // structure inside: raw PQ spends its codewords re-describing
+    // the cluster positions (within a cell every vector collapses to
+    // the same code and ADC cannot rank), residual PQ spends them on
+    // the fine structure — the reason FAISS IVF-PQ encodes residuals
+    // 8 clusters × k=8 codewords: the raw codebook is fully consumed
+    // by the cluster POSITIONS (every within-cell candidate collapses
+    // to one code), the residual codebook is fully free for the fine
+    // structure
+    val rnd = new scala.util.Random(7)
+    // 8 discrete fine PATTERNS (±1 scale, tiny jitter): within-cell
+    // structure a k=8 residual codebook can actually resolve
+    val patterns = Array.fill(8)(Array.fill(4)(rnd.nextDouble() * 2 - 1))
+    val docs = (0 until 120).map { i =>
+      val c = i % 8
+      val base = Array(100.0 * c, 100.0 * ((c * 3) % 8),
+        100.0 * ((c * 5) % 8), 100.0 * ((c * 7) % 8))
+      val fine = patterns((i / 8) % 8)
+      (i.toLong, base.indices.map(j =>
+        (base(j) + fine(j) + rnd.nextDouble() * 0.1).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    // the true cluster centers as the coarse model: the claim under
+    // test is the residual ENCODING, not coarse-training quality (a
+    // hash-seeded 2-iter Lloyd on 8 tight clusters can seed 3 cells
+    // into one cluster and merge others — observed; the coarse model
+    // is an input contract here, as in FAISS)
+    val coarse = (0 until 8).map { c =>
+      Seq(100.0 * c, 100.0 * ((c * 3) % 8),
+        100.0 * ((c * 5) % 8), 100.0 * ((c * 7) % 8))
+    }
+    val probes = docs.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(docs, probes, 5)
+    val cbRaw = Pq.trainCodebooks(docs, m = 2, k = 8, lloydIters = 3)
+    val cbRes = Pq.trainCodebooks(docs, m = 2, k = 8, lloydIters = 3,
+      coarse = Some(coarse))
+    def meanRecall(top: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(top, exact, 5)
+        .select(col("recall").cast("double")).as[Double].collect()
+      r.sum / r.size
+    }
+    val raw = meanRecall(
+      Pq.ivfPqTopK(docs, probes, 5, coarse, cbRaw, nProbe = 1))
+    val res = meanRecall(
+      Pq.ivfPqTopK(docs, probes, 5, coarse, cbRes, nProbe = 1,
+        residual = true))
+    assert(res > raw, s"residual $res should beat raw $raw")
+    assert(res >= 0.5, s"residual recall too low: $res")
+    // and residual training is deterministic: same inputs, same model
+    assert(cbRes == Pq.trainCodebooks(docs, m = 2, k = 8,
+      lloydIters = 3, coarse = Some(coarse)))
+  }
+
   test("refineTopK plan: shortlist and probes broadcast, no cartesian") {
     val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
     val probes = corpus.filter(col("vec_id") <= 3)
