@@ -1184,6 +1184,29 @@ object SparkEntry {
           (TextFunctions.homoglyphNormalize(col("__t")) === col("text"))
             .as("restored"))
     }),
+    // FULL Unicode fold (the REAL expression, driven): per doc a
+    // planted variant from the spec-pinned fold table (width /
+    // compat / marks / confusables) rides on the ASCII text; the
+    // fold runs java.text.Normalizer — not SQL-expressible — so the
+    // oracle replays the SUBSET: lower(text) || the pinned folded
+    // literal (the F3/F4 promotion pattern; UnicodeFoldSpec pins the
+    // table both sides copy)
+    "q_unicode_fold" -> ((s, d) => {
+      val variants = array(
+        lit("Ｃａｆé ﬁnal ②㏏"),
+        lit("ÄÑÉ Ｔｅｓｔ"),
+        lit("№ ℡ Ⅸ ｈｅｌｌｏ"),
+        lit("viаgrа сlub"))
+      T(s, d, "documents")
+        .withColumn("__p", concat(col("text"), lit(" "),
+          element_at(variants, (col("doc_id") % 4).cast("int") + 1)))
+        .withColumn("__f", TextFunctions.unicodeFold(col("__p")))
+        .select(col("doc_id"),
+          md5(col("__f").cast("binary")).as("fold_hash"),
+          length(col("__f")).cast("long").as("n_chars_folded"),
+          (length(col("__p")) - length(col("__f"))).cast("long")
+            .as("n_chars_dropped"))
+    }),
     // half-life freshness score per user: 1-day half-life as of
     // 2024-02-01 (past the fixture's last event) — exact power-of-two
     // weights, per-event long ticks, order-independent long sum
@@ -4875,6 +4898,28 @@ object SparkEntry {
          |translate(t, '$from', '$to') = text AS restored
          |FROM p""".stripMargin
     },
+    // unicode fold: the fixture-subset replay — lower(text) plus the
+    // UnicodeFoldSpec-pinned folded literal per variant; lengths via
+    // the same concat
+    "q_unicode_fold" ->
+      """WITH p AS (SELECT doc_id, text,
+        |CASE CAST(doc_id % 4 AS INT)
+        |WHEN 0 THEN 'Ｃａｆé ﬁnal ②㏏'
+        |WHEN 1 THEN 'ÄÑÉ Ｔｅｓｔ'
+        |WHEN 2 THEN '№ ℡ Ⅸ ｈｅｌｌｏ'
+        |WHEN 3 THEN 'viаgrа сlub' END AS raw_v,
+        |CASE CAST(doc_id % 4 AS INT)
+        |WHEN 0 THEN 'cafe final 2kt'
+        |WHEN 1 THEN 'ane test'
+        |WHEN 2 THEN 'no tel ix hello'
+        |WHEN 3 THEN 'viagra club' END AS fold_v
+        |FROM documents),
+        |f AS (SELECT doc_id, text || ' ' || raw_v AS planted,
+        |lower(text) || ' ' || fold_v AS folded FROM p)
+        |SELECT doc_id, md5(folded) AS fold_hash,
+        |CAST(length(folded) AS BIGINT) AS n_chars_folded,
+        |CAST(length(planted) - length(folded) AS BIGINT) AS n_chars_dropped
+        |FROM f""".stripMargin,
     // half-life decay: integer half-life count clamped to [0,62],
     // weight denominator is an exact BIGINT shift, per-event tick =
     // floor(1e6·value / 2^k) — two IEEE double ops, then long sums

@@ -346,6 +346,20 @@ object TextFunctions {
   def homoglyphNormalize(text: Column): Column =
     translate(text, homoglyphFrom, homoglyphTo)
 
+  /** The FULL Unicode fold ([[graft.expressions.UnicodeFold]]:
+    * NFKC + ROOT lowercase + combining-mark strip + NFC) composed
+    * with the confusable translate — NFKC folds width /
+    * compatibility / case / marks but deliberately NOT confusables
+    * (Cyrillic а is not compat-equivalent to Latin a), so the two
+    * stages are complements, not alternatives. The production
+    * normalization for multilingual dedup / decontamination; not
+    * SQL-replayable (spec-pinned + fixture-subset oracle — the F3/F4
+    * promotion pattern). */
+  def unicodeFold(text: Column, withHomoglyphs: Boolean = true): Column = {
+    val folded = graft.expressions.UnicodeFold(text)
+    if (withHomoglyphs) homoglyphNormalize(folded) else folded
+  }
+
   /** Count of confusable characters present. */
   def homoglyphCount(text: Column): Column =
     (length(text) - length(translate(text, homoglyphFrom, "")))

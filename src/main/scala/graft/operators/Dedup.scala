@@ -30,12 +30,23 @@ object Dedup {
     * exact-dedup cost: one map-side-combined aggregation on the
     * normalized hash, no pair join. `n_variants` counts the DISTINCT
     * raw texts merged into each group — >1 is exactly the signal
-    * byte-exact dedup would have missed. */
+    * byte-exact dedup would have missed.
+    *
+    * `unicodeFold = true` prepends the FULL Unicode fold
+    * ([[TextFunctions.unicodeFold]]: NFKC width/compat/case/mark
+    * fold + confusable translate) — the multilingual rung: a
+    * full-width, ligatured, or homoglyph-respelled copy hashes
+    * identically. Production path, not SQL-replayable (the F3/F4
+    * pattern: q_unicode_fold drives the expression over a
+    * fixture-subset oracle; the spec pins the fold table). */
   def normalizedExact(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
+                      textCol: String = "text",
+                      unicodeFold: Boolean = false): DataFrame =
     docs
       .withColumn("norm_hash",
-        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")))
+        md5(TextFunctions.normalizeText(
+          if (unicodeFold) TextFunctions.unicodeFold(col(textCol))
+          else col(textCol)).cast("binary")))
       .groupBy(col("norm_hash"))
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"),
@@ -359,13 +370,22 @@ object Dedup {
     * stored sketch without re-shingling the corpus. */
   def minhashSketch(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    unicodeFold: Boolean = false): DataFrame = {
+    // unicodeFold: shingle over the folded text so a full-width /
+    // ligatured / diacritic-respelled copy of a document — or of an
+    // eval answer fed to fuzzyDecontaminate — produces the SAME
+    // shingle hashes (the multilingual decontamination rung; the
+    // fold is the scan-stage production path, spec-pinned)
+    val t = if (unicodeFold) TextFunctions.unicodeFold(col(textCol))
+      else col(textCol)
     docs.select(col(idCol).as("id"),
       sort_array(array_distinct(transform(TextFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), shingleN),
+        TextFunctions.tokens(t), shingleN),
         s => xxhash64(s)))).as("sh"))
       .withColumn("sig",
         graft.expressions.MinHashSig.of(col("sh"), numHashes))
+  }
 
   /** Incremental near-dup detection — the daily-batch production
     * shape: a small NEW batch is probed against the stored corpus
