@@ -1734,6 +1734,15 @@ object SparkEntry {
     // md5-portable family as q_dedup_incremental so DuckDB replays
     // sketch → band probe → 24-of-32 prefilter → exact jaccard →
     // per-doc argmax verdict bit-exactly.
+    // span-level decontamination evidence: WHERE each leak is — per
+    // (corpus doc, bench doc) the merged token intervals of matched
+    // 8-token bench windows (the F15 sweep generalized to interval
+    // emission; bench windows broadcast, corpus never shuffles for
+    // the match). Exact window hashes → fully SQL-replayable.
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.decontaminateSpans(docs, evalCloneBench(docs), k = 8)
+    }),
     "q_decontaminate_fuzzy" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Dedup.fuzzyDecontaminate(
@@ -5445,6 +5454,26 @@ object SparkEntry {
     // fuzzy decontamination: the incremental-probe replay pointed at
     // the dropped-last-token eval clones, finished with the per-doc
     // argmax (jaccard DESC, bench_id ASC) and the every-doc left join
+    // span evidence: the same bench clone, window hashes, and the
+    // F15 lag/gap sweep emitting merged intervals
+    "q_decontaminate_spans" ->
+      """WITH bsrc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents WHERE doc_id % 17 = 0),
+        |bt AS (SELECT doc_id AS bench_id, toks[1 : len(toks) - 1] AS toks FROM bsrc WHERE len(toks) >= 2),
+        |bb AS (SELECT bench_id, toks, CAST(len(toks) AS BIGINT) AS n FROM bt),
+        |bwn AS (SELECT bench_id, toks, unnest(generate_series(0, n - 8)) AS start FROM bb WHERE n >= 8),
+        |bw AS (SELECT DISTINCT bench_id, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS wh FROM bwn),
+        |ct AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |cb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM ct),
+        |cwn AS (SELECT doc_id, toks, unnest(generate_series(0, n - 8)) AS start FROM cb WHERE n >= 8),
+        |cw AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS wh FROM cwn),
+        |hits AS (SELECT cw.doc_id, bw.bench_id, cw.start FROM cw JOIN bw USING (wh)),
+        |lg AS (SELECT doc_id, bench_id, start, lag(start) OVER (PARTITION BY doc_id, bench_id ORDER BY start) AS prev FROM hits),
+        |g AS (SELECT doc_id, bench_id, start, SUM(CASE WHEN prev IS NULL OR start - prev > 8 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, bench_id ORDER BY start) AS grp FROM lg)
+        |SELECT doc_id, bench_id, CAST(MIN(start) AS BIGINT) AS span_start,
+        |CAST(MAX(start) + 8 AS BIGINT) AS span_end,
+        |CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |CAST(MAX(start) + 8 - MIN(start) AS BIGINT) AS span_tokens
+        |FROM g GROUP BY doc_id, bench_id, grp""".stripMargin,
     "q_decontaminate_fuzzy" ->
       """WITH mt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
         |csh AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,

@@ -902,6 +902,66 @@ object Dedup {
             col("n_tokens").cast("double")))
   }
 
+  /** SPAN-LEVEL decontamination evidence — WHERE the leak is, not
+    * just whether (the eval-leak triage companion of the doc-grain
+    * H10/H38 verdicts): every k-token window of the BENCHMARK whose
+    * hash appears in a corpus document names that document's exact
+    * leaked token interval, and adjacent/overlapping hits merge into
+    * maximal spans. Output one row per (corpus doc, bench doc,
+    * contiguous leaked span): `(doc_id, bench_id, span_start,
+    * span_end, span_tokens, n_windows)` — token offsets are 0-based,
+    * end exclusive, so a triage UI can highlight `toks[start, end)`
+    * and a surgical cut can excise exactly that range
+    * ([[cutDuplicatedSpans]]'s protect/cut machinery applies).
+    *
+    * Scale shape (100 TB corpus, 1e3–1e6-doc eval sets): the bench
+    * window table is O(bench tokens) rows of (wh, bench_id) —
+    * BROADCAST, so the corpus-side window scan joins inside its own
+    * scan stage and the corpus never shuffles for the match; the
+    * only keyed exchange carries the HITS (LSH-free exact matches,
+    * sparse by construction) to the per-(doc, bench) interval merge
+    * — the F15 sweep generalized from coverage counting to interval
+    * EMISSION (a new span starts when the gap to the previous window
+    * start exceeds k; span_end = last_start + k). Exact window
+    * hashing, fully SQL-replayable — unlike the minhash verdicts
+    * this one is oracle-green, not rows-only. */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, k: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         benchIdCol: String = "id",
+                         benchTextCol: String = "text"): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    def windowsOf(df: DataFrame, id: String, text: String,
+                  outId: String): DataFrame =
+      df.select(col(id).as(outId),
+          posexplode(TextFunctions.shingles(
+            TextFunctions.tokens(col(text)), k)))
+        .select(col(outId), col("pos").as("start"),
+          md5(col("col")).as("wh"))
+    val bw = windowsOf(bench, benchIdCol, benchTextCol, "bench_id")
+      .select("bench_id", "wh").distinct()
+    val hits = windowsOf(corpus, idCol, textCol, "doc_id")
+      .join(broadcast(bw), Seq("wh"))
+      .select(col("doc_id"), col("bench_id"), col("start"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bench_id").orderBy("start")
+    hits
+      .withColumn("__prev", lag(col("start"), 1).over(sweep))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("start") - col("__prev") > k,
+          1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        sweep.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col("doc_id"), col("bench_id"), col("__grp"))
+      .agg(min(col("start")).cast("long").as("span_start"),
+        (max(col("start")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .drop("__grp")
+  }
+
   /** Line-level boilerplate dedup (the C4 / RefinedWeb rung of the
     * dedup ladder): a line that appears in `minDf`-or-more DISTINCT
     * documents is boilerplate (nav bars, cookie banners, license

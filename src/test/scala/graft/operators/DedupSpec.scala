@@ -825,6 +825,45 @@ class DedupSpec extends SparkSpec {
       assert(fps(a).intersect(fps(b)).nonEmpty, s"pair ($a,$b)")
   }
 
+  test("decontaminateSpans: merged token intervals per (doc, bench)") {
+    import sqlImplicits._
+    // bench doc 100: "b0 b1 ... b9"; corpus doc 1 embeds tokens
+    // b2..b7 (one 6-token leak) at offset 3, doc 2 embeds b0..b3 and
+    // b6..b9 as two separated 4-token leaks, doc 3 is clean
+    val b = (0 to 9).map(i => s"b$i")
+    val docs = Seq(
+      (1L, ("x1 x2 x3 " + b.slice(2, 8).mkString(" ") + " y1 y2")),
+      (2L, (b.slice(0, 4).mkString(" ") + " z1 z2 z3 z4 z5 " +
+        b.slice(6, 10).mkString(" "))),
+      (3L, "totally clean unrelated text here okay")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, b.mkString(" "))).toDF("id", "text")
+    val out = Dedup.decontaminateSpans(docs, bench, k = 4)
+      .select(col("doc_id").cast("long"), col("bench_id").cast("long"),
+        col("span_start").cast("long"), col("span_end").cast("long"),
+        col("span_tokens").cast("long"), col("n_windows").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1: b2..b7 at token offsets 3..8 → windows at starts 3,4,5
+    // merge to span [3, 9) = 6 tokens; doc 2: [0, 4) and [9, 13)
+    assert(out == Set(
+      (1L, 100L, 3L, 9L, 6L, 3L),
+      (2L, 100L, 0L, 4L, 4L, 1L),
+      (2L, 100L, 9L, 13L, 4L, 1L)))
+  }
+
+  test("decontaminateSpans plan: bench windows broadcast, corpus " +
+    "side never shuffle-joins for the match") {
+    import sqlImplicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f")).toDF("id", "text")
+    val out = Dedup.decontaminateSpans(docs, bench, k = 4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("thresholdSweep: monotone curve with exact counts per bar") {
     import sqlImplicits._
     // A/B identical (jac 1.0); A/C share 3 of 4 tokens (jac 0.6) --
