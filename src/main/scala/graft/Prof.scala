@@ -416,6 +416,78 @@ object Prof {
       spark.stop(); return
     }
 
+    // PROF_DEDUP_SCALE=1 — the headline dedup chain at 20x/100x the
+    // sf0.1 corpus (PROF_DEDUP_DOCS docs, default 2e6): synthesize a
+    // web-shaped corpus (10% of docs are near-copies in 2-doc
+    // clusters: 46 of 48 tokens shared → shingle jaccard ≈ 0.92 over
+    // the 0.9 bar; the other 90% globally-unique token streams), then
+    // time each stage of sketch → banded pairs → connected components
+    // → survivors, with per-stage SHUFFLE read/write deltas from a
+    // stage listener — the evidence that banded pair volume and
+    // shuffle bytes scale near-linearly in corpus size (BASELINE.md
+    // table; any super-linear term gets adjudicated in-round).
+    if (sys.env.get("PROF_DEDUP_SCALE").contains("1")) {
+      val n = sys.env.getOrElse("PROF_DEDUP_DOCS", "2000000").toLong
+      val shuffleW = new java.util.concurrent.atomic.AtomicLong
+      val shuffleR = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+            shuffleW.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            shuffleR.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          }
+        })
+      def shuffleStage[T](name: String)(f: => T): T = {
+        Thread.sleep(1500) // drain async listener events
+        val (w0, r0) = (shuffleW.get, shuffleR.get)
+        val r = time(name)(f)
+        Thread.sleep(1500)
+        println(f"[prof] $name.shuffle: " +
+          f"write ${(shuffleW.get - w0) / 1e6}%.1f MB, " +
+          f"read ${(shuffleR.get - r0) / 1e6}%.1f MB")
+        r
+      }
+      def baseTok(j: Int) = concat(lit("w"), pmod(xxhash64(
+        call_function("div", col("doc_id"), lit(20L)) * 131 +
+          lit(j * 7919L)), lit(200000L)))
+      def uniqTok(j: Int) = concat(lit("u"), pmod(xxhash64(
+        col("doc_id") * 53L + lit(j * 104729L)), lit(4000000000L)))
+      val isDup = pmod(col("doc_id"), lit(20L)) < 2L
+      val text = when(isDup,
+        concat_ws(" ", (0 until 46).map(baseTok) ++
+          (0 until 2).map(uniqTok): _*))
+        .otherwise(concat_ws(" ", (0 until 48).map(uniqTok): _*))
+      val docsS = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("text", text)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"synth.$n.count")(docsS.count())
+      val sketch = operators.Dedup.minhashSketch(docsS)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shuffleStage("sketch.count")(sketch.count())
+      // minhashPairsFromSketch and connectedComponents both run
+      // their actions at CONSTRUCTION (materializeAndRelease / the
+      // iteration loop) — time the constructors, not a later count
+      val pairs = shuffleStage("pairs.band+verify")(
+        operators.Dedup.minhashPairsFromSketch(sketch, threshold = 0.9,
+          numHashes = 16, bands = 4))
+      println(s"[prof] pairs.n = ${pairs.count()}")
+      val cc = shuffleStage("cc.iterate")(
+        operators.Graph.connectedComponents(
+          docsS.select(col("doc_id")), pairs.select("a_id", "b_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      println(s"[prof] cc.components = " +
+        s"${cc.filter(col("id") === col("comp")).count()}")
+      shuffleStage("survivors.count")(
+        docsS.join(cc.filter(col("id") === col("comp"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .count())
+      spark.stop(); return
+    }
+
     // PROF_STATE_SCALE=1 — the E7 state-backend probe: streaming
     // state at 10-100x the default fixture, HEAP (the default
     // HDFS-backed provider, every key in executor heap) vs ROCKSDB

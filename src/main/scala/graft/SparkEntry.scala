@@ -1523,6 +1523,47 @@ object SparkEntry {
           sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
           min("l_extendedprice_w").as("w_min"),
           max("l_extendedprice_w").as("w_max"))),
+    // the INCREMENTAL sketch rollup: one bounded kll_state row per
+    // (event_type, day) — the stored-state table a daily job would
+    // append — then any range's quantiles from merged STATES alone
+    // (history never re-scanned). Self-auditing (F8): merged sketch
+    // p50/p95 next to the exact percentile answer and the measured
+    // rank error in ppm. Rows-only: compaction survivors are
+    // merge-order-dependent; the spec pins exactness under the
+    // level-0 capacity and the 1% bound beyond it.
+    "q_sketch_rollup" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("event_type"),
+        to_date(col("ts")).as("day"), col("value").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val daily = ev.groupBy("event_type", "day")
+        .agg(graft.expressions.KllQuantiles.state(col("v"), 200).as("st"),
+          count(lit(1)).as("n_day"))
+      val merged = daily.groupBy("event_type")
+        .agg(graft.expressions.KllQuantiles
+          .mergeQuantiles(col("st"), Seq(0.5, 0.95)).as("qs"),
+          sum(col("n_day")).as("n"), count(lit(1)).as("n_states"))
+        .select(col("event_type"), col("n"), col("n_states"),
+          element_at(col("qs"), 1).as("sk_p50"),
+          element_at(col("qs"), 2).as("sk_p95"))
+      val ex = ev.groupBy("event_type")
+        .agg(expr("percentile(v, 0.5)").as("ex_p50"),
+          expr("percentile(v, 0.95)").as("ex_p95"))
+      def rkErr(skc: Column, q: Double) =
+        abs(sum(when(col("v") <= skc, 1L).otherwise(0L))
+          .cast("double") - lit(1.0) -
+          lit(q) * (count(lit(1)).cast("double") - lit(1.0))) * 1e6 /
+          count(lit(1)).cast("double")
+      val err = ev.join(broadcast(merged
+          .select("event_type", "sk_p50", "sk_p95")), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(floor(rkErr(col("sk_p50"), 0.5)).cast("long")
+          .as("p50_rank_err_ppm"),
+          floor(rkErr(col("sk_p95"), 0.95)).cast("long")
+            .as("p95_rank_err_ppm"))
+      merged.join(ex, Seq("event_type")).join(err, Seq("event_type"))
+        .select("event_type", "n", "n_states", "sk_p50", "ex_p50",
+          "p50_rank_err_ppm", "sk_p95", "ex_p95", "p95_rank_err_ppm")
+    }),
     // Luhn-gated PII: two planted 13–19 digit runs per doc (a fixed
     // card-shaped constant + a doc_id-derived 16-digit number whose
     // validity the CHECKSUM decides — no fixture-side answer key);

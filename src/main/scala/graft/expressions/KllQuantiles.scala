@@ -247,11 +247,127 @@ case class KllQuantiles(
   override def prettyName: String = "kll_quantiles"
 }
 
+/** Aggregate form: `kll_state(value, k)` → the SERIALIZED sketch
+  * (binary) — the incremental half of the family: a daily job rolls
+  * each (group, day) into one bounded state row, a stored STATE
+  * table replaces re-scanning history, and any date range's
+  * quantiles come from [[KllMergeQuantiles]] over the stored states
+  * (the mergeability that justified the KLL design — now exposed as
+  * data, the Ivf.saveCentroids "train once, reuse across sessions"
+  * discipline applied to order statistics). */
+case class KllState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllBuffer): Any = buf.toBytes
+
+  override def serialize(buf: KllBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): KllState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllState =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KllState =
+    copy(child = newChild)
+  override def prettyName: String = "kll_state"
+}
+
+/** Aggregate form: `kll_merge_quantiles(state, qs)` — merges stored
+  * [[KllState]] binaries and answers quantiles, WITHOUT touching the
+  * raw rows the states summarized: O(state) per input row instead of
+  * O(history). An empty/absent group evals null; a corrupt or
+  * truncated state fails loud in deserialization rather than
+  * answering wrong. */
+case class KllMergeQuantiles(
+    child: Expression,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    s"quantiles must be in [0,1], got $qs")
+
+  /** Buffer starts empty with a sentinel k; the first merged state's
+    * own k takes over (all states of one family share k). */
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(8)
+
+  private def mergeBytes(buf: KllBuffer, bytes: Array[Byte]): KllBuffer = {
+    val other = KllBuffer.fromBytes(bytes)
+    if (buf.isEmpty && buf.k != other.k) {
+      other
+    } else {
+      buf.merge(other); buf
+    }
+  }
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else mergeBytes(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer =
+    if (a.isEmpty && a.k != b.k) b
+    else if (b.isEmpty) a
+    else { a.merge(b); a }
+
+  override def eval(buf: KllBuffer): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(qs.map(buf.quantile).toArray)
+
+  override def serialize(buf: KllBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): KllMergeQuantiles = copy(child = newChild)
+  override def prettyName: String = "kll_merge_quantiles"
+}
+
 object KllQuantiles {
   /** Aggregate Column: discrete sketch quantiles of a double column
     * at each q, with O(k·log(n/k)) partial state per group. */
   def kllQuantiles(value: Column, qs: Seq[Double], k: Int = 200): Column =
     GraftColumnBridge.column(
       KllQuantiles(GraftColumnBridge.expression(value), qs, k)
+        .toAggregateExpression())
+
+  /** Aggregate Column: the serialized sketch state of a double
+    * column — store it, merge ranges later with [[mergeQuantiles]]. */
+  def state(value: Column, k: Int = 200): Column =
+    GraftColumnBridge.column(
+      KllState(GraftColumnBridge.expression(value), k)
+        .toAggregateExpression())
+
+  /** Aggregate Column: quantiles from merged stored states. */
+  def mergeQuantiles(state: Column, qs: Seq[Double]): Column =
+    GraftColumnBridge.column(
+      KllMergeQuantiles(GraftColumnBridge.expression(state), qs)
         .toAggregateExpression())
 }

@@ -200,11 +200,18 @@ object Aggregations {
     *  - quartiles per column as the B7 exact interpolated
     *    percentile — its final merge holds ONE column's value map,
     *    not |cols| of them (the _scale twin exists for columns too
-    *    wide even alone).
+    *    wide even alone). `sketched = true` is the 100 TB form: the
+    *    whole-table percentile IS a one-group aggregate (the
+    *    B7 exact-form caveat at its worst — every value of the
+    *    column buffers in ONE task), so the quartiles come from the
+    *    mergeable KLL aggregate instead (O(k·log n) state, discrete
+    *    quantiles at the spec-pinned rank error).
     * The per-leg re-scans prune to a SINGLE column each — in a
     * columnar format the "extra" passes reread only the bytes of
     * the column being profiled, not the table. */
-  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnStats(df: DataFrame, cols: Seq[String],
+                  sketched: Boolean = false,
+                  sketchK: Int = 200): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
     require(cols.forall(!_.contains("`")),
       "columnStats: backticks in column names are not supported")
@@ -222,13 +229,22 @@ object Aggregations {
         min(qc(c)).cast("double").as(s"__mn_$c"),
         max(qc(c)).cast("double").as(s"__mx_$c"))): _*)
     val legs = cols.map { c =>
+      val quartiles =
+        if (sketched)
+          df.agg(graft.expressions.KllQuantiles.kllQuantiles(
+              qc(c).cast("double"), Seq(0.25, 0.5, 0.75), sketchK)
+            .as("__qs"))
+            .select(element_at(col("__qs"), 1).as("p25"),
+              element_at(col("__qs"), 2).as("p50"),
+              element_at(col("__qs"), 3).as("p75"))
+        else df.agg(
+          expr(s"percentile(`$c`, 0.25)").as("p25"),
+          expr(s"percentile(`$c`, 0.5)").as("p50"),
+          expr(s"percentile(`$c`, 0.75)").as("p75"))
       df.groupBy(qc(c)).agg(count(lit(1)))
         .filter(qc(c).isNotNull)
         .agg(count(lit(1)).cast("long").as("ndv"))
-        .crossJoin(df.agg(
-          expr(s"percentile(`$c`, 0.25)").as("p25"),
-          expr(s"percentile(`$c`, 0.5)").as("p50"),
-          expr(s"percentile(`$c`, 0.75)").as("p75")))
+        .crossJoin(quartiles)
         .select(lit(c).as("column"), col("ndv"), col("p25"),
           col("p50"), col("p75"))
     }.reduce(_ unionByName _)

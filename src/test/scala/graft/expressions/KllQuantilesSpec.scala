@@ -142,6 +142,46 @@ class KllQuantilesSpec extends SparkSpec {
     assert(row.getAs[Long]("n_outliers") == 300L)
   }
 
+  test("stored states: daily kll_state rows merge to the range's " +
+    "quantiles without touching history") {
+    // 10 "days" × 30 values each, all under the exact regime
+    // (n = 300 < k = 512's level-0 capacity): the merged-state
+    // quantiles must EQUAL the covering order statistics — exactness
+    // survives the store/merge hop, not just the one-shot aggregate
+    val rnd = new scala.util.Random(23)
+    val vals = scala.util.Random.shuffle((1 to 300).map(_.toDouble))
+    val rows = vals.zipWithIndex.map { case (v, i) => (i % 10, v) }
+    val daily = rows.toDF("day", "v")
+      .groupBy("day")
+      .agg(KllQuantiles.state(col("v"), k = 512).as("st"))
+    assert(daily.count() == 10L) // one bounded state row per day
+    val merged = daily
+      .agg(KllQuantiles.mergeQuantiles(col("st"),
+        Seq(0.1, 0.5, 0.9)).as("qs"))
+      .select(element_at(col("qs"), 1), element_at(col("qs"), 2),
+        element_at(col("qs"), 3))
+      .as[(Double, Double, Double)].head()
+    val sorted = vals.sorted.toIndexedSeq
+    for ((q, v) <- Seq(0.1, 0.5, 0.9).zip(
+        Seq(merged._1, merged._2, merged._3)))
+      assert(rankError(sorted, v, q) == 0.0, s"q=$q -> $v")
+    // a partial range (days 0-4) answers from its states alone
+    val part = daily.filter(col("day") < 5)
+      .agg(KllQuantiles.mergeQuantiles(col("st"), Seq(0.5)).as("qs"))
+      .select(element_at(col("qs"), 1)).as[Double].head()
+    val partSorted = rows.filter(_._1 < 5).map(_._2).sorted.toIndexedSeq
+    assert(rankError(partSorted, part, 0.5) == 0.0)
+    // beyond the exact regime the bound still holds at store+merge
+    val big = Seq.fill(40000)(rnd.nextDouble()).zipWithIndex
+      .map { case (v, i) => (i % 10, v) }
+    val bigMerged = big.toDF("day", "v").repartition(16)
+      .groupBy("day").agg(KllQuantiles.state(col("v"), 200).as("st"))
+      .agg(KllQuantiles.mergeQuantiles(col("st"), Seq(0.5)).as("qs"))
+      .select(element_at(col("qs"), 1)).as[Double].head()
+    val bigSorted = big.map(_._2).sorted.toIndexedSeq
+    assert(rankError(bigSorted, bigMerged, 0.5) / 40000 <= 0.01)
+  }
+
   test("exact paths fail LOUD past maxGroups group keys") {
     val df = (1 to 50).map(i => (s"k$i", i.toDouble)).toDF("g", "v")
     val eW = intercept[IllegalArgumentException] {

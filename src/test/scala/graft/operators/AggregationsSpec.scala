@@ -107,6 +107,24 @@ class AggregationsSpec extends SparkSpec {
       s"leg scans stopped pruning (or base duplicated):\n$plan")
   }
 
+  test("columnStats sketched: equals the exact quartiles while the " +
+      "column fits the sketch's exact regime") {
+    import sqlImplicits._
+    // 101 values 0..100: (n−1)·q integral → the exact path's
+    // interpolation lands on data points, and n < the KLL level-0
+    // capacity (k=200) → the sketch is EXACT, so the two forms must
+    // agree bit-for-bit here
+    val df = (0 to 100).map(i => (i.toDouble, (100 - i).toDouble))
+      .toDF("a", "b")
+    def quarts(sk: Boolean) =
+      Aggregations.columnStats(df, Seq("a", "b"), sketched = sk)
+        .select("column", "p25", "p50", "p75")
+        .as[(String, Double, Double, Double)].collect().toSet
+    assert(quarts(sk = true) == quarts(sk = false))
+    assert(quarts(sk = true) ==
+      Set(("a", 25.0, 50.0, 75.0), ("b", 25.0, 50.0, 75.0)))
+  }
+
   test("columnStats: column names needing quoting survive the " +
       "percentile SQL round-trip") {
     val df = Seq((1.0, 2.0), (3.0, 4.0))
