@@ -1657,6 +1657,15 @@ object SparkEntry {
     "q_stream_upsert" -> ((s, d) =>
       EventStreams.streamUpsertToTable(s, d,
         roundtripDir("upsert/table"), roundtripDir("upsert/ckpt"))),
+    // the 100 TB form of q_stream_upsert: per batch, only the keyed
+    // MergeTable buckets the delta touches rewrite (snapshot read
+    // pruned to those buckets decides keep-latest winners); each
+    // trigger commits through the manifest rename. Same final table
+    // as the whole-rewrite form — the oracle is shared verbatim.
+    "q_stream_merge" -> ((s, d) =>
+      EventStreams.streamMergeToTable(s, d,
+        roundtripDir("stream_merge/table"),
+        roundtripDir("stream_merge/ckpt"))),
     // the PRODUCTION streaming sink path: append-mode windowed agg to
     // parquet files with a checkpoint — only windows the final
     // watermark (max ts − 1h) has passed are emitted, and the oracle
@@ -4309,6 +4318,9 @@ object SparkEntry {
     // the streamed verdict is batch-equivalent by construction — the
     // fuzzy-decontamination oracle is shared verbatim
     ("q_stream_decontaminate" -> oracleSqlBase("q_decontaminate_fuzzy")) +
+    // streaming keyed merge: same final keep-latest table as the
+    // whole-rewrite upsert — oracle shared verbatim
+    ("q_stream_merge" -> oracleSqlBase("q_stream_upsert")) +
     // warc-to-corpus: the WARC leg is a lossless identity, so the
     // oracle is the L15 crawl-front CTE chain with ONLY the
     // url-synthesis CTE swapped for the doc_id-recoverable fixture —

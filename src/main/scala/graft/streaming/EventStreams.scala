@@ -529,6 +529,88 @@ object EventStreams {
         col("value").as("last_value"))
   }
 
+  /** Streaming keyed merge through [[graft.operators.MergeTable]] —
+    * the 100 TB form of [[streamUpsertToTable]]: that one REWRITES
+    * THE WHOLE TABLE every micro-batch (fine for a small view,
+    * O(table) per trigger at scale), this one rewrites only the
+    * hash buckets the batch's keys touch — O(delta buckets) per
+    * trigger — and commits each batch through the manifest rename,
+    * so readers always see a complete committed snapshot and a
+    * crash mid-batch leaves an invisible orphan the next batch
+    * sweeps.
+    *
+    * Keep-latest semantics across batches: file order is not ts
+    * order, so each batch's per-key winner is decided against the
+    * CURRENT stored row — the snapshot read prunes to the batch's
+    * buckets (kb is a partition column under every version dir, so
+    * the isin filter prunes at planning, the L27/J41 discipline) and
+    * the (ts, event_id) lexicographic max picks the winner. A batch
+    * REPLAY (foreachBatch's at-least-once) re-derives the same
+    * winners against the already-merged table — idempotent by the
+    * max semantics, so the effect is exactly-once without the E9
+    * whole-table double-rename.
+    * Output contract = [[streamUpsertToTable]]'s (same oracle). */
+  def streamMergeToTable(spark: SparkSession, eventsDir: String,
+                         tableDir: String, checkpointDir: String,
+                         fileGlob: String = "events.parquet",
+                         nBuckets: Int = 16,
+                         maxFilesPerTrigger: Option[Int] = None)
+  : DataFrame = {
+    import graft.operators.MergeTable
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(tableDir, checkpointDir).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    val schema = spark.read
+      .option("pathGlobFilter", fileGlob).parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = graft.sources.Tables.normalizeNanoTs(
+      reader.parquet(eventsDir))
+      .select("user_id", "ts", "event_id", "value")
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    withStatefulShuffle(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = latest(batch)
+          val hasTable = new org.apache.hadoop.fs.Path(tableDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(s"$tableDir/manifest"))
+          val winners =
+            if (!hasTable) b
+            else {
+              val kb = pmod(xxhash64(col("user_id")),
+                lit(nBuckets.toLong)).cast("int")
+              val touched = b.select(kb.as("__kb")).distinct()
+                .collect().map(_.getInt(0)).toSet
+              val cur = MergeTable.snapshot(spark, tableDir)
+                .filter(col("kb").isin(touched.toSeq: _*))
+                .select("user_id", "ts", "event_id", "value")
+              latest(cur.unionByName(b))
+            }
+          MergeTable.merge(spark, tableDir, winners, Seq("user_id"),
+            nBuckets)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeTable.snapshot(spark, tableDir)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("value").as("last_value"))
+  }
+
   /** The production 100 TB sink path: the same windowed aggregation in
     * APPEND mode to parquet files with a checkpoint — here the
     * watermark genuinely evicts state (a window's row is emitted,

@@ -92,6 +92,78 @@ class EventStreamsSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(",")}")
   }
 
+  test("streamMergeToTable: keep-latest across OUT-OF-ORDER " +
+    "micro-batches, bucket-incremental commits") {
+    val dir = Files.createTempDirectory("graft_smerge").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val staging = s"$dir/staging_$name"
+      rows.toDF("user_id", "s", "event_id", "value")
+        .withColumn("ts", to_timestamp(col("s"))).drop("s")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name"))
+    }
+    // batch 2 carries an OLDER event for user 1 (file order is not
+    // ts order): the stored newer row must win over the replay
+    write("a.parquet", Seq(
+      (1L, "2024-01-01 00:09:00", 12L, 9.0),
+      (2L, "2024-01-01 00:02:00", 11L, 2.0)))
+    write("b.parquet", Seq(
+      (1L, "2024-01-01 00:01:00", 10L, 1.0), // older: must lose
+      (3L, "2024-01-01 00:03:00", 13L, 3.0)))
+    val out = EventStreams.streamMergeToTable(spark, s"$dir/in",
+      s"$dir/table", s"$dir/ckpt", fileGlob = "*",
+      maxFilesPerTrigger = Some(1))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+    assert(out == Seq(
+      (1L, 12L, us("2024-01-01 00:09:00"), 9.0), // newer row survived
+      (2L, 11L, us("2024-01-01 00:02:00"), 2.0),
+      (3L, 13L, us("2024-01-01 00:03:00"), 3.0)))
+    // bucket-incremental: version 2's data dir holds only the
+    // buckets batch 2 touched (users 1, 3), never a full rewrite
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/table/data/v2/kb=*"))
+      .map(_.getPath.getName).toSet
+    val allLive = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/table/data/v*/kb=*"))
+      .map(_.getPath.getName).toSet
+    assert(v2.size < allLive.size,
+      s"batch 2 rewrote every bucket: $v2 of $allLive")
+    // batch replay is idempotent in effect: re-merging batch b's
+    // winners against the merged table changes nothing
+    val before = graft.operators.MergeTable.snapshot(spark, s"$dir/table")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    val replay = Seq((1L, "2024-01-01 00:01:00", 10L, 1.0),
+      (3L, "2024-01-01 00:03:00", 13L, 3.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val kb = pmod(xxhash64(col("user_id")), lit(16L)).cast("int")
+    val touched = replay.select(kb.as("k")).distinct()
+      .as[Int].collect().toSet
+    val cur = graft.operators.MergeTable.snapshot(spark, s"$dir/table")
+      .filter(col("kb").isin(touched.toSeq: _*))
+      .select("user_id", "ts", "event_id", "value")
+    val winners = cur.unionByName(replay)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+    graft.operators.MergeTable.merge(spark, s"$dir/table", winners,
+      Seq("user_id"), 16)
+    val after = graft.operators.MergeTable.snapshot(spark, s"$dir/table")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, "replay changed the table")
+  }
+
   test("streamingDedup drops within-watermark duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     Seq(
