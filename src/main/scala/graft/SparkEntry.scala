@@ -2588,22 +2588,26 @@ object SparkEntry {
         .join(probes.select(col("label"), col("vec_id").as("probe_id")),
           Seq("label"))
         .filter(col("probe_id") =!= col("neighbor_id"))
-      val exactPq = Pq.refineTopK(labelPairs, emb, probes, 5)
+      // r17: ONE exact-in-universe baseline at k=10 serves both the
+      // k=5 mechanism legs and the k=10 operating-point legs — the
+      // k=5 baseline is its rank<=5 prefix (BoundedTopK keeps its
+      // best-k sorted with the same tie-break at any k, and recallAtK
+      // filters rank <= k itself), so the former separate
+      // refineTopK(labelPairs, k=5) pass + persist computed the same
+      // rows twice.
+      val exactPq10 = Pq.refineTopK(labelPairs, emb, probes, 10)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      exactPq.count()
-      val pqAdc = Similarity.recallAtK(short10, exactPq, 5)
+      exactPq10.count()
+      val pqAdc = Similarity.recallAtK(short10, exactPq10, 5)
         .withColumn("index", lit("pq_adc"))
       val pqRefine = Similarity.recallAtK(
-          Pq.refineTopK(short10, emb, probes, 5), exactPq, 5)
+          Pq.refineTopK(short10, emb, probes, 5), exactPq10, 5)
         .withColumn("index", lit("pq_refine"))
       // the PUBLISHED operating point (the PROF_ANN grid's pick,
       // r16): m = dim/4 subspaces × 16 codewords, kAdc = 5×k
       // shortlist, exact refine — measured 0.91 recall@10 at sf0.1
       // vs 0.10 for the starved m=4/k=8/kAdc=2×k mechanism setting;
       // the grid's three levers in BASELINE.md's table
-      val exactPq10 = Pq.refineTopK(labelPairs, emb, probes, 10)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      exactPq10.count()
       val cbOp = Pq.trainCodebooks(emb, m = 16, k = 16, lloydIters = 1)
       val shortOp = Pq.pqTopK(emb, probes, 50, cbOp, "label")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2629,11 +2633,15 @@ object SparkEntry {
       // the 10 per-label means (the model is an input contract, as
       // in FAISS — a hash-seeded 8-cell Lloyd on 10 tight clusters
       // merges/splits cells and muddies what is being measured).
+      // persisted (r17): seven consumers below (coarse means, probes,
+      // exact baseline, two codebook trainings, two searches) each
+      // replayed the parquet scan + 64 hash evals/row otherwise
       val shifted = emb.select(col("vec_id"), col("label"),
         transform(col("embedding"), (x, i) =>
           x.cast("double") +
             (pmod(xxhash64(col("label") * 64 + i), lit(2))
               .cast("double") * 2.0 - 1.0) * 60.0).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val coarse = shifted
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -2665,7 +2673,7 @@ object SparkEntry {
           .unionByName(pqAdcOp).unionByName(pqRefineOp)
           .unionByName(ivfpqAdc).unionByName(ivfpqResAdc)
           .select("index", "probe_id", "n_exact", "n_hit", "recall"),
-        exact, short10, exactPq, exactPq10, shortOp, exactS)
+        exact, short10, exactPq10, shortOp, exactS, shifted)
     }),
     "q_vec_norms" -> ((s, d) =>
       T(s, d, "embeddings").select(col("vec_id"), col("label"),

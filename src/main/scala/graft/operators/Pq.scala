@@ -91,12 +91,58 @@ object Pq {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must be divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { s =>
-      val proj = corpus.select(col(idCol),
-        slice(dvec, s * sub + 1, sub).as("__sub"))
-      Ivf.trainCentroids(proj, k, lloydIters, idCol, "__sub", seedHash,
-        tickScale, init = Some(seedRows.map(_.slice(s * sub, s * sub + sub))))
+    // ONE Lloyd job per iteration for ALL m subspaces (r17): the
+    // former shape ran Ivf.trainCentroids once per subspace — m full
+    // corpus aggregations per iteration (48 jobs for the three m=16
+    // codebooks q_ann_recall trains). Each row now explodes to its m
+    // (subspace, cell, subvector) assignments and ONE grouped
+    // aggregation updates every sub-centroid. Bit-identical to the
+    // per-subspace form: the assignment argmin is the same
+    // struct(d2, cell) array_min over the same sliced values, and the
+    // per-(s, cell, dim) means sum the same multisets — tick means in
+    // exact longs, decimal means in exact decimals — so summation
+    // order cannot change the result (the §5 determinism rule).
+    val meanOf: Column => Column = tickScale match {
+      case None => c => Aggregations.decAvg(c, scale = 9)
+      case Some(t) => c =>
+        sum(floor(c * t.toDouble).cast("long")).cast("double") /
+          (count(c).cast("double") * t.toDouble)
     }
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map(s =>
+        seedRows.map(_.slice(s * sub, s * sub + sub))).toIndexedSeq
+    for (_ <- 1 to lloydIters) {
+      val centsLit = typedlit(books)
+      // slice FIRST (one Generate row per subspace), assign SECOND:
+      // the argmin then scores a bound 4-to-8-wide attribute against
+      // its subspace's k sub-centroids, instead of re-evaluating the
+      // full dvec tree (64 casts — or the whole residual subtraction)
+      // inside every one of the m×k interpreted HOF distance calls.
+      val sliced = corpus.select(explode(
+        transform(centsLit, (cb, s) => struct(s.as("s"),
+          slice(dvec, s * lit(sub) + 1, lit(sub)).as("v")))).as("e"))
+        .select(col("e.s").as("s"), col("e.v").as("v"))
+      val assigned = sliced.select(col("s"),
+        array_min(transform(element_at(centsLit, col("s") + 1),
+          (c, j) => struct(
+            aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, v) => acc + v).as("d2"),
+            j.as("cell")))).getField("cell").as("cell"),
+        col("v"))
+      val updated = assigned
+        .select(col("s"), col("cell"), posexplode(col("v")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(meanOf(col("col")).as("m"))
+        .groupBy(col("s"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      books = books.indices.map(s => books(s).indices.map(j =>
+        updated.getOrElse((s, j), books(s)(j))).toIndexedSeq).toIndexedSeq
+    }
+    books
   }
 
   /** Persist trained codebooks as a parquet model table
