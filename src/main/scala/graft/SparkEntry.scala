@@ -92,16 +92,17 @@ object SparkEntry {
     * decontamination queries and their streaming gate — the form
     * DuckDB replays bit-exactly. Input must carry (id, text). */
   private def md5Sketch(df: DataFrame): DataFrame = {
-    def md5int15(c: Column) =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // Md5PrefixLong/Md5MinHashSig compute the same VALUES as the
+    // conv(substring(md5(·),1,15),16,10) HOF family the oracle
+    // replays, from the raw digest (no hex/conv/concat per call) —
+    // spec-pinned equal in Md5MinHashSpec
     val sh = sort_array(array_distinct(transform(
-      TextFunctions.tokens(col("text")), t => md5int15(t))))
+      TextFunctions.tokens(col("text")),
+      t => graft.expressions.Md5MinHashSig.prefix(t, 15))))
     df.select(col("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(31)),
-        j => array_min(transform(col("sh"), v =>
-          md5int15(concat(v.cast("string"), lit("_"),
-            j.cast("string")))))))
+      .withColumn("sig",
+        graft.expressions.Md5MinHashSig.of(col("sh"), 32))
   }
 
   /** The eval-clone benchmark fixture for the fuzzy decontamination
@@ -1734,17 +1735,9 @@ object SparkEntry {
     // fast path keeps its own drive via q_minhash_recall. Promoted
     // rows-only -> oracle-green r9 (the simhash r8 pattern).
     "q_dedup_minhash_lsh" -> ((s, d) => {
-      def md5int15(c: Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val sh = sort_array(array_distinct(transform(
-        TextFunctions.tokens(col("text")), t => md5int15(t))))
       val sketch = T(s, d, "documents")
-        .select(col("doc_id").as("id"), sh.as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", transform(sequence(lit(0), lit(31)),
-          j => array_min(transform(col("sh"), v =>
-            md5int15(concat(v.cast("string"), lit("_"),
-              j.cast("string")))))))
+        .select(col("doc_id").as("id"), col("text"))
+        .transform(md5Sketch)
       Dedup.minhashPairsFromSketch(sketch, threshold = 0.9,
         numHashes = 32, bands = 2)
     }),
@@ -1759,17 +1752,9 @@ object SparkEntry {
     // that is the stored-sketch production shape (compute once, every
     // probe branch re-reads materialized blocks, not the md5 tree).
     "q_dedup_incremental" -> ((s, d) => {
-      def md5int15(c: Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val sh = sort_array(array_distinct(transform(
-        TextFunctions.tokens(col("text")), t => md5int15(t))))
       val sketch = T(s, d, "documents")
-        .select(col("doc_id").as("id"), sh.as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", transform(sequence(lit(0), lit(31)),
-          j => array_min(transform(col("sh"), v =>
-            md5int15(concat(v.cast("string"), lit("_"),
-              j.cast("string")))))))
+        .select(col("doc_id").as("id"), col("text"))
+        .transform(md5Sketch)
         .localCheckpoint()
       Dedup.incrementalMinhashPairs(
         sketch.filter(pmod(col("id"), lit(5)) === 4),

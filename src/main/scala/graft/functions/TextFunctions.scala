@@ -321,7 +321,9 @@ object TextFunctions {
   def polyFingerprint(text: Column): Column =
     aggregate(
       transform(tokens(text),
-        t => conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
+        // same value as conv(substring(md5(t), 1, 7), 16, 10)::long,
+        // computed from the raw digest (Md5MinHashSpec pins equality)
+        t => graft.expressions.Md5MinHashSig.prefix(t, 7)),
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(2147483647L)))
 
