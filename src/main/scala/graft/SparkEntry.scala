@@ -1453,9 +1453,13 @@ object SparkEntry {
       Aggregations.histogram(T(s, d, "lineitem"), "l_quantity",
         Seq("l_returnflag"), lo = 0.0, width = 5.0, nBins = 10)),
     "q_quantiles" -> ((s, d) =>
+      // one percentile buffer per group for both points (r17): two
+      // percentile() calls each buffered the whole group's values
       T(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))")
+          .as("__qs"))
+        .select(col("l_returnflag"), col("__qs")(0).as("p50"),
+          col("__qs")(1).as("p95"))),
     // the 100 TB form of q_quantiles: exact interpolated percentiles
     // via batched order-statistic narrowing — no group's values ever
     // buffer in one aggregation task; bit-identical to percentile()
@@ -1490,8 +1494,10 @@ object SparkEntry {
         Seq("sk_p50" -> 0.5, "sk_p95" -> 0.95))
       val ex = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          expr("percentile(l_extendedprice, 0.5)").as("ex_p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("ex_p95"))
+          expr("percentile(l_extendedprice, array(0.5, 0.95))")
+            .as("__qs"))
+        .select(col("l_returnflag"), col("n"),
+          col("__qs")(0).as("ex_p50"), col("__qs")(1).as("ex_p95"))
       def rkErr(skc: Column, q: Double) = {
         // measured rank error: |rank(sketch value) − q·(n−1)| in ppm
         // of n, rank from one conditional count against the data
@@ -1547,8 +1553,9 @@ object SparkEntry {
           element_at(col("qs"), 1).as("sk_p50"),
           element_at(col("qs"), 2).as("sk_p95"))
       val ex = ev.groupBy("event_type")
-        .agg(expr("percentile(v, 0.5)").as("ex_p50"),
-          expr("percentile(v, 0.95)").as("ex_p95"))
+        .agg(expr("percentile(v, array(0.5, 0.95))").as("__qs"))
+        .select(col("event_type"), col("__qs")(0).as("ex_p50"),
+          col("__qs")(1).as("ex_p95"))
       def rkErr(skc: Column, q: Double) =
         abs(sum(when(col("v") <= skc, 1L).otherwise(0L))
           .cast("double") - lit(1.0) -

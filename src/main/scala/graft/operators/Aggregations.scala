@@ -238,9 +238,15 @@ object Aggregations {
               element_at(col("__qs"), 2).as("p50"),
               element_at(col("__qs"), 3).as("p75"))
         else df.agg(
-          expr(s"percentile(`$c`, 0.25)").as("p25"),
-          expr(s"percentile(`$c`, 0.5)").as("p50"),
-          expr(s"percentile(`$c`, 0.75)").as("p75"))
+          // ONE percentile buffer for all three quartiles: separate
+          // percentile() calls each build their own value-count map
+          // of the ENTIRE column and sort it independently (r17 —
+          // measured 3x the aggregate state and sort work for
+          // identical values; the array form is the same exact
+          // interpolation over one buffer)
+          expr(s"percentile(`$c`, array(0.25, 0.5, 0.75))").as("__qs"))
+          .select(col("__qs")(0).as("p25"), col("__qs")(1).as("p50"),
+            col("__qs")(2).as("p75"))
       df.groupBy(qc(c)).agg(count(lit(1)))
         .filter(qc(c).isNotNull)
         .agg(count(lit(1)).cast("long").as("ndv"))

@@ -612,10 +612,13 @@ object OrderStats {
       else guardedBroadcastFrame(
         df.filter(col(valueCol).isNotNull)
           .groupBy(col(groupCol))
-          .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)")
-            .as("__lo"),
-            expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)")
-              .as("__hi")),
+          // one percentile buffer per group for both bounds (r17):
+          // separate calls each buffered the group's whole multiset
+          .agg(expr(
+            s"percentile(CAST(`$valueCol` AS DOUBLE), array($lo, $hi))")
+            .as("__b"))
+          .select(col(groupCol), col("__b")(0).as("__lo"),
+            col("__b")(1).as("__hi")),
         "winsorizeByGroup", maxGroups)
     val boundsSide = if (scaleSafe) bounds else broadcast(bounds)
     val v = col(valueCol).cast("double")
