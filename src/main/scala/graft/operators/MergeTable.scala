@@ -168,24 +168,37 @@ object MergeTable {
     val ptrs = pointerMap(spark, tableDir)
     require(ptrs.isEmpty || committed.nonEmpty, "inconsistent manifest")
 
-    // unique-key contract, guarded with the measured count: a delta
-    // carrying two rows for one key has no defined winner
-    val dupKeys = delta.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).count()
-    require(dupKeys == 0L,
-      s"merge delta has $dupKeys duplicate key(s) on " +
-        s"(${keyCols.mkString(", ")}) — deltas must be key-unique")
-
     val kb = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
       .cast("int")
     val isDel = deleteCol.map(col(_).cast("boolean"))
       .getOrElse(lit(false))
     val d = delta.withColumn("__kb", kb).withColumn("__del", isDel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = d.select(col("__kb")).distinct()
-      .as[Int].collect().toSet // <= nBuckets ints: driver-bounded
-    val nUpserts = d.filter(!col("__del")).count()
-    val nDeletes = d.count() - nUpserts
+    // ONE delta pass for every admission stat (r17 — this ran as four
+    // jobs: dup-key count, touched-bucket collect, upsert count,
+    // total count): per-key rollup first (also materializes the
+    // persist), then a single bounded second aggregate — collect_set
+    // over <= nBuckets ints and first(__kb) is key-deterministic
+    // (the bucket is a pure key hash).
+    val st = d.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("__nd"),
+        first(col("__kb")).as("__kb1"))
+      .agg(coalesce(sum(when(col("__n") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("dup"),
+        coalesce(sum(col("__n")), lit(0L)).as("total"),
+        coalesce(sum(col("__nd")), lit(0L)).as("ndel"),
+        collect_set(col("__kb1")).as("bks"))
+      .head()
+    // unique-key contract, guarded with the measured count: a delta
+    // carrying two rows for one key has no defined winner
+    val dupKeys = st.getLong(0)
+    require(dupKeys == 0L,
+      s"merge delta has $dupKeys duplicate key(s) on " +
+        s"(${keyCols.mkString(", ")}) — deltas must be key-unique")
+    val touched = st.getSeq[Int](3).toSet // <= nBuckets ints
+    val nDeletes = st.getLong(2)
+    val nUpserts = st.getLong(1) - nDeletes
 
     val dataCols = delta.columns.filterNot(deleteCol.contains).toSeq
     val upserts = d.filter(!col("__del"))
@@ -203,7 +216,13 @@ object MergeTable {
     }
 
     val newV = committedMax + 1
-    survivors.write.partitionBy("kb")
+    // cluster by bucket before the partitioned write (r17): without
+    // it every upstream task writes a file into every touched kb=
+    // dir — nTasks × nBuckets small files per version, which the
+    // next merge's bucket reads then pay for; one exchange on kb
+    // keeps it to one file per bucket per writing task-slot
+    // (guide §6 output sizing)
+    survivors.repartition(col("kb")).write.partitionBy("kb")
       .mode("overwrite").parquet(s"$tableDir/data/v$newV")
     d.unpersist(false)
 
