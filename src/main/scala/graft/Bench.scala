@@ -41,6 +41,7 @@ object Bench {
       .map { case (name, fn) =>
       try {
         val times = (1 to reps).map { _ =>
+          spark.sparkContext.setJobDescription(name)
           val t0 = System.nanoTime()
           // noop sink, NOT count(): under count() Catalyst prunes
           // every unreferenced output column and can eliminate a
@@ -50,8 +51,19 @@ object Bench {
           // of every row to be produced, which is what the DuckDB
           // denominator's fetchall() pays too.
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop persisted state BETWEEN queries, outside the timed
+          // region (r17 measurement hygiene, guide §1/§5): each
+          // query's materializeAndRelease result stays cached after
+          // its noop write, so a full 262-query run accumulated every
+          // result block in the one JVM — later queries paid the GC /
+          // eviction pressure of earlier ones. No result reuse is
+          // possible across queries (each re-derives from parquet),
+          // so clearing only removes cross-query interference.
+          spark.catalog.clearCache()
+          dt
         }
+        spark.sparkContext.setJobDescription(null)
         name -> times.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

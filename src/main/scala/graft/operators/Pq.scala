@@ -220,8 +220,15 @@ object Pq {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
+    // materialize the cast vector as its OWN projection before
+    // encode (r17): encode's m×k interpreted distance calls each
+    // re-evaluated the full 64-cast transform otherwise (CollapseProject
+    // keeps the stage split — the alias is non-cheap and referenced
+    // m×k times)
     val coded = corpus.select(col(idCol).as("neighbor_id"),
-      col(cellCol).as("cell"), encode(dvec, codebooks).as("codes"))
+        col(cellCol).as("cell"), dvec.as("__dv"))
+      .select(col("neighbor_id"), col("cell"),
+        encode(col("__dv"), codebooks).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"),
       col(cellCol).as("cell"), dvec.as("p_vec"))
     val scored = coded.join(p, Seq("cell"))
@@ -258,23 +265,30 @@ object Pq {
                 vecCol: String = "embedding",
                 residual: Boolean = false): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
+    // every expensive vector expression is materialized as its own
+    // projection before the m×k interpreted HOF consumers (encode /
+    // adc) — same r17 discipline as pqTopK: without the stage split
+    // the residual zip_with (64 wide) re-evaluated per (subspace,
+    // codeword) distance call
     val coded = corpus
       .select(col(idCol).as("neighbor_id"), dvec.as("__v"))
       .withColumn("cell", Ivf.nearestCell(col("__v"), coarse))
       .select(col("neighbor_id"), col("cell"),
-        encode(if (residual) residualTo(col("__v"), col("cell"), coarse)
-          else col("__v"), codebooks).as("codes"))
+        (if (residual) residualTo(col("__v"), col("cell"), coarse)
+          else col("__v")).as("__ev"))
+      .select(col("neighbor_id"), col("cell"),
+        encode(col("__ev"), codebooks).as("codes"))
     val cellsRanked =
       slice(array_sort(Ivf.cellScores(dvec, coarse)), 1, nProbe)
     val p = probes.select(col(idCol).as("probe_id"), dvec.as("p_vec"),
       explode(cellsRanked.getField("cell")).as("cell"))
-    val queryVec =
-      if (residual) residualTo(col("p_vec"), col("cell"), coarse)
-      else col("p_vec")
     val scored = coded.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("codes"),
+        (if (residual) residualTo(col("p_vec"), col("cell"), coarse)
+          else col("p_vec")).as("__qv"))
       .select(col("probe_id"), col("neighbor_id"),
-        adc(queryVec, col("codes"), codebooks).as("adc"))
+        adc(col("__qv"), col("codes"), codebooks).as("adc"))
     scored.groupBy(col("probe_id"))
       .agg(BoundedTopK.boundedTopK(-col("adc"), col("neighbor_id"), k)
         .as("top"))
