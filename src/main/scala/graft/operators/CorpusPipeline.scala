@@ -74,11 +74,17 @@ object CorpusPipeline {
 
     // 5. context-window packing on the token count — the range form
     //    (bit-identical bins, no global single-reducer sort) so the
-    //    facade's plan is the one that survives 100 TB
+    //    facade's plan is the one that survives 100 TB.
+    //    PrefixSum scans its input THREE times (quantile probe,
+    //    bucket totals, final plan) — rebase the survivors on
+    //    materialized partitions first (r17; the crawlPrepareScored
+    //    discipline), or each scan replays the whole
+    //    dedup-CC + decontaminate chain above
     config.packBudget.foreach { budget =>
       t = Sampling.packSequencesByRange(
         t.withColumn("n_tokens",
-          TextFunctions.tokenCount(col(textCol)).cast("long")),
+          TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .localCheckpoint(true),
         "n_tokens", idCol, budget = budget)
     }
     t
@@ -414,6 +420,9 @@ object CorpusPipeline {
     // Catalyst evaluate the trie encode TWICE per row (measured in
     // the plan audit — the Filter node carried its own
     // longest_match_encode)
+    // localCheckpoint before packing (r17): PrefixSum scans its input
+    // three times, and each scan would otherwise re-run the trie
+    // encode over every document
     val enc = docs
       .filter(size(TextFunctions.tokens(col(textCol))) >= 1)
       .withColumn("__subs", Bpe.encodeLongestMatch(col(textCol), vocab))
@@ -423,6 +432,7 @@ object CorpusPipeline {
           transform(col("__subs"),
             s => coalesce(element_at(idMap, s), lit(-1)).cast("string")),
           " ").as("token_ids"))
+      .localCheckpoint(true)
     val binned =
       Sampling.packSequencesByRange(enc, "n_tokens", idCol, budget, nBuckets)
     val wBin = org.apache.spark.sql.expressions.Window
