@@ -831,6 +831,81 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_ANNR=1 — leg-by-leg wall time of the q_ann_recall harness
+    // (the r17 optimization target list): each action the query body
+    // runs, timed in its execution order.
+    if (sys.env.get("PROF_ANNR").contains("1")) {
+      import operators.{Ivf, Pq, Similarity}
+      val emb = sources.Tables.load(spark, sfDir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+      val exact = time("exact.brute5")(
+        operators.CacheOps.materializeAndRelease(
+          Similarity.bruteForceTopK(emb, probes, 5)))
+      time("lsh.leg")(Similarity.recallAtK(
+        Similarity.lshTopK(emb, probes, 5, dim = 64, nBits = 4),
+        exact, 5).count())
+      time("ivf.leg")(Similarity.recallAtK(
+        Ivf.ivfTopK(emb, probes, 5, nCells = 8, nProbe = 3), exact, 5)
+        .count())
+      val cb = time("train.m4k8")(
+        Pq.trainCodebooks(emb, m = 4, k = 8, lloydIters = 1))
+      val short10 = time("short10")(
+        operators.CacheOps.materializeAndRelease(
+          Pq.pqTopK(emb, probes, 10, cb, "label")))
+      val labelPairs = emb
+        .select(col("label"), col("vec_id").as("neighbor_id"))
+        .join(probes.select(col("label"), col("vec_id").as("probe_id")),
+          Seq("label"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+      val exactPq10 = time("exactPq10.refine")(
+        operators.CacheOps.materializeAndRelease(
+          Pq.refineTopK(labelPairs, emb, probes, 10)))
+      time("pq.adc+refine.legs")(
+        Similarity.recallAtK(short10, exactPq10, 5).unionByName(
+          Similarity.recallAtK(
+            Pq.refineTopK(short10, emb, probes, 5), exactPq10, 5)).count())
+      val cbOp = time("train.m16k16")(
+        Pq.trainCodebooks(emb, m = 16, k = 16, lloydIters = 1))
+      val shortOp = time("shortOp.k50")(
+        operators.CacheOps.materializeAndRelease(
+          Pq.pqTopK(emb, probes, 50, cbOp, "label")))
+      time("pqOp.legs")(
+        Similarity.recallAtK(shortOp, exactPq10, 10).unionByName(
+          Similarity.recallAtK(
+            Pq.refineTopK(shortOp, emb, probes, 10), exactPq10, 10))
+          .count())
+      val shifted = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            (pmod(xxhash64(col("label") * 64 + i), lit(2))
+              .cast("double") * 2.0 - 1.0) * 60.0).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val coarse = time("shifted.coarse")(shifted
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .orderBy("label").collect()
+        .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+      val probesS = shifted.filter(col("vec_id") < 8)
+      val exactS = time("exactS.brute10")(
+        operators.CacheOps.materializeAndRelease(
+          Similarity.bruteForceTopK(shifted, probesS, 10)))
+      val cbRawS = time("train.raw.m16k16")(
+        Pq.trainCodebooks(shifted, m = 16, k = 16, lloydIters = 1))
+      time("ivfpq.raw.leg")(Similarity.recallAtK(
+        Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbRawS, nProbe = 1),
+        exactS, 10).count())
+      val cbResS = time("train.res.m16k16")(
+        Pq.trainCodebooks(shifted, m = 16, k = 16, lloydIters = 1,
+          coarse = Some(coarse)))
+      time("ivfpq.res.leg")(Similarity.recallAtK(
+        Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbResS, nProbe = 1,
+          residual = true), exactS, 10).count())
+      spark.stop(); return
+    }
     if (sys.env.get("PROF_USE_OP").contains("1")) {
       time("op.minhashPairs.count")(
         operators.Dedup.minhashPairs(docs, threshold = 0.9,

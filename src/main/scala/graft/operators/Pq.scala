@@ -118,9 +118,16 @@ object Pq {
       // its subspace's k sub-centroids, instead of re-evaluating the
       // full dvec tree (64 casts — or the whole residual subtraction)
       // inside every one of the m×k interpreted HOF distance calls.
-      val sliced = corpus.select(explode(
-        transform(centsLit, (cb, s) => struct(s.as("s"),
-          slice(dvec, s * lit(sub) + 1, lit(sub)).as("v")))).as("e"))
+      // dvec materializes as its own projection first: the per-
+      // subspace slicing transform references it m times, and for
+      // residual training dvec is the full nearest-cell subtraction —
+      // one evaluation per row, not m (CollapseProject keeps the
+      // split for a non-cheap, multiply-referenced alias)
+      val sliced = corpus.select(dvec.as("__dv"))
+        .select(explode(
+          transform(centsLit, (cb, s) => struct(s.as("s"),
+            slice(col("__dv"), s * lit(sub) + 1, lit(sub)).as("v"))))
+          .as("e"))
         .select(col("e.s").as("s"), col("e.v").as("v"))
       val assigned = sliced.select(col("s"),
         array_min(transform(element_at(centsLit, col("s") + 1),
