@@ -783,9 +783,11 @@ object Dedup {
                threshold: Double, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
+    // cast once per row before the argmin (the Ivf r17 discipline)
     val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        VectorFunctions.norm(col(vecCol)).as("nrm"),
-        Ivf.nearestCell(dvec, centroids).as("cell"))
+        VectorFunctions.norm(col(vecCol)).as("nrm"), dvec.as("__dv"))
+      .select(col("id"), col("vec"), col("nrm"),
+        Ivf.nearestCell(col("__dv"), centroids).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.count() // assign once: feeds both join sides and the output
     val denom = col("a_nrm") * col("b_nrm")

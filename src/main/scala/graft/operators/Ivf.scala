@@ -96,9 +96,13 @@ object Ivf {
     for (_ <- 1 to lloydIters) {
       // per-(cell, dim) mean via posexplode — partial-aggregation
       // state stays O(cells × dim) regardless of corpus size (a
-      // collect_list-of-vectors-per-cell buffer would not)
-      val assigned = corpus.select(dvec.as("v"),
-        nearestCell(dvec, centroids).as("cell"))
+      // collect_list-of-vectors-per-cell buffer would not).
+      // dvec materializes once per row before the argmin (r17):
+      // nearestCell's interpreted HOF references its input per
+      // centroid, so the cast tree re-evaluated nCells+1 times
+      val assigned = corpus.select(dvec.as("__dv"))
+        .select(col("__dv").as("v"),
+          nearestCell(col("__dv"), centroids).as("cell"))
       val updated = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -171,10 +175,14 @@ object Ivf {
     val dvec = transform(col(vecCol), x => x.cast("double"))
     // inverted file: corpus rows keyed by their single nearest cell;
     // scoring carries the RAW float vectors (codegen'd ArrayDot path)
+    // dvec once per row, argmin over the materialized column (r17 —
+    // the trainCentroids discipline)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      VectorFunctions.norm(col(vecCol)).as("c_nrm"),
-      nearestCell(dvec, centroids).as("cell"))
+        col(vecCol).as("c_vec"),
+        VectorFunctions.norm(col(vecCol)).as("c_nrm"),
+        dvec.as("__dv"))
+      .select(col("neighbor_id"), col("c_vec"), col("c_nrm"),
+        nearestCell(col("__dv"), centroids).as("cell"))
     // probes replicate to their nProbe nearest cells
     val cellsRanked =
       slice(array_sort(cellScores(dvec, centroids)), 1, nProbe)
@@ -222,8 +230,8 @@ object Ivf {
       vecCol, seedHash, tickScale)
     val dvec = transform(col(vecCol), x => x.cast("double"))
     val counts = corpus
-      .select(nearestCell(dvec, cents).as("cell"),
-        col(labelCol).cast("long").as("lab"))
+      .select(dvec.as("__dv"), col(labelCol).cast("long").as("lab"))
+      .select(nearestCell(col("__dv"), cents).as("cell"), col("lab"))
       .groupBy("cell", "lab").agg(count(lit(1)).as("c"))
     counts.groupBy("cell")
       .agg(sum(col("c")).as("n_vecs"),
