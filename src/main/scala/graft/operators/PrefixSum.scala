@@ -166,11 +166,10 @@ object PrefixSum {
     * alphabet, so the prefix value is non-decreasing in the hex
     * string's lexicographic order — the order the hash-prefix
     * samplers sort by. */
-  def md5PrefixKey(idCol: Column): Column = {
-    val hex = md5(idCol.cast("string"))
-    (1 to 12).map { i =>
-      (call_function("instr", lit("0123456789abcdef"),
-        substring(hex, i, 1)) - 1).cast("long") * (1L << (4 * (12 - i)))
-    }.reduce(_ + _)
-  }
+  def md5PrefixKey(idCol: Column): Column =
+    // r17: the codegen'd digest-prefix expression — bit-identical to
+    // the former per-nibble instr chain (first 48 digest bits,
+    // big-endian; Md5MinHashSpec pins the family's equality), one
+    // call instead of 12 substring+instr nodes per row
+    graft.expressions.Md5MinHashSig.prefix(idCol.cast("string"), 12)
 }

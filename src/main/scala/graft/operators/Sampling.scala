@@ -17,11 +17,11 @@ object Sampling {
     * engine-portable (md5 + substring + strpos exist everywhere with
     * identical semantics; no engine-specific hash involved). */
   def md5Bucket(idCol: Column): Column =
-    // conv parses the hex prefix directly — ONE substring instead of
-    // a per-nibble instr chain (measured 12x on the langid bigram
-    // stream; value bit-identical to the nibble arithmetic, which the
-    // oracles keep replaying via strpos)
-    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("long")
+    // r17: the codegen'd digest-prefix expression — value
+    // bit-identical to conv(substring(md5(·),1,2),16,10) (which the
+    // oracles keep replaying), no hex string / conv parse per call
+    // (Md5MinHashSpec pins the equality)
+    graft.expressions.Md5MinHashSig.prefix(idCol.cast("string"), 2)
 
   /** Bucket 0..65535 from the first four hex chars of md5(id) — the
     * finer-grained variant for per-group sampling RATES, where 256
@@ -29,7 +29,7 @@ object Sampling {
     * and floor sub-1/256 rates to zero (dropping a dominant group
     * entirely). */
   def md5Bucket16(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long")
+    graft.expressions.Md5MinHashSig.prefix(idCol.cast("string"), 4)
 
   /** Deterministic named split by cumulative fractions over the 256
     * md5 buckets, e.g. Seq("train" -> 0.9, "val" -> 0.05,
