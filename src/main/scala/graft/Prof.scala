@@ -822,6 +822,83 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_CRAWL=1 — stage-by-stage wall time of the crawl front
+    // (the r18 target family): the q_crawl_prepare_full fixture run
+    // leg by leg in production order, each leg noop-sunk so its own
+    // computation is what is timed. Feeds the OPTIMIZATION_r18.md
+    // attribution for q_crawl_prepare_{full,blocks,scored,model} and
+    // the warc/wet ingest pair.
+    if (sys.env.get("PROF_CRAWL").contains("1")) {
+      import operators.{CorpusPipeline, Corpus, Dedup}
+      import spark.implicits._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      val toks = TextFunctions.tokens(col("text"))
+      val synthPseudo = array_join(
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+          g => array_join(slice(toks, g * 10 + 1, lit(10)), " ")),
+        "\n")
+      val item = concat(lit("/articles/item-"),
+        floor(col("doc_id") / 4).cast("long").cast("string"))
+      val v = col("doc_id") % 4
+      val synthU = when(v === 0, concat(lit("https://Example.COM"), item))
+        .when(v === 1, concat(lit("https://www.example.com"), item, lit("/")))
+        .when(v === 2, concat(lit("https://example.com:443"), item,
+          lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("http://example.com"), item,
+          lit("?b=2&a=1#section")))
+      val shellPre = "<html><head><title>t</title>" +
+        "<style type=\"text/css\">body {color:#fff}</style>" +
+        "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+        "<body><!-- nav --><h1>Doc &amp; entity &lt;demo&gt;</h1><p>"
+      val shellPost = "</p><div>footer&nbsp;menu</div></body></html>"
+      val blockedUrl = concat(lit("https://ads.tracker.net/item-"),
+        col("doc_id"))
+      val fixture = docs.filter(size(toks) >= 1)
+        .select(col("doc_id"), synthPseudo.as("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, blockedUrl)
+            .otherwise(synthU).as("url"),
+          concat(lit(shellPre), col("text"), lit(shellPost)).as("html"))
+      val blocklist = Seq("tracker.net").toDF("domain")
+      for (r <- 1 to 2) {
+        val gated = CorpusPipeline.blocklistFilter(fixture, blocklist)
+          .filter(col("keep")).drop("host", "blocked_by", "keep")
+        time(s"r$r.blocklist.gate")(noop(gated))
+        val extracted = gated.select(col("doc_id"), col("url"),
+          TextFunctions.htmlExtract(col("html")).as("__crawl_text"))
+        time(s"r$r.htmlExtract.scan")(noop(extracted))
+        val d = extracted.withColumn("__crawl_text",
+          coalesce(col("__crawl_text"), lit("")))
+        val hasUrl = col("url").isNotNull && col("url") =!= ""
+        val urlKeepers = Dedup.urlDedup(d.filter(hasUrl), "url", "doc_id")
+          .select(col("keeper_doc_id").as("doc_id"))
+        time(s"r$r.urlDedup.keepers")(noop(urlKeepers))
+        val s1 = d.filter(hasUrl).join(urlKeepers, Seq("doc_id"), "left_semi")
+          .unionByName(d.filter(!hasUrl))
+        val normKeepers = Dedup.normalizedExact(s1, "doc_id", "__crawl_text")
+          .select(col("keeper_doc_id").as("doc_id"))
+        time(s"r$r.normExact.keepers")(noop(normKeepers))
+        val s2 = s1.join(normKeepers, Seq("doc_id"), "left_semi")
+        val lined = time(s"r$r.dedupLines.build")(
+          Dedup.dedupLines(s2, 2, "doc_id", "__crawl_text"))
+        val gatedG = Corpus.gopherRules(
+          lined.select(col("doc_id"), col("kept_text").as("text")),
+          "doc_id", "text", minTokens = 20)
+        time(s"r$r.gopher.gate")(noop(gatedG))
+        time(s"r$r.final.join")(noop(lined.join(
+          gatedG.select(col("doc_id"), col("n_tokens"), col("keep")),
+          Seq("doc_id"))))
+        lined.unpersist()
+        spark.catalog.clearCache()
+        time(s"r$r.crawlPrepareFull.end2end")(noop(
+          CorpusPipeline.crawlPrepareFull(fixture, blocklist,
+            minTokens = 20)))
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
     if (sys.env.contains("PROF_EXPLAIN")) {
       for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)
