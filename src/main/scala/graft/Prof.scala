@@ -899,6 +899,91 @@ object Prof {
       }
       spark.stop(); return
     }
+    // PROF_PREP=1 — leg-by-leg wall time of the q_corpus_prepare
+    // facade (scrub → jaccard dedup CC → decontaminate → split →
+    // pack), each leg in execution order (r18 target attribution).
+    if (sys.env.get("PROF_PREP").contains("1")) {
+      import operators.{CorpusPipeline, Corpus, Dedup, Graph, Sampling, PrefixSum}
+      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "text")
+      var t = docs.filter(col("doc_id") >= 25)
+      t = t.withColumn("text", TextFunctions.scrubPii(col("text")))
+      for (r <- 1 to 2) {
+        val pairs = time(s"r$r.jaccardPairs")(
+          Dedup.ngramJaccardPairs(t, Seq("source"), 0.9))
+        val clusters = time(s"r$r.cc")(Graph.connectedComponents(
+          t.select(col("doc_id")), pairs.select("a_id", "b_id")))
+        val t1 = t.join(clusters.filter(col("id") === col("comp"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val verdict = time(s"r$r.decontaminate")(
+          Corpus.decontaminate(t1, bench, shingleN = 3, tau = 0.5))
+        val t2 = t1.join(verdict.filter(!col("contaminated"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val t3 = Sampling.deterministicSplit(t2, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        val ckpt = time(s"r$r.split+tokcount+ckpt")(
+          t3.withColumn("n_tokens",
+            TextFunctions.tokenCount(col("text")).cast("long"))
+            .localCheckpoint(true))
+        time(s"r$r.packByRange")(
+          Sampling.packSequencesByRange(ckpt, "n_tokens", "doc_id",
+            budget = 512L)
+            .write.mode("overwrite").format("noop").save())
+        spark.catalog.clearCache()
+        time(s"r$r.end2end")(
+          CorpusPipeline.prepare(docs.filter(col("doc_id") >= 25),
+            CorpusPipeline.Config(
+              dedupMethod = "jaccard", dedupThreshold = 0.9,
+              dedupBlockingKeys = Seq("source"),
+              decontaminateAgainst = Some(bench),
+              packBudget = Some(512L)))
+            .select("doc_id", "lang", "source", "bucket", "split",
+              "n_tokens", "bin_id")
+            .write.mode("overwrite").format("noop").save())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    // PROF_JOBS=q_a,q_b — noise-free structural cost of a query:
+    // jobs, stages, tasks, shuffle bytes for one full execution
+    // (construction actions + the noop sink), counted by listener.
+    // Wall time on this host swings 2-5x with co-tenant bursts; these
+    // counts do not.
+    if (sys.env.contains("PROF_JOBS")) {
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val shuffleW = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+            shuffleW.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      for (q <- sys.env("PROF_JOBS").split(",").map(_.trim)
+          .filter(_.nonEmpty)) {
+        spark.catalog.clearCache()
+        Thread.sleep(1000)
+        val (j0, s0, t0, w0) =
+          (jobs.get, stages.get, tasks.get, shuffleW.get)
+        val tt0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - tt0) / 1e9
+        Thread.sleep(1500) // drain listener bus
+        println(f"[prof] $q: ${dt}%.2f s jobs=${jobs.get - j0} " +
+          s"stages=${stages.get - s0} tasks=${tasks.get - t0} " +
+          f"shuffleMB=${(shuffleW.get - w0) / 1e6}%.1f")
+      }
+      spark.stop(); return
+    }
     // PROF_EXPLAIN=q_a,q_b — formatted plan of any SparkEntry query
     if (sys.env.contains("PROF_EXPLAIN")) {
       for (q <- sys.env("PROF_EXPLAIN").split(",").map(_.trim)

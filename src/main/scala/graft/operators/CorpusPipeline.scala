@@ -122,18 +122,34 @@ object CorpusPipeline {
     // null/empty canonical would silently drop all but one).
     val d = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
     val hasUrl = col(urlCol).isNotNull && col(urlCol) =!= ""
+    // NOT checkpointed (r18 adjudication, measured): the keeper
+    // subtrees appear in several logical branches, but every copy
+    // ends at the same canonicalized Exchange, so within the one
+    // consuming job Spark's exchange reuse already computes the
+    // aggregation ONCE (the committed q_crawl_prepare_full plan shows
+    // 225 ReusedExchange nodes; task counts with / without explicit
+    // keeper checkpoints were 236 vs 245). Materializing the keeper
+    // sets (eager OR lazy localCheckpoint — AQE compiles the subtree
+    // and submits its shuffle stages as jobs either way) added ~10
+    // scheduling round-trips per query and measured strictly slower.
     val urlKeepers = Dedup.urlDedup(d.filter(hasUrl), urlCol, idCol)
       .select(col("keeper_doc_id").as(idCol))
-    val s1 = d.filter(hasUrl).join(urlKeepers, Seq(idCol), "left_semi")
-      .unionByName(d.filter(!hasUrl))
+    // survivors in ONE scan of d (r18): the former
+    // `d.filter(hasUrl) ⋉ keepers UNION d.filter(!hasUrl)` replayed
+    // the entire upstream subtree (blocklist gate + HTML extraction)
+    // once per union branch — the no-URL branch usually holds zero
+    // rows but still costs a full plan copy and a scan. A left probe
+    // of the keeper set + one filter is row-equal:
+    // keeper ids are unique (one min per group), so the join never
+    // duplicates, no-URL rows never match a keeper and pass on the
+    // !hasUrl arm, and URL rows pass iff matched — exactly the old
+    // semi ∪ passthrough.
+    val s1 = d.join(urlKeepers.withColumn("__url_keep", lit(true)),
+        Seq(idCol), "left")
+      .filter(col("__url_keep").isNotNull || !hasUrl)
+      .drop("__url_keep")
     val normKeepers = Dedup.normalizedExact(s1, idCol, textCol)
       .select(col("keeper_doc_id").as(idCol))
-    // NOTE on caching: docs and s1 each feed two branches (keeper
-    // aggregation + survivor probe). The recompute is a re-SCAN of
-    // the source — at 100 TB that is the right trade; persisting the
-    // near-full corpus is not (the prefixIndex discipline persists
-    // COMPACT derived tables, which dedupLines below does for its
-    // line table).
     val s2 = s1.join(normKeepers, Seq(idCol), "left_semi")
     val lined = Dedup.dedupLines(s2, lineMinDf, idCol, textCol)
     val gated = Corpus.gopherRules(
