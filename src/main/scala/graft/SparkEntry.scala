@@ -2571,7 +2571,14 @@ object SparkEntry {
       // spec-pinned), so the pq rows isolate QUANTIZATION loss (what
       // refine recovers) from routing loss (what no re-rank can);
       // the lsh/ivf rows keep the global-exact baseline
-      val cb = Pq.trainCodebooks(emb, m = 4, k = 8, lloydIters = 1)
+      // r18: the mechanism-sized (m=4, k=8) and published (m=16,
+      // k=16) codebooks train over the SAME corpus — the joint
+      // trainer shares one hash-ordered seed job and one Lloyd job
+      // between them (bit-identical to two solo calls, PqSpec-pinned)
+      // instead of paying two full passes per stage.
+      val Seq(cb, cbOp) = Pq.trainCodebooksJoint(emb, Seq(
+        Pq.CodebookSpec(m = 4, k = 8), Pq.CodebookSpec(m = 16, k = 16)),
+        lloydIters = 1)
       val short10 = Pq.pqTopK(emb, probes, 10, cb, "label")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       short10.count()
@@ -2600,7 +2607,6 @@ object SparkEntry {
       // shortlist, exact refine — measured 0.91 recall@10 at sf0.1
       // vs 0.10 for the starved m=4/k=8/kAdc=2×k mechanism setting;
       // the grid's three levers in BASELINE.md's table
-      val cbOp = Pq.trainCodebooks(emb, m = 16, k = 16, lloydIters = 1)
       val shortOp = Pq.pqTopK(emb, probes, 50, cbOp, "label")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       shortOp.count()
@@ -2647,14 +2653,17 @@ object SparkEntry {
       val exactS = Similarity.bruteForceTopK(shifted, probesS, 10)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exactS.count()
-      val cbRawS = Pq.trainCodebooks(shifted, m = 16, k = 16,
+      // r18: raw and residual twins share routing, budget AND corpus
+      // (the cached shifted universe) — joint-trained in one seed +
+      // one Lloyd pass, same bit-for-bit books as the two solo calls
+      val Seq(cbRawS, cbResS) = Pq.trainCodebooksJoint(shifted, Seq(
+        Pq.CodebookSpec(m = 16, k = 16),
+        Pq.CodebookSpec(m = 16, k = 16, coarse = Some(coarse))),
         lloydIters = 1)
       val ivfpqAdc = Similarity.recallAtK(
           Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbRawS, nProbe = 1),
           exactS, 10)
         .withColumn("index", lit("ivfpq_adc_op"))
-      val cbResS = Pq.trainCodebooks(shifted, m = 16, k = 16,
-        lloydIters = 1, coarse = Some(coarse))
       val ivfpqResAdc = Similarity.recallAtK(
           Pq.ivfPqTopK(shifted, probesS, 10, coarse, cbResS, nProbe = 1,
             residual = true),

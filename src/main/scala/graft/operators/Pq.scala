@@ -80,11 +80,21 @@ object Pq {
     // ONE seed job for all subspaces: every subspace seeds from the
     // SAME k hash-ordered rows, so collect the full vectors once and
     // slice driver-side — not m corpus sorts (plus it supplies dim,
-    // saving the separate probe job)
+    // saving the separate probe job).
+    // dvec is projected AFTER the limit (r18): TakeOrderedAndProject
+    // applies its projection to the k surviving rows only, so the
+    // 64-cast transform — or the full nearest-cell residual
+    // subtraction for residual training — is evaluated k times, not
+    // once per corpus row, in a job that only needs the hash order.
     val seedRows = corpus
-      .select(col(idCol), dvec.as("v"), seedHash(col(idCol)).as("h"))
+      .select(col(idCol), col(vecCol).as("__raw"),
+        seedHash(col(idCol)).as("h"))
       .orderBy(col("h")).limit(k)
-      .select(col("v")).collect()
+      .select((coarse.map(cs => residualVec(
+          transform(col("__raw"), x => x.cast("double")), cs))
+        .getOrElse(transform(col("__raw"), x => x.cast("double"))))
+        .as("v"))
+      .collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(seedRows.nonEmpty, "trainCodebooks: empty corpus")
     val dim = seedRows.head.size
@@ -148,6 +158,129 @@ object Pq {
         .toMap
       books = books.indices.map(s => books(s).indices.map(j =>
         updated.getOrElse((s, j), books(s)(j))).toIndexedSeq).toIndexedSeq
+    }
+    books
+  }
+
+  /** One codebook-training request for [[trainCodebooksJoint]]:
+    * `m` subspaces × `k` codewords, optionally trained on residuals
+    * against `coarse` — exactly [[trainCodebooks]]' knobs. */
+  case class CodebookSpec(m: Int, k: Int,
+                          coarse: Option[Seq[Seq[Double]]] = None)
+
+  /** Train SEVERAL codebooks over ONE corpus in one pass per stage —
+    * the multi-operating-point shape the recall harness runs (a
+    * mechanism-sized m=4×8 and the published m=16×16 over the same
+    * corpus; a raw and a residual twin over the same shifted
+    * universe). [[trainCodebooks]] costs one seed job + one Lloyd job
+    * per iteration PER CALL; at 100 TB each of those is a full corpus
+    * pass, so n configs paid n× the scans for data read identically.
+    * Here all configs share ONE hash-ordered seed job (k_max rows
+    * collected once, each config takes its k-prefix — the same rows
+    * its solo call would take) and ONE Lloyd job per iteration: each
+    * row explodes to Σ m_i tagged (config, subspace, subvector)
+    * entries behind one Generate and a single grouped aggregation
+    * updates every sub-centroid of every config.
+    *
+    * Bit-identical to n separate [[trainCodebooks]] calls by
+    * construction (spec-pinned in PqSpec): per config the argmin is
+    * the same struct(d2, cell) array_min over the same sliced values
+    * against the same codebook literal, and the per-(config, s, cell,
+    * dim) means sum the same multisets — tick means in exact longs,
+    * so partition/merge order cannot change a bit. */
+  def trainCodebooksJoint(corpus: DataFrame, specs: Seq[CodebookSpec],
+                          lloydIters: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          seedHash: Column => Column = c => xxhash64(c),
+                          tickScale: Option[Long] = Some(1000000L))
+  : Seq[Seq[Seq[Seq[Double]]]] = {
+    require(specs.nonEmpty, "trainCodebooksJoint: no specs")
+    val raw = transform(col(vecCol), x => x.cast("double"))
+    def dvecOf(spec: CodebookSpec): Column =
+      spec.coarse.map(cs => residualVec(raw, cs)).getOrElse(raw)
+    val kMax = specs.map(_.k).max
+    // one seed job: the k_max hash-first rows, every config's
+    // training vector projected AFTER the limit (evaluated on k_max
+    // rows, not the corpus)
+    val seedRows = corpus
+      .select(col(idCol), col(vecCol).as("__raw"),
+        seedHash(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(kMax)
+      .select(specs.zipWithIndex.map { case (spec, b) =>
+        val r = transform(col("__raw"), x => x.cast("double"))
+        spec.coarse.map(cs => residualVec(r, cs)).getOrElse(r).as(s"v$b")
+      }: _*)
+      .collect()
+      .map(r => specs.indices.map(b =>
+        r.getSeq[Double](b).toIndexedSeq).toIndexedSeq).toIndexedSeq
+    require(seedRows.nonEmpty, "trainCodebooksJoint: empty corpus")
+    val dim = seedRows.head.head.size
+    val subs = specs.map { spec =>
+      require(spec.m >= 1 && dim % spec.m == 0,
+        s"dim=$dim must be divisible by m=${spec.m}")
+      dim / spec.m
+    }
+    val meanOf: Column => Column = tickScale match {
+      case None => c => Aggregations.decAvg(c, scale = 9)
+      case Some(t) => c =>
+        sum(floor(c * t.toDouble).cast("long")).cast("double") /
+          (count(c).cast("double") * t.toDouble)
+    }
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] =
+      specs.zipWithIndex.map { case (spec, b) =>
+        (0 until spec.m).map(s =>
+          (0 until spec.k).map(j =>
+            seedRows(j)(b).slice(s * subs(b), s * subs(b) + subs(b)))
+            .toIndexedSeq).toIndexedSeq
+      }.toIndexedSeq
+    for (_ <- 1 to lloydIters) {
+      val centsAll = typedlit(books)
+      // one Generate for every (config, subspace): each config slices
+      // its projected training vector (evaluated once per row — the
+      // r17 discipline), tagged with the config index, and the
+      // per-config struct arrays concatenate into one explode.
+      // Configs sharing a training vector (two raw specs, or two
+      // specs on the same coarse model) share ONE projected column —
+      // the projection stage is interpreted (HOFs are
+      // CodegenFallback), so duplicate aliases would each re-run the
+      // 64-cast transform per row.
+      val dvKey = specs.map(_.coarse).distinct
+      val dvCol = specs.map(s => s"__dv${dvKey.indexOf(s.coarse)}")
+      val sliced = corpus
+        .select(dvKey.zipWithIndex.map { case (c, i) =>
+          dvecOf(CodebookSpec(1, 1, c)).as(s"__dv$i")
+        }: _*)
+        .select(explode(concat(specs.indices.map { b =>
+          transform(element_at(centsAll, b + 1), (cb, s) =>
+            struct(lit(b).as("b"), s.as("s"),
+              slice(col(dvCol(b)), s * lit(subs(b)) + 1,
+                lit(subs(b))).as("v")))
+        }: _*)).as("e"))
+        .select(col("e.b").as("b"), col("e.s").as("s"), col("e.v").as("v"))
+      val assigned = sliced.select(col("b"), col("s"),
+        array_min(transform(
+          element_at(element_at(centsAll, col("b") + 1), col("s") + 1),
+          (c, j) => struct(
+            aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, v) => acc + v).as("d2"),
+            j.as("cell")))).getField("cell").as("cell"),
+        col("v"))
+      val updated = assigned
+        .select(col("b"), col("s"), col("cell"), posexplode(col("v")))
+        .groupBy(col("b"), col("s"), col("cell"), col("pos"))
+        .agg(meanOf(col("col")).as("m"))
+        .groupBy(col("b"), col("s"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          r.getSeq[Double](3).toIndexedSeq)
+        .toMap
+      books = books.indices.map(b =>
+        books(b).indices.map(s => books(b)(s).indices.map(j =>
+          updated.getOrElse((b, s, j), books(b)(s)(j))).toIndexedSeq)
+          .toIndexedSeq).toIndexedSeq
     }
     books
   }

@@ -214,6 +214,25 @@ class PqSpec extends SparkSpec {
       lloydIters = 3, coarse = Some(coarse)))
   }
 
+  test("trainCodebooksJoint: bit-equal to solo calls, incl. residual") {
+    // three configs over ONE corpus — mixed m/k and a residual spec;
+    // the joint trainer's one-seed-job + one-Lloyd-job-per-iteration
+    // sharing must reproduce each solo model bit for bit (exact
+    // Double ==, no tolerance): same hash-prefix seeds, same argmin
+    // trees, same tick-mean multisets.
+    val coarse = Seq(Seq(4.0, 0.5, 4.0, 0.5), Seq(-4.0, 0.5, -4.0, 0.5))
+    val specs = Seq(Pq.CodebookSpec(m = 2, k = 2),
+      Pq.CodebookSpec(m = 4, k = 3),
+      Pq.CodebookSpec(m = 2, k = 2, coarse = Some(coarse)))
+    val joint = Pq.trainCodebooksJoint(corpus, specs, lloydIters = 2)
+    assert(joint(0) ==
+      Pq.trainCodebooks(corpus, m = 2, k = 2, lloydIters = 2))
+    assert(joint(1) ==
+      Pq.trainCodebooks(corpus, m = 4, k = 3, lloydIters = 2))
+    assert(joint(2) == Pq.trainCodebooks(corpus, m = 2, k = 2,
+      lloydIters = 2, coarse = Some(coarse)))
+  }
+
   test("refineTopK plan: shortlist and probes broadcast, no cartesian") {
     val cb = Pq.trainCodebooks(corpus, m = 2, k = 2)
     val probes = corpus.filter(col("vec_id") <= 3)
