@@ -3993,10 +3993,29 @@ object SparkEntry {
     // rows-only
     "q_minhash_recall" -> ((s, d) => {
       val docs = T(s, d, "documents")
+      // r18 (VERDICT item 5): both chains tokenized the same corpus
+      // independently — the minhash side via shingles(tokens, 1), the
+      // exact side via tokenSet. With shingleN = 1 the sketch's
+      // hash set IS the hashed token set, so ONE tokenized base
+      // (the prefixIndex shape, persisted once) feeds both: the
+      // sketch derives sh = sorted distinct xxhash64(toks) (equal
+      // arrays — dedupe before or after hashing yields the same set)
+      // and the exact side runs the df-rank/prefix tail over the same
+      // cached base. Rows-only output byte-compared against the
+      // two-chain form at sf0.01.
+      val base = docs.select(col("doc_id").as("id"), col("source"),
+          TextFunctions.tokenSet(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val sketch = base.select(col("id"),
+          sort_array(array_distinct(
+            transform(col("toks"), t => xxhash64(t)))).as("sh"))
+        .withColumn("sig",
+          graft.expressions.MinHashSig.of(col("sh"), 32))
       Dedup.pairRecall(
-        Dedup.minhashPairs(docs, threshold = 0.9, numHashes = 32,
-          bands = 2, shingleN = 1).select("a_id", "b_id"),
-        Dedup.ngramJaccardPairs(docs, Seq("source"), 0.9)
+        Dedup.minhashPairsFromSketch(sketch, threshold = 0.9,
+          numHashes = 32, bands = 2).select("a_id", "b_id"),
+        Dedup.ngramJaccardPairsFromTokens(base, Seq("source"), 0.9)
           .select("a_id", "b_id"))
     }),
     // embedding-LSH pair recall vs the tiled exact pair set — the

@@ -107,6 +107,19 @@ object Dedup {
         TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // complete the cache before multi-branch reads
+    prefixIndexFromBase(base, blockingKeys, threshold)
+  }
+
+  /** The df-rank/prefix tail of [[prefixIndex]] over a PREPARED,
+    * already-persisted-and-materialized `(id, <blockingKeys>, toks:
+    * array<string> DISTINCT tokens)` base — split out (r18) so a
+    * harness that derives several indexes from one tokenized corpus
+    * (q_minhash_recall's exact side shares the base with the minhash
+    * sketch) tokenizes ONCE instead of once per chain. */
+  private def prefixIndexFromBase(base: DataFrame,
+                                  blockingKeys: Seq[String],
+                                  threshold: Double)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // set size rides along from the scan — deriving it later with a
     // count() window would add a second window pass over the sorted
     // partitions for a value already known at tokenize time
@@ -152,15 +165,35 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockingKeys: Seq[String],
                         threshold: Double, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val (base, _, prefix, sets) =
-      prefixIndex(docs, blockingKeys, threshold, idCol, textCol)
+    val base = docs.select(
+      (col(idCol).as("id") +: blockingKeys.map(col)) :+
+        TextFunctions.tokenSet(col(textCol)).as("toks"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // complete the cache before multi-branch reads
+    ngramJaccardPairsFromTokens(base, blockingKeys, threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over a PREPARED tokenized base
+    * `(id, <blockingKeys>, toks: array<string> distinct tokens)` that
+    * the caller has already persisted and materialized — the share-
+    * one-tokenize entry for harnesses that run several chains over
+    * the same corpus (r18). Identical output to [[ngramJaccardPairs]]
+    * on the same docs (the base expression is the same; spec-pinned).
+    * NOTE: releases `base` when the pair table materializes — the
+    * caller's other consumers must have materialized first. */
+  private[graft] def ngramJaccardPairsFromTokens(base: DataFrame,
+                                                 blockingKeys: Seq[String],
+                                                 threshold: Double)
+  : DataFrame = {
+    val (b, _, prefix, sets) =
+      prefixIndexFromBase(base, blockingKeys, threshold)
     // symmetric candidate join: prefix x prefix, a < b
     val a = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"a_$c"): _*)
-    val b = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"b_$c"): _*)
+    val bb = prefix.toDF(prefix.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val joinCond = (blockingKeys.map(k => col(s"a_$k") === col(s"b_$k")) :+
       (col("a_tok") === col("b_tok")) :+ (col("a_id") < col("b_id")))
       .reduce(_ && _)
-    val cands = a.join(b, joinCond)
+    val cands = a.join(bb, joinCond)
       .select(col("a_id"), col("b_id")).distinct()
     CacheOps.materializeAndRelease(
       cands
@@ -170,7 +203,7 @@ object Dedup {
           graft.expressions.SortedIntersect.jaccard(col("a_toks"), col("b_toks")))
         .filter(col("jaccard") >= threshold)
         .select(col("a_id"), col("b_id"), col("jaccard")),
-      base, prefix)
+      b, prefix)
   }
 
   /** DEDUP THRESHOLD SWEEP — the tuning curve BEFORE committing to a

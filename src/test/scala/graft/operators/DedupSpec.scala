@@ -30,6 +30,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ngramJaccardPairsFromTokens == ngramJaccardPairs on same docs") {
+    // the share-one-tokenize entry must reproduce the docs-form
+    // exactly (same base expression, same prefix tail) — exact
+    // Double == on jaccard included
+    val viaDocs = Dedup.ngramJaccardPairs(docs, Seq("source"), 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val base = docs.select(col("doc_id").as("id"), col("source"),
+        graft.functions.TextFunctions.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val viaTokens = Dedup.ngramJaccardPairsFromTokens(base,
+        Seq("source"), 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaTokens == viaDocs)
+    // and the minhash sketch derived from the same base equals the
+    // docs-form sketch at shingleN = 1 (dedupe before vs after
+    // hashing — same sorted-distinct hash set, same signature)
+    val fromBase = base.select(col("id"),
+        sort_array(array_distinct(
+          transform(col("toks"), t => xxhash64(t)))).as("sh"))
+      .withColumn("sig", graft.expressions.MinHashSig.of(col("sh"), 8))
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSet
+    val fromDocs = Dedup.minhashSketch(docs, numHashes = 8, shingleN = 1)
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSet
+    assert(fromBase == fromDocs)
+  }
+
   test("minhashPairs finds identical docs (jaccard 1.0)") {
     val out = Dedup.minhashPairs(docs, threshold = 0.99, shingleN = 3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
