@@ -55,15 +55,18 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+    val nSym = sym.count()
     // Only nodes touched by an edge can ever change label; propagate
     // over those and append the (at 100 TB: vastly larger) singleton
     // set once at the end. Init from the edge endpoints themselves so
     // edge ids absent from `nodes` still resolve (as before, via the
     // message union).
+    // NOT eagerly checkpointed (r18): the init plan is one distinct
+    // over the cached sym — depth 1, no analysis blowup — and its two
+    // round-1 consumers share the distinct's Exchange (reuse), so the
+    // checkpoint job bought nothing but a scheduling round-trip.
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
     // Convergence check. For NUMERIC ids: labels only decrease, so
     // sum(comp) is a monotone metric — one cheap agg per round
     // instead of a change-count join. Summed as DECIMAL(38,0): a
@@ -83,7 +86,10 @@ object Graph {
     }
     var prevSum = if (numericComp) labelSum(labels) else null
     var iter = 0
-    var converged = labels.isEmpty
+    // labels is empty iff sym is — the count the cache materialization
+    // already paid answers the emptiness probe for free (r18; was a
+    // separate labels.isEmpty job)
+    var converged = nSym == 0L
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
