@@ -1338,15 +1338,17 @@ object Dedup {
     * n_exact, n_approx, n_hit, recall, precision. */
   def pairRecall(approx: DataFrame, exact: DataFrame,
                  aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // a and e are NOT persisted (r18): both inputs arrive already
+    // materialized (every pair generator returns a persisted table),
+    // each normalized set feeds two branches of the ONE output action
+    // below, and both copies end at the same canonicalized distinct
+    // Exchange — exchange reuse computes each once per action, so the
+    // former persist+count pair was two extra jobs buying nothing.
     def norm(df: DataFrame) = df.select(
       least(col(aCol), col(bCol)).as("p"),
       greatest(col(aCol), col(bCol)).as("q")).distinct()
-    val a = norm(approx).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    a.count()
-    val e = norm(exact).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val a = norm(approx)
+    val e = norm(exact)
     val hits = e.join(a, Seq("p", "q"), "left_semi")
     val out = e.agg(count(lit(1)).as("n_exact")).crossJoin(
         a.agg(count(lit(1)).as("n_approx")))
@@ -1355,6 +1357,6 @@ object Dedup {
         col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
       .withColumn("precision",
         col("n_hit").cast("double") / greatest(col("n_approx"), lit(1L)))
-    CacheOps.materializeAndRelease(out, a, e)
+    CacheOps.materializeAndRelease(out)
   }
 }
