@@ -76,8 +76,15 @@ object Annotations {
           .select(col("annotation"), col("idx").cast("string").as("site"), acc)
       else
         lines
-          .withColumn("site", (row_number().over(
-            Window.orderBy(col("__ord"), col("idx"))) - 1).cast("string"))
+          // guarded (r18): the global sequence number is the
+          // reference's per-STRUCTURE contract (one identifier's
+          // annotation lines) — assert the single-partition frame
+          // stays structure-sized instead of silently absorbing a
+          // whole-corpus table
+          .withColumn("site", WindowOps.guardedGlobalFrame(
+            (row_number().over(
+              Window.orderBy(col("__ord"), col("idx"))) - 1).cast("string"),
+            "annotationAggregation's per-structure line table", 1L << 24))
           .select(col("idx"), col("annotation"), col("site"), acc)
     requireNonEmpty(out)
     out

@@ -1052,7 +1052,12 @@ object Corpus {
       .agg(sum(when(col("is_target"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("cnt_t"),
         count(lit(1)).cast("long").as("cnt_r"))
-      .withColumn("tot_t", sum(col("cnt_t")).over(w).cast("long"))
+      // guarded (r18): ≤ nBuckets rows by construction (the groupBy
+      // key is a pmod-nBuckets hash) — assert the invariant so a
+      // future key change cannot silently single-partition a corpus
+      .withColumn("tot_t", WindowOps.guardedGlobalFrame(
+        sum(col("cnt_t")).over(w).cast("long"),
+        "the bucket model's grouped table", nBuckets.toLong))
       .withColumn("tot_r", sum(col("cnt_r")).over(w).cast("long")))
     val ratio = ((col("cnt_t") + lit(1L)).cast("double") *
         (col("tot_r") + lit(nBuckets.toLong)).cast("double")) /

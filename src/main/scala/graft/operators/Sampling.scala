@@ -409,9 +409,14 @@ object Sampling {
         call_function("div", lit(totalN) * col("__n"), col("__tot")))
       .withColumn("__rem", (lit(totalN) * col("__n")) % col("__tot"))
       .withColumn("__extra", lit(totalN) - sum(col("__base")).over(global))
-      .withColumn("__alloc",
+      // guarded (r18): the global frame here holds ONE ROW PER
+      // STRATUM by construction (post-groupBy) — assert it, so a
+      // caller passing a near-unique stratum column fails loudly with
+      // the count instead of silently single-partitioning the corpus
+      .withColumn("__alloc", WindowOps.guardedGlobalFrame(
         col("__base") + when(row_number().over(remW) <= col("__extra"), 1L)
-          .otherwise(0L))
+          .otherwise(0L),
+        "hamiltonAlloc's per-stratum table", 1L << 22))
       .select(col(stratumCol).as("__g"), col("__alloc"))
   }
 

@@ -232,9 +232,16 @@ object StructureFilters {
         "left_anti")
     }
     if (mustResetIds) {
-      val part = if (t.columns.contains(fileCol)) Window.partitionBy(fileCol)
+      val hasFile = t.columns.contains(fileCol)
+      val part = if (hasFile) Window.partitionBy(fileCol)
         else Window.partitionBy()
-      t = t.withColumn("id", row_number().over(part.orderBy(col("id"))))
+      val rn = row_number().over(part.orderBy(col("id")))
+      // guarded (r18): the no-fileCol arm is the single-structure
+      // path — assert the global frame stays structure-sized
+      t = t.withColumn("id",
+        if (hasFile) rn
+        else WindowOps.guardedGlobalFrame(rn,
+          "resetIds' single-structure atom table", 1L << 24))
     }
     if (res.nonEmpty)
       t = RowOps.rowSelector(t, s"${category}_seq_id", res)

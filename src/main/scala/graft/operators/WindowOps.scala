@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
+  /** Loud-failure guard for DELIBERATELY-global windows (r18, the
+    * [[OrderStats.boundedGroupRows]] contract at expression level):
+    * the six global-Window sites in this codebase all operate on
+    * inputs that are bounded by construction (per-stratum counts, a
+    * ≤ nBuckets grouped table, one structure's atoms, one file's
+    * lines), but nothing ASSERTED the bound — fed an unbounded table
+    * they would silently single-partition the world. This wraps a
+    * kept output column: `count(1)` over the same single-partition
+    * frame (no extra exchange, no extra pass — the frame is already
+    * global) feeds an `assert_true`, so the task fails with the
+    * measured row count the moment the assumption breaks instead of
+    * degrading. */
+  private[graft] def guardedGlobalFrame(keep: Column, what: String,
+                                        maxRows: Long): Column = {
+    val n = count(lit(1)).over(Window.partitionBy())
+    when(assert_true(n <= lit(maxRows),
+      concat(lit(s"$what holds its input in ONE window partition and " +
+        s"is bounded at $maxRows rows; got "), n.cast("string"),
+        lit(" — repartition/regroup on a real key or raise the bound")))
+      .isNull, keep)
+  }
+
   /** Keep the single best row per key group: order by `ordering`,
     * take row 1. One shuffle; at 100 TB prefer this over
     * dropDuplicates because the ordering makes the survivor

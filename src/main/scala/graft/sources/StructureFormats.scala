@@ -399,8 +399,12 @@ object StructureFormats {
           val w = Window.orderBy("__idx")
             .rowsBetween(Window.unboundedPreceding, -1)
           body = body
-            .withColumn("__rec",
-              coalesce(sum(keepsNewline.cast("long")).over(w), lit(0L)))
+            // guarded (r18): the running record-boundary sum is a
+            // per-FILE parse (one table's lines) — assert the global
+            // frame stays file-sized
+            .withColumn("__rec", graft.operators.WindowOps.guardedGlobalFrame(
+              coalesce(sum(keepsNewline.cast("long")).over(w), lit(0L)),
+              "the indexed-record parse's per-file line table", 1L << 24))
             .groupBy("__rec")
             .agg(array_join(transform(
               array_sort(collect_list(struct(col("__idx"), col("value")))),

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class WindowOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("guardedGlobalFrame: passthrough under the bound, loud over it") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val rn = row_number().over(w)
+    // under the bound: values pass through unchanged
+    val ok = df.withColumn("r",
+        WindowOps.guardedGlobalFrame(rn, "test frame", 3L))
+      .select("r").as[Int].collect().sorted
+    assert(ok.toSeq == Seq(1, 2, 3))
+    // over the bound: the task raises with the measured count
+    val err = intercept[Exception] {
+      df.withColumn("r",
+          WindowOps.guardedGlobalFrame(rn, "test frame", 2L))
+        .collect()
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("bounded at 2") && msg.contains("got 3"), msg)
+  }
+
   test("keepBestPerKey keeps deterministic best row") {
     val df = Seq(("a", 1, 0.5), ("a", 2, 0.9), ("a", 3, 0.9), ("b", 4, 0.1))
       .toDF("k", "id", "occ")
